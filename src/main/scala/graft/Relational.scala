@@ -1,0 +1,475 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Relational operator inventory, SURVEY.md §2.C — one graded query per
+  * operator, each a declarative DataFrame plan so Catalyst gets predicate
+  * pushdown / column pruning / join selection for free. Every query obeys
+  * the §7.4 hash-determinism rules: total ORDER BY, floor-truncated float
+  * aggregates, explicit integer widths matching the DuckDB oracle.
+  */
+object Relational {
+
+  // C1: projection (select / computed columns)
+  val qProjection = Q(
+    "q0_projection",
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |       concat_ws('-', p_brand, p_type) AS brand_type,
+      |       floor(p_retailprice * p_size * 100)/100 AS value2
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      trunc2(col("p_retailprice") * col("p_size")).as("value2"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // C2 + C10: filter + hash aggregate (TPC-H Q1 shape) — the flagship.
+  val qPricingSummary = Q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice*(1.0-l_discount)), 4) AS sum_disc_price,
+      |       floor(avg(l_quantity)*10000)/10000 AS avg_qty,
+      |       floor(avg(l_discount)*10000)/10000 AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        trunc4(avg(col("l_quantity"))).as("avg_qty"),
+        trunc4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // C2: selective filter with range + IN predicates (TPC-H Q6 shape);
+  // predicates push down to the parquet scan.
+  val qFilterRevenue = Q(
+    "q2_filter_revenue",
+    """SELECT round(sum(l_extendedprice*l_discount), 4) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  // C3 + C17: 3-way equi-join + agg + top-k (TPC-H Q3 shape).
+  val qJoinTopk = Q(
+    "q3_join_topk",
+    """SELECT o_orderkey, o_orderdate,
+      |       round(sum(l_extendedprice*(1.0-l_discount)), 4) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate  > TIMESTAMP '1995-06-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit("1995-06-15"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // C4: broadcast join of tiny dimensions (explicit hint — at 100 TB the
+  // fact side never shuffles for dimension lookups).
+  val qBroadcastAgg = Q(
+    "q4_broadcast_agg",
+    """SELECT r_name, count(*) AS customers,
+      |       round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("customers"), r2(sum(col("c_acctbal"))).as("total_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  // C5: left outer join (customers with zero orders kept).
+  val qLeftOuter = Q(
+    "q5_outer_join",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders, max(o_totalprice) AS max_price
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // C5: full outer join over two pre-aggregated sides.
+  val qFullOuter = Q(
+    "q5_full_outer",
+    """SELECT coalesce(a.nk, b.nk) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) a
+      |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) b
+      |  ON a.nk = b.nk
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val cu = customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    cu.join(su, col("nk_c") === col("nk_s"), "full")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  // C6: left semi join — EXISTS semantics without row duplication.
+  val qSemiJoin = Q(
+    "q6_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // C6: left anti join — NOT EXISTS.
+  val qAntiJoin = Q(
+    "q6_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // C7: cross join (cartesian) over tiny inputs.
+  val qCrossJoin = Q(
+    "q7_cross_join",
+    """SELECT a.r_name AS name_a, b.r_name AS name_b
+      |FROM region a CROSS JOIN region b
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    region(s, d).select(col("r_name").as("name_a"))
+      .crossJoin(region(s, d).select(col("r_name").as("name_b")))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  // C8: equi + range (interval) join predicate.
+  val qRangeJoin = Q(
+    "q8_range_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |       round(sum(l_extendedprice), 2) AS rev
+      |FROM orders JOIN lineitem
+      |  ON o_orderkey = l_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d).join(lineitem(s, d),
+      col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // C9: as-of join — for each purchase, the latest click at-or-before it
+  // for the same user. Spark has no native ASOF; the scalable form is a
+  // single sort-once pass: union both sides, one window, last non-null.
+  // (The naive correlated-subquery form would be a per-row rescan.)
+  val qAsofJoin = Q(
+    "q9_asof_join",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |       (SELECT max(epoch_us(c.ts)) FROM events c
+      |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |          AND c.ts <= p.ts) AS prior_click_us
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    // Event time is compared at microseconds: DuckDB truncates the parquet
+    // TIMESTAMP(NANOS) column to µs on read (Tables.tsUs).
+    val ev = events(s, d).withColumn("ts_us", tsUs)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+        col("ts_us").as("click_ts"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+        lit(null).cast("long").as("click_ts"), col("event_id"))
+    // clicks sort before purchases at equal ts => inclusive (<=) semantics
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("prior_click_us", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("prior_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  // C11: sort-based aggregation buffer (collect_list) with deterministic
+  // output via sort_array.
+  val qCollectSorted = Q(
+    "q11_collect_sorted",
+    """SELECT r_name, list(n_name ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    nation(s, d).join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  // C12: distinct.
+  val qDistinct = Q(
+    "q12_distinct",
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  // C13: approximate distinct (HLL++). No cross-engine oracle — DuckDB's
+  // sketch differs; bounds are property-tested in ScalaTest instead.
+  val qApproxDistinct = Q.noOracle("q13_approx_distinct") { (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // C14: rollup + grouping_id. NULLS FIRST pinned on both engines (Spark
+  // default ASC is nulls-first, DuckDB's is nulls-last).
+  val qRollup = Q(
+    "q14_rollup",
+    """SELECT CAST(grouping(r_name)*2 + grouping(n_name) AS BIGINT) AS gid,
+      |       r_name, n_name, count(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), grouping_id().cast("long").as("gid"))
+      .select(col("gid"), col("r_name"), col("n_name"), col("n_cust"))
+      .orderBy(col("gid"), asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  // C15: ranking window functions; window order is total (price desc,
+  // orderkey) so ranks are deterministic.
+  val qWindowRank = Q(
+    "q15_window_rank",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER w AS rn,
+      |         rank()       OVER w AS rnk,
+      |         dense_rank() OVER w AS drnk,
+      |         ntile(4)     OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      row_number().over(w).cast("long").as("rn"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // C16: analytic window functions — lag/lead/first + running & moving
+  // frames over the event stream.
+  val qWindowAnalytic = Q(
+    "q16_window_analytic",
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |       lag(value, 1)  OVER w AS prev_value,
+      |       lead(value, 1) OVER w AS next_value,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
+      |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+      |       first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    // µs window order matches DuckDB's µs-truncated ts (Tables.tsUs).
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, 0)
+    events(s, d).withColumn("ts_us", tsUs).select(
+      col("user_id"), col("event_id"), col("ts_us"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      r4(sum(col("value")).over(wRun)).as("run_sum"),
+      r4(avg(col("value")).over(wMov)).as("mov_avg3"),
+      first(col("value")).over(wRun).as("first_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // C17: global sort + limit → TakeOrderedAndProject (no full sort at scale).
+  val qTopk = Q(
+    "q17_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin) { (s, d) =>
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+  }
+
+  // C18: per-group top-k via ranking window.
+  val qGroupTopk = Q(
+    "q18_group_topk",
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  // C19: set operations — INTERSECT / EXCEPT / UNION ALL composed.
+  val qSetOps = Q(
+    "q19_setops",
+    """SELECT k, 'both' AS src FROM (
+      |  SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT DISTINCT s_nationkey AS k FROM supplier)
+      |UNION ALL
+      |SELECT k, 'cust_only' AS src FROM (
+      |  SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT DISTINCT s_nationkey AS k FROM supplier)
+      |ORDER BY src, k""".stripMargin) { (s, d) =>
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("k")).distinct()
+    val suppNations = supplier(s, d).select(col("s_nationkey").as("k")).distinct()
+    building.intersect(suppNations).withColumn("src", lit("both"))
+      .unionByName(building.except(suppNations).withColumn("src", lit("cust_only")))
+      .orderBy(col("src"), col("k"))
+  }
+
+  // C20: Bernoulli sampling — seeded but RNG-specific, so no cross-engine
+  // oracle; row-count envelope asserted in ScalaTest.
+  val qSample = Q.noOracle("q20_sample") { (s, d) =>
+    events(s, d).sample(withReplacement = false, fraction = 0.2, seed = 42L)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  // C21: pivot (events wide by type). Spark leaves empty cells null →
+  // coalesce to 0 to match the oracle's count(CASE ...).
+  val qPivot = Q(
+    "q21_pivot",
+    """SELECT user_id,
+      |       count(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+      |       count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |       count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+      |       count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val p = events(s, d).groupBy(col("user_id"))
+      .pivot("event_type", types).count()
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  // C22: explode/unnest with position.
+  val qExplode = Q(
+    "q22_explode",
+    """SELECT vec_id, pos, embedding[CAST(pos+1 AS INTEGER)] AS val
+      |FROM embeddings, range(4) t(pos)
+      |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .filter(col("pos") < 4)
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  // C23: uncorrelated scalar subquery (via SQL so Catalyst's subquery
+  // machinery is exercised).
+  val qScalarSubquery = Q(
+    "q23_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("q23_orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM q23_orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM q23_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // C23: correlated scalar subquery → Catalyst decorrelates to a join.
+  val qCorrelatedSubquery = Q(
+    "q23_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.2 FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("q23b_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM q23b_orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.2 FROM q23b_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(
+    qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
+    qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
+    qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup,
+    qWindowRank, qWindowAnalytic, qTopk, qGroupTopk, qSetOps, qSample,
+    qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery)
+}
