@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+import graft.functions.VectorFunctions
+
+/** Similarity search over the embeddings table (SURVEY.md §2.F F3–F5).
+  *
+  * Brute-force all-pairs cosine is the correctness baseline; at 100 TB the
+  * designed-for-scale paths are the bucketed ones (IVF cells / LSH bands)
+  * where candidate generation is an equi-join on a bucket key — a shuffle
+  * on a small key space — instead of a cartesian product. All dot products
+  * go through the codegen'd FloatVecDot expression (35 s → ~1 s at sf0.1
+  * vs SQL lambdas, BASELINE.md).
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
+
+  /** vec_id, emb, nrm — norms computed once, before any pairing. */
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    embeddings(s, d).select(
+      col("vec_id"),
+      col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+  }
+
+  private def side(df: DataFrame, p: String): DataFrame =
+    df.select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+      col("nrm").as(s"${p}_nrm"))
+
+  private val oracleNormed =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e)""".stripMargin
+
+  // F3: brute-force global top-k most-similar pairs. Cosine values are
+  // off-grid irrationals → floor-truncated at 1e-4 on both engines, and the
+  // ORDER BY uses the truncated value so top-k selection is deterministic.
+  val qCosineTopk = Q(
+    "q_f3_cosine_topk",
+    s"""$oracleNormed
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       floor(list_inner_product(a.emb, b.emb)/(a.nrm*b.nrm)*10000)/10000 AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |ORDER BY cos_sim DESC, a_id, b_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  // F3 variant: embedding-cosine near-duplicate pairs above a threshold.
+  val qCosineNeardup = Q(
+    "q_f3_cosine_neardup",
+    s"""$oracleNormed
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       floor(list_inner_product(a.emb, b.emb)/(a.nrm*b.nrm)*10000)/10000 AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_inner_product(a.emb, b.emb)/(a.nrm*b.nrm) >= 0.35
+      |ORDER BY cos_sim DESC, a_id, b_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
+      .withColumn("raw", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("raw") >= 0.35)
+      .select(col("a_id"), col("b_id"), trunc4(col("raw")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  // F4: per-item k nearest neighbors (k=3) — ranking window over the pair
+  // matrix, self excluded.
+  val qKnn = Q(
+    "q_f4_knn",
+    s"""$oracleNormed,
+      |p AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |         floor(list_inner_product(a.emb, b.emb)/(a.nrm*b.nrm)*10000)/10000 AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT q_id, n_id, cos_sim,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+      |      FROM p)
+      |SELECT q_id, n_id, cos_sim, rn FROM r WHERE rn <= 3
+      |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    side(n, "a").join(side(n, "b"), col("a_id") =!= col("b_id"))
+      .select(col("a_id").as("q_id"), col("b_id").as("n_id"),
+        trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // F5 (oracle-graded scale path): IVF-style ANN. Deterministic "centroids"
+  // = the first 8 vectors; every vector is assigned to its nearest centroid
+  // (one small broadcast join), then queries only search their own cell —
+  // candidate generation becomes an equi-join on cell id. At 100 TB the
+  // centroid set comes from k-means sampling, but the plan shape (broadcast
+  // assign + bucket equi-join) is exactly this.
+  val qIvfAnn = Q(
+    "q_f5_ivf_ann",
+    s"""$oracleNormed,
+      |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT n.vec_id, cent.c_id AS cell,
+      |           row_number() OVER (PARTITION BY n.vec_id
+      |             ORDER BY floor(list_inner_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm)*10000)/10000 DESC,
+      |                      cent.c_id) AS rn
+      |    FROM n CROSS JOIN cent)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT qa.vec_id AS q_id, nb.vec_id AS n_id,
+      |         floor(list_inner_product(na.emb, nb.emb)/(na.nrm*nb.nrm)*10000)/10000 AS cos_sim
+      |  FROM assign qa
+      |  JOIN assign ab ON qa.cell = ab.cell AND qa.vec_id <> ab.vec_id
+      |  JOIN n na ON na.vec_id = qa.vec_id
+      |  JOIN n nb ON nb.vec_id = ab.vec_id
+      |  WHERE qa.vec_id < 10),
+      |r AS (SELECT q_id, n_id, cos_sim,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+      |      FROM pairs)
+      |SELECT q_id, n_id, cos_sim, rn FROM r WHERE rn <= 3
+      |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val n = normed(s, d).cache()
+    val cent = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(trunc4(col("c_dot")).desc, col("c_id"))
+    val assign = n.crossJoin(broadcast(cent))
+      .withColumn("c_dot", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val qs = assign.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("cell"))
+    val cands = assign.select(col("vec_id").as("n_id"), col("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    qs.join(cands, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .join(n.select(col("vec_id").as("q_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm")), Seq("q_id"))
+      .join(n.select(col("vec_id").as("n_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // F5 (no oracle): random-hyperplane LSH near-dup candidates. 16 signed
+  // hyperplanes from a deterministic integer LCG → 16-bit bucket signature;
+  // pairs that share the full signature are candidates, then verified with
+  // exact cosine. Recall vs the brute-force baseline is property-tested in
+  // ScalaTest (LSH uses hash-bucket collision, not SQL-expressible in the
+  // oracle without replicating the plane table).
+  val qLshNeardup = Q.noOracle("q_f5_lsh_neardup") { (s, d) =>
+    VectorFunctions.register(s)
+    val nPlanes = 16
+    val dim = 64
+    // deterministic ±1 plane components hashed from the (plane, dim) index
+    val planes = s.range(0, nPlanes.toLong * dim).select(
+      expr("id div 64").cast("int").as("plane"),
+      (col("id") % dim).cast("int").as("i"),
+      (pmod(xxhash64(col("id")), lit(2)) * 2 - 1).cast("double").as("sgn"))
+    val elems = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val bits = elems.join(broadcast(planes), Seq("i"))
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("v") * col("sgn")).as("proj"))
+      .select(col("vec_id"), col("plane"),
+        when(col("proj") > 0, lit(1L)).otherwise(lit(0L)).as("bit"))
+    val sigs = bits.groupBy(col("vec_id"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("plane")).cast("long")).as("sig"))
+    val n = normed(s, d)
+    val a = sigs.join(n, Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("sig"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = sigs.join(n, Seq("vec_id"))
+      .select(col("vec_id").as("b_id"), col("sig"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sig"),
+        trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+  }
+
+  def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup)
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two float vectors (ArrayType(FloatType)).
+  *
+  * This is the hot inner loop of the similarity operators (SURVEY.md §2.F
+  * F3–F5): at sf0.1 the brute-force pass evaluates ~4M pairs × dim 64.
+  * SQL higher-order lambdas (`aggregate(zip_with(...))`) break whole-stage
+  * codegen and measured 35 s for the same work (BASELINE.md); this
+  * expression stays inside codegen, reads floats directly out of the
+  * UnsafeArrayData without boxing, and accumulates in double exactly like
+  * DuckDB's `list_inner_product` over DOUBLE[] — sequential, product-wise —
+  * so oracle parity holds bit-for-bit before truncation.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"fvec_dot requires (array<float>, array<float>), got " +
+            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fvec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Register `fvec_dot` in the session's function registry so it is usable
+    * from both the DataFrame DSL (`call_function("fvec_dot", a, b)`) and
+    * SQL. Idempotent; every similarity query calls this first because the
+    * harness owns SparkSession construction.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fvec_dot", (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)), "built-in")
+}
