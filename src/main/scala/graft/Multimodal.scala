@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (builder brief): image/audio/video payloads are
+  * opaque `binary` columns travelling next to typed metadata. The
+  * Spark-side plumbing — schema, partition-wise batch decode, feature
+  * schema — is real and tested; the codec itself is a clearly-marked
+  * deterministic stub because no image/audio library exists in this
+  * container (the production swap-in point is `decodeOne`).
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, declaredWidth: Int, declaredHeight: Int)
+  final case class MediaRecord(id: Long, modality: String, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(id: Long, modality: String, n_bytes: Long,
+      checksum: Long, width: Int, height: Int, ok: Boolean)
+
+  /** Deterministic synthetic corpus: the document text bytes stand in for
+    * an encoded image; metadata is derived from n_chars.
+    */
+  def synthesize(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        MediaRecord(id, "image", text.getBytes("UTF-8"),
+          MediaMeta("fake/raw", (nChars % 640).toInt, (nChars % 480).toInt))
+      }
+  }
+
+  /** STUB codec — deterministic fake decode. A real deployment replaces
+    * this one function with an actual library call (e.g. TwelveMonkeys /
+    * javacv); everything around it (partition batching, schema, nullability
+    * on failure) is production plumbing.
+    */
+  private def decodeOne(payload: Array[Byte], meta: MediaMeta): (Long, Int, Int, Boolean) = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    (sum, meta.declaredWidth, meta.declaredHeight, payload.nonEmpty)
+  }
+
+  /** Partition-wise decode: one codec context per partition (the expensive
+    * init a real codec would amortize), records streamed through it.
+    */
+  def decodeFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // real codecs init native context here, once per partition
+      it.map { r =>
+        val (checksum, w, h, ok) = decodeOne(r.payload, r.meta)
+        MediaFeatures(r.id, r.modality, r.payload.length.toLong, checksum, w, h, ok)
+      }
+    }
+  }
+
+  /** Whole path as a DataFrame for ad-hoc use. */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(synthesize(spark, dir)).toDF().orderBy(col("id"))
+}

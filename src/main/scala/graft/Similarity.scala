@@ -153,38 +153,53 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  // F5 (no oracle): random-hyperplane LSH near-dup candidates. 16 signed
-  // hyperplanes from a deterministic integer LCG → 16-bit bucket signature;
-  // pairs that share the full signature are candidates, then verified with
-  // exact cosine. Recall vs the brute-force baseline is property-tested in
-  // ScalaTest (LSH uses hash-bucket collision, not SQL-expressible in the
-  // oracle without replicating the plane table).
+  // F5 (no oracle): banded random-hyperplane LSH near-dup candidates.
+  // 16 signed hyperplanes (deterministic hash-derived ±1 components) give a
+  // 16-bit signature split into 4 bands of 4 bits; pairs sharing any band
+  // bucket are candidates, then verified with exact cosine. Candidate
+  // generation is an equi-join on (band, 4-bit key) — at 100 TB this is the
+  // shape that replaces the cartesian product. Recall vs brute force is
+  // property-tested in ScalaTest (xxhash64 planes have no DuckDB twin).
   val qLshNeardup = Q.noOracle("q_f5_lsh_neardup") { (s, d) =>
+    lshCandidates(s, embeddings(s, d), minCos = 0.35)
+  }
+
+  /** Banded sign-LSH candidate pairs over any (vec_id, embedding) frame,
+    * verified with exact cosine ≥ minCos.
+    */
+  def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
     VectorFunctions.register(s)
     val nPlanes = 16
+    val bandBits = 4
     val dim = 64
     // deterministic ±1 plane components hashed from the (plane, dim) index
     val planes = s.range(0, nPlanes.toLong * dim).select(
       expr("id div 64").cast("int").as("plane"),
       (col("id") % dim).cast("int").as("i"),
       (pmod(xxhash64(col("id")), lit(2)) * 2 - 1).cast("double").as("sgn"))
-    val elems = embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val elems = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
     val bits = elems.join(broadcast(planes), Seq("i"))
       .groupBy(col("vec_id"), col("plane"))
       .agg(sum(col("v") * col("sgn")).as("proj"))
       .select(col("vec_id"), col("plane"),
         when(col("proj") > 0, lit(1L)).otherwise(lit(0L)).as("bit"))
-    val sigs = bits.groupBy(col("vec_id"))
-      .agg(sum(col("bit") * pow(lit(2.0), col("plane")).cast("long")).as("sig"))
-    val n = normed(s, d)
-    val a = sigs.join(n, Seq("vec_id"))
-      .select(col("vec_id").as("a_id"), col("sig"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = sigs.join(n, Seq("vec_id"))
-      .select(col("vec_id").as("b_id"), col("sig"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sig"),
+    val bands = bits
+      .withColumn("band", expr(s"plane div $bandBits"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("plane") % bandBits).cast("long")).as("bkey"))
+    val n = emb.select(col("vec_id"),
+      col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = bands.join(n, Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("band"), col("bkey"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = bands.join(n, Seq("vec_id"))
+      .select(col("vec_id").as("b_id"), col("band"), col("bkey"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
         trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= minCos)
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
   }
 

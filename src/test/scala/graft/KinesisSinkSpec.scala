@@ -1,0 +1,108 @@
+package graft
+
+import java.io.{DataInputStream, File, FileInputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import graft.pipeline.KinesisSink
+import graft.pipeline.KinesisSink._
+
+class KinesisSinkSpec extends SparkSpec {
+
+  private def rec(pk: String, n: Int = 8): KinesisRecord =
+    KinesisRecord(pk, Array.fill[Byte](n)(1))
+
+  test("shardFor routes into [0, n) deterministically and spreads keys") {
+    val n = 4
+    val shards = (0 until 1000).map(i => shardFor(i.toString, n))
+    assert(shards.forall(s => s >= 0 && s < n))
+    assert(shards == (0 until 1000).map(i => shardFor(i.toString, n)))
+    val byShard = shards.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size == n && byShard.values.forall(_ > 150))
+  }
+
+  test("batches respect the 500-record limit") {
+    val bs = batches(Iterator.fill(1200)(rec("k"))).toVector
+    assert(bs.map(_.size) == Vector(500, 500, 200))
+  }
+
+  test("batches respect the 5 MiB limit") {
+    // 1 MB each (legal per-record): 5 fit in 5 MiB, the 6th starts a new batch
+    val big = KinesisRecord("k", Array.fill[Byte](1000000)(0))
+    val bs = batches(Iterator.fill(7)(big)).toVector
+    assert(bs.map(_.size) == Vector(5, 2))
+  }
+
+  test("a record over 1 MiB is rejected") {
+    val over = KinesisRecord("k", Array.fill[Byte](1024 * 1024 + 1)(0))
+    assertThrows[IllegalArgumentException](batches(Iterator(over)).toVector)
+  }
+
+  test("putWithRetry re-submits only the failed subset and backs off") {
+    val sleeps = mutable.Buffer.empty[Long]
+    var calls = 0
+    val flaky = new PutRecordsClient {
+      override def putRecords(shard: Int, records: Seq[KinesisRecord]): Seq[PutResult] = {
+        calls += 1
+        records.zipWithIndex.map { case (_, i) =>
+          // first two calls fail every odd record
+          if (calls <= 2 && i % 2 == 1) PutResult(None, Some("Throttled"))
+          else PutResult(Some(1L), None)
+        }
+      }
+    }
+    val n = putWithRetry(flaky, 0, (1 to 10).map(i => rec(i.toString)),
+      maxAttempts = 5, backoffMs = 10, sleep = sleeps.append(_))
+    assert(n == 10)
+    assert(calls == 3)             // 10 → 5 failed → 2 failed (odd of 5) → 0
+    assert(sleeps.toList == List(10, 20)) // exponential backoff
+  }
+
+  test("putWithRetry gives up after maxAttempts") {
+    val dead = new PutRecordsClient {
+      override def putRecords(shard: Int, records: Seq[KinesisRecord]): Seq[PutResult] =
+        records.map(_ => PutResult(None, Some("InternalFailure")))
+    }
+    val e = intercept[IllegalStateException](
+      putWithRetry(dead, 0, Seq(rec("a")), maxAttempts = 3, sleep = _ => ()))
+    assert(e.getMessage.contains("3 attempts"))
+  }
+
+  /** Read every record back out of a shard directory (length-prefixed). */
+  def readShardDir(base: String): Map[Int, Seq[(String, Array[Byte])]] = {
+    val dirs = Option(new File(base).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("shard="))
+    dirs.map { d =>
+      val shard = d.getName.stripPrefix("shard=").toInt
+      val recs = d.listFiles().filter(_.getName.endsWith(".krf")).sortBy(_.getName).toSeq.flatMap { f =>
+        val in = new DataInputStream(new FileInputStream(f))
+        val buf = mutable.Buffer.empty[(String, Array[Byte])]
+        try {
+          while (in.available() > 0) {
+            val pk = new Array[Byte](in.readInt()); in.readFully(pk)
+            val data = new Array[Byte](in.readInt()); in.readFully(data)
+            buf += ((new String(pk, UTF_8), data))
+          }
+        } finally in.close()
+        buf
+      }
+      shard -> recs
+    }.toMap
+  }
+
+  test("deliver routes every record to its md5 shard (end to end)") {
+    val out = tmpDir("ksink")
+    import spark.implicits._
+    val df = (1 to 100)
+      .map(i => (i.toString, s"payload-$i".getBytes(UTF_8)))
+      .toDF("partitionKey", "data")
+    KinesisSink.deliver(df, numShards = 4,
+      (shard, tag) => new DirectoryClient(out, tag), fileTag = "t0")
+    val byShard = readShardDir(out)
+    val all = byShard.toSeq.flatMap { case (s, rs) => rs.map { case (pk, d) => (s, pk, new String(d, UTF_8)) } }
+    assert(all.size == 100)
+    assert(all.forall { case (s, pk, _) => shardFor(pk, 4) == s })
+    assert(all.map(_._2).toSet == (1 to 100).map(_.toString).toSet)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+/** E1–E8 over MemoryStream micro-batches with deterministic asserts. */
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private def ev(id: Long, min: Int, user: Long = 1, tpe: String = "view",
+      value: Double = 1.0): Ev = Ev(id, ts(min), user, tpe, value)
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"st_q$qn" }
+
+  private def runToTable(df: org.apache.spark.sql.DataFrame, mode: OutputMode)(
+      feed: () => Unit): String = {
+    val name = nextName()
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    feed()
+    q.processAllAvailable()
+    q.stop()
+    name
+  }
+
+  test("E1: tumbling window counts") {
+    val in = MemoryStream[Ev]
+    val name = runToTable(StreamOps.tumblingCounts(in.toDF()), OutputMode.Complete()) { () =>
+      in.addData(ev(1, 1), ev(2, 3), ev(3, 11), ev(4, 12, tpe = "click"))
+    }
+    val rows = spark.table(name)
+      .select("w_start", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+    assert(rows == Set((ts(0), "view", 2L), (ts(10), "view", 1L), (ts(10), "click", 1L)))
+  }
+
+  test("E2: sliding windows double-count rows in overlapping panes") {
+    val in = MemoryStream[Ev]
+    val name = runToTable(StreamOps.slidingCounts(in.toDF()), OutputMode.Complete()) { () =>
+      in.addData(ev(1, 7))
+    }
+    // a row at 00:07 belongs to [00:00,00:10) and [00:05,00:15)
+    val starts = spark.table(name).select("w_start").as[Timestamp].collect().toSet
+    assert(starts == Set(ts(0), ts(5)))
+  }
+
+  test("E3: session windows split on the gap") {
+    val in = MemoryStream[Ev]
+    val name = runToTable(StreamOps.sessionCounts(in.toDF(), gap = "5 minutes"),
+      OutputMode.Complete()) { () =>
+      in.addData(ev(1, 1), ev(2, 3), ev(3, 20), ev(4, 22))
+    }
+    val rows = spark.table(name).select("s_start", "n").as[(Timestamp, Long)].collect().toSet
+    assert(rows == Set((ts(1), 2L), (ts(20), 2L)))
+  }
+
+  test("E4: watermark drops late rows from a finalized window") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.watermarkedCounts(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    in.addData(ev(1, 1), ev(2, 5))      // window [00:00,00:10): 2 rows
+    q.processAllAvailable()
+    in.addData(ev(3, 31))               // watermark → 00:21, finalizes [00:00,00:10)
+    q.processAllAvailable()
+    in.addData(ev(4, 2))                // LATE: before watermark → dropped
+    q.processAllAvailable()
+    in.addData(ev(5, 45))               // advance again so late effects would surface
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table(name).filter($"w_start" === ts(0)).select("n").as[Long].collect()
+    assert(w0.toSeq == Seq(2L), "late row must not re-open the finalized window")
+  }
+
+  test("E5: dropDuplicatesWithinWatermark emits one row per event_id") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.dedup(in.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    in.addData(ev(1, 1), ev(1, 1), ev(2, 2))
+    q.processAllAvailable()
+    in.addData(ev(1, 3), ev(3, 3))      // duplicate id 1 within watermark
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("E6: stream-static broadcast enrichment") {
+    val users = Seq((1L, "alice"), (2L, "bob")).toDF("u_id", "name")
+    val in = MemoryStream[Ev]
+    val name = runToTable(
+      StreamOps.enrich(in.toDF(), users).select($"event_id", $"name"),
+      OutputMode.Append()) { () =>
+      in.addData(ev(10, 1, user = 1), ev(11, 1, user = 9))
+    }
+    val rows = spark.table(name).as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((10L, Some("alice")), (11L, None)))
+  }
+
+  test("E7: stream-stream interval join pairs purchases with recent clicks") {
+    val in = MemoryStream[Ev]
+    val name = runToTable(
+      StreamOps.purchaseAfterClick(in.toDF()).select($"purchase_id", $"click_id"),
+      OutputMode.Append()) { () =>
+      in.addData(
+        ev(1, 1, user = 7, tpe = "click"),
+        ev(2, 5, user = 7, tpe = "purchase"),   // 4 min after click → joined
+        ev(3, 20, user = 7, tpe = "purchase"),  // 19 min after click → outside window
+        ev(4, 4, user = 8, tpe = "purchase"))   // no click for user 8
+    }
+    val rows = spark.table(name).as[(Long, Long)].collect().toSet
+    assert(rows == Set((2L, 1L)))
+  }
+
+  test("E8: flatMapGroupsWithState closes sessions when the watermark passes the gap") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.sessionize(in.toDS(), gapMillis = 600000L).toDF()
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    in.addData(ev(1, 1, user = 42, value = 2.0), ev(2, 2, user = 42, value = 3.0))
+    q.processAllAvailable()
+    // event at 00:30 → watermark 00:30 > 00:02 + 10 min → session 42 closes
+    in.addData(ev(3, 30, user = 7))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table(name)
+      .filter($"closed" && $"user_id" === 42L)
+      .select("n_events", "total_value").as[(Long, Double)].collect()
+    assert(closed.toSeq == Seq((2L, 5.0)))
+  }
+}
