@@ -293,6 +293,42 @@ object Relational {
       .orderBy(col("gid"), asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
+  // C14: cube — all grouping combinations.
+  val qCube = Q(
+    "q14_cube",
+    """SELECT CAST(grouping(c_mktsegment)*2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+      |       c_mktsegment, o_orderstatus, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+      |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
+    orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .select(col("gid"), col("c_mktsegment"), col("o_orderstatus"), col("n"), col("total"))
+      .orderBy(col("gid"), asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderstatus"))
+  }
+
+  // Skew-safe two-phase aggregation: the salt spreads hot keys over
+  // `salts` partial groups before the final combine — the standard pattern
+  // when one key dominates at 100 TB scale (events has only 5 event types,
+  // so a plain groupBy puts 20% of the table in one reducer). The result
+  // is provably identical to the direct aggregation, which is exactly what
+  // the oracle checks.
+  val qSaltedAgg = Q(
+    "q_skew_salted_agg",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), r2(sum(col("pt"))).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   // C15: ranking window functions; window order is total (price desc,
   // orderkey) so ranks are deterministic.
   val qWindowRank = Q(
@@ -469,7 +505,7 @@ object Relational {
   def all: Seq[Q] = Seq(
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
-    qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup,
-    qWindowRank, qWindowAnalytic, qTopk, qGroupTopk, qSetOps, qSample,
-    qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery)
+    qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup, qCube,
+    qSaltedAgg, qWindowRank, qWindowAnalytic, qTopk, qGroupTopk, qSetOps,
+    qSample, qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery)
 }
