@@ -7,7 +7,11 @@ class MinHashSpec extends SparkSpec {
   import spark.implicits._
 
   private val baseText = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
-    "lambda mu nu xi omicron pi rho sigma tau upsilon").trim
+    "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+    "one two three four five six seven eight nine ten " +
+    "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+    "aa bb cc dd ee ff gg hh ii jj " +
+    "kk ll mm nn oo pp qq rr ss tt").trim
 
   test("exact duplicates get identical signatures and estimate 1.0") {
     val docs = Seq((1L, baseText), (2L, baseText), (3L, "totally different words here now"))
