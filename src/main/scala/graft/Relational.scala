@@ -310,6 +310,42 @@ object Relational {
       .orderBy(col("gid"), asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderstatus"))
   }
 
+  // C14: explicit GROUPING SETS (via SQL — the DSL has rollup/cube only).
+  val qGroupingSets = Q(
+    "q14_grouping_sets",
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin) { (s, d) =>
+    customer(s, d).createOrReplaceTempView("q14c_customer")
+    s.sql(
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |FROM q14c_customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  // C19: multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving).
+  val qSetOpsAll = Q(
+    "q19_setops_all",
+    """SELECT k, 'inter' AS src FROM (
+      |  SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT ALL
+      |  SELECT s_nationkey AS k FROM supplier)
+      |UNION ALL
+      |SELECT k, 'exc' AS src FROM (
+      |  SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT ALL
+      |  SELECT s_nationkey AS k FROM supplier)
+      |ORDER BY src, k""".stripMargin) { (s, d) =>
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("k"))
+    val suppNations = supplier(s, d).select(col("s_nationkey").as("k"))
+    building.intersectAll(suppNations).withColumn("src", lit("inter"))
+      .unionByName(building.exceptAll(suppNations).withColumn("src", lit("exc")))
+      .orderBy(col("src"), col("k"))
+  }
+
   // Skew-safe two-phase aggregation: the salt spreads hot keys over
   // `salts` partial groups before the final combine — the standard pattern
   // when one key dominates at 100 TB scale (events has only 5 event types,
@@ -506,6 +542,7 @@ object Relational {
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
     qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup, qCube,
-    qSaltedAgg, qWindowRank, qWindowAnalytic, qTopk, qGroupTopk, qSetOps,
-    qSample, qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery)
+    qGroupingSets, qSaltedAgg, qWindowRank, qWindowAnalytic, qTopk,
+    qGroupTopk, qSetOps, qSetOpsAll, qSample, qPivot, qExplode,
+    qScalarSubquery, qCorrelatedSubquery)
 }

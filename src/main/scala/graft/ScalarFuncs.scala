@@ -72,6 +72,53 @@ object ScalarFuncs {
       .orderBy(col("o_orderkey"))
   }
 
+  // D1b: second string wave — positional/slicing/char functions.
+  val qStringExtra = Q(
+    "qd1b_string_extra",
+    """SELECT c_custkey,
+      |       left(c_name, 4) AS l4,
+      |       right(c_name, 4) AS r4,
+      |       repeat(c_mktsegment, 2) AS seg2,
+      |       CAST(ascii(c_name) AS BIGINT) AS first_char,
+      |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+      |       split_part(c_name, '#', 2) AS name_num,
+      |       contains(c_name, '42') AS has42,
+      |       starts_with(c_mktsegment, 'BU') AS is_bu
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d).select(
+      col("c_custkey"),
+      substring(col("c_name"), 1, 4).as("l4"),
+      expr("right(c_name, 4)").as("r4"),
+      repeat(col("c_mktsegment"), 2).as("seg2"),
+      ascii(col("c_name")).cast("long").as("first_char"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+      expr("split_part(c_name, '#', 2)").as("name_num"),
+      col("c_name").contains("42").as("has42"),
+      col("c_mktsegment").startsWith("BU").as("is_bu"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // D2b: second datetime wave — quarter/dow/last_day/month interval.
+  // DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday → Spark side shifts.
+  val qDateTimeExtra = Q(
+    "qd2b_datetime_extra",
+    """SELECT o_orderkey,
+      |       quarter(o_orderdate) AS qtr,
+      |       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+      |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      |       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).select(
+      col("o_orderkey"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+      dayofyear(col("o_orderdate")).cast("long").as("doy"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // D3: math functions. round/bround are excluded from the oracle (HALF_UP
   // vs HALF_EVEN on .5 boundaries, SURVEY.md §7.4.3); sqrt is IEEE
   // exact-rounded, ln/log10 are libm-dependent → floor-truncated at 1e-6.
@@ -195,5 +242,6 @@ object ScalarFuncs {
   }
 
   def all: Seq[Q] = Seq(
-    qString, qDateTime, qMath, qArray, qMap, qJson, qConditional)
+    qString, qStringExtra, qDateTime, qDateTimeExtra, qMath, qArray, qMap,
+    qJson, qConditional)
 }

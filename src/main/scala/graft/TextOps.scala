@@ -71,6 +71,51 @@ object TextOps {
       .orderBy(col("term"))
   }
 
+  // F7b: per-(doc, term) TF-IDF top-100. tf and idf are exact rationals /
+  // identically-truncated doubles on both engines, so the product and the
+  // ranking are bit-stable.
+  val qTfidfTop = Q(
+    "q_f7b_tfidf_top",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |doclen AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+      |tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.term,
+      |       floor((tf.cnt * 1.0 / doclen.n_tok) *
+      |             (floor(ln(n.n_docs * 1.0 / df.df)*1000000)/1000000) * 1000000)/1000000 AS tfidf
+      |FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
+      |JOIN df ON tf.term = df.term CROSS JOIN n
+      |ORDER BY tfidf DESC, tf.doc_id, tf.term
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val toks = documents(s, d).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val df_ = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(doclen, "doc_id")
+      .join(df_, "term")
+      .crossJoin(n)
+      .select(col("doc_id"), col("term"),
+        trunc6((col("cnt").cast("double") / col("n_tok")) *
+          trunc6(log(col("n_docs").cast("double") / col("df")))).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+      .limit(100)
+  }
+
+  // Rolling-hash fingerprint via the custom codegen expression (no DuckDB
+  // twin — unit-tested against hand-computed values; rows-only gate).
+  val qRollingFingerprint = Q.noOracle("q_rolling_fingerprint") { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    documents(s, d).select(
+      col("doc_id"),
+      call_function("rolling_hash", col("text")).as("rhash"),
+      call_function("rolling_hash", substring(col("text"), 1, 32)).as("rhash_head"))
+      .orderBy(col("doc_id"))
+  }
+
   // F8: lexicon keyword scoring — tokens ⋈ broadcast lexicon → per-doc
   // weighted score. Weights are halves so sums stay on the 0.5 grid.
   val qKeywordScore = Q(
@@ -249,7 +294,7 @@ object TextOps {
   }
 
   def all: Seq[Q] = Seq(
-    qDedupCount, qDedupFirst, qTokenize, qTfidf, qKeywordScore, qDocStats,
-    qDocHistogram, qMultimodalJoin, qLangId, qQualityScore, qTokenCount,
-    qFingerprint, qMultimodalMeta)
+    qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
+    qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
+    qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta)
 }

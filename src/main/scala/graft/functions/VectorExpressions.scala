@@ -66,13 +66,59 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd polynomial rolling hash over a string's UTF-8 bytes
+  * (base-31 Horner, wrapping 64-bit) — the document-fingerprinting
+  * primitive: cheap, order-sensitive, and streamable (a window's hash can
+  * be rolled incrementally at ingest). Raw Java arithmetic in generated
+  * code wraps silently, so this is ANSI-safe by construction.
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash.hashBytes($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** Called from generated code. */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+}
+
 object VectorFunctions {
   /** Register `fvec_dot` in the session's function registry so it is usable
     * from both the DataFrame DSL (`call_function("fvec_dot", a, b)`) and
     * SQL. Idempotent; every similarity query calls this first because the
     * harness owns SparkSession construction.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fvec_dot", (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", (exprs: Seq[Expression]) => RollingHash(exprs.head), "built-in")
+  }
 }

@@ -19,6 +19,13 @@ class SimilaritySpec extends SparkSpec {
       .collect()
   }
 
+  test("RollingHash matches the hand-computed polynomial") {
+    VectorFunctions.register(spark)
+    assert(spark.sql("SELECT rolling_hash('ab')").as[Long].head() == 97L * 31 + 98)
+    assert(spark.sql("SELECT rolling_hash('')").as[Long].head() == 0L)
+    assert(spark.sql("SELECT rolling_hash(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
   test("brute-force top-k is well-formed") {
     val df = Similarity.qCosineTopk.fn(spark, sf001).collect()
     assert(df.length == 20)
