@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Streaming operators (SURVEY.md §2.E) over the event schema. Each
   * function takes a (possibly streaming) DataFrame with columns
@@ -82,6 +83,37 @@ object StreamOps {
       event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Long, closed: Boolean)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** E8 on the Spark 4 `transformWithState` API: per-user running totals
+    * with typed ValueState, emitted in Update mode on every batch. Requires
+    * the RocksDB state store provider (the 100 TB-scale store anyway —
+    * incremental checkpoints, state larger than executor heap).
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, UserTotals] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (state.exists()) state.get() else UserTotals(key, 0L, 0.0)
+      val next = rows.foldLeft(prev)((acc, e) =>
+        acc.copy(n_events = acc.n_events + 1, total_value = acc.total_value + e.value))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user running totals via transformWithState (Update mode). */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotals])
+  }
 
   /** Per-user session accumulation with an event-time timeout: state
     * accumulates per key and is emitted (closed) once the watermark passes

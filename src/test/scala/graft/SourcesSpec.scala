@@ -57,6 +57,25 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("B8: ProcessingTime trigger runs as a daemon and picks up late files") {
+    val bucket = tmpDir("pbucket"); val stream = tmpDir("pstream")
+    val quar = tmpDir("pquar"); val ckpt = tmpDir("pckpt")
+    write(bucket, "first.jsonl", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""))
+    val q = Pipeline.run(spark, bucket, stream, quar, ckpt, numShards = 2,
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      q.processAllAvailable()
+      // a new "S3 object" lands while the daemon is polling
+      write(bucket, "second.jsonl", Seq(
+        """{"event_id":2,"ts":"2024-01-01T00:02:00Z","user_id":2,"event_type":"view","value":1.0,"props":"{}"}"""))
+      q.processAllAvailable()
+      val ids = new KinesisSinkSpec().readShardDir(stream).values.flatten
+        .map { case (pk, _) => pk }.toSeq.sorted
+      assert(ids == Seq("1", "2"))
+    } finally q.stop()
+  }
+
   test("B9: metering listener observes per-batch row counts") {
     val m = Metering.attach(spark)
     try {

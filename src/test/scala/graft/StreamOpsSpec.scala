@@ -123,6 +123,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Set((2L, 1L)))
   }
 
+  test("E8/E9: transformWithState running totals in Update mode (RocksDB store)") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val ckpt = tmpDir("tws_ckpt")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StreamOps.runningTotals(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .start()
+    in.addData(ev(1, 1, user = 5, value = 2.0), ev(2, 2, user = 5, value = 3.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 3, user = 5, value = 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: one emission per batch per touched key; state carries over
+    val rows = spark.table(name).filter($"user_id" === 5L)
+      .select("n_events", "total_value").as[(Long, Double)].collect().toSet
+    assert(rows == Set((2L, 5.0), (3L, 9.0)))
+  }
+
   test("E8: flatMapGroupsWithState closes sessions when the watermark passes the gap") {
     val in = MemoryStream[Ev]
     val name = nextName()
