@@ -91,9 +91,14 @@ object Similarity {
       |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
     val n = normed(s, d)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
-    side(n, "a").join(side(n, "b"), col("a_id") =!= col("b_id"))
-      .select(col("a_id").as("q_id"), col("b_id").as("n_id"),
+    // each unordered pair's dot product is computed once (a < b), then
+    // mirrored — cosine is symmetric, so this halves the expensive half
+    // of the plan before the rank.
+    val half = side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
         trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+    half.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cos_sim"))
+      .unionByName(half.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy(col("q_id"), col("rn"))
