@@ -208,5 +208,45 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
   }
 
+  /** IVF with real centroids: MLlib KMeans (seeded) fits `k` cells, every
+    * vector is assigned to its cell, and a query searches its own cell plus
+    * the `nprobe - 1` next-nearest cells — candidate generation stays an
+    * equi-join on cell id, the property that scales. Returns per-query
+    * top-`topK` neighbors by exact cosine among probed candidates.
+    */
+  def ivfKMeans(s: SparkSession, emb: DataFrame, k: Int, nprobe: Int,
+      topK: Int, queryPred: Column): DataFrame = {
+    VectorFunctions.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.withColumn("features",
+      array_to_vector(transform(col("embedding"), _.cast("double"))))
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // rank every (vector, centroid) pair; keep nprobe cells per query vector
+    val centroids = s.createDataFrame(model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }.toSeq).toDF("c_cell", "c_emb")
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_dist").asc, col("c_cell"))
+    val probes = assigned.filter(queryPred)
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_dist", -dot(col("embedding"), col("c_emb")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("c_cell").as("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    probes.join(assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        trunc4(dot(col("q_emb"), col("n_emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))).as("cos_sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= topK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup)
 }
