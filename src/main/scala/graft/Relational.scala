@@ -365,6 +365,45 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // C10: statistical aggregates — stddev/variance/correlation/covariance.
+  // Cross-engine float caution: both engines use numerically-stable
+  // one-pass algorithms whose results differ only in trailing ulps on this
+  // well-conditioned data; floor-truncation margins verified at sf0.01.
+  val qStatsAgg = Q(
+    "q10_stats_agg",
+    """SELECT l_returnflag,
+      |       floor(stddev_samp(l_extendedprice)*100)/100 AS sd_price,
+      |       floor(var_samp(l_quantity)*10000)/10000 AS var_qty,
+      |       floor(corr(l_extendedprice, l_quantity)*10000)/10000 AS corr_pq,
+      |       floor(covar_samp(l_extendedprice, l_discount)*100)/100 AS cov_pd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        trunc2(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        trunc4(var_samp(col("l_quantity"))).as("var_qty"),
+        trunc4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
+        trunc2(covar_samp(col("l_extendedprice"), col("l_discount"))).as("cov_pd"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // C10: custom typed Aggregator (quantity-weighted mean discount). The
+  // weighted sums are exact in double on this data (2-decimal × integer,
+  // far below 2^53), so the final ratio is bit-identical to the oracle's.
+  val qWeightedAvg = Q(
+    "q10_weighted_avg",
+    """SELECT l_returnflag,
+      |       floor(sum(l_discount * l_quantity) / sum(l_quantity) * 1000000)/1000000
+      |         AS w_avg_disc,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val wavg = udaf(graft.functions.WeightedAvg)
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        trunc6(wavg(col("l_discount"), col("l_quantity"))).as("w_avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // C15: ranking window functions; window order is total (price desc,
   // orderkey) so ranks are deterministic.
   val qWindowRank = Q(
@@ -542,7 +581,7 @@ object Relational {
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
     qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup, qCube,
-    qGroupingSets, qSaltedAgg, qWindowRank, qWindowAnalytic, qTopk,
-    qGroupTopk, qSetOps, qSetOpsAll, qSample, qPivot, qExplode,
-    qScalarSubquery, qCorrelatedSubquery)
+    qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,
+    qWindowAnalytic, qTopk, qGroupTopk, qSetOps, qSetOpsAll, qSample,
+    qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery)
 }
