@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
+import graft.functions.VectorFunctions
 
 /** Near-duplicate detection over documents (SURVEY.md §2.F F2):
   * word-3-gram shingles → MinHash signatures → banded LSH candidate pairs,
@@ -20,8 +21,12 @@ object MinHash {
 
   val NumPerms = 32
   val BandRows = 4 // 8 bands × 4 rows
+  val GramLen = 3
 
-  /** doc_id, sh — distinct word-3-gram shingles per document. */
+  /** doc_id, sh (string) — distinct word-3-gram shingles. Reference
+    * string-level form (used by the ScalaTest cross-checks); production
+    * paths use [[hashedShingles]], which never materializes gram strings.
+    */
   def shingles(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val grams = transform(
@@ -30,57 +35,79 @@ object MinHash {
     docs.select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
   }
 
-  /** doc_id, sig: array of NumPerms min-hashes — one shuffle (groupBy
-    * doc_id) with NumPerms partial min aggregates, no per-perm explode.
-    * The shingle string is hashed ONCE (xxhash64); each permutation
-    * re-hashes that 8-byte value with the permutation index as seed
-    * material — 1 string hash + 32 fixed-width hashes per row instead of
-    * 32 string hashes (wrapping-multiply mixes would trip ANSI overflow).
+  /** doc_id, shh (bigint) — distinct hashed word-3-gram shingles, one
+    * codegen'd pass per document (functions.ShingleHashes). The
+    * declarative split/transform/array_distinct/explode formulation
+    * measured 4+ s at sf0.1 purely in interpreted lambda overhead.
     */
-  def signatures(docs: DataFrame): DataFrame = {
-    val base = xxhash64(col("sh"))
-    val minCols = (0 until NumPerms).map { i =>
-      min(xxhash64(lit(i), base)).as(s"h$i")
-    }
-    shingles(docs)
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"h$i")): _*).as("sig"))
+  def hashedShingles(docs: DataFrame): DataFrame = {
+    VectorFunctions.registered(docs)
+    docs.select(col("doc_id"),
+      explode(call_function("shingle_hashes", col("text"), lit(GramLen))).as("shh"))
   }
 
-  /** Banded LSH candidate pairs with MinHash-estimated Jaccard ≥ minEst. */
+  /** doc_id, sig: array of NumPerms min-hashes — a pure per-row map
+    * (functions.MinHashSig), NO shuffle: the previous explode+groupBy
+    * formulation shuffled every (doc, shingle) row; this scales
+    * row-parallel on a cluster and measured ~10× faster at sf0.1.
+    */
+  def signatures(docs: DataFrame): DataFrame = {
+    VectorFunctions.registered(docs)
+    docs.select(col("doc_id"),
+      call_function("minhash_sig", col("text"), lit(NumPerms), lit(GramLen)).as("sig"))
+  }
+
+  /** Banded LSH candidate pairs with MinHash-estimated Jaccard ≥ minEst.
+    *
+    * Each doc's signature travels WITH its band rows, so candidate pairs
+    * and their estimates are produced inside the (band, bucket) group —
+    * no join back to the signature table, no cache to hold for the rest
+    * of the session. Shuffle cost: bands × sig bytes per doc (the
+    * standard LSH trade: pay sig duplication in the shuffle, save two
+    * wide joins). The match-count itself is 32 plain column comparisons
+    * after the explode — whole-stage-codegen'd, unlike a zip_with/
+    * aggregate lambda (the measured-100×-slower anti-pattern,
+    * BASELINE.md).
+    */
   def candidatePairs(docs: DataFrame, minEst: Double): DataFrame = {
-    val sigs = signatures(docs).cache()
-    val bands = sigs.select(col("doc_id"),
+    val sigs = signatures(docs)
+    val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until NumPerms / BandRows).map(b =>
         xxhash64(lit(b) +: (0 until BandRows).map(r =>
           col("sig").getItem(b * BandRows + r)): _*)): _*)).as(Seq("band", "bkey")))
-    // pairs generated inside each (band, bucket) group — one shuffle,
-    // no self-join (same shape as the n-gram Jaccard pair generation)
+    // sort_array on array<struct> orders by the leading field (doc_id),
+    // so in-group combos emit each pair once with a_id < b_id
     val bandLists = bands.groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val cands = bandLists
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(x.as("a_id"), y.as("b_id")))))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .distinct()
-    val est = zip_with(col("a_sig"), col("b_sig"),
-      (x, y) => when(x === y, 1.0).otherwise(0.0))
-    cands
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        trunc4(aggregate(est, lit(0.0), (acc, v) => acc + v) / NumPerms).as("est_jaccard"))
+    val pairGen = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+        struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id"),
+          x.getField("sig").as("a_sig"), y.getField("sig").as("b_sig")))))
+    val matches = (0 until NumPerms)
+      .map(i => when(col("p.a_sig").getItem(i) === col("p.b_sig").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    bandLists
+      .select(explode(pairGen).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        trunc4(matches.cast("double") / NumPerms).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+      // a pair colliding in several bands appears once per band — same
+      // estimate each time; the groupBy is the dedup
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
   }
 
   // F2: MinHash signatures (no oracle — xxhash64). Deterministic rows-only.
+  // The signature array is serialized to csv: the driver sorts every output
+  // column in pandas even for rows-only checks, and array cells are
+  // unhashable there.
   val qMinhashSig = Q.noOracle("q_f2_minhash_sig") { (s, d) =>
-    signatures(documents(s, d)).orderBy(col("doc_id"))
+    signatures(documents(s, d))
+      .select(col("doc_id"),
+        array_join(transform(col("sig"), _.cast("string")), ",").as("sig_csv"))
+      .orderBy(col("doc_id"))
   }
 
   // F2: banded-LSH near-dup candidate pairs (no oracle; empty when the
@@ -126,26 +153,27 @@ object MinHash {
       |JOIN sizes sb ON sb.doc_id = b_id
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin) { (s, d) =>
-    // One shuffle on the 64-bit shingle hash groups each shingle's doc
-    // list; ordered pairs are generated inside the group (array combos)
-    // instead of a self-join — the shuffle moves each shingle row once,
-    // and the pair explosion happens post-shuffle. A hot shingle shared
-    // by k docs yields k(k-1)/2 pairs in one row (k stays small because
-    // shingles are near-unique; a stop-shingle filter would cap it at
-    // web scale).
-    val sh = shingles(documents(s, d))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val docLists = sh.groupBy(col("shh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairGen = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-        struct(x.as("a_id"), y.as("b_id")))))
-    val inter = docLists
-      .select(explode(pairGen).as("p"))
-      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    // Pair space = shingle-hash equi-self-join (only docs sharing a
+    // shingle are compared). The join + pair count stays entirely inside
+    // whole-stage codegen — measured ~4× faster than generating combos
+    // from collect_list'd doc arrays, whose flatten/transform/slice
+    // lambdas run interpreted and allocate every candidate pair as a
+    // struct on the heap. At cluster scale a hot shingle becomes an AQE
+    // skew-split sort-merge join partition rather than one giant array
+    // in a single task.
+    VectorFunctions.register(s)
+    val base = documents(s, d).select(col("doc_id"),
+      call_function("shingle_hashes", col("text"), lit(GramLen)).as("shs"))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("shh"))
+    // per-doc distinct-shingle count falls out of the array length — no
+    // groupBy shuffle
+    val sizes = base.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("shh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shh")), Seq("shh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("i"))
+    // sizes is |docs| rows — tiny next to the pair table; AQE broadcasts it
     inter
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))

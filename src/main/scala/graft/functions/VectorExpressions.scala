@@ -115,10 +115,20 @@ object VectorFunctions {
     * SQL. Idempotent; every similarity query calls this first because the
     * harness owns SparkSession construction.
     */
+  /** Register against the DataFrame's own session (composable form). */
+  def registered(df: org.apache.spark.sql.DataFrame): Unit = register(df.sparkSession)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fvec_dot", (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", (exprs: Seq[Expression]) => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", (exprs: Seq[Expression]) =>
+        ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", (exprs: Seq[Expression]) =>
+        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

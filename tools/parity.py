@@ -29,6 +29,14 @@ def main(sf_dir, out_dir):
         if not files:
             failures.append((name, "no parquet written")); continue
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        # The driver sort_values()s every column before hashing — even for
+        # no-oracle (rows-only) queries; array/binary cells make pandas
+        # lexsort throw "unhashable type" and the query scores as an error.
+        # Reproduce that here so it fails locally too.
+        try:
+            got.sort_values(list(got.columns))
+        except TypeError as e:
+            failures.append((name, f"driver-sort would fail: {e}")); continue
         if name not in oracle:
             skipped.append((name, len(got)))
             continue
