@@ -19,6 +19,7 @@ object Graft {
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -90,17 +90,29 @@ object Similarity {
       |SELECT q_id, n_id, cos_sim, rn FROM r WHERE rn <= 3
       |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
     val n = normed(s, d)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
     // each unordered pair's dot product is computed once (a < b), then
     // mirrored — cosine is symmetric, so this halves the expensive half
     // of the plan before the rank.
     val half = side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+    // per-group top-3 via the bounded-heap collect_top_k aggregate instead
+    // of a ranking window: the window shuffles AND SORTS all |pairs| rows
+    // per partition; the heap keeps k rows per group through a partial
+    // (map-side) aggregate — at n vectors that's k·n retained rows vs an
+    // n² sort, the difference that matters at cluster scale. The heap
+    // retains the k LARGEST under struct ordering, so (cos, -n_id) ≡
+    // (cos DESC, n_id ASC) = the oracle's row_number ordering; the final
+    // sort_array(desc) puts the 3 survivors in rank order.
     half.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cos_sim"))
       .unionByName(half.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .select(col("q_id"),
+        struct(col("cos_sim"), (-col("n_id")).as("negid"), col("n_id")).as("p"))
+      .groupBy(col("q_id"))
+      .agg(call_function("collect_top_k", col("p"), lit(3), lit(false)).as("top"))
+      .select(col("q_id"), posexplode(sort_array(col("top"), asc = false)).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.n_id").as("n_id"), col("p.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -135,7 +147,11 @@ object Similarity {
       |      FROM pairs)
       |SELECT q_id, n_id, cos_sim, rn FROM r WHERE rn <= 3
       |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
-    val n = normed(s, d).cache()
+    // no cache: the base is a 2-column parquet scan + one codegen'd dot —
+    // cheaper to recompute per use than to pin executor memory for the
+    // rest of the session (a .cache() here is never unpersisted because
+    // the frame is returned lazily)
+    val n = normed(s, d)
     val cent = n.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))

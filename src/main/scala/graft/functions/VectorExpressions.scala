@@ -119,6 +119,12 @@ object VectorFunctions {
   def registered(df: org.apache.spark.sql.DataFrame): Unit = register(df.sparkSession)
 
   def register(spark: SparkSession): Unit = {
+    // harness-owned sessions can't take builder-time extensions, so the
+    // vec-dot rewrite rule rides the experimental hook (idempotent)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteVecDot)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteVecDot
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fvec_dot", (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -130,5 +136,13 @@ object VectorFunctions {
       "minhash_sig", (exprs: Seq[Expression]) =>
         MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    // Spark's internal bounded-heap top-k aggregate (k·groups memory, no
+    // per-group sort of the full input) — the scale-right physical shape
+    // for per-group top-k; exposed here because it has no public DSL form.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_top_k", (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK(
+          exprs.head, exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Boolean]), "built-in")
   }
 }
