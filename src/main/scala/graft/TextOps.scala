@@ -309,8 +309,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // Deterministic train/val split on content hash — reproducible across
+  // runs, engines, and partitionings (the property a training pipeline
+  // needs; random splits are none of those). Lowercase fixed-width md5 hex
+  // compares lexicographically == numerically, so the 80% threshold 'cc'
+  // is portable to any engine with md5.
+  val qSplitHash = Q(
+    "q_split_hash",
+    """SELECT doc_id,
+      |       CASE WHEN substr(md5(text), 1, 2) <= 'cc' THEN 'train' ELSE 'val' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      when(substring(md5(col("text")), 1, 2) <= "cc", "train")
+        .otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Text normalization: lowercase, strip non-alphanumerics, collapse
+  // whitespace — the canonical pre-dedup cleanup pass. (DuckDB's
+  // regexp_replace needs the 'g' flag to match Spark's replace-all.)
+  val qNormalize = Q(
+    "q_normalize",
+    """SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    documents(s, d).select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      length(norm).cast("long").as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
-    qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta)
+    qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
+    qSplitHash, qNormalize)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connected components: chains merge transitively, islands stay apart") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // 1-2-3 chain (1 and 3 NOT directly connected), 5-6 pair, 4 singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(spark, nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components converge on a long path (diameter > 2)") {
+    val n = 20
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(spark, nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L), "a path graph is one component")
+  }
+
+  test("jaccard edges + grouping: planted near-dup chain forms one cluster") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    // b mutates one word of a; c mutates a different word of b — a and c
+    // are two words apart, all three pairwise-similar above 0.6
+    val b = base.replace("omicron", "OMICRON")
+    val c = b.replace("three", "THREE")
+    val docs = Seq((10L, base), (11L, b), (12L, c),
+      (99L, "entirely unrelated content about something else going on here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("dedup_docs")
+    val edges = {
+      // jaccardEdges reads the documents table from disk; rebuild the same
+      // pair plan over the in-memory frame instead
+      graft.functions.VectorFunctions.register(spark)
+      val baseDf = docs.select(col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(MinHash.GramLen)).as("shs"))
+      val sh = baseDf.select(col("doc_id"), explode(col("shs")).as("shh"))
+      val sizes = baseDf.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+      val inter = sh.select(col("doc_id").as("a_id"), col("shh"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shh")), Seq("shh"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
+        .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i")) >= 0.6)
+        .select(col("a_id"), col("b_id"))
+    }
+    val cc = Dedup.connectedComponents(spark, docs.select(col("doc_id")), edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)
+    assert(cc(99L) == 99L)
+  }
+}
