@@ -580,11 +580,50 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  // C24: batch gap-based sessionization — the batch analog of the
+  // streaming sessionizer (StreamOps.sessionize): a session breaks after
+  // a 30-minute silence. Single window pass: flag gap>30min rows, running
+  // sum of flags = session index, then one aggregate per session. Two
+  // shuffles total (both on user_id — the second reuses the first's
+  // partitioning), which is the shape that scales: no self-join, no
+  // per-session iteration.
+  val qSessionize = Q(
+    "q24_sessionize",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |g AS (SELECT user_id, event_id, ts_us,
+      |             CASE WHEN lag(ts_us) OVER w IS NULL
+      |                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT user_id, event_id, ts_us,
+      |             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |      FROM g)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |       max(ts_us) - min(ts_us) AS dur_us
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d).select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull
+          .or(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   def all: Seq[Q] = Seq(
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
     qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup, qCube,
     qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,
     qWindowAnalytic, qTopk, qGroupTopk, qSetOps, qSetOpsAll, qSample,
-    qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery)
+    qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery, qSessionize)
 }
