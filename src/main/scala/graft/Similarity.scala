@@ -104,6 +104,11 @@ object Similarity {
     // retains the k LARGEST under struct ordering, so (cos, -n_id) ≡
     // (cos DESC, n_id ASC) = the oracle's row_number ordering; the final
     // sort_array(desc) puts the 3 survivors in rank order.
+    // mirror via union: each branch re-runs the pair join, but both
+    // branches stay inside whole-stage codegen straight into the partial
+    // top-k aggregate — measured FASTER than a single-pass
+    // explode(array(struct,struct)) mirror, whose Generate breaks the
+    // codegen pipeline (2.0 s vs 2.7 s at sf0.1)
     half.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cos_sim"))
       .unionByName(half.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))
       .select(col("q_id"),
