@@ -269,5 +269,57 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup)
+  // F12: symmetric int8 quantization per embedding — the storage/serving
+  // compression step of a vector pipeline (4 bytes→1 byte per dim).
+  // scale = 127/max|x|; q_i = floor(x_i·scale + 0.5) (round-half-up via
+  // floor: Spark round() is HALF_UP but DuckDB's is HALF_EVEN on doubles,
+  // floor(x+0.5) is portable); reconstruction error reported per vector.
+  // Pure per-row map — row-parallel at any scale, no shuffle but the
+  // final ORDER BY.
+  val qQuantize = Q(
+    "q_f12_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |s AS (SELECT vec_id, x,
+      |             list_max(list_transform(x, v -> abs(v))) AS amax
+      |      FROM e),
+      |q AS (SELECT vec_id, amax,
+      |             list_transform(x, v -> floor(v * 127.0 / amax + 0.5)) AS qv,
+      |             x
+      |      FROM s WHERE amax > 0)
+      |SELECT vec_id,
+      |       floor(amax*1000000)/1000000 AS amax,
+      |       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+      |       floor(sqrt(list_reduce(list_transform(
+      |         list_zip(x, qv),
+      |         p -> (p[1] - p[2] * amax / 127.0) * (p[1] - p[2] * amax / 127.0)),
+      |         (a, b) -> a + b))*1000000)/1000000 AS recon_err
+      |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val x = transform(col("embedding"), _.cast("double"))
+    val amax = array_max(transform(x, v => abs(v)))
+    val qv = transform(x, v => floor(v * lit(127.0) / col("amax") + lit(0.5)))
+    val err = sqrt(aggregate(
+      zip_with(x, col("qv"), (v, q) => {
+        val diff = v - q * col("amax") / lit(127.0)
+        diff * diff
+      }),
+      lit(0.0), (acc, v) => acc + v))
+    // raw columns first, truncation LAST under fresh names: Spark 4's
+    // lateral column aliasing would otherwise resolve col("amax") inside
+    // `err` to the truncated alias of the same select list (silently —
+    // this flipped recon_err by 1e-6 at the truncation boundary)
+    embeddings(s, d)
+      .withColumn("amax", amax)
+      .filter(col("amax") > 0)
+      .withColumn("qv", qv)
+      .withColumn("raw_err", err)
+      .select(col("vec_id"),
+        trunc6(col("amax")).as("amax"),
+        size(filter(col("qv"), v => abs(v) === 127)).cast("long").as("n_sat"),
+        trunc6(col("raw_err")).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup,
+    qQuantize)
 }
