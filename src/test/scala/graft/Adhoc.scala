@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling main (test scope — not shipped). */
+/** Scratch scale-stress main (test scope — not shipped): replicate the
+  * sf0.1 corpus 10× with per-copy mutations (~50k docs) and measure the
+  * near-dup pipeline end-to-end. Usage: sbt "Test/runMain graft.Adhoc"
+  */
 object Adhoc {
   def time(label: String)(f: => Long): Unit = {
     val t0 = System.nanoTime()
@@ -19,33 +22,31 @@ object Adhoc {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = spark
-    Tables.documents(s, d).count() // warmup
+    graft.functions.VectorFunctions.register(spark)
+
+    // 10 mutated copies of each sf0.1 doc: copy 0 is verbatim (a planted
+    // exact/near dup of the original), copies 1..9 prepend a distinct
+    // token (near-dup of the original at high jaccard)
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val scaled = base
+      .crossJoin(spark.range(0, 10).select(col("id").as("copy")))
+      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(lit("mut"), col("copy"), lit(" "), col("text"))).as("text"))
+      .localCheckpoint(eager = true)
+    println(s"corpus: ${scaled.count()} docs")
 
     for (rep <- 1 to 2) {
-      time("docs_scan") { Tables.documents(s, d).agg(sum(length(col("text")))).count() }
-      time("shingles_hof") { MinHash.shingles(Tables.documents(s, d)).count() }
-      val sh = MinHash.shingles(Tables.documents(s, d))
-        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      time("shingles_hashed") { sh.count() }
-      time("sig_groupby") { MinHash.signatures(Tables.documents(s, d)).count() }
-      time("selfjoin_pairs") {
-        sh.select(col("doc_id").as("a_id"), col("shh"))
-          .join(sh.select(col("doc_id").as("b_id"), col("shh")), Seq("shh"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i")).count()
-      }
-      // combos variant (round-1 shape)
-      time("combos_pairs") {
-        val docLists = sh.groupBy(col("shh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-        val pairGen = flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-            struct(x.as("a_id"), y.as("b_id")))))
-        docLists.select(explode(pairGen).as("p"))
-          .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-          .agg(count(lit(1)).as("i")).count()
+      time("sig_50k") { MinHash.signatures(scaled).count() }
+      time("lsh_pairs_50k") { MinHash.candidatePairs(scaled, 0.5).count() }
+      time("shingle_explode_50k") { MinHash.hashedShingles(scaled).count() }
+      time("cc_50k") {
+        // edges from banded LSH candidates (est >= 0.8) — the scale path;
+        // exact-jaccard edge gen at 50k docs is the n-gram self-join
+        val edges = MinHash.candidatePairs(scaled, 0.8)
+          .select(col("a_id"), col("b_id"))
+        Dedup.connectedComponents(spark,
+          scaled.select(col("doc_id")), edges).filter(col("doc_id") =!= col("cluster_id")).count()
       }
     }
     spark.stop()
