@@ -60,4 +60,51 @@ object Multimodal {
   /** Whole path as a DataFrame for ad-hoc use. */
   def features(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(synthesize(spark, dir)).toDF().orderBy(col("id"))
+
+  /** STUB resize — deterministic fake: a real implementation calls the
+    * image library's scaler on the decoded pixels. The plumbing contract
+    * it honors is real: metadata updated in lockstep with the payload,
+    * aspect decisions made per record, payload byte count scales with the
+    * target area (so downstream size accounting — batching, shuffle
+    * sizing — behaves like production).
+    */
+  def resize(records: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val w = math.max(1, r.meta.declaredWidth)
+        val h = math.max(1, r.meta.declaredHeight)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        // fake pixel buffer: payload truncated/extended to the new area,
+        // deterministic from the source bytes
+        val area = math.min(nw * nh, r.payload.length max 1)
+        val out = java.util.Arrays.copyOf(r.payload, area)
+        r.copy(payload = out, meta = r.meta.copy(declaredWidth = nw, declaredHeight = nh))
+      }
+    }
+  }
+
+  final case class FrameSample(id: Long, frameIdx: Int, checksum: Long)
+
+  /** STUB frame-sample — treats the payload as a "video" of fixed-size
+    * frames and emits every `stride`-th frame's checksum. Real codecs
+    * replace the slicing with keyframe extraction; the explode shape
+    * (one input row → N frame rows, computed partition-wise with no
+    * shuffle) is the production plumbing being exercised.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int,
+      stride: Int): Dataset[FrameSample] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val nFrames = r.payload.length / math.max(1, frameBytes)
+      (0 until nFrames by math.max(1, stride)).map { f =>
+        var sum = 0L
+        var i = f * frameBytes
+        val end = i + frameBytes
+        while (i < end) { sum += r.payload(i) & 0xff; i += 1 }
+        FrameSample(r.id, f, sum)
+      }
+    }
+  }
 }

@@ -151,6 +151,36 @@ object ScalarFuncs {
       .orderBy(col("p_partkey"))
   }
 
+  // D3b: integer-exact math extras — modulo (incl. positive-mod of
+  // negatives), factorial, bitwise and/or/xor, shifts. All integer ops:
+  // bit-identical across engines by construction, no truncation needed
+  // (trig/exp extras were deliberately excluded — Java Math and C libm
+  // differ in the last ulp, which flips floor-truncation at the boundary).
+  val qMathExtra = Q(
+    "qd3b_math_extra",
+    """SELECT p_partkey,
+      |       CAST(((p_size - 25) % 7 + 7) % 7 AS BIGINT) AS pm7,
+      |       CAST(p_partkey % 97 AS BIGINT) AS mod97,
+      |       CAST(factorial(p_size % 10) AS BIGINT) AS fact10,
+      |       CAST(p_partkey & 255 AS BIGINT) AS band,
+      |       CAST(p_partkey | 4096 AS BIGINT) AS bor,
+      |       CAST(xor(p_partkey, 1535) AS BIGINT) AS bxor,
+      |       CAST(p_size << 3 AS BIGINT) AS shl,
+      |       CAST(p_partkey >> 2 AS BIGINT) AS shr
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      pmod(col("p_size") - 25, lit(7)).cast("long").as("pm7"),
+      (col("p_partkey") % 97).cast("long").as("mod97"),
+      factorial(col("p_size") % 10).cast("long").as("fact10"),
+      col("p_partkey").bitwiseAND(255).cast("long").as("band"),
+      col("p_partkey").bitwiseOR(4096).cast("long").as("bor"),
+      col("p_partkey").bitwiseXOR(1535).cast("long").as("bxor"),
+      shiftleft(col("p_size"), 3).cast("long").as("shl"),
+      shiftright(col("p_partkey"), 2).cast("long").as("shr"))
+      .orderBy(col("p_partkey"))
+  }
+
   // D4: array functions over the dim-64 embedding vectors. Element math is
   // widened to double on BOTH engines before folding so the sequential
   // accumulation is bit-identical.
@@ -251,6 +281,6 @@ object ScalarFuncs {
   }
 
   def all: Seq[Q] = Seq(
-    qString, qStringExtra, qDateTime, qDateTimeExtra, qMath, qArray, qMap,
-    qJson, qConditional)
+    qString, qStringExtra, qDateTime, qDateTimeExtra, qMath, qMathExtra,
+    qArray, qMap, qJson, qConditional)
 }
