@@ -66,11 +66,14 @@ object Dedup {
       val fromNeighbors = sym
         .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
+      // lazy checkpoint + one full action: the convergence count is the
+      // job that materializes the round's checkpoint — one job per round
+      // instead of an eager-checkpoint job plus a count job
       val next = labels.join(fromNeighbors, Seq("u"), "left")
         .select(col("u"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           (col("nmin") < col("lbl")).as("improved"))
-        .localCheckpoint(eager = true)
-      converged = next.filter(col("improved")).limit(1).count() == 0
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("improved")).count() == 0
       labels = next.select(col("u"), col("lbl"))
       iter += 1
     }
