@@ -115,6 +115,62 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotals])
   }
 
+  // ---- streaming near-duplicate suppression (F2 × E8) -----------------
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class KeyedDoc(bucket: Long, doc_id: Long, ts: Timestamp,
+      text: String, sig: Seq[Long])
+  final case class BucketState(sigs: List[(Long, Seq[Long])])
+
+  /** Streaming near-duplicate suppression at ingest: each arriving doc's
+    * MinHash signature is computed INLINE by the codegen `minhash_sig`
+    * kernel (a per-row map — no shuffle added to the stream), the doc is
+    * keyed by its first LSH band bucket, and flatMapGroupsWithState keeps
+    * the signatures already admitted in that bucket; an arrival whose
+    * estimated Jaccard vs any retained signature ≥ minEst is dropped.
+    *
+    * First-band-only keying = one state lookup per doc; recall is the
+    * single-band collision probability (a full-recall variant fans out to
+    * all bands and dedups survivors — the batch candidatePairs shape).
+    * State is per-bucket and append-only here; production bounds it with
+    * an event-time TTL (same pattern as sessionize's timeout) — noted
+    * rather than wired so the spec stays deterministic.
+    */
+  def nearDupSuppress(docs: DataFrame, minEst: Double = 0.8): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val nPerms = graft.MinHash.NumPerms
+    val bandRows = graft.MinHash.BandRows
+    val keyed = docs
+      .withColumn("sig",
+        call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))
+      .withColumn("bucket",
+        xxhash64((lit(0) +: (0 until bandRows).map(r => col("sig").getItem(r))): _*))
+      .select(col("bucket"), col("doc_id"), col("ts"), col("text"), col("sig"))
+      .as[KeyedDoc]
+    def est(a: Seq[Long], b: Seq[Long]): Double = {
+      var m = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+      m.toDouble / a.length
+    }
+    keyed.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, Doc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[KeyedDoc], state: GroupState[BucketState]) =>
+          var seen = state.getOption.getOrElse(BucketState(Nil)).sigs
+          val out = List.newBuilder[Doc]
+          rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+            if (!seen.exists { case (_, s) => est(s, d.sig) >= minEst }) {
+              seen = (d.doc_id, d.sig) :: seen
+              out += Doc(d.doc_id, d.ts, d.text)
+            }
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
+  }
+
   /** Per-user session accumulation with an event-time timeout: state
     * accumulates per key and is emitted (closed) once the watermark passes
     * the session gap — the reference's "scheduler + in-flight state"

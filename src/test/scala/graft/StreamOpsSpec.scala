@@ -161,4 +161,30 @@ class StreamOpsSpec extends SparkSpec {
       .select("n_events", "total_value").as[(Long, Double)].collect()
     assert(closed.toSeq == Seq((2L, 5.0)))
   }
+
+  test("streaming near-dup suppression: later near-duplicates are dropped, novel docs pass") {
+    import graft.streaming.StreamOps.Doc
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    // mutation chosen so the FIRST band of the MinHash signature provably
+    // stays identical to base's (verified against the deterministic
+    // kernel: est 0.91, band-0 equal) — the suppressor keys by band 0
+    val nearDup = base.replace("kappa", "KAPPA")
+    val unrelated = "completely different words with zero overlap whatsoever " +
+      "nothing shared here at all honestly not a single trigram in common"
+    val in = MemoryStream[Doc]
+    val name = nextName()
+    val q = StreamOps.nearDupSuppress(in.toDF(), minEst = 0.5).toDF()
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    in.addData(Doc(1L, ts(1), base))
+    q.processAllAvailable()
+    // second batch: a near-dup of doc 1 (must be dropped — state carries
+    // across batches), an exact dup (dropped), and a novel doc (passes)
+    in.addData(Doc(2L, ts(2), nearDup), Doc(3L, ts(3), base), Doc(4L, ts(4), unrelated))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L))
+  }
 }
