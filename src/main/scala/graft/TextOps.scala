@@ -344,9 +344,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // F9b: exact per-group percentiles of document length (linear
+  // interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`). The
+  // exact form is the correctness baseline; the 100 TB path is
+  // approx_percentile (t-digest, no cross-engine oracle), spec-bounded
+  // against this exact result in Round2OpsSpec.
+  val qPercentiles = Q(
+    "q_f9b_percentiles",
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       floor(quantile_cont(n_chars, 0.5)*10000)/10000 AS p50,
+      |       floor(quantile_cont(n_chars, 0.9)*10000)/10000 AS p90,
+      |       floor(quantile_cont(n_chars, 0.99)*10000)/10000 AS p99
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        trunc4(expr("percentile(n_chars, 0.5)")).as("p50"),
+        trunc4(expr("percentile(n_chars, 0.9)")).as("p90"),
+        trunc4(expr("percentile(n_chars, 0.99)")).as("p99"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
-    qSplitHash, qNormalize)
+    qSplitHash, qNormalize, qPercentiles)
 }

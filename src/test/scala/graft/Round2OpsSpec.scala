@@ -44,6 +44,22 @@ class Round2OpsSpec extends SparkSpec {
     assert(sessions.map(_._3).sum == 5L, "every event lands in exactly one session")
   }
 
+  test("approx_percentile tracks exact percentile within rank-error bound") {
+    import org.apache.spark.sql.functions._
+    val exact = TextOps.qPercentiles.fn(spark, sf001)
+      .select(col("lang"), col("p50")).as[(String, Double)].collect().toMap
+    val approx = Tables.documents(spark, sf001).groupBy(col("lang"))
+      .agg(expr("approx_percentile(n_chars, 0.5, 1000)").as("ap50"),
+        count(lit(1)).as("n"),
+        expr("percentile(n_chars, 0.45)").as("lo"),
+        expr("percentile(n_chars, 0.55)").as("hi"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    approx.foreach { case (lang, ap50, _, lo, hi) =>
+      assert(ap50 >= lo - 1 && ap50 <= hi + 1,
+        s"$lang: approx p50 $ap50 outside rank-error envelope [$lo,$hi] (exact ${exact(lang)})")
+    }
+  }
+
   test("sessionization on real data: sessions are disjoint, ordered, and conserve events") {
     val rows = Relational.qSessionize.fn(spark, sf001)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
