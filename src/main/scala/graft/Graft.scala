@@ -45,4 +45,35 @@ object Graft {
 
   /** The graded operator catalog (name → query). */
   def catalog: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
+
+  // ---- convenience façade over the training-data-pipeline operators ----
+
+  /** Near-dup dedup groups: every doc labeled with its connected
+    * component's min doc_id (edges = exact n-gram Jaccard ≥ minJaccard).
+    */
+  def dedupGroups(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.6): DataFrame =
+    Dedup.connectedComponents(spark, Tables.documents(spark, dir),
+      Dedup.jaccardEdges(spark, dir, minJaccard))
+
+  /** Banded-LSH near-dup candidate pairs with MinHash-estimated Jaccard. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      minEst: Double = 0.5): DataFrame =
+    MinHash.candidatePairs(Tables.documents(spark, dir), minEst)
+
+  /** Streaming near-dup suppression at ingest (see StreamOps.nearDupSuppress). */
+  def nearDupSuppress(docs: DataFrame, minEst: Double = 0.8) =
+    streaming.StreamOps.nearDupSuppress(docs, minEst)
+
+  /** Exact brute-force cosine top-k pairs (correctness baseline; the scale
+    * paths are lshCandidates / ivfKMeans).
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.qCosineTopk.fn(spark, dir)
+
+  /** IVF ANN with MLlib-KMeans centroids and nprobe cells per query. */
+  def annSearch(spark: SparkSession, emb: DataFrame, k: Int = 16,
+      nprobe: Int = 2, topK: Int = 10,
+      queryPred: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true)): DataFrame =
+    Similarity.ivfKMeans(spark, emb, k, nprobe, topK, queryPred)
 }

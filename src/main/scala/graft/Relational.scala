@@ -619,11 +619,34 @@ object Relational {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // C25: deterministic per-group hash sample — the reproducible
+  // stratified-sampling pattern at scale: "random" order is the md5 of
+  // the row key, so the same rows are sampled on every run, engine,
+  // partitioning, and cluster size (seeded sample() guarantees none of
+  // those). Lowercase hex compares identically everywhere.
+  val qHashSample = Q(
+    "q25_hash_sample",
+    """SELECT c_mktsegment, c_custkey, rn FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
   def all: Seq[Q] = Seq(
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
     qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup, qCube,
     qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,
     qWindowAnalytic, qTopk, qGroupTopk, qSetOps, qSetOpsAll, qSample,
-    qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery, qSessionize)
+    qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery, qSessionize,
+    qHashSample)
 }
