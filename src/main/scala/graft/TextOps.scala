@@ -365,9 +365,37 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // F13: benchmark-contamination screening — flag documents containing any
+  // phrase from a screening list (in production: eval-set n-grams,
+  // broadcast to every executor; here an inline list). Phrase scan is a
+  // per-row map — no shuffle, scales row-parallel; at a real eval-set size
+  // the list becomes a broadcast Aho-Corasick automaton, same plan shape.
+  private val screenPhrases = Seq(
+    "alpha beta gamma", "nine ten eleven", "omicron pi rho sigma")
+  val qContamination = Q(
+    "q_f13_contamination",
+    s"""SELECT doc_id,
+      |${screenPhrases.zipWithIndex.map { case (p, i) =>
+           s"       CAST(text LIKE '%$p%' AS INT) AS hit$i," }.mkString("\n")}
+      |       ${screenPhrases.zipWithIndex.map { case (p, i) =>
+                 s"CAST(text LIKE '%$p%' AS INT)" }.mkString(" + ")} > 0 AS contaminated,
+      |       COALESCE(${screenPhrases.map(p =>
+                 s"CASE WHEN text LIKE '%$p%' THEN '$p' END").mkString(", ")}) AS first_hit
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val hits = screenPhrases.map(p => col("text").contains(p))
+    val firstHit = coalesce(screenPhrases.map(p =>
+      when(col("text").contains(p), lit(p))): _*)
+    documents(s, d).select(
+      (col("doc_id") +:
+        hits.zipWithIndex.map { case (h, i) => h.cast("int").as(s"hit$i") }) ++
+        Seq(hits.map(_.cast("int")).reduce(_ + _).gt(0).as("contaminated"),
+          firstHit.as("first_hit")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
-    qSplitHash, qNormalize, qPercentiles)
+    qSplitHash, qNormalize, qPercentiles, qContamination)
 }
