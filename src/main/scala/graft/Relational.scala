@@ -641,6 +641,48 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  // C26: ordered conversion funnel — per user, the first view, the first
+  // click AFTER that view, and the first purchase AFTER that click.
+  // Expressed as conditional min-aggregates over one grouped pass plus
+  // two self-refinements on user_id; all three shuffles hash on user_id,
+  // so at scale they collapse onto one exchange (AQE reuses the
+  // partitioning). Classic event-product analytics over the reference's
+  // event stream.
+  val qFunnel = Q(
+    "q26_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS v_t FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts_us) AS c_t
+      |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts_us > v.v_t
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts_us) AS p_t
+      |      FROM e JOIN c ON e.user_id = c.user_id AND e.ts_us > c.c_t
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT v.user_id, v.v_t, c.c_t, p.p_t,
+      |       CAST(CASE WHEN p.p_t IS NOT NULL THEN 3
+      |                 WHEN c.c_t IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+    val e = events(s, d).select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_t"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_us") > col("v_t"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_t"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_us") > col("c_t"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_t"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_t"), col("c_t"), col("p_t"),
+        when(col("p_t").isNotNull, 3L)
+          .when(col("c_t").isNotNull, 2L).otherwise(1L).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   def all: Seq[Q] = Seq(
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
@@ -648,5 +690,5 @@ object Relational {
     qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,
     qWindowAnalytic, qTopk, qGroupTopk, qSetOps, qSetOpsAll, qSample,
     qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery, qSessionize,
-    qHashSample)
+    qHashSample, qFunnel)
 }
