@@ -29,54 +29,106 @@ import graft.functions.VectorFunctions
 object Dedup {
 
   /** Symmetric near-dup edge list: exact word-3-gram Jaccard ≥ minJaccard
-    * over hashed shingles (same pair plan as q_ngram_jaccard).
+    * over hashed shingles.
+    *
+    * Prefix-filtered set-similarity join (the AllPairs/PPJoin scheme from
+    * the published set-join literature): `shingle_hashes` returns each
+    * doc's shingles sorted ascending — a canonical global order — and for
+    * Jaccard ≥ t any qualifying pair must (a) have |A∩B| ≥ t·|A| and
+    * ≥ t·|B|, hence size ratio min/max ≥ t, and (b) share at least one
+    * element within each side's first |d| − ⌈t·|d|⌉ + 1 shingles. So the
+    * candidate join explodes only that prefix (0.4·|d| at t = 0.6) instead
+    * of every shingle — a ~6× smaller pair space than the full
+    * shingle-equi-join — and exact verification is one codegen'd
+    * `sorted_intersect_count` merge over the two full arrays per
+    * surviving candidate, not a count-shuffle of every co-shingle row.
+    * Same result set as the exhaustive join (the lemma is exact, not
+    * probabilistic), which is why the recursive-CTE oracle still matches.
     */
-  def jaccardEdges(s: SparkSession, d: String, minJaccard: Double): DataFrame = {
+  def jaccardEdges(s: SparkSession, d: String, minJaccard: Double): DataFrame =
+    jaccardEdgesOf(s, documents(s, d), minJaccard)
+
+  /** Same, over any (doc_id, text) frame — the spec layer plants dup
+    * chains in memory and asserts the prefix-filtered plan emits exactly
+    * the exhaustive join's edge set.
+    */
+  def jaccardEdgesOf(s: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
     VectorFunctions.register(s)
-    val base = documents(s, d).select(col("doc_id"),
-      call_function("shingle_hashes", col("text"), lit(MinHash.GramLen)).as("shs"))
-    val sh = base.select(col("doc_id"), explode(col("shs")).as("shh"))
-    val sizes = base.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
-    val inter = sh.select(col("doc_id").as("a_id"), col("shh"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shh")), Seq("shh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
-      .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i")) >= minJaccard)
+    val t = minJaccard
+    val base = docs
+      .select(col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(MinHash.GramLen)).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
+      .filter(col("sz") > 0)
+    val prefLen = (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")
+    val pre = base.select(col("doc_id"), col("sz"),
+      explode(slice(col("shs"), lit(1), prefLen)).as("shh"))
+    val cand = pre.select(col("doc_id").as("a_id"), col("sz").as("sa"), col("shh"))
+      .join(pre.select(col("doc_id").as("b_id"), col("sz").as("sb"), col("shh")), Seq("shh"))
+      .filter(col("a_id") < col("b_id") &&
+        col("sb") >= col("sa") * lit(t) && col("sa") >= col("sb") * lit(t))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("a_id"), col("shs").as("a_shs"),
+        col("sz").as("sa")), Seq("a_id"))
+      .join(base.select(col("doc_id").as("b_id"), col("shs").as("b_shs"),
+        col("sz").as("sb")), Seq("b_id"))
+      .withColumn("i",
+        call_function("sorted_intersect_count", col("a_shs"), col("b_shs")).cast("double"))
+      .filter(col("i") / (col("sa") + col("sb") - col("i")) >= t)
       .select(col("a_id"), col("b_id"))
   }
 
   /** doc_id → cluster_id (min doc_id in its connected component) for every
     * document; singletons label themselves.
+    *
+    * Driver-side job count is the real cost at small scale (BENCH r2:
+    * job-submission overhead dominated), so the loop (a) folds the first
+    * propagation into the seed — labels start as doc_id, so round 1 can
+    * never converge and needs no check — and (b) runs `checkEvery`
+    * propagation steps per materialize+count: min-label is monotone, so
+    * overshooting the fixpoint is safe and the convergence check can be
+    * amortized over k rounds. Each check is still ONE action (the count
+    * materializes the lazy checkpoint). Throws if the loop exits without
+    * converging — a silent exit would return wrong cluster_ids for any
+    * component whose diameter exceeds the budget.
     */
   def connectedComponents(s: SparkSession, nodes: DataFrame, edges: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, checkEvery: Int = 2): DataFrame = {
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(eager = true)
-    var labels = nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl"))
+
+    // one min-label propagation step; passes through any extra columns
+    // (the improvement tracker rides along the k-step chain)
+    def step(lbls: DataFrame): DataFrame = {
+      val nmin = sym
+        .join(lbls.select(col("u").as("v"), col("lbl").as("nlbl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
+      val rest = lbls.columns.filter(c => c != "u" && c != "lbl").map(col)
+      lbls.join(nmin, Seq("u"), "left")
+        .select(col("u") +: least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl") +: rest: _*)
+    }
+
+    var labels = step(nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl")))
       .localCheckpoint(eager = true)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIters) {
-      // each node's candidate label: min over its neighbors' labels
-      val fromNeighbors = sym
-        .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
-      // lazy checkpoint + one full action: the convergence count is the
-      // job that materializes the round's checkpoint — one job per round
-      // instead of an eager-checkpoint job plus a count job
-      val next = labels.join(fromNeighbors, Seq("u"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (col("nmin") < col("lbl")).as("improved"))
-        .localCheckpoint(eager = false)
-      converged = next.filter(col("improved")).count() == 0
+      val k = math.min(checkEvery, maxIters - iter)
+      var stepped = labels.withColumn("prev", col("lbl"))
+      for (_ <- 1 to k) stepped = step(stepped)
+      val next = stepped.localCheckpoint(eager = false)
+      // labels only decrease: no change across k steps ⇒ fixpoint
+      converged = next.filter(col("lbl") < col("prev")).count() == 0
       labels = next.select(col("u"), col("lbl"))
-      iter += 1
+      iter += k
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "a component's diameter exceeds the budget; raise maxIters")
     labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

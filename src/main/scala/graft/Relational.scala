@@ -544,9 +544,12 @@ object Relational {
     """SELECT vec_id, pos, embedding[CAST(pos+1 AS INTEGER)] AS val
       |FROM embeddings, range(4) t(pos)
       |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+    // slice BEFORE the Generate: a predicate below an explode can't be
+    // pushed through it, so filtering pos < 4 after posexplode generated
+    // 64 rows per vector and discarded 60 — slicing first makes the
+    // Generate emit exactly the 4 rows the query keeps (16× fewer rows)
     embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
-      .filter(col("pos") < 4)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)).as(Seq("pos", "val")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
       .orderBy(col("vec_id"), col("pos"))
   }

@@ -18,8 +18,8 @@ import org.apache.spark.sql.types._
   * DuckDB's `list_inner_product` over DOUBLE[] — sequential, product-wise —
   * so oracle parity holds bit-for-bit before truncation.
   */
-case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class FloatVecDot(left: Expression, right: Expression,
+    strict: Boolean = false) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -31,15 +31,25 @@ case class FloatVecDot(left: Expression, right: Expression)
             s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = strict || super.nullable
   override def prettyName: String = "fvec_dot"
+
+  // `strict` mirrors the SQL-lambda semantics exactly — NULL on length
+  // mismatch (zip_with null-pads) or any null element — so RewriteVecDot
+  // stays semantics-preserving on arbitrary user queries. The default lax
+  // mode (direct fvec_dot calls on the embedding contract: equal-length,
+  // null-free vectors) truncates to min length and skips null checks; on
+  // contract-conforming data the two modes are bit-identical.
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (strict && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -51,13 +61,23 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val lenGuard = if (strict)
+        s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }" else ""
+      val nullGuard = if (strict)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
+      val assign = if (strict) s"if (!${ev.isNull}) { ${ev.value} = $acc; }"
+        else s"${ev.value} = $acc;"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |$lenGuard
+         |if (!${ev.isNull}) {
+         |  final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  }
+         |  $assign
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -136,6 +156,15 @@ object VectorFunctions {
       "minhash_sig", (exprs: Seq[Expression]) =>
         MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", (exprs: Seq[Expression]) =>
+        SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kinesis_shard", (exprs: Seq[Expression]) =>
+        KinesisShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     // Spark's internal bounded-heap top-k aggregate (k·groups memory, no
     // per-group sort of the full input) — the scale-right physical shape
     // for per-group top-k; exposed here because it has no public DSL form.

@@ -136,6 +136,13 @@ object KinesisSink {
     * shards, then batch + retry inside the executors. `fileTag` must be
     * unique per (streaming batch, partition) for idempotent re-delivery —
     * the foreachBatch wrapper passes the batchId.
+    *
+    * Routing is the codegen'd `kinesis_shard` expression (plan-auditable,
+    * no per-row UDF), and delivery STREAMS: the partition arrives sorted
+    * by shard, so each shard's records form a contiguous run that is
+    * consumed lazily into ≤5 MiB request batches — at no point does a
+    * task hold more than one request batch on the heap, which is what
+    * lets a shard's full 100 TB-scale backlog flow through a single task.
     */
   def deliver(
       df: DataFrame,
@@ -144,20 +151,29 @@ object KinesisSink {
       fileTag: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val shardOf = udf((pk: String) => shardFor(pk, numShards))
+    graft.functions.VectorFunctions.register(spark)
     df.select(col("partitionKey"), col("data"))
-      .withColumn("shard", shardOf(col("partitionKey")))
+      .withColumn("shard", call_function("kinesis_shard", col("partitionKey"), lit(numShards)))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"))
       .as[(String, Array[Byte], Int)]
       .foreachPartition { (it: Iterator[(String, Array[Byte], Int)]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.toSeq.groupBy(_._3).foreach { case (shard, rows) =>
-          val recs = rows.map { case (pk, data, _) => KinesisRecord(pk, data) }
-          val client = clientFor(shard, s"$fileTag-p$pid")
-          batches(recs.iterator).foreach { b =>
-            putWithRetry(client, shard, b)
+        val buf = it.buffered
+        while (buf.hasNext) {
+          val shard = buf.head._3
+          // lazy view of this shard's contiguous run — `batches` pulls
+          // from it one record at a time, so memory is one batch, not
+          // the partition
+          val run: Iterator[KinesisRecord] = new Iterator[KinesisRecord] {
+            override def hasNext: Boolean = buf.hasNext && buf.head._3 == shard
+            override def next(): KinesisRecord = {
+              val (pk, data, _) = buf.next()
+              KinesisRecord(pk, data)
+            }
           }
+          val client = clientFor(shard, s"$fileTag-p$pid")
+          batches(run).foreach(b => putWithRetry(client, shard, b))
         }
       }
   }

@@ -21,6 +21,12 @@ import graft.functions.FloatVecDot
   * the natural declarative form and still get the kernel: the optimizer,
   * not the query author, owns the physical choice.
   *
+  * The rewrite emits the kernel in STRICT mode, which reproduces the
+  * lambda's null semantics exactly: unequal lengths (zip_with null-pads →
+  * the aggregate returns NULL) and null elements both yield NULL — so the
+  * rule is semantics-preserving on arbitrary user queries, not just on
+  * the equal-length null-free embedding contract.
+  *
   * Injected two ways: at builder time via [[GraftExtensions]]
   * (`spark.sql.extensions`), and into already-running sessions through
   * `spark.experimental.extraOptimizations` (VectorFunctions.register) —
@@ -70,7 +76,7 @@ object RewriteVecDot extends Rule[LogicalPlan] {
       (dvar(mx), dvar(my), dvar(ax), dvar(ay), floatArray(l), floatArray(r)) match {
         case (Some(x), Some(y), Some(a), Some(v), Some(fa), Some(fb))
             if sameVars(x, y, mArgs) && sameVars(a, v, aArgs) =>
-          FloatVecDot(fa, fb)
+          FloatVecDot(fa, fb, strict = true)
         case _ => agg
       }
   }

@@ -120,7 +120,18 @@ object StreamOps {
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
   final case class KeyedDoc(bucket: Long, doc_id: Long, ts: Timestamp,
       text: String, sig: Seq[Long])
-  final case class BucketState(sigs: List[(Long, Seq[Long])])
+  final case class BandedDoc(band: Int, bucket: Long, doc_id: Long,
+      ts: Timestamp, text: String, sig: Seq[Long])
+  final case class BucketEntry(doc_id: Long, tsMs: Long, sig: Seq[Long])
+  final case class BucketState(entries: List[BucketEntry])
+  final case class BandVerdict(doc_id: Long, ts: Timestamp, text: String,
+      matched: Boolean)
+
+  private def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    var m = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+    m.toDouble / a.length
+  }
 
   /** Streaming near-duplicate suppression at ingest: each arriving doc's
     * MinHash signature is computed INLINE by the codegen `minhash_sig`
@@ -128,47 +139,129 @@ object StreamOps {
     * keyed by its first LSH band bucket, and flatMapGroupsWithState keeps
     * the signatures already admitted in that bucket; an arrival whose
     * estimated Jaccard vs any retained signature ≥ minEst is dropped.
+    * Docs with fewer than GramLen tokens have no signature (NULL) — they
+    * can never collide, so they bypass the stateful path entirely.
     *
     * First-band-only keying = one state lookup per doc; recall is the
-    * single-band collision probability (a full-recall variant fans out to
-    * all bands and dedups survivors — the batch candidatePairs shape).
-    * State is per-bucket and append-only here; production bounds it with
-    * an event-time TTL (same pattern as sessionize's timeout) — noted
-    * rather than wired so the spec stays deterministic.
+    * single-band collision probability ([[nearDupSuppressAllBands]] is the
+    * full-recall variant). State is bounded by `ttlMillis` (event-time,
+    * same pattern as sessionize): retained signatures older than
+    * watermark − ttl are evicted on every invocation, and a bucket with no
+    * arrivals within the TTL is removed wholesale by its event-time
+    * timeout — a backfill replays to the identical survivor set, and state
+    * can't grow past one TTL window of traffic at 100 TB ingest.
     */
-  def nearDupSuppress(docs: DataFrame, minEst: Double = 0.8): Dataset[Doc] = {
+  def nearDupSuppress(docs: DataFrame, minEst: Double = 0.8,
+      ttlMillis: Long = Long.MaxValue,
+      watermarkDelay: String = "0 seconds"): Dataset[Doc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val nPerms = graft.MinHash.NumPerms
     val bandRows = graft.MinHash.BandRows
-    val keyed = docs
-      .withColumn("sig",
-        call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))
+    val streaming = docs.isStreaming
+    val withSig = docs.withColumn("sig",
+      call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))
+    val noSig = withSig.filter(col("sig").isNull)
+      .select(col("doc_id"), col("ts"), col("text")).as[Doc]
+    val keyed = withSig.filter(col("sig").isNotNull)
       .withColumn("bucket",
         xxhash64((lit(0) +: (0 until bandRows).map(r => col("sig").getItem(r))): _*))
       .select(col("bucket"), col("doc_id"), col("ts"), col("text"), col("sig"))
+      .withWatermark("ts", watermarkDelay)
       .as[KeyedDoc]
-    def est(a: Seq[Long], b: Seq[Long]): Double = {
-      var m = 0; var i = 0
-      while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
-      m.toDouble / a.length
-    }
-    keyed.groupByKey(_.bucket)
+    val admitted = keyed.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketState, Doc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: Long, rows: Iterator[KeyedDoc], state: GroupState[BucketState]) =>
-          var seen = state.getOption.getOrElse(BucketState(Nil)).sigs
-          val out = List.newBuilder[Doc]
-          rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
-            if (!seen.exists { case (_, s) => est(s, d.sig) >= minEst }) {
-              seen = (d.doc_id, d.sig) :: seen
-              out += Doc(d.doc_id, d.ts, d.text)
+          if (state.hasTimedOut) {
+            // no arrival within the TTL — every retained sig has expired
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
+            // evict individual sigs that have aged past the TTL horizon
+            val horizon =
+              if (ttlMillis == Long.MaxValue || wm <= 0L) Long.MinValue
+              else wm - ttlMillis
+            var seen = state.getOption.getOrElse(BucketState(Nil)).entries
+              .filter(_.tsMs > horizon)
+            val out = List.newBuilder[Doc]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              maxTs = math.max(maxTs, d.ts.getTime)
+              if (!seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)) {
+                seen = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: seen
+                out += Doc(d.doc_id, d.ts, d.text)
+              }
             }
+            state.update(BucketState(seen))
+            if (streaming && ttlMillis != Long.MaxValue && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(maxTs + ttlMillis, wm + 1))
+            out.result().iterator
+          }
+      }
+    admitted.union(noSig)
+  }
+
+  /** Full-recall streaming near-dup suppression: each doc fans out to ALL
+    * `NumPerms / BandRows` LSH bands (the batch candidatePairs keying), every
+    * (band, bucket) group stores every arrival's signature, and a doc is
+    * suppressed when ANY band bucket holds an earlier doc with estimated
+    * Jaccard ≥ minEst. Stage 2 reduces the per-band verdicts with one
+    * windowed aggregate keyed by (window, doc) and keeps docs no band
+    * matched.
+    *
+    * Storing ALL arrivals (admitted or not) is what aligns the verdict
+    * with the batch clustering semantics: if A is admitted, B suppressed
+    * as A's near-dup, and C resembles only B, then C still matches B's
+    * retained signature and is suppressed — the same {A,B,C} outcome the
+    * batch connected-components dedup produces. State cost is bands ×
+    * sig per doc, the standard LSH duplication trade.
+    */
+  def nearDupSuppressAllBands(docs: DataFrame, minEst: Double = 0.8,
+      watermarkDelay: String = "0 seconds",
+      windowDur: String = "1 minute"): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val nPerms = graft.MinHash.NumPerms
+    val bandRows = graft.MinHash.BandRows
+    val nBands = nPerms / bandRows
+    val withSig = docs.withColumn("sig",
+      call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))
+    val noSig = withSig.filter(col("sig").isNull)
+      .select(col("doc_id"), col("ts"), col("text")).as[Doc]
+    val bucketKeys = array((0 until nBands).map(b =>
+      xxhash64((lit(b) +: (0 until bandRows).map(r =>
+        col("sig").getItem(b * bandRows + r))): _*)): _*)
+    val banded = withSig.filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"), col("text"), col("sig"),
+        posexplode(bucketKeys).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id"), col("ts"), col("text"), col("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedDoc]
+    val verdicts = banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          var seen = state.getOption.getOrElse(BucketState(Nil)).entries
+          val out = List.newBuilder[BandVerdict]
+          rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+            val matched = seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)
+            seen = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: seen
+            out += BandVerdict(d.doc_id, d.ts, d.text, matched)
           }
           state.update(BucketState(seen))
           out.result().iterator
       }
+    val admitted = verdicts.toDF()
+      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("ts"), col("text"))
+      .agg(max(col("matched")).as("dup"))
+      .filter(!col("dup"))
+      .select(col("doc_id"), col("ts"), col("text"))
+      .as[Doc]
+    admitted.union(noSig)
   }
 
   /** Per-user session accumulation with an event-time timeout: state

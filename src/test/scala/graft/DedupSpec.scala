@@ -35,28 +35,67 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((10L, base), (11L, b), (12L, c),
       (99L, "entirely unrelated content about something else going on here"))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("dedup_docs")
-    val edges = {
-      // jaccardEdges reads the documents table from disk; rebuild the same
-      // pair plan over the in-memory frame instead
-      graft.functions.VectorFunctions.register(spark)
-      val baseDf = docs.select(col("doc_id"),
-        call_function("shingle_hashes", col("text"), lit(MinHash.GramLen)).as("shs"))
-      val sh = baseDf.select(col("doc_id"), explode(col("shs")).as("shh"))
-      val sizes = baseDf.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
-      val inter = sh.select(col("doc_id").as("a_id"), col("shh"))
-        .join(sh.select(col("doc_id").as("b_id"), col("shh")), Seq("shh"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
-        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
-        .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i")) >= 0.6)
-        .select(col("a_id"), col("b_id"))
-    }
+    val edges = Dedup.jaccardEdgesOf(spark, docs, 0.6)
     val cc = Dedup.connectedComponents(spark, docs.select(col("doc_id")), edges)
       .as[(Long, Long)].collect().toMap
     assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)
     assert(cc(99L) == 99L)
+  }
+
+  /** Exhaustive shingle-equi-join edge list — the reference the
+    * prefix-filtered plan must reproduce exactly (the AllPairs/PPJoin
+    * prefix lemma is exact, not probabilistic).
+    */
+  private def exhaustiveEdges(docs: org.apache.spark.sql.DataFrame,
+      t: Double): Set[(Long, Long)] = {
+    graft.functions.VectorFunctions.register(spark)
+    val baseDf = docs.select(col("doc_id"),
+      call_function("shingle_hashes", col("text"), lit(MinHash.GramLen)).as("shs"))
+    val sh = baseDf.select(col("doc_id"), explode(col("shs")).as("shh"))
+    val sizes = baseDf.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("shh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shh")), Seq("shh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
+      .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i")) >= t)
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("prefix-filtered jaccard edges equal the exhaustive join's edge set") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon", "one", "two", "three", "four", "five",
+      "six", "seven", "eight", "nine", "ten")
+    // deterministic corpus with dup clusters at varied similarity levels:
+    // each base doc spawns mutants differing in 0–4 word positions, plus
+    // docs of different lengths so the size-ratio filter is exercised
+    val docs = (0 until 12).flatMap { i =>
+      val shift = words.drop(i % 7) ++ words.take(i % 7)
+      val base = shift.take(18 + (i % 9)).mkString(" ")
+      val mutants = (1 to (i % 4)).map { m =>
+        val toks = base.split(" ")
+        toks.updated((m * 5) % toks.length, s"MUT${i}_$m").mkString(" ")
+      }
+      (base +: mutants).zipWithIndex.map { case (txt, j) => (i * 10L + j, txt) }
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val got = Dedup.jaccardEdgesOf(spark, docs, t).as[(Long, Long)].collect().toSet
+      val want = exhaustiveEdges(docs, t)
+      assert(got == want, s"t=$t: prefix-filtered=${got.size} exhaustive=${want.size}, " +
+        s"missing=${want -- got}, extra=${got -- want}")
+    }
+  }
+
+  test("connected components throws instead of returning wrong labels when out of rounds") {
+    val n = 12
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // diameter 11 path cannot converge in 3 rounds
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(spark, nodes, edges, maxIters = 3).collect())
   }
 }

@@ -91,6 +91,39 @@ class KinesisSinkSpec extends SparkSpec {
     }.toMap
   }
 
+  test("kinesis_shard expression equals shardFor on every key (routing law)") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    for (n <- Seq(1, 3, 7, 16)) {
+      val keys = (0 until 500).map(i => s"key-$i-$n") :+ "" :+ "ünïcødé-κλειδί"
+      val got = keys.toDF("pk")
+        .select(col("pk"), call_function("kinesis_shard", col("pk"), lit(n)).as("shard"))
+        .as[(String, Int)].collect().toMap
+      keys.foreach(k => assert(got(k) == shardFor(k, n), s"key $k, n=$n"))
+    }
+  }
+
+  test("deliver streams shard runs lazily through a large partition") {
+    val out = tmpDir("ksink_big")
+    import spark.implicits._
+    // 120k records through 2 input partitions → each delivery task owns a
+    // whole shard's worth of rows; with the old it.toSeq this was one
+    // giant in-heap Seq, now at most one ≤5 MiB batch is resident
+    val n = 120000
+    val df = (1 to n).map(i => (s"k$i", s"v$i".getBytes(UTF_8)))
+      .toDF("partitionKey", "data")
+      .repartition(2)
+    KinesisSink.deliver(df, numShards = 3,
+      (shard, tag) => new DirectoryClient(out, tag), fileTag = "big")
+    val byShard = readShardDir(out)
+    assert(byShard.values.map(_.size).sum == n)
+    byShard.foreach { case (s, rs) =>
+      rs.foreach { case (pk, _) => assert(shardFor(pk, 3) == s) }
+    }
+    assert(byShard.keySet == (0 until 3).toSet)
+  }
+
   test("deliver routes every record to its md5 shard (end to end)") {
     val out = tmpDir("ksink")
     import spark.implicits._

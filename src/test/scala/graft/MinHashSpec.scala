@@ -49,4 +49,32 @@ class MinHashSpec extends SparkSpec {
     val out = MinHash.qSimhash.fn(spark, sf001) // corpus signature run (rows>0)
     assert(out.count() > 0)
   }
+
+  test("simhash64 kernel: near-dups land close in hamming distance, unrelated docs far") {
+    graft.functions.VectorFunctions.register(spark)
+    val nearDup = baseText.replace("omicron", "OMICRON")
+    val unrelated = (1 to 70).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, baseText), (2L, baseText), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), call_function("simhash64", col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L), "identical docs must hash identically")
+    assert(hamming(sh(1L), sh(3L)) <= 12,
+      s"one-word mutation drifted ${hamming(sh(1L), sh(3L))} bits")
+    assert(hamming(sh(1L), sh(4L)) >= 20,
+      s"unrelated doc only ${hamming(sh(1L), sh(4L))} bits away")
+  }
+
+  test("docs too short to shingle get NULL signatures and never collide") {
+    // every one of these has < 3 tokens → no 3-gram → no signature; with
+    // the old all-sentinel signature they'd all be 'perfect' near-dups
+    val docs = Seq((1L, "solo"), (2L, "two words"), (3L, "x"), (4L, ""),
+      (5L, baseText)).toDF("doc_id", "text")
+    val sigs = MinHash.signatures(docs)
+    assert(sigs.filter(col("sig").isNull).count() == 4)
+    assert(sigs.filter(col("sig").isNotNull).count() == 1)
+    assert(MinHash.candidatePairs(docs, minEst = 0.1).count() == 0,
+      "gram-less docs must not pair with each other")
+  }
 }

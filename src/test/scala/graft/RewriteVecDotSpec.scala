@@ -55,4 +55,34 @@ class RewriteVecDotSpec extends SparkSpec {
     assert(!floatForm.queryExecution.optimizedPlan
       .expressions.exists(_.exists(_.isInstanceOf[FloatVecDot])))
   }
+
+  test("rewrite preserves NULL semantics: unequal lengths and null elements → NULL") {
+    VectorFunctions.register(spark)
+    // parquet roundtrip so the optimizer sees a real scan (LocalRelation
+    // would constant-fold) and element nullability is true, like real data
+    val dir = tmpDir("vecnull")
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(cast(1.0 as float), cast(2.0 as float)),
+        |       array(cast(3.0 as float), cast(4.0 as float))),
+        |  (2L, array(cast(1.0 as float), cast(2.0 as float)),
+        |       array(cast(3.0 as float), cast(4.0 as float), cast(5.0 as float))),
+        |  (3L, array(cast(1.0 as float), cast(null as float)),
+        |       array(cast(3.0 as float), cast(4.0 as float)))
+        |AS t(id, a, b)""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val lambdaForm = df.select(col("id"), aggregate(
+      zip_with(transform(col("a"), _.cast("double")),
+        transform(col("b"), _.cast("double")), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    // the rule fires (strict kernel) ...
+    assert(lambdaForm.queryExecution.optimizedPlan
+      .expressions.exists(_.exists(_.isInstanceOf[FloatVecDot])))
+    val got = lambdaForm.as[(Long, Option[Double])].collect().toMap
+    // ... and reproduces the lambda's null semantics exactly: row 1 is a
+    // clean dot product, row 2 NULL (zip_with null-pads the length
+    // mismatch), row 3 NULL (null element)
+    assert(got == Map(1L -> Some(11.0), 2L -> None, 3L -> None))
+  }
 }

@@ -37,6 +37,41 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("AQE splits a planted hot key into multiple skew-join partitions") {
+    // backs the BASELINE.md claim that a hot shingle degrades into an AQE
+    // skew-split sort-merge join rather than one straggler task
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.enabled" ->
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // left: 200k rows, 90% on one hot key → one shuffle partition ~3 MB
+      // while the median partition is tiny; right: one row per key
+      val left = spark.range(0, 200000)
+        .select(when($"id" < 180000, lit(7L)).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(0, 200000).select($"id".as("k"), lit(1L).as("w"))
+      // no keyed agg downstream: a hash-distribution requirement on the
+      // join output would make AQE decline the split (it would break
+      // co-partitioning) — the production shape (shingle pair join) feeds
+      // a partial agg, which tolerates the split
+      val joined = left.join(right, Seq("k"))
+      val rows = joined.collect() // executes → AQE finalizes this plan
+      assert(rows.length == 200000)
+      assert(rows.count(_.getLong(0) == 7L) == 180000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected an AQE skew-split join in:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitioned parquet scans prune to the filtered partition") {
     val dir = tmpDir("part_events")
     Tables.events(spark, sf001)

@@ -187,4 +187,82 @@ class StreamOpsSpec extends SparkSpec {
     val survivors = spark.table(name).select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(1L, 4L))
   }
+
+  test("near-dup state TTL: an expired signature is evicted and a late near-dup passes") {
+    import graft.streaming.StreamOps.Doc
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    val nearDup = base.replace("kappa", "KAPPA")
+    val unrelated = "completely different words with zero overlap whatsoever " +
+      "nothing shared here at all honestly not a single trigram in common"
+    val in = MemoryStream[Doc]
+    val name = nextName()
+    // 5-minute TTL on retained signatures
+    val q = StreamOps.nearDupSuppress(in.toDF(), minEst = 0.5, ttlMillis = 300000L).toDF()
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    in.addData(Doc(1L, ts(1), base))
+    q.processAllAvailable()
+    // unrelated doc at 00:30 advances the watermark far past 00:01 + TTL
+    in.addData(Doc(2L, ts(30), unrelated))
+    q.processAllAvailable()
+    // doc 1's signature expired → its near-dup is ADMITTED now
+    in.addData(Doc(3L, ts(31), nearDup))
+    q.processAllAvailable()
+    // ...and the refreshed state still suppresses an immediate re-dup
+    in.addData(Doc(4L, ts(32), nearDup))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L))
+  }
+
+  test("all-band suppression catches a dup that band-0 keying misses (batch-exact)") {
+    import graft.streaming.StreamOps.Doc
+    import graft.functions.ShingleOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val nPerms = MinHash.NumPerms
+    val bandRows = MinHash.BandRows
+    def sig(t: String): IndexedSeq[Long] = {
+      val a = ShingleOps.minhashSig(UTF8String.fromString(t), nPerms, MinHash.GramLen)
+      (0 until nPerms).map(a.getLong)
+    }
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    val words = base.split(" ")
+    val sBase = sig(base)
+    // deterministic search for a one-word mutation whose band 0 differs
+    // from base (single-band keying routes them to different buckets) but
+    // whose overall estimate stays ≥ 0.5 with some later band colliding
+    val dup = (0 until words.length).iterator
+      .map(i => words.updated(i, "MUTANT").mkString(" "))
+      .find { m =>
+        val sm = sig(m)
+        val band0Differs = (0 until bandRows).exists(r => sm(r) != sBase(r))
+        val laterBandMatches = (1 until nPerms / bandRows).exists(b =>
+          (0 until bandRows).forall(r => sm(b * bandRows + r) == sBase(b * bandRows + r)))
+        val e = (0 until nPerms).count(p => sm(p) == sBase(p)).toDouble / nPerms
+        band0Differs && laterBandMatches && e >= 0.5
+      }
+    assert(dup.isDefined, "no mutation with the required band profile exists")
+    val docs = Seq(Doc(1L, ts(1), base), Doc(2L, ts(2), dup.get)).toDF()
+    val singleBand = StreamOps.nearDupSuppress(docs, minEst = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(singleBand == Set(1L, 2L), "band-0 keying must miss this dup by construction")
+    val allBands = StreamOps.nearDupSuppressAllBands(docs, minEst = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(allBands == Set(1L), "full fan-out must catch the band-2+ collision")
+  }
+
+  test("gram-less docs bypass near-dup state and always pass") {
+    import graft.streaming.StreamOps.Doc
+    // < 3 tokens → NULL signature; the old sentinel signature made all of
+    // these collide as 'perfect' dups and only doc 1 survived
+    val docs = Seq(Doc(1L, ts(1), "hi"), Doc(2L, ts(2), "yo there"),
+      Doc(3L, ts(3), "hi")).toDF()
+    val survivors = StreamOps.nearDupSuppress(docs, minEst = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L))
+  }
 }
