@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import java.io.File
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.KinesisShard
+import KinesisSink.{KinesisRecord, MaxBytesPerRecord, MaxBytesPerRequest, MaxRecordsPerRequest}
+
+/** DataSourceV2 connector surface for the Kinesis-semantics sink
+  * (SURVEY.md §2.A A7, §7.3): `df.writeStream.format(<this class>)
+  * .option("baseDir", …).option("numShards", …)` — the connector-API form
+  * the reference's sink surface maps to, alongside the foreachBatch path
+  * (`KinesisSink.deliver`) and the facade pipeline.
+  *
+  * Executor-side, each [[KinesisV2Writer]] routes rows with the same
+  * codegen'd 128-bit MD5 math as the expression (`KinesisShard.route`),
+  * accumulates at most ONE in-flight PutRecords batch per shard
+  * (≤500 records / ≤5 MiB — flushed through `putWithRetry`, so the
+  * per-record failure/backoff contract is identical to the batch sink),
+  * and never holds more than numShards × 5 MiB regardless of partition
+  * size. Re-delivery is idempotent per (epoch, partition): the writer
+  * truncates its own `.krf` files on first touch, so a retried task
+  * overwrites instead of duplicating — the same file-naming contract the
+  * foreachBatch path uses.
+  */
+class KinesisTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KinesisTableProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new KinesisTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object KinesisTableProvider {
+  val Schema: StructType = new StructType()
+    .add("partitionKey", StringType, nullable = false)
+    .add("data", BinaryType, nullable = false)
+}
+
+private[pipeline] class KinesisTable(properties: Map[String, String])
+    extends Table with SupportsWrite {
+  override def name(): String =
+    s"kinesis-emulated(${properties.getOrElse("basedir", "?")})"
+  override def schema(): StructType = KinesisTableProvider.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = info.options()
+    val baseDir = Option(opts.get("baseDir")).getOrElse(
+      throw new IllegalArgumentException("kinesis sink requires option 'baseDir'"))
+    val numShards = Option(opts.get("numShards")).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("kinesis sink requires option 'numShards'"))
+    val schema = info.schema()
+    val pkIdx = schema.fieldIndex("partitionKey")
+    val dataIdx = schema.fieldIndex("data")
+    require(schema(pkIdx).dataType == StringType && schema(dataIdx).dataType == BinaryType,
+      s"kinesis sink needs (partitionKey: string, data: binary), got ${schema.catalogString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new KinesisStreamingWrite(baseDir, numShards, pkIdx, dataIdx)
+      }
+    }
+  }
+}
+
+private[pipeline] class KinesisStreamingWrite(baseDir: String, numShards: Int,
+    pkIdx: Int, dataIdx: Int) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    KinesisWriterFactory(baseDir, numShards, pkIdx, dataIdx)
+  // per-record delivery already happened (and retried) in the writers;
+  // the epoch commit is the offset-log barrier Structured Streaming owns
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Ships to executors — plain fields only. */
+private[pipeline] final case class KinesisWriterFactory(baseDir: String,
+    numShards: Int, pkIdx: Int, dataIdx: Int) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new KinesisV2Writer(baseDir, numShards, pkIdx, dataIdx,
+      s"e$epochId-p$partitionId")
+}
+
+private[pipeline] final case class KinesisCommit(records: Long) extends WriterCommitMessage
+
+private[pipeline] class KinesisV2Writer(baseDir: String, numShards: Int,
+    pkIdx: Int, dataIdx: Int, fileTag: String) extends DataWriter[InternalRow] {
+
+  private val pending = Array.fill(numShards)(mutable.ArrayBuffer.empty[KinesisRecord])
+  private val pendingBytes = new Array[Long](numShards)
+  private val clients = mutable.Map.empty[Int, KinesisSink.DirectoryClient]
+  private var total = 0L
+
+  private def clientFor(shard: Int): KinesisSink.DirectoryClient =
+    clients.getOrElseUpdate(shard, {
+      // idempotent task retry: truncate this writer's file before the
+      // first append so a re-run overwrites instead of duplicating
+      val f = new File(new File(baseDir, s"shard=$shard"), s"$fileTag.krf")
+      if (f.exists()) f.delete()
+      new KinesisSink.DirectoryClient(baseDir, fileTag)
+    })
+
+  private def flush(shard: Int): Unit = if (pending(shard).nonEmpty) {
+    KinesisSink.putWithRetry(clientFor(shard), shard, pending(shard).toSeq)
+    pending(shard).clear()
+    pendingBytes(shard) = 0L
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val pk = row.getUTF8String(pkIdx)
+    val data = row.getBinary(dataIdx)
+    val shard = KinesisShard.route(pk, numShards)
+    val sz = data.length.toLong + pk.numBytes()
+    require(sz <= MaxBytesPerRecord,
+      s"record for key $pk exceeds 1 MiB ($sz bytes)")
+    if (pending(shard).size + 1 > MaxRecordsPerRequest ||
+        pendingBytes(shard) + sz > MaxBytesPerRequest) flush(shard)
+    pending(shard) += KinesisRecord(pk.toString, data)
+    pendingBytes(shard) += sz
+    total += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    (0 until numShards).foreach(flush)
+    KinesisCommit(total)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -124,6 +124,34 @@ class KinesisSinkSpec extends SparkSpec {
     assert(byShard.keySet == (0 until 3).toSet)
   }
 
+  test("DataSourceV2 StreamingWrite: writeStream.format delivers with Kinesis semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmpDir("ksinkv2")
+    val in = MemoryStream[(String, Array[Byte])]
+    val q = in.toDF().toDF("partitionKey", "data")
+      .writeStream
+      .format(classOf[graft.pipeline.KinesisTableProvider].getName)
+      .option("checkpointLocation", tmpDir("ksinkv2_ckpt"))
+      .option("baseDir", out)
+      .option("numShards", "4")
+      .start()
+    in.addData((1 to 60).map(i => (i.toString, s"v$i".getBytes(UTF_8))): _*)
+    q.processAllAvailable()
+    in.addData((61 to 100).map(i => (i.toString, s"v$i".getBytes(UTF_8))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val byShard = readShardDir(out)
+    val all = byShard.toSeq.flatMap { case (s, rs) =>
+      rs.map { case (pk, d) => (s, pk, new String(d, UTF_8)) }
+    }
+    assert(all.size == 100)
+    assert(all.forall { case (s, pk, _) => shardFor(pk, 4) == s })
+    assert(all.forall { case (_, pk, v) => v == s"v$pk" })
+    assert(all.map(_._2).toSet == (1 to 100).map(_.toString).toSet)
+  }
+
   test("deliver routes every record to its md5 shard (end to end)") {
     val out = tmpDir("ksink")
     import spark.implicits._
