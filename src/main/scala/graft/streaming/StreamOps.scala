@@ -256,8 +256,14 @@ object StreamOps {
           out.result().iterator
       }
     val admitted = verdicts.toDF()
-      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("ts"), col("text"))
-      .agg(max(col("matched")).as("dup"))
+      // the event-time mark does not survive the fMGWS output schema —
+      // re-attach it so the downstream append-mode agg can finalize windows
+      .withWatermark("ts", watermarkDelay)
+      // group by the window only (grouping by the raw watermarked ts too
+      // would leave two event-time columns in the output); the doc's ts
+      // comes back as min(ts) — one doc occupies exactly one window
+      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("text"))
+      .agg(max(col("matched")).as("dup"), min(col("ts")).as("ts"))
       .filter(!col("dup"))
       .select(col("doc_id"), col("ts"), col("text"))
       .as[Doc]

@@ -255,6 +255,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(allBands == Set(1L), "full fan-out must catch the band-2+ collision")
   }
 
+  test("all-band suppression runs on a real stream (fMGWS chained into windowed agg)") {
+    import graft.streaming.StreamOps.Doc
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    val exactDup = base // exact dup collides in EVERY band — no band search needed
+    val farFuture = "totally different filler words to push the watermark forward now"
+    val in = MemoryStream[Doc]
+    val name = nextName()
+    val q = StreamOps.nearDupSuppressAllBands(in.toDF(), minEst = 0.5).toDF()
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    in.addData(Doc(1L, ts(1), base), Doc(2L, ts(2), exactDup))
+    q.processAllAvailable()
+    // advance the watermark past doc 1/2's window so the verdict agg emits
+    in.addData(Doc(3L, ts(30), farFuture))
+    q.processAllAvailable()
+    in.addData(Doc(4L, ts(45), "one more batch to close doc 3's window out"))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(1L) && !survivors.contains(2L),
+      s"expected doc 1 admitted and dup 2 suppressed, got $survivors")
+  }
+
   test("gram-less docs bypass near-dup state and always pass") {
     import graft.streaming.StreamOps.Doc
     // < 3 tokens → NULL signature; the old sentinel signature made all of
