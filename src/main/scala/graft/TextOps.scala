@@ -393,9 +393,82 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // F14: repetition signals (the Gopher/C4-style quality rules an LLM data
+  // pipeline filters on): distinct-token ratio and most-frequent-bigram
+  // fraction per doc. Two chained aggregations, BOTH shuffling on doc_id —
+  // the second reuses the first's partitioning, so the whole plan costs
+  // one exchange of the bigram rows; per-doc stats are row-local.
+  val qRepetition = Q(
+    "q_repetition",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (SELECT doc_id, len(t) AS n_toks, len(list_distinct(t)) AS n_distinct
+      |       FROM sp WHERE len(t) >= 2),
+      |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1])) AS b
+      |       FROM sp WHERE len(t) >= 2),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+      |mx AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY doc_id)
+      |SELECT st.doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |       floor(n_distinct * 1.0 / n_toks * 1000000)/1000000 AS distinct_ratio,
+      |       CAST(top_c AS BIGINT) AS top_bigram_n,
+      |       floor(top_c * 1.0 / (n_toks - 1) * 1000000)/1000000 AS top_bigram_frac
+      |FROM st JOIN mx ON st.doc_id = mx.doc_id
+      |ORDER BY st.doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val base = documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_toks", size(col("t")).cast("long"))
+      .filter(col("n_toks") >= 2)
+    val bigrams = base.select(col("doc_id"),
+      explode(transform(sequence(lit(0), (col("n_toks") - 2).cast("int")),
+        i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("b"))
+    val top = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.select(col("doc_id"), col("n_toks"),
+        (size(array_distinct(col("t"))).cast("double") / col("n_toks")).as("dr"))
+      .join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"),
+        trunc6(col("dr")).as("distinct_ratio"),
+        col("top_c").cast("long").as("top_bigram_n"),
+        trunc6(col("top_c").cast("double") / (col("n_toks") - 1)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // F15: PII detection + redaction — per-doc match counts on the raw text
+  // and an md5 of the redacted text (arrays/long strings don't survive the
+  // driver comparator; the hash pins the full redaction byte-for-byte).
+  // Patterns avoid constructs where Java regex and RE2 diverge. Pure
+  // per-row map — row-parallel at any scale, no shuffle but the ORDER BY.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  val qPiiRedact = Q(
+    "q_pii_redact",
+    s"""SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+      |       CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+      |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone,
+      |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |           '$EmailRe', '<EMAIL>', 'g'),
+      |           '$Ipv4Re', '<IP>', 'g'),
+      |           '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
-    qSplitHash, qNormalize, qPercentiles, qContamination)
+    qSplitHash, qNormalize, qPercentiles, qContamination, qRepetition,
+    qPiiRedact)
 }
