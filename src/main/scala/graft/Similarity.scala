@@ -192,35 +192,29 @@ object Similarity {
 
   /** Banded sign-LSH candidate pairs over any (vec_id, embedding) frame,
     * verified with exact cosine ≥ minCos.
+    *
+    * The 16-plane signature is ONE codegen'd `sign_lsh_bits` pass per row
+    * (round 3) — the previous posexplode → broadcast-join(planes) →
+    * groupBy ×2 pipeline shuffled dim × nPlanes rows per vector twice just
+    * to compute signs. Now the only shuffle in the pipeline is the
+    * (band, 4-bit key) equi-join itself — the property that matters at
+    * 100 TB, and the same shape as the MinHash banding.
     */
   def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
     VectorFunctions.register(s)
     val nPlanes = 16
     val bandBits = 4
-    val dim = 64
-    // deterministic ±1 plane components hashed from the (plane, dim) index
-    val planes = s.range(0, nPlanes.toLong * dim).select(
-      expr("id div 64").cast("int").as("plane"),
-      (col("id") % dim).cast("int").as("i"),
-      (pmod(xxhash64(col("id")), lit(2)) * 2 - 1).cast("double").as("sgn"))
-    val elems = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-    val bits = elems.join(broadcast(planes), Seq("i"))
-      .groupBy(col("vec_id"), col("plane"))
-      .agg(sum(col("v") * col("sgn")).as("proj"))
-      .select(col("vec_id"), col("plane"),
-        when(col("proj") > 0, lit(1L)).otherwise(lit(0L)).as("bit"))
-    val bands = bits
-      .withColumn("band", expr(s"plane div $bandBits"))
-      .groupBy(col("vec_id"), col("band"))
-      .agg(sum(col("bit") * pow(lit(2.0), col("plane") % bandBits).cast("long")).as("bkey"))
-    val n = emb.select(col("vec_id"),
-      col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val a = bands.join(n, Seq("vec_id"))
-      .select(col("vec_id").as("a_id"), col("band"), col("bkey"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = bands.join(n, Seq("vec_id"))
-      .select(col("vec_id").as("b_id"), col("band"), col("bkey"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val n = emb.select(col("vec_id"), col("embedding"),
+      call_function("sign_lsh_bits", col("embedding"), lit(nPlanes)).as("bits"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val bands = n.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array((0 until nPlanes / bandBits).map(b =>
+        shiftright(col("bits"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1))): _*))
+        .as(Seq("band", "bkey")))
+    val a = bands.select(col("vec_id").as("a_id"), col("band"), col("bkey"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = bands.select(col("vec_id").as("b_id"), col("band"), col("bkey"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))

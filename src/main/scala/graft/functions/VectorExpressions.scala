@@ -129,6 +129,87 @@ object RollingHash {
   }
 }
 
+/** `sign_lsh_bits(embedding, nPlanes)` → bigint: banded random-hyperplane
+  * LSH signature in ONE codegen'd pass per row — bit p = sign of the
+  * projection onto deterministic ±1 plane p (components hashed from the
+  * (plane, dim) index with the splitmix64 finalizer). Replaces the
+  * declarative posexplode → broadcast-join(planes) → two groupBys
+  * formulation, which shuffled dim × nPlanes rows per vector twice; the
+  * signature is now a shuffle-free per-row map, leaving the (band, key)
+  * equi-join as the only shuffle in the LSH pipeline — the minhash_sig
+  * treatment applied to vectors.
+  */
+case class SignLshBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bits requires (array<float>, int), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bits"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignLshBits.bits(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) =>
+      s"graft.functions.SignLshBits.bits($a, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SignLshBits {
+  private val MaxDim = 4096
+  // sign table grown on demand, keyed (plane, dim-index) — deterministic
+  // across JVMs (pure function of the index), so executors agree
+  @volatile private var signs: Array[Double] = new Array[Double](0)
+
+  private def fmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def ensure(nPlanes: Int): Array[Double] = {
+    val need = nPlanes * MaxDim
+    var t = signs
+    if (t.length < need) synchronized {
+      t = signs
+      if (t.length < need) {
+        t = Array.tabulate(need)(idx =>
+          if ((fmix64(idx.toLong) & 1L) == 1L) 1.0 else -1.0)
+        signs = t
+      }
+    }
+    t
+  }
+
+  /** Called from generated code. */
+  def bits(arr: ArrayData, nPlanes: Int): Long = {
+    require(nPlanes <= 64, s"sign_lsh_bits supports at most 64 planes, got $nPlanes")
+    val dim = arr.numElements()
+    require(dim <= MaxDim, s"sign_lsh_bits supports dim <= $MaxDim, got $dim")
+    val t = ensure(nPlanes)
+    var out = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      val off = p * MaxDim
+      var i = 0
+      while (i < dim) { acc += t(off + i) * arr.getFloat(i); i += 1 }
+      if (acc > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
 object VectorFunctions {
   /** Register `fvec_dot` in the session's function registry so it is usable
     * from both the DataFrame DSL (`call_function("fvec_dot", a, b)`) and
@@ -158,6 +239,9 @@ object VectorFunctions {
           exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_lsh_bits", (exprs: Seq[Expression]) =>
+        SignLshBits(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1)), "built-in")
