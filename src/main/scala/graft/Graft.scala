@@ -61,9 +61,38 @@ object Graft {
       minEst: Double = 0.5): DataFrame =
     MinHash.candidatePairs(Tables.documents(spark, dir), minEst)
 
-  /** Streaming near-dup suppression at ingest (see StreamOps.nearDupSuppress). */
-  def nearDupSuppress(docs: DataFrame, minEst: Double = 0.8) =
-    streaming.StreamOps.nearDupSuppress(docs, minEst)
+  /** Streaming near-dup suppression at ingest, state bounded by an
+    * event-time TTL (see StreamOps.nearDupSuppress).
+    */
+  def nearDupSuppress(docs: DataFrame, minEst: Double = 0.8,
+      ttlMillis: Long = Long.MaxValue) =
+    streaming.StreamOps.nearDupSuppress(docs, minEst, ttlMillis)
+
+  /** Full-recall streaming variant: fans out to every LSH band, verdict
+    * matches the batch clustering semantics.
+    */
+  def nearDupSuppressAllBands(docs: DataFrame, minEst: Double = 0.8) =
+    streaming.StreamOps.nearDupSuppressAllBands(docs, minEst)
+
+  /** Embedding near-dup candidates via banded sign-LSH (single codegen
+    * signature pass; the only shuffle is the band-key equi-join).
+    */
+  def lshNearDupPairs(spark: SparkSession, emb: DataFrame,
+      minCos: Double = 0.35): DataFrame =
+    Similarity.lshCandidates(spark, emb, minCos)
+
+  /** Gopher/C4-style per-doc repetition quality signals. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qRepetition.fn(spark, dir)
+
+  /** PII match counts + md5-pinned redacted text per doc. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qPiiRedact.fn(spark, dir)
+
+  /** The `writeStream.format(...)` name of the Kinesis-semantics
+    * DataSourceV2 sink (options: baseDir, numShards).
+    */
+  val KinesisSinkFormat: String = classOf[pipeline.KinesisTableProvider].getName
 
   /** Exact brute-force cosine top-k pairs (correctness baseline; the scale
     * paths are lshCandidates / ivfKMeans).
