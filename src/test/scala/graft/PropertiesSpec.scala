@@ -82,6 +82,58 @@ class SparkLawsSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("law: sorted_intersect_count equals set intersection (20 seeded pairs)") {
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, col}
+    val setGen = Gen.listOfN(40, Gen.chooseNum(-500L, 500L))
+    val rows = (1L to 20L).map { seed =>
+      val a = sample(setGen, seed).distinct.sorted
+      val b = sample(setGen, seed + 1000).distinct.sorted
+      (seed, a, b, a.toSet.intersect(b.toSet).size.toLong)
+    }
+    val got = rows.map { case (id, a, b, w) => (id, a, b, w) }
+      .toDF("id", "a", "b", "want")
+      .select(col("id"), call_function("sorted_intersect_count", col("a"), col("b")).as("got"),
+        col("want"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, g, w) => assert(g == w, s"seed $id: $g != $w") }
+  }
+
+  test("law: simhash64 is a bag-of-tokens hash — word order never changes it") {
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.call_function
+    val wordsGen = Gen.listOfN(25, Gen.oneOf("red", "green", "blue", "cyan", "teal", "plum"))
+    (1L to 10L).foreach { seed =>
+      val ws = sample(wordsGen, seed)
+      val shuffled = sample(wordsGen, seed).reverse
+      val docs = Seq((1L, ws.mkString(" ")), (2L, shuffled.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sh = docs.select(call_function("simhash64", $"text")).as[Long].collect()
+      assert(sh(0) == sh(1), s"seed $seed: permuting tokens changed simhash")
+    }
+  }
+
+  test("law: minhash estimate tracks exact Jaccard within 0.25 (10 seeded mutations)") {
+    val vocab = (1 to 60).map(i => s"tok$i")
+    (1L to 10L).foreach { seed =>
+      val k = sample(Gen.chooseNum(0, 8), seed)
+      val base = vocab.mkString(" ")
+      val mutated = vocab.zipWithIndex.map { case (w, i) =>
+        if (i % 7 == 0 && i / 7 < k) s"MUT$i" else w
+      }.mkString(" ")
+      val docs = Seq((1L, base), (2L, mutated)).toDF("doc_id", "text")
+      val sh = MinHash.shingles(docs).as[(Long, String)].collect().groupBy(_._1)
+      val a = sh(1L).map(_._2).toSet
+      val b = sh(2L).map(_._2).toSet
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      val pairs = MinHash.candidatePairs(docs, minEst = 0.0).as[(Long, Long, Double)].collect()
+      if (pairs.nonEmpty)
+        assert(math.abs(pairs.head._3 - exact) < 0.25,
+          s"seed $seed: est ${pairs.head._3} vs exact $exact")
+      else assert(exact < 0.7, s"seed $seed: exact $exact but no LSH candidate")
+    }
+  }
+
   test("SQL surface: registered tables + fvec_dot are reachable from spark.sql") {
     Graft.registerTables(spark, sf001)
     val n = spark.sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
