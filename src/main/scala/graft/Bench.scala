@@ -33,7 +33,7 @@ object Bench {
     "qd2_datetime", "qd6_json",
     // text / LLM-pipeline
     "q_f1_dedup_first", "q_f7_tfidf", "q_f9b_percentiles", "q_quality_score",
-    "q_f13_contamination",
+    "q_f13_contamination", "q_repetition", "q_pii_redact",
     // similarity / ANN
     "q_f3_cosine_topk", "q_f3_cosine_neardup", "q_f4_knn", "q_f5_ivf_ann",
     "q_f5_lsh_neardup", "q_f12_quantize",
