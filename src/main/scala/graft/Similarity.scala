@@ -108,7 +108,10 @@ object Similarity {
     // branches stay inside whole-stage codegen straight into the partial
     // top-k aggregate — measured FASTER than a single-pass
     // explode(array(struct,struct)) mirror, whose Generate breaks the
-    // codegen pipeline (2.0 s vs 2.7 s at sf0.1)
+    // codegen pipeline (2.0 s vs 2.7 s at sf0.1), AND faster than one
+    // full a≠b join feeding the agg directly (2.0–2.9 s vs 3.2–3.9 s,
+    // round 3) — the half-join's smaller per-branch output wins
+    // despite evaluating the n² condition twice
     half.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cos_sim"))
       .unionByName(half.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))
       .select(col("q_id"),
