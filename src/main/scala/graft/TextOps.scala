@@ -395,9 +395,12 @@ object TextOps {
 
   // F14: repetition signals (the Gopher/C4-style quality rules an LLM data
   // pipeline filters on): distinct-token ratio and most-frequent-bigram
-  // fraction per doc. Two chained aggregations, BOTH shuffling on doc_id —
-  // the second reuses the first's partitioning, so the whole plan costs
-  // one exchange of the bigram rows; per-doc stats are row-local.
+  // fraction per doc. The bigram-mode plan is two aggregations: the first
+  // shuffles on (doc_id, bigram) WITH map-side partial counts — repeated
+  // bigrams (the very thing this operator detects) collapse before the
+  // exchange, so highly-repetitive corpora shuffle LESS — and the second
+  // shuffles the already-collapsed one-row-per-distinct-bigram counts on
+  // doc_id. Per-doc stats (distinct ratio) are row-local, no shuffle.
   val qRepetition = Q(
     "q_repetition",
     """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
