@@ -1,0 +1,35 @@
+package graft
+
+/** Degenerate-input robustness: every document/embedding operator must
+  * return an EMPTY result (not throw) on an empty corpus — the shape an
+  * executor sees constantly at 100 TB, where file splits and filtered
+  * partitions are routinely empty. Exercises the full graded path
+  * (parquet scan of a zero-row table with the production schema →
+  * transform), including the iterative CC loop's zero-round exit and the
+  * prefix-filter join over nothing.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = tmpDir("empty_sf")
+    Tables.documents(spark, sf001).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf001).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("document/embedding operators return empty results on an empty corpus") {
+    val names = Seq(
+      "q_f1_dedup_first", "q_f6_tokenize", "q_quality_score", "q_langid",
+      "q_repetition", "q_pii_redact", "q_f7_tfidf", "q_f13_contamination",
+      "q_f2_minhash_sig", "q_f2_minhash_pairs", "q_f2_simhash",
+      "q_ngram_jaccard", "q_f3_cosine_topk", "q_f3_cosine_neardup",
+      "q_f4_knn", "q_f5_lsh_neardup", "q_f11_dedup_groups", "q_f12_quantize",
+      "q_f10_multimodal", "q22_explode")
+    names.foreach { n =>
+      val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
+      assert(cnt == 0, s"$n returned $cnt rows on empty input")
+    }
+  }
+}
