@@ -468,6 +468,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination screening via a broadcast Aho–Corasick automaton — the
+    * eval-set-scale path behind q_f13: one O(|text|) pass per document
+    * regardless of phrase-list size, vs the per-row `contains` scan's
+    * O(|text|·|phrases|). Same output contract as qContamination
+    * (hit0..hitN, contaminated, first_hit in phrase-list order) —
+    * equivalence is spec-asserted against the contains formulation.
+    */
+  def contaminationScanAC(docs: org.apache.spark.sql.DataFrame,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ac = spark.sparkContext.broadcast(graft.functions.AhoCorasick(phrases))
+    val n = phrases.length
+    val phraseArr = phrases.toArray
+    val scanned = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val a = ac.value
+        it.map { case (id, text) =>
+          val hit = a.presence(text)
+          val first = hit.indexOf(true)
+          (id, hit.map(h => if (h) 1 else 0).toSeq, first >= 0,
+            if (first >= 0) Some(phraseArr(first)) else None)
+        }
+      }
+    scanned.toDF("doc_id", "hits", "contaminated", "first_hit")
+      .select((col("doc_id") +:
+        (0 until n).map(i => col("hits").getItem(i).as(s"hit$i"))) ++
+        Seq(col("contaminated"), col("first_hit")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,

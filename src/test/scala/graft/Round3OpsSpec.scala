@@ -34,6 +34,36 @@ class Round3OpsSpec extends SparkSpec {
     assert(got(3L) == ((6L, math.floor(2.0 / 6 * 1e6) / 1e6, 4L, 0.8)))
   }
 
+  test("Aho-Corasick contamination scan matches the contains formulation exactly") {
+    // corners: phrase sharing a prefix with another, phrase that is a
+    // suffix of another's interior, overlapping occurrences, miss
+    val phrases = Seq("abc", "abcd", "bcd", "cde", "zzz")
+    val docs = Seq(
+      (1L, "xx abcd yy"),     // hits abc, abcd, bcd
+      (2L, "abcde"),          // hits abc, abcd, bcd, cde
+      (3L, "ab cd"),          // no hit
+      (4L, "bcdbcd zzz"),     // hits bcd (twice) and zzz
+      (5L, "")).toDF("doc_id", "text")
+    val viaAC = TextOps.contaminationScanAC(docs, phrases).collect().map(_.toSeq)
+    val viaContains = {
+      val hits = phrases.map(p => col("text").contains(p))
+      val firstHit = coalesce(phrases.map(p =>
+        when(col("text").contains(p), lit(p))): _*)
+      docs.select((col("doc_id") +:
+        hits.zipWithIndex.map { case (h, i) => h.cast("int").as(s"hit$i") }) ++
+        Seq(hits.map(_.cast("int")).reduce(_ + _).gt(0).as("contaminated"),
+          firstHit.as("first_hit")): _*)
+        .orderBy(col("doc_id")).collect().map(_.toSeq)
+    }
+    assert(viaAC.toSeq == viaContains.toSeq)
+    // and on the real corpus with the graded phrase list: identical frames
+    val corpus = Tables.documents(spark, sf001)
+    val phrasesGraded = Seq("alpha beta gamma", "nine ten eleven", "omicron pi rho sigma")
+    val acCorpus = TextOps.contaminationScanAC(corpus, phrasesGraded).collect().map(_.toSeq)
+    val gradedCorpus = TextOps.qContamination.fn(spark, sf001).collect().map(_.toSeq)
+    assert(acCorpus.toSeq == gradedCorpus.toSeq)
+  }
+
   test("PII redaction: counts and redacted hash on planted docs") {
     val pii = "contact bob@example.com or 10.0.0.1 at 555-123-4567 ok"
     val clean = "no personal information in this sentence at all"
