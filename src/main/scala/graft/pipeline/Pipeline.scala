@@ -101,6 +101,31 @@ object Pipeline {
       .start()
   }
 
+  /** The same pipeline on the DataSourceV2 connector sink — `writeStream
+    * .format(...)` end to end, no foreachBatch: offsets checkpoint through
+    * the standard WAL and the V2 writers' epoch-tagged files keep
+    * re-delivery idempotent. One streaming query carries decode → validate
+    * → key → route; quarantine (a second sink) runs as its own query over
+    * the same source when needed — V2 queries are single-sink by design.
+    */
+  def runV2(
+      spark: SparkSession,
+      bucketDir: String,
+      streamDir: String,
+      checkpointDir: String,
+      numShards: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 10): StreamingQuery =
+    withPartitionKey(decoded(fileSource(spark, bucketDir, maxFilesPerTrigger)))
+      .select(col("partitionKey"), col("data"))
+      .writeStream
+      .format(classOf[KinesisTableProvider].getName)
+      .option("checkpointLocation", checkpointDir)
+      .option("baseDir", streamDir)
+      .option("numShards", numShards.toString)
+      .trigger(trigger)
+      .start()
+
   /** B10: replay/backfill — batch-read the archive ("bucket") dir and push
     * through the same decode → key → sink path, no streaming machinery.
     */
