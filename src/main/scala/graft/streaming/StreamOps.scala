@@ -204,6 +204,67 @@ object StreamOps {
     admitted.union(noSig)
   }
 
+  /** Near-dup state on the Spark 4 `transformWithState` API: per-bucket
+    * retained signatures live in a native `ListState` whose entries the
+    * RocksDB store expires itself via `TTLConfig` — no handler-side
+    * eviction code at all. Trade-off vs [[nearDupSuppress]]'s event-time
+    * TTL: TTLConfig is PROCESSING-time based (an operational state cap,
+    * not replay-deterministic), so the fMGWS variant remains the
+    * backfill-exact path; this is the API the 100 TB deployment uses when
+    * the store must bound itself (incremental checkpoints, state larger
+    * than heap).
+    */
+  class NearDupProcessor(minEst: Double, ttl: TTLConfig)
+      extends StatefulProcessor[Long, KeyedDoc, Doc] {
+    @transient private var sigs: org.apache.spark.sql.streaming.ListState[BucketEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sigs = getHandle.getListState[BucketEntry](
+        "sigs", Encoders.product[BucketEntry], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedDoc],
+        timerValues: TimerValues): Iterator[Doc] = {
+      var seen = sigs.get().toList
+      val out = List.newBuilder[Doc]
+      rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+        if (!seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)) {
+          val entry = BucketEntry(d.doc_id, d.ts.getTime, d.sig)
+          seen = entry :: seen
+          sigs.appendValue(entry)
+          out += Doc(d.doc_id, d.ts, d.text)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[nearDupSuppress]] on transformWithState + native state TTL.
+    * Requires the RocksDB state store provider.
+    */
+  def nearDupSuppressTws(docs: DataFrame, minEst: Double = 0.8,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val nPerms = graft.MinHash.NumPerms
+    val bandRows = graft.MinHash.BandRows
+    val withSig = docs.withColumn("sig",
+      call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))
+    val noSig = withSig.filter(col("sig").isNull)
+      .select(col("doc_id"), col("ts"), col("text")).as[Doc]
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    val admitted = withSig.filter(col("sig").isNotNull)
+      .withColumn("bucket",
+        xxhash64((lit(0) +: (0 until bandRows).map(r => col("sig").getItem(r))): _*))
+      .select(col("bucket"), col("doc_id"), col("ts"), col("text"), col("sig"))
+      .as[KeyedDoc]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor(minEst, ttl),
+        timeMode, OutputMode.Append(), Encoders.product[Doc])
+    admitted.union(noSig)
+  }
+
   /** Full-recall streaming near-dup suppression: each doc fans out to ALL
     * `NumPerms / BandRows` LSH bands (the batch candidatePairs keying), every
     * (band, bucket) group stores every arrival's signature, and a doc is

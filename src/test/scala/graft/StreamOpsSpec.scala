@@ -279,6 +279,31 @@ class StreamOpsSpec extends SparkSpec {
       s"expected doc 1 admitted and dup 2 suppressed, got $survivors")
   }
 
+  test("transformWithState near-dup suppression holds state across batches (RocksDB ListState)") {
+    import graft.streaming.StreamOps.Doc
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    val nearDup = base.replace("kappa", "KAPPA")
+    val unrelated = "completely different words with zero overlap whatsoever " +
+      "nothing shared here at all honestly not a single trigram in common"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Doc]
+    val name = nextName()
+    val q = StreamOps.nearDupSuppressTws(in.toDF(), minEst = 0.5).toDF()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir("tws_nd_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Doc(1L, ts(1), base))
+    q.processAllAvailable()
+    in.addData(Doc(2L, ts(2), nearDup), Doc(3L, ts(3), base), Doc(4L, ts(4), unrelated))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L))
+  }
+
   test("gram-less docs bypass near-dup state and always pass") {
     import graft.streaming.StreamOps.Doc
     // < 3 tokens → NULL signature; the old sentinel signature made all of
