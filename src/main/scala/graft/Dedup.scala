@@ -106,7 +106,7 @@ object Dedup {
       val nmin = sym
         .join(lbls.select(col("u").as("v"), col("lbl").as("nlbl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
-      val rest = lbls.columns.filter(c => c != "u" && c != "lbl").map(col)
+      val rest = lbls.columns.filter(c => c != "u" && c != "lbl").toSeq.map(col)
       lbls.join(nmin, Seq("u"), "left")
         .select(col("u") +: least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl") +: rest: _*)
     }
