@@ -52,7 +52,14 @@ object Dedup {
     * chains in memory and asserts the prefix-filtered plan emits exactly
     * the exhaustive join's edge set.
     */
-  def jaccardEdgesOf(s: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardEdgesOf(s: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame =
+    jaccardPairsOf(s, docs, minJaccard).select(col("a_id"), col("b_id"))
+
+  /** Prefix-filtered thresholded similarity join returning the raw (un-
+    * truncated) Jaccard value per qualifying pair — the value-carrying
+    * form behind both [[jaccardEdgesOf]] and MinHash.qNgramJaccard.
+    */
+  def jaccardPairsOf(s: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
     VectorFunctions.register(s)
     val t = minJaccard
     val base = docs
@@ -76,8 +83,9 @@ object Dedup {
         col("sz").as("sb")), Seq("b_id"))
       .withColumn("i",
         call_function("sorted_intersect_count", col("a_shs"), col("b_shs")).cast("double"))
-      .filter(col("i") / (col("sa") + col("sb") - col("i")) >= t)
-      .select(col("a_id"), col("b_id"))
+      .withColumn("jaccard", col("i") / (col("sa") + col("sb") - col("i")))
+      .filter(col("jaccard") >= t)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** doc_id → cluster_id (min doc_id in its connected component) for every

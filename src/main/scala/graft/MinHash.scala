@@ -61,45 +61,80 @@ object MinHash {
 
   /** Banded LSH candidate pairs with MinHash-estimated Jaccard ≥ minEst.
     *
-    * Each doc's signature travels WITH its band rows, so candidate pairs
-    * and their estimates are produced inside the (band, bucket) group —
-    * no join back to the signature table, no cache to hold for the rest
-    * of the session. Shuffle cost: bands × sig bytes per doc (the
-    * standard LSH trade: pay sig duplication in the shuffle, save two
-    * wide joins). The match-count itself is 32 plain column comparisons
-    * after the explode — whole-stage-codegen'd, unlike a zip_with/
-    * aggregate lambda (the measured-100×-slower anti-pattern,
-    * BASELINE.md).
+    * Candidate generation is a band-key equi-SELF-JOIN: both sides project
+    * (band, bkey, tkey, sig) and pairs fall out of the join on
+    * (band, bkey) — the same shape as [[Similarity.lshCandidates]] and the
+    * shingle join in [[Dedup.jaccardEdgesOf]]. The earlier formulation
+    * collect_list'd each (band, bucket) group into one array and generated
+    * combos with interpreted flatten/transform/slice lambdas — on a
+    * duplicate-heavy corpus (the normal case for a web crawl) exact dups
+    * share ALL bands, so one degenerate bucket landed in ONE task and
+    * allocated O(bucket²) structs on its heap. As a join, the same hot
+    * bucket is an AQE-skew-splittable partition, the pair rows stream
+    * through whole-stage codegen, and the match-count is 32 plain column
+    * comparisons. Shuffle cost: bands × sig bytes per DISTINCT text on
+    * each side — an md5 exact-dup pre-pass collapses identical texts to
+    * one banding representative, and group pairs are expanded back to doc
+    * pairs by tkey equi-joins afterwards (the dup-heavy-corpus guard on
+    * top of the standard LSH trade).
     */
   def candidatePairs(docs: DataFrame, minEst: Double): DataFrame = {
+    VectorFunctions.registered(docs)
     // gram-less docs have NULL signatures — they can never near-dup, and
     // banding them would put every short doc in the same bucket
-    val sigs = signatures(docs).filter(col("sig").isNotNull)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val sigs = docs.select(col("doc_id"), md5(col("text")).as("tkey"),
+        call_function("minhash_sig", col("text"), lit(NumPerms), lit(GramLen)).as("sig"))
+      .filter(col("sig").isNotNull)
+    // exact-dup pre-pass: identical texts have identical signatures, so
+    // ONE representative per distinct text enters banding — on a
+    // duplicate-heavy crawl this is what keeps band buckets bounded (k
+    // copies of a page would otherwise contribute k rows to every one of
+    // their 8 buckets and k² rows to every band join). Cost: one extra
+    // shuffle keyed on md5 (16 bytes + the 32-long sig per doc), the
+    // protective trade. sig is identical within a tkey group, so first()
+    // is deterministic here.
+    val groups = sigs.groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sig")).as("sig"))
+    val bands = groups.select(col("tkey"), col("sig"),
       posexplode(array((0 until NumPerms / BandRows).map(b =>
         xxhash64(lit(b) +: (0 until BandRows).map(r =>
           col("sig").getItem(b * BandRows + r)): _*)): _*)).as(Seq("band", "bkey")))
-    // sort_array on array<struct> orders by the leading field (doc_id),
-    // so in-group combos emit each pair once with a_id < b_id
-    val bandLists = bands.groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairGen = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-        struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id"),
-          x.getField("sig").as("a_sig"), y.getField("sig").as("b_sig")))))
+    val a = bands.select(col("tkey").as("a_key"), col("band"), col("bkey"),
+      col("sig").as("a_sig"))
+    val b = bands.select(col("tkey").as("b_key"), col("band"), col("bkey"),
+      col("sig").as("b_sig"))
     val matches = (0 until NumPerms)
-      .map(i => when(col("p.a_sig").getItem(i) === col("p.b_sig").getItem(i), 1).otherwise(0))
+      .map(i => when(col("a_sig").getItem(i) === col("b_sig").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
-    bandLists
-      .select(explode(pairGen).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+    // distinct-text pair estimates via the band-key equi-self-join — the
+    // hot bucket is an AQE-skew-splittable join partition, pair rows
+    // stream through whole-stage codegen, and the match-count is 32 plain
+    // column comparisons
+    val repPairs = a.join(b, Seq("band", "bkey"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"),
         trunc4(matches.cast("double") / NumPerms).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
       // a pair colliding in several bands appears once per band — same
       // estimate each time; the groupBy is the dedup
-      .groupBy(col("a_id"), col("b_id"))
+      .groupBy(col("a_key"), col("b_key"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+    // expansion back to doc pairs: cross-group pairs inherit their reps'
+    // estimate (signatures depend only on text); within-group pairs are
+    // exact duplicates, est 1.0 by construction. Both expansions are
+    // equi-joins on tkey — quadratic only in the OUTPUT (the all-pairs
+    // contract itself), never in a single task's heap.
+    val members = sigs.select(col("tkey"), col("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("tkey").as("a_key"), col("doc_id").as("ma")), Seq("a_key"))
+      .join(members.select(col("tkey").as("b_key"), col("doc_id").as("mb")), Seq("b_key"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("est_jaccard"))
+    val within = members
+      .join(members.select(col("tkey"), col("doc_id").as("b_id")), Seq("tkey"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"), lit(1.0).as("est_jaccard"))
+    (if (minEst <= 1.0) cross.unionByName(within) else cross)
       .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
   }
 
@@ -131,9 +166,16 @@ object MinHash {
       .orderBy(col("doc_id"))
   }
 
-  // Exact n-gram Jaccard — oracle-graded near-dup scoring. The pair space
-  // is generated by the shingle equi-join (only docs sharing a shingle are
-  // compared), then |A∩B| / (|A|+|B|-|A∩B|).
+  // Exact n-gram Jaccard — oracle-graded near-dup scoring as a THRESHOLDED
+  // similarity join (j ≥ 0.5, top 50). The threshold is what makes the
+  // operator scale-sane: it admits the AllPairs/PPJoin prefix-filter lemma
+  // (Dedup.jaccardPairsOf), so only each doc's first |d| − ⌈t·|d|⌉ + 1
+  // sorted shingles enter the candidate join — a ~6× smaller pair space
+  // than the full shingle equi-join this query shipped in rounds 1–3,
+  // with exact verification by one codegen'd sorted-merge intersect per
+  // surviving candidate instead of a count-shuffle of every co-shingle
+  // row. An unthresholded global top-k would force full pair enumeration
+  // at any scale — at 100 TB the thresholded join IS the contract.
   val qNgramJaccard = Q(
     "q_ngram_jaccard",
     """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -150,34 +192,14 @@ object MinHash {
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = a_id
       |JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin) { (s, d) =>
-    // Pair space = shingle-hash equi-self-join (only docs sharing a
-    // shingle are compared). The join + pair count stays entirely inside
-    // whole-stage codegen — measured ~4× faster than generating combos
-    // from collect_list'd doc arrays, whose flatten/transform/slice
-    // lambdas run interpreted and allocate every candidate pair as a
-    // struct on the heap. At cluster scale a hot shingle becomes an AQE
-    // skew-split sort-merge join partition rather than one giant array
-    // in a single task.
-    VectorFunctions.register(s)
-    val base = documents(s, d).select(col("doc_id"),
-      call_function("shingle_hashes", col("text"), lit(GramLen)).as("shs"))
-    val sh = base.select(col("doc_id"), explode(col("shs")).as("shh"))
-    // per-doc distinct-shingle count falls out of the array length — no
-    // groupBy shuffle
-    val sizes = base.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
-    val inter = sh.select(col("doc_id").as("a_id"), col("shh"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shh")), Seq("shh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("i"))
-    // sizes is |docs| rows — tiny next to the pair table; AQE broadcasts it
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        trunc4(col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+    // the raw (untruncated) jaccard gates the threshold on BOTH engines —
+    // the exact integer operands make the IEEE division bit-identical, so
+    // the boundary comparison can't diverge; trunc4 is display-only
+    Dedup.jaccardPairsOf(s, documents(s, d), 0.5)
+      .select(col("a_id"), col("b_id"), trunc4(col("jaccard")).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(50)
   }

@@ -372,8 +372,7 @@ object TextOps {
   // the list becomes a broadcast Aho-Corasick automaton, same plan shape.
   private val screenPhrases = Seq(
     "alpha beta gamma", "nine ten eleven", "omicron pi rho sigma")
-  val qContamination = Q(
-    "q_f13_contamination",
+  private val contaminationSql =
     s"""SELECT doc_id,
       |${screenPhrases.zipWithIndex.map { case (p, i) =>
            s"       CAST(text LIKE '%$p%' AS INT) AS hit$i," }.mkString("\n")}
@@ -381,7 +380,8 @@ object TextOps {
                  s"CAST(text LIKE '%$p%' AS INT)" }.mkString(" + ")} > 0 AS contaminated,
       |       COALESCE(${screenPhrases.map(p =>
                  s"CASE WHEN text LIKE '%$p%' THEN '$p' END").mkString(", ")}) AS first_hit
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM documents ORDER BY doc_id""".stripMargin
+  val qContamination = Q("q_f13_contamination", contaminationSql) { (s, d) =>
     val hits = screenPhrases.map(p => col("text").contains(p))
     val firstHit = coalesce(screenPhrases.map(p =>
       when(col("text").contains(p), lit(p))): _*)
@@ -499,10 +499,18 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // F13 graded scale path: the SAME contamination contract (and the same
+  // oracle SQL, verbatim) computed by the broadcast Aho–Corasick automaton
+  // — the oracle now grades the eval-set-scale implementation directly,
+  // not just the spec-level equivalence to the contains form.
+  val qContaminationAC = Q("q_f13b_contamination_ac", contaminationSql) { (s, d) =>
+    contaminationScanAC(documents(s, d), screenPhrases)
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
-    qSplitHash, qNormalize, qPercentiles, qContamination, qRepetition,
-    qPiiRedact)
+    qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
+    qRepetition, qPiiRedact)
 }

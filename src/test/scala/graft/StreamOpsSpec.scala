@@ -279,6 +279,43 @@ class StreamOpsSpec extends SparkSpec {
       s"expected doc 1 admitted and dup 2 suppressed, got $survivors")
   }
 
+  test("all-band state TTL: an expired bucket is evicted and a late dup passes") {
+    import graft.streaming.StreamOps.Doc
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    val unrelated = "completely different words with zero overlap whatsoever " +
+      "nothing shared here at all honestly not a single trigram in common"
+    val filler = "yet more filler tokens marching the watermark forward again now"
+    val in = MemoryStream[Doc]
+    val name = nextName()
+    // 5-minute TTL: every (band, bucket) of doc 1 must be gone by 00:30
+    val q = StreamOps.nearDupSuppressAllBands(in.toDF(), minEst = 0.5,
+        ttlMillis = 300000L).toDF()
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    in.addData(Doc(1L, ts(1), base))
+    q.processAllAvailable()
+    // watermark jumps far past 00:01 + TTL — doc 1's buckets expire
+    in.addData(Doc(2L, ts(30), unrelated))
+    q.processAllAvailable()
+    // exact dup of doc 1 (collides in EVERY band) — ADMITTED, state expired
+    in.addData(Doc(3L, ts(31), base))
+    q.processAllAvailable()
+    // ...and the refreshed state still suppresses an immediate re-dup
+    in.addData(Doc(4L, ts(32), base))
+    q.processAllAvailable()
+    // close out the later windows so the verdict agg emits them
+    in.addData(Doc(5L, ts(60), filler))
+    q.processAllAvailable()
+    in.addData(Doc(6L, ts(90), filler + " final"))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(1L) && survivors.contains(3L),
+      s"doc 3 must be re-admitted after TTL expiry, got $survivors")
+    assert(!survivors.contains(4L), s"doc 4 must be suppressed, got $survivors")
+  }
+
   test("transformWithState near-dup suppression holds state across batches (RocksDB ListState)") {
     import graft.streaming.StreamOps.Doc
     val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
