@@ -499,6 +499,108 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // F16: duplicated-substring detection (the substring-level dedup signal
+  // from the published training-data dedup literature: a 10-token window
+  // occurring more than once in the corpus marks memorizable repeated
+  // content). Every window is md5'd BEFORE the shuffle, so the occurrence
+  // count groups on a 16-byte key with map-side partials — never on window
+  // text — and the per-doc rollup is a second small aggregate. Both
+  // aggregates and the join are plain equi-shuffles: row-parallel at any
+  // corpus size, skew-splittable under AQE if one window dominates.
+  val qDupSubstrings = Q(
+    "q_f16_dup_substrings",
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |b AS (SELECT doc_id, t, len(t) AS n FROM sp WHERE len(t) >= 10),
+      |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 9),
+      |        i -> md5(array_to_string(t[i:i+9], ' ')))) AS wh
+      |      FROM b),
+      |occ AS (SELECT wh, count(*) AS occ FROM w GROUP BY wh)
+      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       floor(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1000000)/1000000 AS dup_frac
+      |FROM w JOIN occ USING (wh) GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+    val W = 10
+    val toks = split(col("text"), " ")
+    val wins = documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= W)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), col("n") - W),
+        i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(W)))))).as("wh"))
+    val occ = wins.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
+    wins.join(occ, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1).otherwise(0)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"),
+        col("n_dup").cast("long").as("n_dup"),
+        trunc6(col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // F17: token-window chunking — split each document into fixed-size
+  // token chunks with a stride (overlap), the sequence-prep step of a
+  // training/RAG pipeline. Pure per-row map (explode of start offsets +
+  // array slice): no shuffle but the final ORDER BY, row-parallel at any
+  // scale. Chunk text is pinned by md5 (long strings don't survive the
+  // driver comparator; the hash pins the slice byte-for-byte).
+  val qChunking = Q(
+    "q_f17_chunking",
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |b AS (SELECT doc_id, t, len(t) AS n FROM sp),
+      |c AS (SELECT doc_id, n, t, unnest(generate_series(0, n - 1, 24)) AS s FROM b)
+      |SELECT doc_id, CAST(floor(s/24) AS BIGINT) AS chunk_id,
+      |       CAST(least(32, n - s) AS BIGINT) AS chunk_tokens,
+      |       md5(array_to_string(t[s+1:s+32], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val Size = 32
+    val Stride = 24
+    val toks = split(col("text"), " ")
+    documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(Stride))).as("st"))
+      .select(col("doc_id"),
+        floor(col("st") / Stride).cast("long").as("chunk_id"),
+        least(lit(Size), col("n") - col("st")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("t"), col("st") + 1, lit(Size)))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // F18: stratified deterministic sampling for training-mix construction —
+  // per-stratum (length bucket) keep-rates applied via the same
+  // content-hash mechanism as q_split_hash (fixed-width lowercase md5 hex
+  // compares lexicographically == numerically, so a 4-hex-char threshold
+  // is a 1/65536-granular rate portable across engines). The rates table
+  // is a broadcast join; the plan is scan → per-row hash → broadcast
+  // lookup → filter, no shuffle but the ORDER BY. Reproducible across
+  // runs, partitionings, and engines — what a training pipeline needs.
+  val qStratifiedSample = Q(
+    "q_f18_stratified_sample",
+    """WITH b AS (SELECT doc_id, lang,
+      |             CASE WHEN n_chars < 200 THEN 'short'
+      |                  WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS bucket,
+      |             substr(md5(text), 1, 4) AS h
+      |           FROM documents),
+      |r(bucket, thr) AS (VALUES ('short','3fff'),('mid','7fff'),('long','bfff'))
+      |SELECT doc_id, lang, bucket FROM b JOIN r USING (bucket)
+      |WHERE h < thr ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val rates = s.createDataFrame(Seq(
+      ("short", "3fff"), ("mid", "7fff"), ("long", "bfff"))).toDF("bucket", "thr")
+    documents(s, d)
+      .withColumn("bucket",
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 350, "mid")
+          .otherwise("long"))
+      .withColumn("h", substring(md5(col("text")), 1, 4))
+      .join(broadcast(rates), Seq("bucket"))
+      .filter(col("h") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   // F13 graded scale path: the SAME contamination contract (and the same
   // oracle SQL, verbatim) computed by the broadcast Aho–Corasick automaton
   // — the oracle now grades the eval-set-scale implementation directly,
@@ -512,5 +614,5 @@ object TextOps {
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
-    qRepetition, qPiiRedact)
+    qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 operators: duplicated-substring detection (F16), token-window
+  * chunking (F17), and stratified hash sampling (F18), asserted on planted
+  * documents written as a real parquet `documents` table so the graded
+  * query path (scan → transform) is the one tested.
+  */
+class Round4OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def plantedDocs(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("r4docs")
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("duplicated substrings: a shared 10-token run is flagged in both docs, unique docs stay clean") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val d = plantedDocs(Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon"), // shared run at pos 0
+      (2L, s"zeta eta theta $shared"),                 // same run at pos 3
+      (3L, (1 to 15).map(i => s"uniq$i").mkString(" ")))) // no shared window
+    val got = TextOps.qDupSubstrings.fn(spark, d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 15 tokens → 6 windows; only the window starting at the run
+    // start (pos 0) matches doc 2's — windows overlapping the run partially
+    // mix in non-shared tokens
+    assert(got(1L)._2 == 6L && got(1L)._3 == 1L)
+    assert(got(2L)._2 == 4L && got(2L)._3 == 1L)
+    assert(got(3L)._3 == 0L, "unique doc must have no duplicated windows")
+    // a doc repeating its OWN window also counts (within-doc memorization)
+    val rep = ((1 to 10) ++ (1 to 10)).map(i => s"r$i").mkString(" ")
+    val d2 = plantedDocs(Seq((7L, rep)))
+    val g2 = TextOps.qDupSubstrings.fn(spark, d2)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(g2._3 >= 2L, s"self-repeated window must be flagged, got $g2")
+  }
+
+  test("chunking: stride-24 windows of 32 tokens tile each doc with a bounded tail") {
+    val toks = (1 to 40).map(i => s"t$i")
+    val d = plantedDocs(Seq((1L, toks.mkString(" ")), (2L, "tiny doc")))
+    val got = TextOps.qChunking.fn(spark, d)
+      .as[(Long, Long, Long, String)].collect()
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // 40 tokens, size 32, stride 24 → chunks at 0 (32 toks) and 24 (16 toks)
+    assert(doc1.map(c => (c._2, c._3)).toSeq == Seq((0L, 32L), (1L, 16L)))
+    assert(doc1(0)._4 == md5hex(toks.slice(0, 32).mkString(" ")))
+    assert(doc1(1)._4 == md5hex(toks.slice(24, 40).mkString(" ")))
+    // a doc shorter than one chunk yields exactly one (short) chunk
+    val doc2 = got.filter(_._1 == 2L)
+    assert(doc2.map(c => (c._2, c._3)).toSeq == Seq((0L, 2L)))
+    assert(doc2.head._4 == md5hex("tiny doc"))
+  }
+
+  test("stratified sampling: membership is exactly the per-bucket hash threshold") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, (1 to (i % 90 + 10)).map(j => s"w${i}_$j").mkString(" ")))
+    val d = plantedDocs(docs)
+    val thr = Map("short" -> "3fff", "mid" -> "7fff", "long" -> "bfff")
+    val expected = docs.flatMap { case (id, text) =>
+      val bucket =
+        if (text.length < 200) "short" else if (text.length < 350) "mid" else "long"
+      if (md5hex(text).substring(0, 4) < thr(bucket)) Some(id) else None
+    }.toSet
+    assert(expected.nonEmpty && expected.size < docs.size,
+      "fixture must exercise both kept and dropped docs")
+    val got = TextOps.qStratifiedSample.fn(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+}
