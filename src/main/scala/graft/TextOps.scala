@@ -601,6 +601,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // F19: language-model quality scoring — per-doc average negative log
+  // likelihood under an add-one-smoothed corpus unigram LM (the CCNet-
+  // style "LM perplexity" quality filter of an LLM data pipeline), plus a
+  // scale-invariant rare-token count (corpus frequency below average,
+  // exact integer test). Determinism: a per-doc SUM of irrational doubles
+  // is order-sensitive across engines, so the sum is pinned as a
+  // SEQUENTIAL left fold in token order — sort_array(collect_list(struct
+  // (pos, lnp))) + aggregate() on the Spark side ≡ list(lnp ORDER BY pos)
+  // + list_reduce on DuckDB's (the q_f12 recon_err precedent). The
+  // per-doc collect is bounded by one document's tokens — the same row
+  // the scan already holds.
+  val qLmQuality = Q(
+    "q_f19_lm_quality",
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |toks AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, unnest(t) AS w FROM sp),
+      |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+      |tot AS (SELECT count(*) AS nn, count(DISTINCT w) AS vv FROM toks),
+      |sc AS (SELECT doc_id, pos, c, nn, vv, ln((c + 1.0)/(nn + vv)) AS lnp
+      |       FROM toks JOIN cnt USING (w) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |               CAST(sum(CASE WHEN c * vv < nn THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |               list(lnp ORDER BY pos) AS l
+      |        FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_toks, n_rare,
+      |       floor(-list_reduce(list_prepend(0.0, l), (a,b) -> a + b) / n_toks * 1000000)/1000000 AS avg_nll
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = documents(s, d).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val cnt = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("nn"), countDistinct(col("w")).as("vv"))
+    toks.join(cnt, Seq("w"))
+      .crossJoin(tot)
+      .withColumn("lnp", log((col("c") + 1.0) / (col("nn") + col("vv"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("c") * col("vv") < col("nn"), 1).otherwise(0)).as("n_rare"),
+        sort_array(collect_list(struct(col("pos"), col("lnp")))).as("arr"))
+      .select(col("doc_id"), col("n_toks"),
+        col("n_rare").cast("long").as("n_rare"),
+        trunc6(-aggregate(transform(col("arr"), x => x.getField("lnp")),
+          lit(0.0), (a, x) => a + x) / col("n_toks")).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   // F13 graded scale path: the SAME contamination contract (and the same
   // oracle SQL, verbatim) computed by the broadcast Aho–Corasick automaton
   // — the oracle now grades the eval-set-scale implementation directly,
@@ -614,5 +658,6 @@ object TextOps {
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
-    qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample)
+    qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
+    qLmQuality)
 }

@@ -65,6 +65,20 @@ class Round4OpsSpec extends SparkSpec {
     assert(doc2.head._4 == md5hex("tiny doc"))
   }
 
+  test("LM quality: avg NLL and rare-token counts match the hand-computed unigram model") {
+    // corpus: a a b | c c c  → N=6, V=3; p(w) = (c(w)+1)/(N+V)
+    val d = plantedDocs(Seq((1L, "a a b"), (2L, "c c c")))
+    def t6(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val pa = 3.0 / 9; val pb = 2.0 / 9; val pc = 4.0 / 9
+    val exp1 = t6(-(math.log(pa) + math.log(pa) + math.log(pb)) / 3)
+    val exp2 = t6(-(math.log(pc) * 3) / 3)
+    val got = TextOps.qLmQuality.fn(spark, d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // rare = corpus count below average (c·V < N): only b (1·3 < 6)
+    assert(got(1L) == ((1L, 3L, 1L, exp1)))
+    assert(got(2L) == ((2L, 3L, 0L, exp2)))
+  }
+
   test("stratified sampling: membership is exactly the per-bucket hash threshold") {
     val docs = (1 to 200).map(i =>
       (i.toLong, (1 to (i % 90 + 10)).map(j => s"w${i}_$j").mkString(" ")))

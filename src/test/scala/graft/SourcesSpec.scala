@@ -45,6 +45,19 @@ class SourcesSpec extends SparkSpec {
       Seq((1, "alpha", 2.5), (2, "beta", 3.5)))
   }
 
+  test("A3b: ORC source/sink round-trips the documents schema exactly") {
+    // ORC is the second columnar format of the lake layer (built-in —
+    // no extra jars); the round-trip must preserve schema and values
+    // bit-for-bit so a corpus landed as ORC grades identically to parquet
+    val dir = tmpDir("orc")
+    val docs = Tables.documents(spark, sf001).limit(50)
+    docs.write.mode("overwrite").orc(s"$dir/documents.orc")
+    val back = spark.read.orc(s"$dir/documents.orc")
+    assert(back.schema == docs.schema)
+    assert(back.count() == 50)
+    assert(back.exceptAll(docs).count() == 0 && docs.limit(50).exceptAll(back).count() == 0)
+  }
+
   test("A5: rate source produces monotonically increasing values") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
       .writeStream.format("memory").queryName("rate_t").start()
