@@ -71,6 +71,55 @@ object KinesisSink {
   /** One record's delivery outcome — mirrors PutRecordsResultEntry. */
   final case class PutResult(sequenceNumber: Option[Long], errorCode: Option[String])
 
+  val ShardRecordsPerSec = 1000
+  val ShardBytesPerSec: Long = 1L * 1024 * 1024
+
+  /** Per-shard ingress pacing to the public Kinesis limits (1000 records/s
+    * and 1 MiB/s per shard): a dual token bucket in DEBT mode — a request
+    * is admitted whenever both balances are ≥ 0 and then charged in full,
+    * so a single request may overdraw (a 5 MiB PutRecords against a 1 MiB/s
+    * shard) and the NEXT admission waits the debt out. Long-run rate equals
+    * the limit with a burst of one request, which is how a well-behaved
+    * producer avoids ProvisionedThroughputExceeded storms instead of
+    * discovering the limit through failures and backoff. Clock and sleep
+    * are injectable so specs drive it deterministically.
+    */
+  final class ShardThrottle(
+      recordsPerSec: Int = ShardRecordsPerSec,
+      bytesPerSec: Long = ShardBytesPerSec,
+      nanoTime: () => Long = System.nanoTime,
+      sleep: Long => Unit = Thread.sleep) extends Serializable {
+    private var recTokens: Double = recordsPerSec.toDouble
+    private var byteTokens: Double = bytesPerSec.toDouble
+    private var last = nanoTime()
+
+    private def refill(): Unit = {
+      val now = nanoTime()
+      val dt = (now - last) / 1e9
+      last = now
+      recTokens = math.min(recordsPerSec.toDouble, recTokens + dt * recordsPerSec)
+      byteTokens = math.min(bytesPerSec.toDouble, byteTokens + dt * bytesPerSec)
+    }
+
+    /** Block until the shard may accept `n` records / `bytes` bytes;
+      * returns the total milliseconds slept. */
+    def acquire(n: Int, bytes: Long): Long = {
+      var waited = 0L
+      refill()
+      while (recTokens < 0 || byteTokens < 0) {
+        val needMs = math.max(
+          -recTokens / recordsPerSec * 1000.0,
+          -byteTokens / bytesPerSec * 1000.0).ceil.toLong.max(1L)
+        sleep(needMs)
+        waited += needMs
+        refill()
+      }
+      recTokens -= n
+      byteTokens -= bytes
+      waited
+    }
+  }
+
   /** The stream endpoint. Production shape would be the AWS SDK; here the
     * default is the local directory emulation, and tests inject flaky
     * implementations to drive the retry loop.
@@ -148,7 +197,8 @@ object KinesisSink {
       df: DataFrame,
       numShards: Int,
       clientFor: (Int, String) => PutRecordsClient,
-      fileTag: String): Unit = {
+      fileTag: String,
+      throttleFor: Int => Option[ShardThrottle] = _ => None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
@@ -173,7 +223,14 @@ object KinesisSink {
             }
           }
           val client = clientFor(shard, s"$fileTag-p$pid")
-          batches(run).foreach(b => putWithRetry(client, shard, b))
+          val throttle = throttleFor(shard)
+          batches(run).foreach { b =>
+            // pace BEFORE submitting — throttled producers don't burn
+            // their retry budget discovering the shard limit
+            throttle.foreach(_.acquire(b.size,
+              b.iterator.map(r => r.data.length.toLong + r.partitionKey.length).sum))
+            putWithRetry(client, shard, b)
+          }
         }
       }
   }

@@ -366,6 +366,64 @@ object StreamOps {
     admitted.union(noSig)
   }
 
+  /** [[sessionize]] on the Spark 4 `transformWithState` native timer API:
+    * per-user accumulation in a typed ValueState, one EVENT-TIME timer per
+    * key re-registered on every arrival at last_ts + gap, and the session
+    * emitted (closed) from `handleExpiredTimer` when the watermark passes
+    * it — the timer generalization of fMGWS's single timeout slot (a
+    * processor may hold MANY timers per key; this operator needs one, so
+    * stale timers are deleted on re-arm). Event-time timers keep the
+    * operator replay-deterministic, and state lives in the RocksDB store
+    * the 100 TB deployment runs anyway.
+    */
+  class SessionTimerProcessor(gapMillis: Long)
+      extends StatefulProcessor[Long, Ev, UserSession] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserSession](
+        "sess", Encoders.product[UserSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserSession] = {
+      val prev =
+        if (state.exists()) state.get()
+        else UserSession(key, 0L, 0.0, 0L, closed = false)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        acc.copy(n_events = acc.n_events + 1,
+          total_value = acc.total_value + e.value,
+          last_ts = math.max(acc.last_ts, e.ts.getTime))
+      }
+      state.update(next)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(next.last_ts + gapMillis)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserSession] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        state.clear()
+        Iterator.single(s.copy(closed = true))
+      }
+    }
+  }
+
+  /** Gap sessionization via transformWithState event-time timers.
+    * Requires the RocksDB state store provider.
+    */
+  def sessionizeTws(events: Dataset[Ev], gapMillis: Long = 600000L,
+      watermarkDelay: String = "0 seconds"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[UserSession])
+  }
+
   /** Per-user session accumulation with an event-time timeout: state
     * accumulates per key and is emitted (closed) once the watermark passes
     * the session gap — the reference's "scheduler + in-flight state"

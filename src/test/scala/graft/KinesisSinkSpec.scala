@@ -152,6 +152,55 @@ class KinesisSinkSpec extends SparkSpec {
     assert(all.map(_._2).toSet == (1 to 100).map(_.toString).toSet)
   }
 
+  test("shard throttle paces to the record limit with one-request burst debt") {
+    var nowNs = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val t = new KinesisSink.ShardThrottle(
+      recordsPerSec = 1000, bytesPerSec = Long.MaxValue / 4,
+      nanoTime = () => nowNs,
+      sleep = ms => { sleeps += ms; nowNs += ms * 1000000L })
+    // bucket starts full (1000): three 500-record requests admit instantly
+    // (the third overdraws to -500), the fourth waits the 500ms debt out
+    val waits = (1 to 5).map(_ => t.acquire(500, 100L))
+    assert(waits.take(3).forall(_ == 0L), s"burst must be free, got $waits")
+    assert(waits(3) == 500L && waits(4) == 500L, s"debt pacing wrong: $waits")
+    assert(sleeps.sum == 1000L)
+  }
+
+  test("shard throttle paces to the byte limit for oversized requests") {
+    var nowNs = 0L
+    val t = new KinesisSink.ShardThrottle(
+      recordsPerSec = Int.MaxValue / 4, bytesPerSec = 1024 * 1024,
+      nanoTime = () => nowNs,
+      sleep = ms => nowNs += ms * 1000000L)
+    // a full 5 MiB PutRecords against a 1 MiB/s shard: first admits on the
+    // full bucket, every later one waits ~5s — the long-run rate is 1 MiB/s
+    val w1 = t.acquire(500, 5L * 1024 * 1024)
+    val w2 = t.acquire(500, 5L * 1024 * 1024)
+    val w3 = t.acquire(500, 5L * 1024 * 1024)
+    assert(w1 == 0L)
+    assert(w2 == 4000L, s"expected 4s debt (5 MiB − 1 MiB bucket), got $w2 ms")
+    assert(w3 == 5000L, s"steady state must pace at 5s per 5 MiB, got $w3 ms")
+  }
+
+  test("deliver with a throttle still lands every record (pacing observed)") {
+    val out = tmpDir("ksink_thr")
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toString, s"v$i".getBytes(UTF_8)))
+      .toDF("partitionKey", "data")
+    // high limits + real clock: pacing engages (bucket 1000 < one shard's
+    // ~? records) without making the test slow; correctness must be
+    // unchanged — every record on its md5 shard exactly once
+    KinesisSink.deliver(df, numShards = 2,
+      (shard, tag) => new DirectoryClient(out, tag), fileTag = "thr",
+      throttleFor = _ => Some(new KinesisSink.ShardThrottle()))
+    val byShard = readShardDir(out)
+    assert(byShard.values.map(_.size).sum == 2000)
+    byShard.foreach { case (s, rs) =>
+      rs.foreach { case (pk, _) => assert(shardFor(pk, 2) == s) }
+    }
+  }
+
   test("deliver routes every record to its md5 shard (end to end)") {
     val out = tmpDir("ksink")
     import spark.implicits._

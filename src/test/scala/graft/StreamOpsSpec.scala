@@ -162,6 +162,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(closed.toSeq == Seq((2L, 5.0)))
   }
 
+  test("E8: transformWithState event-time timers close sessions at the gap") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StreamOps.sessionizeTws(in.toDS(), gapMillis = 600000L).toDF()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir("tws_sess_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    in.addData(ev(1, 1, user = 42, value = 2.0), ev(2, 2, user = 42, value = 3.0))
+    q.processAllAvailable()
+    // re-arming must replace the timer, not stack one per arrival: a third
+    // event extends the session rather than closing it at 00:01 + gap
+    in.addData(ev(3, 5, user = 42, value = 4.0))
+    q.processAllAvailable()
+    // watermark 00:30 > 00:05 + 10 min → the timer fires and emits ONE
+    // closed session for user 42
+    in.addData(ev(4, 30, user = 7))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table(name)
+      .filter($"closed" && $"user_id" === 42L)
+      .select("n_events", "total_value").as[(Long, Double)].collect()
+    assert(closed.toSeq == Seq((3L, 9.0)))
+  }
+
   test("streaming near-dup suppression: later near-duplicates are dropped, novel docs pass") {
     import graft.streaming.StreamOps.Doc
     val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
