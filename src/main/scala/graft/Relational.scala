@@ -463,6 +463,36 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  // C16b: RANGE-frame window — trailing 30-day order stats per customer,
+  // the value-based frame ROWS can't express (peers by ORDER-BY value, not
+  // position, so ties share one frame and the result is tie-order
+  // independent). Frame sums stay exact: prices are lifted to integer
+  // cents BEFORE the window sum, so no float accumulation order can
+  // diverge across engines.
+  val qWindowRange = Q(
+    "q16b_window_range",
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+      |       count(*) OVER w AS n_30d,
+      |       CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) OVER w AS BIGINT) AS sum_30d_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    // range frame needs a numeric order key in Spark: epoch seconds
+    // (NTZ → timestamp is exact under the UTC session TZ, and ANSI only
+    // permits the numeric cast from TIMESTAMP, not TIMESTAMP_NTZ)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od_s"))
+      .rangeBetween(-30L * 86400, 0)
+    orders(s, d)
+      .withColumn("od_s", col("o_orderdate").cast("timestamp").cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("od_s") * 1000000L).as("od_us"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w).as("sum_30d_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // C17: global sort + limit → TakeOrderedAndProject (no full sort at scale).
   val qTopk = Q(
     "q17_topk",
@@ -691,7 +721,7 @@ object Relational {
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
     qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup, qCube,
     qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,
-    qWindowAnalytic, qTopk, qGroupTopk, qSetOps, qSetOpsAll, qSample,
+    qWindowAnalytic, qWindowRange, qTopk, qGroupTopk, qSetOps, qSetOpsAll, qSample,
     qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery, qSessionize,
     qHashSample, qFunnel)
 }

@@ -256,7 +256,7 @@ object TextOps {
     """SELECT doc_id,
       |       len(string_split(text, ' ')) AS ws_tokens,
       |       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
-      |       floor(length(text) * 1.0 / len(regexp_extract_all(text, '[a-z]+')) * 10000)/10000
+      |       floor(length(text) * 1.0 / nullif(len(regexp_extract_all(text, '[a-z]+')), 0) * 10000)/10000
       |         AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val reToks = expr("regexp_extract_all(text, '[a-z]+', 0)")
@@ -264,7 +264,9 @@ object TextOps {
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("ws_tokens"),
       size(reToks).cast("long").as("re_tokens"),
-      trunc4(length(col("text")).cast("double") / size(reToks)).as("chars_per_token"))
+      // nullif: a doc with no regex tokens (empty text) reports NULL,
+      // never an ANSI divide-by-zero that kills the task
+      trunc4(length(col("text")).cast("double") / nullif(size(reToks), lit(0))).as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
 
@@ -486,10 +488,16 @@ object TextOps {
       .mapPartitions { it =>
         val a = ac.value
         it.map { case (id, text) =>
-          val hit = a.presence(text)
-          val first = hit.indexOf(true)
-          (id, hit.map(h => if (h) 1 else 0).toSeq, first >= 0,
-            if (first >= 0) Some(phraseArr(first)) else None)
+          if (text == null)
+            // null text scans to null verdicts — the same rows the
+            // `contains` formulation produces (NULL LIKE → NULL)
+            (id, Option.empty[Seq[Int]], Option.empty[Boolean], Option.empty[String])
+          else {
+            val hit = a.presence(text)
+            val first = hit.indexOf(true)
+            (id, Some(hit.map(h => if (h) 1 else 0).toSeq), Some(first >= 0),
+              if (first >= 0) Some(phraseArr(first)) else None)
+          }
         }
       }
     scanned.toDF("doc_id", "hits", "contaminated", "first_hit")

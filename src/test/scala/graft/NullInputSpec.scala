@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Null-value robustness: a crawl-scale corpus carries NULL text/lang
+  * rows (failed fetches, undetected languages). Every document operator
+  * must tolerate them — no crash, and the null-text doc either drops out
+  * (it has no content) or surfaces with null-valued derived columns,
+  * never poisoning other rows.
+  */
+class NullInputSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = tmpDir("null_docs")
+    Seq[(Long, Option[String], Option[String])](
+      (1L, None, Some("en")),                               // null text
+      (2L, Some("a real document with enough tokens to shingle and chunk " +
+        "alpha beta gamma delta epsilon zeta eta theta"), Some("en")),
+      (3L, Some(""), None),                                 // empty text, null lang
+      (4L, Some("short doc"), Some("de")))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("planted"))
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("document operators tolerate NULL text and NULL lang rows") {
+    val names = Seq(
+      "q_f1_dedup_count", "q_f1_dedup_first", "q_f6_tokenize",
+      "q_quality_score", "q_langid", "q_repetition", "q_pii_redact",
+      "q_f13_contamination", "q_f13b_contamination_ac",
+      "q_f2_minhash_sig", "q_f2_minhash_pairs", "q_f2_simhash",
+      "q_ngram_jaccard", "q_f16_dup_substrings", "q_f17_chunking",
+      "q_f18_stratified_sample", "q_f19_lm_quality",
+      "q_normalize", "q_split_hash", "q_token_count", "q_fingerprint",
+      "q_f9_docstats")
+    names.foreach { n =>
+      val rows = SparkEntry.queries(n)(spark, dir).collect()
+      assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")
+      // the real docs must never be lost to a null neighbor
+      val ids = rows.flatMap(r =>
+        if (r.schema.fieldNames.contains("doc_id") && !r.isNullAt(r.fieldIndex("doc_id")))
+          Some(r.getLong(r.fieldIndex("doc_id"))) else None).toSet
+      if (ids.nonEmpty)
+        assert(ids.contains(2L) || !Seq("q_f6_tokenize", "q_normalize").contains(n),
+          s"$n lost the healthy doc: $ids")
+    }
+  }
+
+  test("streaming near-dup suppression passes null-text docs through") {
+    import graft.streaming.StreamOps.Doc
+    val docs = Seq(
+      Doc(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), null),
+      Doc(2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"),
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF()
+    val out = graft.streaming.StreamOps.nearDupSuppress(docs, minEst = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L), s"null-text doc must pass through, got $out")
+  }
+}
