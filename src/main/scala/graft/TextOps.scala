@@ -528,14 +528,14 @@ object TextOps {
       |       floor(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1000000)/1000000 AS dup_frac
       |FROM w JOIN occ USING (wh) GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
     val W = 10
-    val toks = split(col("text"), " ")
+    graft.functions.VectorFunctions.register(s)
+    // one codegen'd pass per doc (window_md5s) — the declarative
+    // transform/slice/concat_ws/md5 lambda chain runs interpreted per
+    // window and measured ~4× slower on the map side at sf0.1; the
+    // kernel's hex strings are byte-identical (spec-asserted law)
     val wins = documents(s, d)
-      .select(col("doc_id"), toks.as("t"))
-      .withColumn("n", size(col("t")))
-      .filter(col("n") >= W)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), col("n") - W),
-        i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(W)))))).as("wh"))
+      .select(col("doc_id"),
+        explode(call_function("window_md5s", col("text"), lit(W))).as("wh"))
     val occ = wins.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
     wins.join(occ, Seq("wh"))
       .groupBy(col("doc_id"))

@@ -113,6 +113,49 @@ object ShingleOps {
     new GenericArrayData(sig)
   }
 
+  /** Called from generated code: lowercase-hex md5 of every word n-gram
+    * window, duplicates kept, document order — byte-identical to
+    * `md5(concat_ws(" ", t_i..t_{i+n-1}))` because a window's joined
+    * string IS the original byte range between its first token's start
+    * and its last token's end (single-space separators). One pass, no
+    * interpreted transform/slice/concat_ws lambda per window — those
+    * measured ~4× slower in the q_f16 map side at sf0.1.
+    */
+  def windowMd5s(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = bytes.length + 1
+    val nGrams = math.max(0, nTokens - n + 1)
+    val out = new Array[Any](nGrams)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexChars = "0123456789abcdef".toCharArray
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, starts(g), (starts(g + n) - 1) - starts(g))
+      val digest = md.digest()
+      val hex = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = hexChars((digest(k) >> 4) & 0xf)
+        hex(2 * k + 1) = hexChars(digest(k) & 0xf)
+        k += 1
+      }
+      out(g) = UTF8String.fromString(new String(hex))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Called from generated code: 64-bit SimHash — tokenize on ' ' (empty
     * tokens kept, matching split semantics), fmix64 each token's base-31
     * byte hash, sum ±1 per bit, pack the sign bits.
@@ -200,6 +243,27 @@ case class MinHashSig(child: Expression, numPerms: Int, n: Int) extends UnaryExp
          |${ev.value} = graft.functions.ShingleOps.minhashSig($c, $numPerms, $n);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `window_md5s(text, n)` → array<string>: md5 hex of every word n-gram
+  * window in one codegen'd pass (see ShingleOps.windowMd5s).
+  */
+case class WindowMd5s(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"window_md5s requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "window_md5s"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.windowMd5s(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.windowMd5s($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -240,6 +240,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_md5s", (exprs: Seq[Expression]) =>
+        WindowMd5s(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh_bits", (exprs: Seq[Expression]) =>
         SignLshBits(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

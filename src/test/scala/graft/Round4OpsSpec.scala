@@ -49,6 +49,28 @@ class Round4OpsSpec extends SparkSpec {
     assert(g2._3 >= 2L, s"self-repeated window must be flagged, got $g2")
   }
 
+  test("window_md5s kernel equals the declarative md5-of-joined-slice form") {
+    graft.functions.VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, sf001).limit(200)
+      .unionByName(Seq((9001L, "a b"), (9002L, ""), (9003L, "x y z"),
+        (9004L, "a  b   c d")) // empty tokens from repeated spaces
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("p"))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val w = 3
+    val toks = split(col("text"), " ")
+    val declarative = docs
+      .withColumn("n", size(toks))
+      .select(col("doc_id"),
+        when(col("n") >= w, transform(sequence(lit(0), col("n") - w),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+          .otherwise(array().cast("array<string>")).as("whs"))
+    val kernel = docs.select(col("doc_id"),
+      call_function("window_md5s", col("text"), lit(w)).as("whs"))
+    assert(kernel.exceptAll(declarative).count() == 0 &&
+      declarative.exceptAll(kernel).count() == 0)
+  }
+
   test("chunking: stride-24 windows of 32 tokens tile each doc with a bounded tail") {
     val toks = (1 to 40).map(i => s"t$i")
     val d = plantedDocs(Seq((1L, toks.mkString(" ")), (2L, "tiny doc")))
