@@ -105,4 +105,33 @@ object Graft {
       nprobe: Int = 2, topK: Int = 10,
       queryPred: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true)): DataFrame =
     Similarity.ivfKMeans(spark, emb, k, nprobe, topK, queryPred)
+
+  /** Duplicated-substring signal: per-doc count/fraction of 10-token
+    * windows occurring more than once in the corpus.
+    */
+  def duplicatedSubstrings(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qDupSubstrings.fn(spark, dir)
+
+  /** Token-window chunking (size 32 / stride 24) — training/RAG sequence
+    * prep. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qChunking.fn(spark, dir)
+
+  /** Stratified deterministic hash sampling for training-mix
+    * construction. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qStratifiedSample.fn(spark, dir)
+
+  /** Unigram-LM quality score (avg NLL + rare-token count) per doc. */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qLmQuality.fn(spark, dir)
+
+  /** Gap sessionization on transformWithState event-time timers. */
+  def sessionizeTimers(events: org.apache.spark.sql.Dataset[streaming.StreamOps.Ev],
+      gapMillis: Long = 600000L) =
+    streaming.StreamOps.sessionizeTws(events, gapMillis)
+
+  /** Per-shard Kinesis ingress pacing (1000 rec/s + 1 MiB/s). */
+  def shardThrottle(): pipeline.KinesisSink.ShardThrottle =
+    new pipeline.KinesisSink.ShardThrottle()
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import Tables._
 
 /** Text-analysis / LLM-data-pipeline operators over the documents table
@@ -653,6 +655,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // F20: training-sequence packing — docs in doc_id order form one
+  // concatenated token stream, training sequences are fixed 1024-token
+  // slices of it (docs cross boundaries — the standard concat-and-chunk
+  // LM pretraining layout), and each doc reports the sequence span it
+  // lands in. The global prefix sum is computed the SCALE-CORRECT way:
+  // cumsum within deterministic doc_id buckets (partitioned window) plus
+  // a bucket-offset cascade over the tiny bucket-totals table — never a
+  // single-partition window over all rows. Integer arithmetic throughout,
+  // so the oracle (one plain cumsum window) matches exactly.
+  val qPackSequences = Q(
+    "q_f20_pack_sequences",
+    """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |        CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM t)
+      |SELECT doc_id, n_toks,
+      |  CAST(floor((cum - n_toks)/1024) AS BIGINT) AS seq_first,
+      |  CAST(floor((cum - 1)/1024) AS BIGINT) AS seq_last,
+      |  CAST(floor((cum - 1)/1024) - floor((cum - n_toks)/1024) + 1 AS BIGINT) AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val SeqLen = 1024
+    val BucketDocs = 1000
+    val toks = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("b", floor(col("doc_id") / BucketDocs).cast("long"))
+    // bucket totals: |docs| / BucketDocs rows — the only global window
+    // runs over THIS table, which stays driver-tiny at any corpus size
+    val wOff = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("b")).agg(sum(col("n_toks")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+      .select(col("b"), col("boff"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks.join(offsets, Seq("b"))
+      .withColumn("cum", col("boff") + sum(col("n_toks")).over(wIn))
+      .select(col("doc_id"), col("n_toks"),
+        floor((col("cum") - col("n_toks")) / SeqLen).cast("long").as("seq_first"),
+        floor((col("cum") - 1) / SeqLen).cast("long").as("seq_last"),
+        (floor((col("cum") - 1) / SeqLen) -
+          floor((col("cum") - col("n_toks")) / SeqLen) + 1).cast("long").as("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   // F13 graded scale path: the SAME contamination contract (and the same
   // oracle SQL, verbatim) computed by the broadcast Aho–Corasick automaton
   // — the oracle now grades the eval-set-scale implementation directly,
@@ -667,5 +715,5 @@ object TextOps {
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
-    qLmQuality)
+    qLmQuality, qPackSequences)
 }

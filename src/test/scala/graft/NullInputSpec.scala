@@ -34,7 +34,7 @@ class NullInputSpec extends SparkSpec {
       "q_f13_contamination", "q_f13b_contamination_ac",
       "q_f2_minhash_sig", "q_f2_minhash_pairs", "q_f2_simhash",
       "q_ngram_jaccard", "q_f16_dup_substrings", "q_f17_chunking",
-      "q_f18_stratified_sample", "q_f19_lm_quality",
+      "q_f18_stratified_sample", "q_f19_lm_quality", "q_f20_pack_sequences",
       "q_normalize", "q_split_hash", "q_token_count", "q_fingerprint",
       "q_f9_docstats")
     names.foreach { n =>

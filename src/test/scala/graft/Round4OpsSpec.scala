@@ -101,6 +101,22 @@ class Round4OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, 0L, exp2)))
   }
 
+  test("sequence packing: boundary-crossing docs span exactly the right sequences") {
+    // stream: 1000 + 50 + 1024 tokens; SeqLen 1024 →
+    //   doc 1: [0, 999]     → seq 0 only
+    //   doc 2: [1000, 1049] → crosses the 1024 boundary: seqs 0–1
+    //   doc 3: [1050, 2073] → seqs 1–2
+    def toks(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = plantedDocs(Seq(
+      (1L, toks(1000, "a")), (2L, toks(50, "b")), (3L, toks(1024, "c"))))
+    val got = TextOps.qPackSequences.fn(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1000L, 0L, 0L, 1L),
+      (2L, 50L, 0L, 1L, 2L),
+      (3L, 1024L, 1L, 2L, 2L)))
+  }
+
   test("stratified sampling: membership is exactly the per-bucket hash threshold") {
     val docs = (1 to 200).map(i =>
       (i.toLong, (1 to (i % 90 + 10)).map(j => s"w${i}_$j").mkString(" ")))
