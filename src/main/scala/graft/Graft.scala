@@ -134,4 +134,43 @@ object Graft {
   /** Per-shard Kinesis ingress pacing (1000 rec/s + 1 MiB/s). */
   def shardThrottle(): pipeline.KinesisSink.ShardThrottle =
     new pipeline.KinesisSink.ShardThrottle()
+
+  /** The full corpus-curation pipeline, composed end-to-end — the workflow
+    * a training-data user actually runs, proving the operators compose as
+    * DataFrame stages (every stage is lazy; Catalyst plans the whole
+    * thing as one query):
+    *
+    *  1. exact dedup  — min-doc_id representative per md5(text)
+    *  2. near-dup dedup — connected components over the prefix-filtered
+    *     Jaccard edge list; keep each cluster's min-id representative
+    *  3. quality gate — 20–80 tokens and stopword ratio < 0.2
+    *  4. contamination screen — broadcast Aho–Corasick, drop any hit
+    *  5. sequence packing — survivors mapped to 1024-token training
+    *     sequences in the concat-and-chunk layout
+    *
+    * Returns (doc_id, n_toks, seq_first, seq_last, n_seqs) for the
+    * surviving documents.
+    */
+  def curateCorpus(spark: SparkSession, docs: DataFrame,
+      screenPhrases: Seq[String], minJaccard: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = docs.filter(col("text").isNotNull)
+    val reps1 = base.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val d1 = base.join(reps1, Seq("doc_id"), "left_semi")
+    val cc = Dedup.connectedComponents(spark, d1,
+      Dedup.jaccardEdgesOf(spark, d1, minJaccard))
+    val d2 = d1.join(
+      cc.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin("the", "a")))
+    val d3 = d2.filter(nTok.between(20, 80) &&
+      nStop.cast("double") / nTok < 0.2)
+    val clean = TextOps.contaminationScanAC(d3, screenPhrases)
+      .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
+    val d4 = d3.join(clean, Seq("doc_id"), "left_semi")
+    TextOps.packSequencesOf(d4)
+  }
 }

@@ -676,9 +676,15 @@ object TextOps {
       |  CAST(floor((cum - 1)/1024) AS BIGINT) AS seq_last,
       |  CAST(floor((cum - 1)/1024) - floor((cum - n_toks)/1024) + 1 AS BIGINT) AS n_seqs
       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val SeqLen = 1024
+    packSequencesOf(documents(s, d))
+  }
+
+  /** Frame-level form of q_f20 — see the query's scaladoc. */
+  def packSequencesOf(docs: org.apache.spark.sql.DataFrame,
+      seqLen: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val SeqLen = seqLen
     val BucketDocs = 1000
-    val toks = documents(s, d)
+    val toks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))

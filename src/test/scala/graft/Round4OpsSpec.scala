@@ -117,6 +117,26 @@ class Round4OpsSpec extends SparkSpec {
       (3L, 1024L, 1L, 2L, 2L)))
   }
 
+  test("curation pipeline: dedup, quality, contamination, and packing compose end to end") {
+    def healthy(tag: String): String = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val nearDup = healthy("a").replace("a7", "MUTANT") // 1 of 30 tokens differs
+    val contaminated = healthy("b").replace("b15", "alpha beta gamma")
+    val d = plantedDocs(Seq(
+      (1L, healthy("a")),      // survivor (exact + near-dup cluster rep)
+      (2L, healthy("a")),      // exact dup of 1 → dropped
+      (3L, nearDup),           // near-dup of 1 (jaccard ≥ 0.6) → dropped
+      (4L, contaminated),      // carries a screened phrase → dropped
+      (5L, "five short tokens only here"), // fails the 20-token gate
+      (6L, healthy("c"))))     // survivor
+    val docs = Tables.documents(spark, d)
+    val out = Graft.curateCorpus(spark, docs,
+        Seq("alpha beta gamma", "nine ten eleven"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // survivors 1 and 6, 30 tokens each, both inside sequence 0
+    assert(out == Seq((1L, 30L, 0L, 0L, 1L), (6L, 30L, 0L, 0L, 1L)),
+      s"pipeline produced $out")
+  }
+
   test("stratified sampling: membership is exactly the per-bucket hash threshold") {
     val docs = (1 to 200).map(i =>
       (i.toLong, (1 to (i % 90 + 10)).map(j => s"w${i}_$j").mkString(" ")))
