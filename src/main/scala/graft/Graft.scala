@@ -137,8 +137,10 @@ object Graft {
 
   /** The full corpus-curation pipeline, composed end-to-end — the workflow
     * a training-data user actually runs, proving the operators compose as
-    * DataFrame stages (every stage is lazy; Catalyst plans the whole
-    * thing as one query):
+    * DataFrame stages. NOT fully lazy: stage 2's connected components is
+    * an iterative algorithm that runs eager jobs (checkpoint + convergence
+    * count per round) at CALL time — budget for it when constructing the
+    * pipeline, not only when acting on the result:
     *
     *  1. exact dedup  — min-doc_id representative per md5(text)
     *  2. near-dup dedup — connected components over the prefix-filtered
@@ -157,7 +159,10 @@ object Graft {
     val base = docs.filter(col("text").isNotNull)
     val reps1 = base.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    // consumed by CC's node list, CC's edge list, AND the later semi-joins
+    // — checkpoint so the exact-dedup join runs once, not 3+ times
     val d1 = base.join(reps1, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
     val cc = Dedup.connectedComponents(spark, d1,
       Dedup.jaccardEdgesOf(spark, d1, minJaccard))
     val d2 = d1.join(

@@ -81,10 +81,17 @@ object MinHash {
   def candidatePairs(docs: DataFrame, minEst: Double): DataFrame = {
     VectorFunctions.registered(docs)
     // gram-less docs have NULL signatures — they can never near-dup, and
-    // banding them would put every short doc in the same bucket
+    // banding them would put every short doc in the same bucket.
+    // localCheckpoint: this subtree (scan + md5 + the 32-perm minhash
+    // kernel) feeds the band join AND three expansion joins — without the
+    // checkpoint Spark re-executes it up to 6× (ReuseExchange only dedupes
+    // the identically-shaped a/b shuffles). Lazy form: materialized on the
+    // first action, (doc_id, tkey, sig) ≈ 300 B/doc — far smaller than
+    // the corpus it replaces re-scanning.
     val sigs = docs.select(col("doc_id"), md5(col("text")).as("tkey"),
         call_function("minhash_sig", col("text"), lit(NumPerms), lit(GramLen)).as("sig"))
       .filter(col("sig").isNotNull)
+      .localCheckpoint(eager = false)
     // exact-dup pre-pass: identical texts have identical signatures, so
     // ONE representative per distinct text enters banding — on a
     // duplicate-heavy crawl this is what keeps band buckets bounded (k

@@ -44,6 +44,14 @@ object KinesisSink {
     h.multiply(BigInteger.valueOf(numShards)).divide(HashSpace).intValueExact()
   }
 
+  /** A record's size as Kinesis counts it against the per-request and
+    * per-shard limits: data bytes + the partition key's UTF-8 BYTE length
+    * (String.length would undercount non-ASCII keys ~3× and let the
+    * throttle sustain an ingress above the real shard limit).
+    */
+  def recordBytes(r: KinesisRecord): Long =
+    r.data.length.toLong + r.partitionKey.getBytes(UTF_8).length
+
   /** Chunk an iterator into PutRecords-legal requests (≤500 records,
     * ≤5 MiB). Oversized single records are rejected eagerly.
     */
@@ -58,7 +66,7 @@ object KinesisSink {
         var full = false
         while (!full && it.hasNext) {
           val r = it.head
-          val sz = r.data.length.toLong + r.partitionKey.length
+          val sz = recordBytes(r)
           require(sz <= MaxBytesPerRecord,
             s"record for key ${r.partitionKey} exceeds 1 MiB ($sz bytes)")
           if (n + 1 > MaxRecordsPerRequest || bytes + sz > MaxBytesPerRequest) full = true
@@ -227,8 +235,7 @@ object KinesisSink {
           batches(run).foreach { b =>
             // pace BEFORE submitting — throttled producers don't burn
             // their retry budget discovering the shard limit
-            throttle.foreach(_.acquire(b.size,
-              b.iterator.map(r => r.data.length.toLong + r.partitionKey.length).sum))
+            throttle.foreach(_.acquire(b.size, b.iterator.map(recordBytes).sum))
             putWithRetry(client, shard, b)
           }
         }

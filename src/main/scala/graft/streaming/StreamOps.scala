@@ -196,8 +196,15 @@ object StreamOps {
               }
             }
             state.update(BucketState(seen))
-            if (streaming && ttlMillis != Long.MaxValue && maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(math.max(maxTs + ttlMillis, wm + 1))
+            if (streaming && ttlMillis != Long.MaxValue && maxTs != Long.MinValue) {
+              // saturating add: a finite-but-huge TTL must mean "far
+              // future", never a wrapped-negative timer that evicts live
+              // state on the next watermark tick
+              val expiry =
+                if (ttlMillis > Long.MaxValue - maxTs) Long.MaxValue
+                else maxTs + ttlMillis
+              state.setTimeoutTimestamp(math.max(expiry, wm + 1))
+            }
             out.result().iterator
           }
       }
@@ -301,10 +308,22 @@ object StreamOps {
     // never does: the timeout branch only removes state (Iterator.empty),
     // so every emitted verdict carries a current-batch event time ≥ the
     // watermark and the chained windowed agg sees no late rows. The check
-    // must be off for the combined query to analyze.
-    if (streaming)
+    // must be off for the combined query to ANALYZE — and analysis happens
+    // at the caller's writeStream.start(), so the disable is session-wide
+    // and CANNOT be restored here. Callers running other stateful queries
+    // in the same session lose the guard for those too; the log line keeps
+    // the side effect visible.
+    if (streaming &&
+        spark.conf.get(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true") != "false") {
+      org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamOps").warn(
+        "nearDupSuppressAllBands: disabling " +
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled " +
+          "SESSION-WIDE (required for the fMGWS→agg chain; this operator's " +
+          "timeout path emits nothing, so the chain itself is safe)")
       spark.conf.set(
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    }
     val withSig = docs.withColumn("sig",
       call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))
     val noSig = withSig.filter(col("sig").isNull)
@@ -342,8 +361,15 @@ object StreamOps {
               out += BandVerdict(d.doc_id, d.ts, d.text, matched)
             }
             state.update(BucketState(seen))
-            if (streaming && ttlMillis != Long.MaxValue && maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(math.max(maxTs + ttlMillis, wm + 1))
+            if (streaming && ttlMillis != Long.MaxValue && maxTs != Long.MinValue) {
+              // saturating add: a finite-but-huge TTL must mean "far
+              // future", never a wrapped-negative timer that evicts live
+              // state on the next watermark tick
+              val expiry =
+                if (ttlMillis > Long.MaxValue - maxTs) Long.MaxValue
+                else maxTs + ttlMillis
+              state.setTimeoutTimestamp(math.max(expiry, wm + 1))
+            }
             out.result().iterator
           }
       }

@@ -183,6 +183,13 @@ class KinesisSinkSpec extends SparkSpec {
     assert(w3 == 5000L, s"steady state must pace at 5s per 5 MiB, got $w3 ms")
   }
 
+  test("record size counts the partition key's UTF-8 bytes, not chars") {
+    val cjk = "键值分区键" // 5 chars, 15 UTF-8 bytes
+    val r = KinesisSink.KinesisRecord(cjk, Array[Byte](1, 2, 3))
+    assert(KinesisSink.recordBytes(r) == 3L + 15L,
+      s"got ${KinesisSink.recordBytes(r)} — String.length would give ${3 + cjk.length}")
+  }
+
   test("deliver with a throttle still lands every record (pacing observed)") {
     val out = tmpDir("ksink_thr")
     import spark.implicits._
