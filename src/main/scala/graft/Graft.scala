@@ -131,6 +131,11 @@ object Graft {
       gapMillis: Long = 600000L) =
     streaming.StreamOps.sessionizeTws(events, gapMillis)
 
+  /** Semantic dedup: connected components over the embedding-cosine
+    * near-dup graph (exact edges; swap in lshNearDupPairs at scale). */
+  def semanticDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.qSemanticDedup.fn(spark, dir)
+
   /** Per-shard Kinesis ingress pacing (1000 rec/s + 1 MiB/s). */
   def shardThrottle(): pipeline.KinesisSink.ShardThrottle =
     new pipeline.KinesisSink.ShardThrottle()
