@@ -37,6 +37,36 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("runtime bloom filter from a selective build side prunes the probe scan") {
+    // the 100 TB lever: a selective dimension filter propagates to the
+    // fact side as an injected bloom-filter semi-filter BEFORE the join
+    // shuffle, so most probe rows never enter the exchange. Thresholds
+    // are lowered only because the local fixture is tiny — at real scale
+    // the defaults (10 GB probe side) engage on their own.
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf001)
+      val part = Tables.part(spark, sf001).filter($"p_size" === 1)
+      val j = li.join(part, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand").agg(sum($"l_quantity").as("q"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter in:\n$plan")
+      assert(j.collect().nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a planted hot key into multiple skew-join partitions") {
     // backs the BASELINE.md claim that a hot shingle degrades into an AQE
     // skew-split sort-merge join rather than one straggler task
