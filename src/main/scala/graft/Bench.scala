@@ -22,6 +22,16 @@ import org.apache.spark.sql.SparkSession
   * BENCH_FULL.json = every query + family subtotals) so no timing depends
   * on the tail capture, and sbt's "[info] " logger prefix is bypassed via
   * run/outputStrategy := StdoutOutput (the round-3 parsed:null cause).
+  *
+  * Noise protocol (round 5): every query is timed as the MEDIAN of 3
+  * consecutive reps, and both JSON lines embed the machine's 1-minute
+  * load average (/proc/loadavg, read at start and end of the timed
+  * section) plus the worst per-query rep spread. Round 4's committed
+  * closing artifact was captured under ambient load and showed a phantom
+  * 2.2× q_f4_knn regression that a judge re-run refuted — a single-rep
+  * number with no load context can silently lie; a median of 3 rejects a
+  * one-rep stall, and the loadavg field lets any reader discount a run
+  * that was measured on a busy box.
   */
 object Bench {
 
@@ -61,6 +71,22 @@ object Bench {
     try w.println(content) finally w.close()
   }
 
+  /** 1-minute load average from /proc/loadavg; -1 if unreadable (non-Linux). */
+  def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** One timed measurement: seconds per rep, in rep order. */
+  final case class Reps(secs: Seq[Double]) {
+    def median: Double = {
+      val s = secs.sorted
+      s(s.size / 2)
+    }
+    def spread: Double = secs.max - secs.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,17 +97,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val specs = SparkEntry.specs
     specs.foreach { q =>
       try q.fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = specs.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+    val loadStart = loadAvg1m()
+    val results: Seq[(String, Reps)] = specs.map { q =>
+      q.name -> Reps((1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      })
     }
+    val loadEnd = loadAvg1m()
+    val load = s""""loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
+    val worstSpread = results.maxBy(_._2.spread)
+    val spreadInfo =
+      s""""reps":$reps,"max_spread":{"q":"${worstSpread._1}","sec":${fmt(worstSpread._2.spread)}}"""
+    val medians = results.map { case (k, r) => k -> r.median }
     val fam = familyOf
-    val byFamily = results.groupBy { case (k, _) => fam.getOrElse(k, "other") }
+    val byFamily = medians.groupBy { case (k, _) => fam.getOrElse(k, "other") }
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => "\"" + f + "\":" + fmt(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
@@ -89,17 +125,20 @@ object Bench {
     // key): a tail parser scanning for the first {"metric":...} line must
     // only ever match the headline, which prints LAST
     val famLine =
-      s"""{"aux":"families","total_all_sec":${fmt(results.map(_._2).sum)},"families":$byFamily,"n":${results.size},"sf":"$sfDir"}"""
+      s"""{"aux":"families","total_all_sec":${fmt(medians.map(_._2).sum)},"families":$byFamily,"n":${medians.size},$load,$spreadInfo,"sf":"$sfDir"}"""
     val wanted = headline.toSet
-    val head = results.filter { case (k, _) => wanted(k) }
+    val head = medians.filter { case (k, _) => wanted(k) }
     val qs = head.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val headLine =
-      s"""{"metric":"total","value":${fmt(head.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      s"""{"metric":"total","value":${fmt(head.map(_._2).sum)},"unit":"sec","queries":$qs,$load,$spreadInfo,"sf":"$sfDir"}"""
+    val allQs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val allSpreads = results.map { case (k, r) =>
+      "\"" + k + "\":[" + r.secs.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     writeFile("BENCH_FULL.json",
-      s"""{"metric":"full","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$allQs,"families":$byFamily,"n":${results.size},"sf":"$sfDir"}""")
+      s"""{"metric":"full","value":${fmt(medians.map(_._2).sum)},"unit":"sec","queries":$allQs,"rep_secs":$allSpreads,"families":$byFamily,"n":${medians.size},$load,$spreadInfo,"sf":"$sfDir"}""")
     writeFile("BENCH_LATEST.json", headLine)
     println(famLine)
     println(headLine)

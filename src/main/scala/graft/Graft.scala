@@ -69,10 +69,16 @@ object Graft {
     streaming.StreamOps.nearDupSuppress(docs, minEst, ttlMillis)
 
   /** Full-recall streaming variant: fans out to every LSH band, verdict
-    * matches the batch clustering semantics.
+    * matches the batch clustering semantics. On a streaming input this
+    * needs the stateful-operator correctness check disabled session-wide
+    * (safe for THIS chain, not restorable for others) — the caller must
+    * opt in via `allowUnsafeChain`, ideally on a dedicated
+    * `spark.newSession()`.
     */
-  def nearDupSuppressAllBands(docs: DataFrame, minEst: Double = 0.8) =
-    streaming.StreamOps.nearDupSuppressAllBands(docs, minEst)
+  def nearDupSuppressAllBands(docs: DataFrame, minEst: Double = 0.8,
+      allowUnsafeChain: Boolean = false) =
+    streaming.StreamOps.nearDupSuppressAllBands(docs, minEst,
+      allowUnsafeChain = allowUnsafeChain)
 
   /** Embedding near-dup candidates via banded sign-LSH (single codegen
     * signature pass; the only shuffle is the band-key equi-join).
@@ -139,6 +145,15 @@ object Graft {
   /** Per-shard Kinesis ingress pacing (1000 rec/s + 1 MiB/s). */
   def shardThrottle(): pipeline.KinesisSink.ShardThrottle =
     new pipeline.KinesisSink.ShardThrottle()
+
+  /** Executor-resident `throttleFor` for `KinesisSink.deliver`: bucket
+    * state is keyed by (scope, shard) on the executor JVM and survives
+    * across tasks and micro-batches — a throttle constructed in the
+    * closure itself would arrive serialized with a full bucket every
+    * batch. The V2 sink gets the same via its throttle options.
+    */
+  def shardThrottleFor(scope: String): Int => Option[pipeline.KinesisSink.ShardThrottle] =
+    shard => Some(pipeline.KinesisSink.ShardThrottle.resident(scope, shard))
 
   /** The full corpus-curation pipeline, composed end-to-end — the workflow
     * a training-data user actually runs, proving the operators compose as

@@ -631,7 +631,7 @@ object TextOps {
       |sc AS (SELECT doc_id, pos, c, nn, vv, ln((c + 1.0)/(nn + vv)) AS lnp
       |       FROM toks JOIN cnt USING (w) CROSS JOIN tot),
       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-      |               CAST(sum(CASE WHEN c * vv < nn THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |               CAST(sum(CASE WHEN c <= (nn - 1) // vv THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
       |               list(lnp ORDER BY pos) AS l
       |        FROM sc GROUP BY doc_id)
       |SELECT doc_id, n_toks, n_rare,
@@ -646,7 +646,13 @@ object TextOps {
       .withColumn("lnp", log((col("c") + 1.0) / (col("nn") + col("vv"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
-        sum(when(col("c") * col("vv") < col("nn"), 1).otherwise(0)).as("n_rare"),
+        // "rare" = corpus frequency below average, i.e. c·vv < nn — but
+        // that product overflows Long at the advertised corpus scale
+        // (~1e13 tokens × a large vocab), silently flipping the flag.
+        // Integer-division form is exact and overflow-free: for positive
+        // integers, c·vv < nn ⟺ c ≤ ⌊(nn−1)/vv⌋ (`div`/`//` on both
+        // engines — no doubles, no product).
+        sum(when(col("c") <= expr("(nn - 1) div vv"), 1).otherwise(0)).as("n_rare"),
         sort_array(collect_list(struct(col("pos"), col("lnp")))).as("arr"))
       .select(col("doc_id"), col("n_toks"),
         col("n_rare").cast("long").as("n_rare"),

@@ -110,8 +110,15 @@ object KinesisSink {
     }
 
     /** Block until the shard may accept `n` records / `bytes` bytes;
-      * returns the total milliseconds slept. */
-    def acquire(n: Int, bytes: Long): Long = {
+      * returns the total milliseconds slept.
+      *
+      * Synchronized: executor-resident instances (see [[ShardThrottle
+      * .resident]]) are shared by every task on the executor that writes
+      * the shard, and serializing concurrent acquirers — including the
+      * time one spends sleeping a debt out — IS the pacing semantics: two
+      * tasks may not spend the same shard's tokens twice.
+      */
+    def acquire(n: Int, bytes: Long): Long = synchronized {
       var waited = 0L
       refill()
       while (recTokens < 0 || byteTokens < 0) {
@@ -126,6 +133,39 @@ object KinesisSink {
       byteTokens -= bytes
       waited
     }
+  }
+
+  /** Executor-resident throttle registry. A `ShardThrottle` serialized
+    * into a task closure arrives with a FULL bucket, so a per-task (or
+    * per-micro-batch) copy silently grants one free burst per batch and
+    * sustained ingress exceeds the shard limit (round-4 advisor). Keying
+    * the bucket by (scope, shard) in a JVM-global map makes its state
+    * survive across tasks and micro-batches on the same executor — the
+    * correct scope for pacing, since `deliver` repartitions by shard so
+    * one task owns a shard's run within a batch. Across executors each
+    * JVM paces independently (coordinating tokens cluster-wide would need
+    * an external limiter); a shard's writer lands on one executor per
+    * batch, so per-JVM state is the right granularity.
+    */
+  object ShardThrottle {
+    private val registry =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), ShardThrottle]()
+
+    /** The throttle for (scope, shard), created by `mk` on first touch on
+      * this JVM. `scope` is typically the stream's base directory / name.
+      */
+    def resident(scope: String, shard: Int,
+        mk: () => ShardThrottle = () => new ShardThrottle()): ShardThrottle =
+      registry.computeIfAbsent((scope, shard), _ => mk())
+
+    /** Pre-seed a bucket (specs inject fake-clock throttles); replaces any
+      * existing entry for the key. */
+    def register(scope: String, shard: Int, t: ShardThrottle): Unit =
+      registry.put((scope, shard), t)
+
+    /** Drop a scope's buckets (stream teardown / spec isolation). */
+    def evictScope(scope: String): Unit =
+      registry.keySet.removeIf(_._1 == scope)
   }
 
   /** The stream endpoint. Production shape would be the AWS SDK; here the
@@ -163,6 +203,13 @@ object KinesisSink {
   /** Retry loop with exponential backoff: only the failed subset is
     * re-submitted (PutRecords contract). Returns the number of delivered
     * records; throws after `maxAttempts` if records remain undelivered.
+    *
+    * Re-submissions are charged against `throttle` too: a retried record
+    * crosses the wire again, so leaving retries unmetered would let a
+    * flaky shard sustain ingress above its limit exactly when it is
+    * already struggling (round-4 advisor). The caller charges the FIRST
+    * attempt (before batching the request); this loop charges attempts
+    * 2+, sized to the surviving subset only.
     */
   def putWithRetry(
       client: PutRecordsClient,
@@ -170,7 +217,8 @@ object KinesisSink {
       records: Seq[KinesisRecord],
       maxAttempts: Int = 5,
       backoffMs: Long = 10L,
-      sleep: Long => Unit = Thread.sleep): Int = {
+      sleep: Long => Unit = Thread.sleep,
+      throttle: Option[ShardThrottle] = None): Int = {
     var pending = records
     var attempt = 0
     var delivered = 0
@@ -179,7 +227,10 @@ object KinesisSink {
       if (attempt > maxAttempts)
         throw new IllegalStateException(
           s"gave up after $maxAttempts attempts with ${pending.size} undelivered records")
-      if (attempt > 1) sleep(backoffMs << (attempt - 2))
+      if (attempt > 1) {
+        sleep(backoffMs << (attempt - 2))
+        throttle.foreach(_.acquire(pending.size, pending.iterator.map(recordBytes).sum))
+      }
       val results = client.putRecords(shard, pending)
       val failed = pending.zip(results).collect { case (r, PutResult(_, Some(_))) => r }
       delivered += pending.size - failed.size
@@ -231,12 +282,16 @@ object KinesisSink {
             }
           }
           val client = clientFor(shard, s"$fileTag-p$pid")
+          // throttleFor runs HERE, on the executor — return
+          // ShardThrottle.resident(...) from it so bucket state survives
+          // across tasks and micro-batches instead of arriving as a fresh
+          // serialized copy with a full bucket each batch
           val throttle = throttleFor(shard)
           batches(run).foreach { b =>
             // pace BEFORE submitting — throttled producers don't burn
             // their retry budget discovering the shard limit
             throttle.foreach(_.acquire(b.size, b.iterator.map(recordBytes).sum))
-            putWithRetry(client, shard, b)
+            putWithRetry(client, shard, b, throttle = throttle)
           }
         }
       }

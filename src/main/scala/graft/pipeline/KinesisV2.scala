@@ -69,20 +69,29 @@ private[pipeline] class KinesisTable(properties: Map[String, String])
     val dataIdx = schema.fieldIndex("data")
     require(schema(pkIdx).dataType == StringType && schema(dataIdx).dataType == BinaryType,
       s"kinesis sink needs (partitionKey: string, data: binary), got ${schema.catalogString}")
+    // ingress pacing (off unless asked for): either option enables the
+    // per-shard token bucket; an omitted limit falls back to the public
+    // Kinesis shard default
+    val recPerSec = Option(opts.get("throttleRecordsPerSec")).map(_.toInt)
+    val bytesPerSec = Option(opts.get("throttleBytesPerSec")).map(_.toLong)
+    val throttle: Option[(Int, Long)] =
+      if (recPerSec.isEmpty && bytesPerSec.isEmpty) None
+      else Some((recPerSec.getOrElse(KinesisSink.ShardRecordsPerSec),
+        bytesPerSec.getOrElse(KinesisSink.ShardBytesPerSec)))
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
-          new KinesisStreamingWrite(baseDir, numShards, pkIdx, dataIdx)
+          new KinesisStreamingWrite(baseDir, numShards, pkIdx, dataIdx, throttle)
       }
     }
   }
 }
 
 private[pipeline] class KinesisStreamingWrite(baseDir: String, numShards: Int,
-    pkIdx: Int, dataIdx: Int) extends StreamingWrite {
+    pkIdx: Int, dataIdx: Int, throttle: Option[(Int, Long)]) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    KinesisWriterFactory(baseDir, numShards, pkIdx, dataIdx)
+    KinesisWriterFactory(baseDir, numShards, pkIdx, dataIdx, throttle)
   // per-record delivery already happened (and retried) in the writers;
   // the epoch commit is the offset-log barrier Structured Streaming owns
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -91,17 +100,19 @@ private[pipeline] class KinesisStreamingWrite(baseDir: String, numShards: Int,
 
 /** Ships to executors — plain fields only. */
 private[pipeline] final case class KinesisWriterFactory(baseDir: String,
-    numShards: Int, pkIdx: Int, dataIdx: Int) extends StreamingDataWriterFactory {
+    numShards: Int, pkIdx: Int, dataIdx: Int,
+    throttle: Option[(Int, Long)]) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new KinesisV2Writer(baseDir, numShards, pkIdx, dataIdx,
-      s"e$epochId-p$partitionId")
+      s"e$epochId-p$partitionId", throttle)
 }
 
 private[pipeline] final case class KinesisCommit(records: Long) extends WriterCommitMessage
 
 private[pipeline] class KinesisV2Writer(baseDir: String, numShards: Int,
-    pkIdx: Int, dataIdx: Int, fileTag: String) extends DataWriter[InternalRow] {
+    pkIdx: Int, dataIdx: Int, fileTag: String,
+    throttle: Option[(Int, Long)] = None) extends DataWriter[InternalRow] {
 
   private val pending = Array.fill(numShards)(mutable.ArrayBuffer.empty[KinesisRecord])
   private val pendingBytes = new Array[Long](numShards)
@@ -117,8 +128,24 @@ private[pipeline] class KinesisV2Writer(baseDir: String, numShards: Int,
       new KinesisSink.DirectoryClient(baseDir, fileTag)
     })
 
+  // EXECUTOR-RESIDENT bucket, keyed by (stream baseDir, shard): this
+  // writer object is re-created every task and epoch, so holding the
+  // bucket here would reset the balance each micro-batch and grant one
+  // free burst per epoch — the foreachBatch path's round-4 advisor bug,
+  // avoided in the connector from the start. Specs pre-seed the registry
+  // with fake-clock instances via ShardThrottle.register.
+  private def throttleFor(shard: Int): Option[KinesisSink.ShardThrottle] =
+    throttle.map { case (rps, bps) =>
+      KinesisSink.ShardThrottle.resident(baseDir, shard,
+        () => new KinesisSink.ShardThrottle(rps, bps))
+    }
+
   private def flush(shard: Int): Unit = if (pending(shard).nonEmpty) {
-    KinesisSink.putWithRetry(clientFor(shard), shard, pending(shard).toSeq)
+    val t = throttleFor(shard)
+    // pace BEFORE submitting; retried subsets are re-charged inside
+    t.foreach(_.acquire(pending(shard).size, pendingBytes(shard)))
+    KinesisSink.putWithRetry(clientFor(shard), shard, pending(shard).toSeq,
+      throttle = t)
     pending(shard).clear()
     pendingBytes(shard) = 0L
   }

@@ -294,7 +294,8 @@ object StreamOps {
   def nearDupSuppressAllBands(docs: DataFrame, minEst: Double = 0.8,
       ttlMillis: Long = Long.MaxValue,
       watermarkDelay: String = "0 seconds",
-      windowDur: String = "1 minute"): Dataset[Doc] = {
+      windowDur: String = "1 minute",
+      allowUnsafeChain: Boolean = false): Dataset[Doc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
@@ -309,20 +310,27 @@ object StreamOps {
     // so every emitted verdict carries a current-batch event time ≥ the
     // watermark and the chained windowed agg sees no late rows. The check
     // must be off for the combined query to ANALYZE — and analysis happens
-    // at the caller's writeStream.start(), so the disable is session-wide
-    // and CANNOT be restored here. Callers running other stateful queries
-    // in the same session lose the guard for those too; the log line keeps
-    // the side effect visible.
-    if (streaming &&
-        spark.conf.get(
-          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true") != "false") {
+    // at the caller's writeStream.start(), so the disable is SESSION-WIDE
+    // and cannot be restored here: every OTHER stateful query in the same
+    // session loses the guard too. A library must not strip a global
+    // safety check silently (round-4 verdict #1), so the caller has to
+    // opt in explicitly; the recommended pattern is a dedicated session
+    // (spark.newSession()) for this one query.
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    if (streaming && spark.conf.get(checkConf, "true") != "false") {
+      require(allowUnsafeChain,
+        s"nearDupSuppressAllBands chains an event-time-timeout " +
+          s"flatMapGroupsWithState into a stateful aggregate, which Spark's " +
+          s"global-watermark checker rejects unless $checkConf=false. This " +
+          s"operator's timeout path emits nothing, so the chain itself is " +
+          s"safe — but the disable applies to the WHOLE SparkSession and " +
+          s"cannot be restored after start(). To proceed, run the query in " +
+          s"a dedicated session (spark.newSession()) and either set " +
+          s"$checkConf=false there yourself or pass allowUnsafeChain=true.")
       org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamOps").warn(
-        "nearDupSuppressAllBands: disabling " +
-          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled " +
-          "SESSION-WIDE (required for the fMGWS→agg chain; this operator's " +
-          "timeout path emits nothing, so the chain itself is safe)")
-      spark.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        s"nearDupSuppressAllBands: disabling $checkConf SESSION-WIDE " +
+          "(caller opted in via allowUnsafeChain=true)")
+      spark.conf.set(checkConf, "false")
     }
     val withSig = docs.withColumn("sig",
       call_function("minhash_sig", col("text"), lit(nPerms), lit(graft.MinHash.GramLen)))

@@ -19,6 +19,20 @@ class BenchContractSpec extends AnyFunSuite {
     assert(ghosts.isEmpty, s"headline references missing queries: $ghosts")
   }
 
+  test("median-of-reps rejects a one-rep stall; spread reports it") {
+    // the round-4 failure mode: one rep inflated ~2× by ambient load.
+    // the median of 3 ignores it; the spread field records that it happened
+    val r = Bench.Reps(Seq(1.1, 6.2, 1.0))
+    assert(r.median == 1.1)
+    assert(math.abs(r.spread - 5.2) < 1e-9)
+  }
+
+  test("loadavg is readable on this platform") {
+    // the bench artifact embeds it so a reader can discount noisy runs —
+    // a -1 here would mean the field silently degrades to useless
+    assert(Bench.loadAvg1m() >= 0.0)
+  }
+
   test("query names are unique and oracle SQL references only real tables") {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")

@@ -183,6 +183,86 @@ class KinesisSinkSpec extends SparkSpec {
     assert(w3 == 5000L, s"steady state must pace at 5s per 5 MiB, got $w3 ms")
   }
 
+  test("putWithRetry charges retried subsets against the shard throttle") {
+    val throttleSleeps = mutable.Buffer.empty[Long]
+    var nowNs = 0L
+    // bucket of 4 records: attempt 2 (5 records) overdraws to −1 free of
+    // sleep, attempt 3 (2 records) must wait the 250 ms debt out — proof
+    // the RETRIED subsets are metered, not only the first submission
+    val t = new KinesisSink.ShardThrottle(
+      recordsPerSec = 4, bytesPerSec = Long.MaxValue / 4,
+      nanoTime = () => nowNs,
+      sleep = ms => { throttleSleeps += ms; nowNs += ms * 1000000L })
+    var calls = 0
+    val flaky = new PutRecordsClient {
+      override def putRecords(shard: Int, records: Seq[KinesisRecord]): Seq[PutResult] = {
+        calls += 1
+        records.zipWithIndex.map { case (_, i) =>
+          if (calls <= 2 && i % 2 == 1) PutResult(None, Some("Throttled"))
+          else PutResult(Some(1L), None)
+        }
+      }
+    }
+    val n = putWithRetry(flaky, 0, (1 to 10).map(i => rec(i.toString)),
+      maxAttempts = 5, backoffMs = 10, sleep = _ => (), throttle = Some(t))
+    assert(n == 10 && calls == 3)
+    assert(throttleSleeps.toList == List(250),
+      s"attempt 3 must pay the 1-record debt at 4 rec/s, got $throttleSleeps")
+  }
+
+  test("ShardThrottle.resident keeps one bucket per (scope, shard) on the JVM") {
+    val scope = "resident-spec"
+    try {
+      val a = KinesisSink.ShardThrottle.resident(scope, 0)
+      assert(KinesisSink.ShardThrottle.resident(scope, 0) eq a,
+        "same key must return the SAME bucket — a fresh copy per task is the bug")
+      assert(!(KinesisSink.ShardThrottle.resident(scope, 1) eq a))
+      val fake = new KinesisSink.ShardThrottle(nanoTime = () => 0L, sleep = _ => ())
+      KinesisSink.ShardThrottle.register(scope, 0, fake)
+      assert(KinesisSink.ShardThrottle.resident(scope, 0) eq fake)
+    } finally KinesisSink.ShardThrottle.evictScope(scope)
+  }
+
+  test("V2 writer paces ingress with an executor-resident throttle across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmpDir("ksinkv2_thr")
+    var nowNs = 0L
+    val sleeps = mutable.Buffer.empty[Long]
+    // 10-record bucket, fake clock that only advances when slept: batch 1
+    // (25 records, one flush) overdraws the full bucket to −15 with no
+    // wait; batch 2's flush must sleep exactly the 1500 ms debt. That both
+    // proves the V2 path paces at all AND that the bucket SURVIVED between
+    // micro-batches — a per-epoch writer copy would have admitted batch 2
+    // free on a fresh bucket.
+    KinesisSink.ShardThrottle.register(out, 0, new KinesisSink.ShardThrottle(
+      recordsPerSec = 10, bytesPerSec = Long.MaxValue / 4,
+      nanoTime = () => nowNs,
+      sleep = ms => { sleeps += ms; nowNs += ms * 1000000L }))
+    try {
+      val in = MemoryStream[(String, Array[Byte])]
+      val q = in.toDF().toDF("partitionKey", "data")
+        .coalesce(1) // one writer task → deterministic acquire sequence
+        .writeStream
+        .format(classOf[graft.pipeline.KinesisTableProvider].getName)
+        .option("checkpointLocation", tmpDir("ksinkv2_thr_ckpt"))
+        .option("baseDir", out)
+        .option("numShards", "1")
+        .option("throttleRecordsPerSec", "10")
+        .start()
+      in.addData((1 to 25).map(i => (i.toString, s"v$i".getBytes(UTF_8))): _*)
+      q.processAllAvailable()
+      assert(sleeps.isEmpty, s"first flush rides the burst, got $sleeps")
+      in.addData((26 to 50).map(i => (i.toString, s"v$i".getBytes(UTF_8))): _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(sleeps.toList == List(1500),
+        s"batch 2 must pay batch 1's 15-record debt at 10 rec/s, got $sleeps")
+      assert(readShardDir(out).values.map(_.size).sum == 50)
+    } finally KinesisSink.ShardThrottle.evictScope(out)
+  }
+
   test("record size counts the partition key's UTF-8 bytes, not chars") {
     val cjk = "键值分区键" // 5 chars, 15 UTF-8 bytes
     val r = KinesisSink.KinesisRecord(cjk, Array[Byte](1, 2, 3))

@@ -290,7 +290,8 @@ class StreamOpsSpec extends SparkSpec {
     val farFuture = "totally different filler words to push the watermark forward now"
     val in = MemoryStream[Doc]
     val name = nextName()
-    val q = StreamOps.nearDupSuppressAllBands(in.toDF(), minEst = 0.5).toDF()
+    val q = StreamOps.nearDupSuppressAllBands(in.toDF(), minEst = 0.5,
+        allowUnsafeChain = true).toDF()
       .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
     in.addData(Doc(1L, ts(1), base), Doc(2L, ts(2), exactDup))
     q.processAllAvailable()
@@ -317,7 +318,7 @@ class StreamOpsSpec extends SparkSpec {
     val name = nextName()
     // 5-minute TTL: every (band, bucket) of doc 1 must be gone by 00:30
     val q = StreamOps.nearDupSuppressAllBands(in.toDF(), minEst = 0.5,
-        ttlMillis = 300000L).toDF()
+        ttlMillis = 300000L, allowUnsafeChain = true).toDF()
       .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
     in.addData(Doc(1L, ts(1), base))
     q.processAllAvailable()
@@ -340,6 +341,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(survivors.contains(1L) && survivors.contains(3L),
       s"doc 3 must be re-admitted after TTL expiry, got $survivors")
     assert(!survivors.contains(4L), s"doc 4 must be suppressed, got $survivors")
+  }
+
+  test("all-band chain never silently strips the session correctness guard (opt-in required)") {
+    import graft.streaming.StreamOps.Doc
+    val conf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    // fresh session: runtime conf starts at the default regardless of what
+    // earlier tests (which DO opt in) did to the shared one
+    val ns = spark.newSession()
+    val in = MemoryStream[Doc](org.apache.spark.sql.Encoders.product[Doc], ns.sqlContext)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.nearDupSuppressAllBands(in.toDF(), minEst = 0.5)
+    }
+    assert(ex.getMessage.contains("allowUnsafeChain"))
+    // refusing must leave the guard ON for every other stateful query in
+    // the caller's session — the round-4 complaint was the silent disable
+    assert(ns.conf.get(conf, "true") == "true")
+    // explicit opt-in flips it, on this session only
+    StreamOps.nearDupSuppressAllBands(in.toDF(), minEst = 0.5, allowUnsafeChain = true)
+    assert(ns.conf.get(conf, "true") == "false")
   }
 
   test("transformWithState near-dup suppression holds state across batches (RocksDB ListState)") {
