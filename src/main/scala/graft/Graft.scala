@@ -155,6 +155,18 @@ object Graft {
   def shardThrottleFor(scope: String): Int => Option[pipeline.KinesisSink.ShardThrottle] =
     shard => Some(pipeline.KinesisSink.ShardThrottle.resident(scope, shard))
 
+  /** Quality-gate knobs for [[curateCorpus]]: token-count bounds and the
+    * stopword lexicon/ratio a real curation run tunes per corpus.
+    */
+  final case class QualityGate(
+      minTokens: Int = 20,
+      maxTokens: Int = 80,
+      stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and"),
+      maxStopwordRatio: Double = 0.2)
+
+  /** One curation stage's audit row: documents entering minus surviving. */
+  final case class StageCount(stage: String, kept: Long, dropped: Long)
+
   /** The full corpus-curation pipeline, composed end-to-end — the workflow
     * a training-data user actually runs, proving the operators compose as
     * DataFrame stages. NOT fully lazy: stage 2's connected components is
@@ -165,16 +177,44 @@ object Graft {
     *  1. exact dedup  — min-doc_id representative per md5(text)
     *  2. near-dup dedup — connected components over the prefix-filtered
     *     Jaccard edge list; keep each cluster's min-id representative
-    *  3. quality gate — 20–80 tokens and stopword ratio < 0.2
+    *  3. quality gate — token-count bounds + stopword ratio ([[QualityGate]])
     *  4. contamination screen — broadcast Aho–Corasick, drop any hit
     *  5. sequence packing — survivors mapped to 1024-token training
     *     sequences in the concat-and-chunk layout
     *
     * Returns (doc_id, n_toks, seq_first, seq_last, n_seqs) for the
-    * surviving documents.
+    * surviving documents. [[curateCorpusAudited]] adds the per-stage
+    * kept/dropped counts an auditable curation run needs.
     */
   def curateCorpus(spark: SparkSession, docs: DataFrame,
-      screenPhrases: Seq[String], minJaccard: Double = 0.6): DataFrame = {
+      screenPhrases: Seq[String], minJaccard: Double = 0.6,
+      quality: QualityGate = QualityGate()): DataFrame =
+    TextOps.packSequencesOf(
+      curationStages(spark, docs, screenPhrases, minJaccard, quality).last._2)
+
+  /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
+    * document counts, in pipeline order starting from the non-null input.
+    * Counting materializes every stage ONCE more than the un-audited
+    * pipeline (one count job per gate over checkpointed inputs) — the
+    * price of an auditable run, paid only when asked for.
+    */
+  def curateCorpusAudited(spark: SparkSession, docs: DataFrame,
+      screenPhrases: Seq[String], minJaccard: Double = 0.6,
+      quality: QualityGate = QualityGate()): (DataFrame, Seq[StageCount]) = {
+    val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality)
+    val counts = stages.map { case (name, df) => name -> df.count() }
+    val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
+      case ((name, kept), prev) => StageCount(name, kept, prev - kept)
+    }
+    (TextOps.packSequencesOf(stages.last._2), audit)
+  }
+
+  /** The named intermediate frames of the curation pipeline, in order:
+    * input → exact_dedup → neardup_dedup → quality_gate → contamination.
+    */
+  private def curationStages(spark: SparkSession, docs: DataFrame,
+      screenPhrases: Seq[String], minJaccard: Double,
+      quality: QualityGate): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     val base = docs.filter(col("text").isNotNull)
     val reps1 = base.groupBy(md5(col("text")).as("fp"))
@@ -190,12 +230,13 @@ object Graft {
       Seq("doc_id"), "left_semi")
     val toks = split(col("text"), " ")
     val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin("the", "a")))
-    val d3 = d2.filter(nTok.between(20, 80) &&
-      nStop.cast("double") / nTok < 0.2)
+    val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
+    val d3 = d2.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
+      nStop.cast("double") / nTok < quality.maxStopwordRatio)
     val clean = TextOps.contaminationScanAC(d3, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
     val d4 = d3.join(clean, Seq("doc_id"), "left_semi")
-    TextOps.packSequencesOf(d4)
+    Seq("input" -> base, "exact_dedup" -> d1, "neardup_dedup" -> d2,
+      "quality_gate" -> d3, "contamination" -> d4)
   }
 }

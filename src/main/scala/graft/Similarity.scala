@@ -21,9 +21,12 @@ object Similarity {
   private def dot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
 
   /** vec_id, emb, nrm — norms computed once, before any pairing. */
-  private def normed(s: SparkSession, d: String): DataFrame = {
+  private def normed(s: SparkSession, d: String): DataFrame =
+    normedOf(s, embeddings(s, d))
+
+  private def normedOf(s: SparkSession, emb: DataFrame): DataFrame = {
     VectorFunctions.register(s)
-    embeddings(s, d).select(
+    emb.select(
       col("vec_id"),
       col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -266,6 +269,40 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Exact brute-force cosine near-dup edge list (a_id < b_id, cosine ≥
+    * minCos) — the correctness-baseline edge source for [[semanticClusters]].
+    */
+  def exactCosineEdges(s: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
+    val n = normedOf(s, emb)
+    side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
+      .filter(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= minCos)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** F21 core: SemDeDup-style semantic-dedup clusters — connected
+    * components over the embedding-cosine near-dup graph, one row per
+    * vector with its cluster's min vec_id and size.
+    *
+    * `useLsh = false` is the exact brute-force edge build (the graded
+    * oracle contract); `useLsh = true` swaps in [[lshCandidates]] — the
+    * same banded sign-LSH equi-join that replaces the cartesian product at
+    * 100 TB — and leaves the component loop untouched. The composition is
+    * spec-proven equivalent on planted near-dup cliques (SimilaritySpec),
+    * which is what licenses the swap at scale.
+    */
+  def semanticClusters(s: SparkSession, emb: DataFrame, minCos: Double,
+      useLsh: Boolean = false): DataFrame = {
+    val edges =
+      if (useLsh) lshCandidates(s, emb, minCos).select(col("a_id"), col("b_id"))
+      else exactCosineEdges(s, emb, minCos)
+    val nodes = emb.select(col("vec_id").as("doc_id"))
+    Dedup.connectedComponents(s, nodes, edges)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   // F21: semantic dedup — connected components over the embedding-cosine
   // near-dup graph (the SemDeDup-style "keep one per semantic cluster"
   // operation; cosine pairs chain exactly like text near-dups, so dedup
@@ -289,16 +326,16 @@ object Similarity {
       |SELECT vec_id, cluster_id,
       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM cc ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val n = normed(s, d)
-    val edges = side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
-      .filter(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= 0.35)
-      .select(col("a_id"), col("b_id"))
-    val nodes = embeddings(s, d).select(col("vec_id").as("doc_id"))
-    Dedup.connectedComponents(s, nodes, edges)
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("vec_id"))
+    semanticClusters(s, embeddings(s, d), minCos = 0.35)
+  }
+
+  // F21 scale path, graded rows-only: the SAME clustering with the banded
+  // sign-LSH edge build instead of the brute-force pair join — what a
+  // 100 TB run executes. No DuckDB twin (xxhash64 hyperplanes), so the
+  // driver benches it round-over-round and the equivalence-on-planted-
+  // cliques law lives in SimilaritySpec.
+  val qSemanticDedupLsh = Q.noOracle("q_f21b_semantic_dedup_lsh") { (s, d) =>
+    semanticClusters(s, embeddings(s, d), minCos = 0.35, useLsh = true)
   }
 
   // F12: symmetric int8 quantization per embedding — the storage/serving
@@ -353,5 +390,5 @@ object Similarity {
   }
 
   def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup,
-    qQuantize, qSemanticDedup)
+    qQuantize, qSemanticDedup, qSemanticDedupLsh)
 }

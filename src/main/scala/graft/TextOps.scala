@@ -512,11 +512,24 @@ object TextOps {
   // F16: duplicated-substring detection (the substring-level dedup signal
   // from the published training-data dedup literature: a 10-token window
   // occurring more than once in the corpus marks memorizable repeated
-  // content). Every window is md5'd BEFORE the shuffle, so the occurrence
-  // count groups on a 16-byte key with map-side partials — never on window
-  // text — and the per-doc rollup is a second small aggregate. Both
-  // aggregates and the join are plain equi-shuffles: row-parallel at any
-  // corpus size, skew-splittable under AQE if one window dominates.
+  // content). Every window is md5'd BEFORE the shuffle, so everything
+  // groups on a 16-byte key with map-side partials — never on window text.
+  //
+  // NO join back onto the window stream (round 5): the obvious
+  // wins ⋈ occ(wh) shape puts a corpus-hot window's every occurrence in
+  // ONE join partition, and AQE cannot skew-split it — the occ side is an
+  // aggregate above its exchange, not a raw shuffle stage, so
+  // OptimizeSkewedJoin's pattern doesn't match (verified on a planted
+  // 20k-doc hot window; the executed plan kept one straggler partition).
+  // Instead use the singleton identity: a window with occ = 1 has exactly
+  // one (doc, pos) occurrence, so min(doc_id) carried through the occ
+  // aggregate names its only owner, per-doc unique counts come from a
+  // second tiny aggregate over the singleton windows, and
+  // n_dup = n_windows − n_uniq. Three hash aggregates — each with partial
+  // (map-side) combine, which aggregation skew amortizes across map tasks
+  // — plus one ≤1-row-per-key join on doc_id. Skew-PROOF by construction
+  // (ScaleLayoutSpec asserts no window-keyed join survives in the plan),
+  // and strictly less work than the join shape at any scale.
   val qDupSubstrings = Q(
     "q_f16_dup_substrings",
     """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -524,11 +537,13 @@ object TextOps {
       |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 9),
       |        i -> md5(array_to_string(t[i:i+9], ' ')))) AS wh
       |      FROM b),
-      |occ AS (SELECT wh, count(*) AS occ FROM w GROUP BY wh)
-      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-      |       CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-      |       floor(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1000000)/1000000 AS dup_frac
-      |FROM w JOIN occ USING (wh) GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      |occ AS (SELECT wh, count(*) AS occ, min(doc_id) AS only_doc FROM w GROUP BY wh),
+      |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY doc_id),
+      |nu AS (SELECT only_doc AS doc_id, count(*) AS n_uniq FROM occ WHERE occ = 1 GROUP BY only_doc)
+      |SELECT nw.doc_id, n_windows,
+      |       CAST(n_windows - coalesce(n_uniq, 0) AS BIGINT) AS n_dup,
+      |       floor((n_windows - coalesce(n_uniq, 0)) * 1.0 / n_windows * 1000000)/1000000 AS dup_frac
+      |FROM nw LEFT JOIN nu USING (doc_id) ORDER BY nw.doc_id""".stripMargin) { (s, d) =>
     val W = 10
     graft.functions.VectorFunctions.register(s)
     // one codegen'd pass per doc (window_md5s) — the declarative
@@ -538,14 +553,16 @@ object TextOps {
     val wins = documents(s, d)
       .select(col("doc_id"),
         explode(call_function("window_md5s", col("text"), lit(W))).as("wh"))
-    val occ = wins.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
-    wins.join(occ, Seq("wh"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("occ") >= 2, 1).otherwise(0)).as("n_dup"))
+    val nw = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val occ = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("occ"), min(col("doc_id")).as("only_doc"))
+    val nu = occ.filter(col("occ") === 1)
+      .groupBy(col("only_doc").as("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    val nDup = col("n_windows") - coalesce(col("n_uniq"), lit(0L))
+    nw.join(nu, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
-        col("n_dup").cast("long").as("n_dup"),
-        trunc6(col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
+        nDup.cast("long").as("n_dup"),
+        trunc6(nDup.cast("double") / col("n_windows")).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -721,11 +738,66 @@ object TextOps {
     contaminationScanAC(documents(s, d), screenPhrases)
   }
 
+  /** F22 core: n-gram eval-set decontamination — per training doc, the
+    * count/fraction of its `w`-token windows that also occur anywhere in
+    * the eval corpus (the published GPT-3/PaLM-style leakage screen:
+    * substring OVERLAP against held-out sets, where F13's phrase list is
+    * exact-string screening). Windows reuse the `window_md5s` codegen
+    * kernel, the eval side is distinct-hashed and BROADCAST (eval sets
+    * are small by construction — benchmarks, not corpora), so the
+    * training side never shuffles on a window key: one map-side
+    * broadcast semi-join + two per-doc aggregates. At 100 TB the train
+    * scan streams once; nothing in the plan grows with corpus size but
+    * the map work.
+    */
+  def ngramDecontamOf(train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame, w: Int = 10): org.apache.spark.sql.DataFrame = {
+    val evalWins = eval
+      .select(explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
+      .distinct()
+    val trainWins = train.select(col("doc_id"),
+      explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
+    val nw = trainWins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val hits = trainWins.join(broadcast(evalWins), Seq("wh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val nOv = coalesce(col("n_hit"), lit(0L))
+    nw.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        nOv.cast("long").as("n_overlap"),
+        (nOv > 0).as("contaminated"),
+        trunc6(nOv.cast("double") / col("n_windows")).as("overlap_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // F22 graded query: the eval set is a deterministic stand-in split of
+  // the same table (doc_id < 5) so the oracle can reconstruct it; a real
+  // run passes the held-out benchmark corpus as `eval`.
+  val qNgramDecontam = Q(
+    "q_f22_ngram_decontam",
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |b AS (SELECT doc_id, t, len(t) AS n FROM sp WHERE len(t) >= 10),
+      |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 9),
+      |        i -> md5(array_to_string(t[i:i+9], ' ')))) AS wh
+      |      FROM b),
+      |ev AS (SELECT DISTINCT wh FROM w WHERE doc_id < 5),
+      |tr AS (SELECT doc_id, wh FROM w WHERE doc_id >= 5),
+      |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM tr GROUP BY doc_id),
+      |hit AS (SELECT tr.doc_id, count(*) AS n_hit FROM tr JOIN ev USING (wh) GROUP BY tr.doc_id)
+      |SELECT nw.doc_id, n_windows,
+      |       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_overlap,
+      |       coalesce(n_hit, 0) > 0 AS contaminated,
+      |       floor(coalesce(n_hit, 0) * 1.0 / n_windows * 1000000)/1000000 AS overlap_frac
+      |FROM nw LEFT JOIN hit USING (doc_id) ORDER BY nw.doc_id""".stripMargin) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    val docs = documents(s, d)
+    ngramDecontamOf(docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
-    qLmQuality, qPackSequences)
+    qLmQuality, qPackSequences, qNgramDecontam)
 }

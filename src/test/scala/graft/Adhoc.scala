@@ -36,6 +36,35 @@ object Adhoc {
       .localCheckpoint(eager = true)
     println(s"corpus: ${scaled.count()} docs")
 
+    if (args.headOption.contains("curate")) {
+      // end-to-end curation stress: the composed user-facing pipeline at
+      // 50k docs, with the audit trail and total shuffle volume recorded
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+      val docs = scaled.withColumn("lang", lit("en"))
+        .withColumn("source", lit("adhoc"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      for (rep <- 1 to 2) {
+        val s0 = shuffleWrite.get()
+        val t0 = System.nanoTime()
+        val (out, audit) = Graft.curateCorpusAudited(spark, docs,
+          screenPhrases = Seq("alpha beta gamma", "the quick brown fox"))
+        val packed = out.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        audit.foreach(a => println(f"ADHOC curate_stage rep=$rep ${a.stage}%-14s kept=${a.kept} dropped=${a.dropped}"))
+        println(f"ADHOC curate_50k rep=$rep packed_rows=$packed secs=$secs%.2f " +
+          f"shuffle_written_mb=${(shuffleWrite.get() - s0) / 1e6}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     for (rep <- 1 to 2) {
       time("sig_50k") { MinHash.signatures(scaled).count() }
       time("lsh_pairs_50k") { MinHash.candidatePairs(scaled, 0.5).count() }

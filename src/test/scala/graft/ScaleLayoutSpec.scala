@@ -102,6 +102,45 @@ class ScaleLayoutSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("F16 hot window: a 20k-doc shared window meets no window-keyed join (skew-proof shape)") {
+    // the degenerate-corpus case for substring dedup: ONE 10-token window
+    // shared by 20k docs. The naive wins⋈occ(wh) join puts every hot
+    // occurrence in a single join partition that AQE can NOT split (the
+    // occ side is an aggregate above its exchange, so OptimizeSkewedJoin's
+    // pattern doesn't match — verified here before the round-5 reshape).
+    // The shipped shape routes the hot key only through hash AGGREGATES,
+    // whose map-side partials amortize the skew across map tasks; the only
+    // join left is ≤1 row per doc_id per side. Assert both the degenerate
+    // correctness and that no window-keyed join survives in the plan.
+    val dir = tmpDir("f16skew")
+    val shared = (1 to 10).map(i => s"hot$i").mkString(" ")
+    val hot = spark.range(0, 20000)
+      .select($"id".as("doc_id"), lit(shared).as("text"))
+    val ctl = spark.range(20000, 20100).select($"id".as("doc_id"),
+      concat_ws(" ", (1 to 15).map(j => concat(lit("u"), $"id", lit(s"_$j"))): _*).as("text"))
+    hot.unionByName(ctl)
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // even with broadcast off (the 100 TB regime: per-doc aggregates too
+      // big to broadcast), the only sort-merge join keys on doc_id
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = TextOps.qDupSubstrings.fn(spark, dir)
+      val rows = q.collect() // executes → AQE finalizes the plan
+      assert(rows.length == 20100)
+      // every hot doc: exactly its 1 window, duplicated; controls clean
+      val byId = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(byId(0L) == ((1L, 1L)) && byId(19999L) == ((1L, 1L)))
+      assert(byId(20050L) == ((6L, 0L)))
+      val plan = q.queryExecution.executedPlan.toString
+      val joinKeys = "(?s)Join \\[(\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(!joinKeys.contains("wh"),
+        s"a window-keyed join crept back into the F16 plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned parquet scans prune to the filtered partition") {
     val dir = tmpDir("part_events")
     Tables.events(spark, sf001)

@@ -83,6 +83,35 @@ class SimilaritySpec extends SparkSpec {
     assert(full == 1.0, s"full-probe IVF must match brute force, recall $full")
   }
 
+  test("F21 scale path: LSH-edge clusters equal exact-edge clusters on planted cliques") {
+    val base = Tables.embeddings(spark, sf001).select($"vec_id", $"embedding")
+    // 6 planted cliques of 3: base vector i plus two near-identical copies
+    // (one component nudged ±5% — cosine ≥ ~0.99 within a clique, far
+    // above anything two random sf0.001 vectors reach at minCos = 0.9)
+    def nudge(idShift: Long, dim: Int, f: Float) =
+      base.filter($"vec_id" < 6).select(($"vec_id" + idShift).as("vec_id"),
+        transform($"embedding",
+          (v, i) => when(i === dim, v * lit(f)).otherwise(v)).as("embedding"))
+    val corpus = base.unionByName(nudge(10000L, 0, 1.05f))
+      .unionByName(nudge(20000L, 1, 0.95f))
+    def clusters(useLsh: Boolean): Map[Long, Long] =
+      Similarity.semanticClusters(spark, corpus, minCos = 0.9, useLsh = useLsh)
+        .select($"vec_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val exact = clusters(useLsh = false)
+    val lsh = clusters(useLsh = true)
+    // the 100 TB claim: swapping the brute-force edge build for the banded
+    // sign-LSH equi-join leaves the component structure IDENTICAL
+    assert(lsh == exact, {
+      val diff = exact.keySet.filter(k => exact(k) != lsh.getOrElse(k, -1L))
+      s"cluster mismatch on vec_ids $diff"
+    })
+    // and not vacuously: every planted clique really is one cluster
+    (0L until 6L).foreach { i =>
+      assert(exact(i) == exact(i + 10000) && exact(i) == exact(i + 20000),
+        s"planted clique $i not connected in the exact path")
+    }
+  }
+
   test("IVF ANN neighbors come from the probed cell and rank correctly") {
     val rows = Similarity.qIvfAnn.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
