@@ -28,10 +28,21 @@ class EmptyInputSpec extends SparkSpec {
       "q_f4_knn", "q_f5_lsh_neardup", "q_f11_dedup_groups", "q_f12_quantize",
       "q_f10_multimodal", "q22_explode", "q_f13b_contamination_ac", "q_f21_semantic_dedup",
       "q_f16_dup_substrings", "q_f17_chunking", "q_f18_stratified_sample",
-      "q_f19_lm_quality", "q_f20_pack_sequences")
+      "q_f19_lm_quality", "q_f20_pack_sequences", "q_f21b_semantic_dedup_lsh",
+      "q_f22_ngram_decontam")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")
     }
+  }
+
+  test("the audited curation pipeline survives an empty corpus with all-zero gates") {
+    val docs = Tables.documents(spark, emptyDir)
+    val (out, audit) = Graft.curateCorpusAudited(spark, docs,
+      screenPhrases = Seq("anything"))
+    assert(out.count() == 0)
+    assert(audit.map(_.stage) == Seq("input", "exact_dedup", "neardup_dedup",
+      "quality_gate", "contamination"))
+    assert(audit.forall(a => a.kept == 0 && a.dropped == 0), s"audit was $audit")
   }
 }

@@ -66,6 +66,19 @@ class Round5OpsSpec extends SparkSpec {
       (11L, 6L, 0L, false, 0.0)), s"got $got")
   }
 
+  test("n-gram decontamination tolerates null text on both sides (frame-level form)") {
+    graft.functions.VectorFunctions.register(spark)
+    val train = Seq((10L, null: String),
+      (11L, (1 to 12).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val eval = Seq((1L, null: String),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.ngramDecontamOf(train, eval)
+      .as[(Long, Long, Long, Boolean, Double)].collect().toSeq
+    // null rows contribute no windows; train doc 11's first window is the
+    // whole eval doc 2 → 1 of its 3 windows overlaps
+    assert(got == Seq((11L, 3L, 1L, true, 0.333333)), s"got $got")
+  }
+
   test("quality gate honors a caller-supplied stopword lexicon and bounds") {
     // 24 tokens, half of them "foo": ratio 0.5 — clean under the default
     // lexicon, dropped when the caller names "foo" a stopword
