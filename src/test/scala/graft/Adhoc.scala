@@ -36,6 +36,42 @@ object Adhoc {
       .localCheckpoint(eager = true)
     println(s"corpus: ${scaled.count()} docs")
 
+    if (args.headOption.contains("semdedup")) {
+      // 10k-vector corpus: sf0.1 embeddings replicated 5× — copy 0
+      // verbatim, copies 1–4 with one dimension scaled 3% (planted
+      // 5-cliques at cosine ≥ ~0.999). Compares the graded exact-edge
+      // path against the LSH-edge scale path for wall-clock AND cluster
+      // equality at 5× the graded corpus.
+      val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      val scaledE = emb
+        .crossJoin(spark.range(0, 5).select(col("id").as("copy")))
+        .select((col("vec_id") * 5 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (v, i) => when(i === (col("copy") - 1).cast("int"), v * lit(1.03f)).otherwise(v)))
+            .as("embedding"))
+        .localCheckpoint(eager = true)
+      println(s"vectors: ${scaledE.count()}")
+      for (rep <- 1 to 2) {
+        time("semdedup_exact_10k") {
+          Similarity.semanticClusters(spark, scaledE, 0.9).count()
+        }
+        time("semdedup_lsh_10k") {
+          Similarity.semanticClusters(spark, scaledE, 0.9, useLsh = true).count()
+        }
+      }
+      val ex = Similarity.semanticClusters(spark, scaledE, 0.9)
+        .select(col("vec_id"), col("cluster_id").as("c_exact"))
+      val ls = Similarity.semanticClusters(spark, scaledE, 0.9, useLsh = true)
+        .select(col("vec_id"), col("cluster_id").as("c_lsh"))
+      val mismatch = ex.join(ls, Seq("vec_id"))
+        .filter(col("c_exact") =!= col("c_lsh")).count()
+      val nontrivial = ex.groupBy(col("c_exact")).count().filter(col("count") > 1).count()
+      println(s"ADHOC semdedup_equal mismatch=$mismatch nontrivial_clusters=$nontrivial")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded
