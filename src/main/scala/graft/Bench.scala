@@ -80,9 +80,13 @@ object Bench {
 
   /** One timed measurement: seconds per rep, in rep order. */
   final case class Reps(secs: Seq[Double]) {
+    /** True median: mean of the two middle reps when the count is even —
+      * upper-middle alone would report the SLOWER of 2 reps, i.e. keep
+      * exactly the one-rep stall this protocol exists to reject. */
     def median: Double = {
       val s = secs.sorted
-      s(s.size / 2)
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     def spread: Double = secs.max - secs.min
   }

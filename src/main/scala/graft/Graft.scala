@@ -194,14 +194,19 @@ object Graft {
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
-    * Counting materializes every stage ONCE more than the un-audited
-    * pipeline (one count job per gate over checkpointed inputs) — the
-    * price of an auditable run, paid only when asked for.
+    * Every gate frame is localCheckpoint'd, so each count materializes
+    * its own stage exactly once on top of the previous stage's
+    * checkpoint — one extra count job per gate, NOT a re-execution of
+    * the whole un-checkpointed prefix per stage — and the returned
+    * packed frame reuses the final checkpoint instead of re-running the
+    * pipeline when the caller acts on it. The price of an auditable
+    * run, paid only when asked for.
     */
   def curateCorpusAudited(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double = 0.6,
       quality: QualityGate = QualityGate()): (DataFrame, Seq[StageCount]) = {
-    val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality)
+    val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
+      checkpointStages = true)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -214,8 +219,13 @@ object Graft {
     */
   private def curationStages(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double,
-      quality: QualityGate): Seq[(String, DataFrame)] = {
+      quality: QualityGate, checkpointStages: Boolean = false): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
+    // audited runs checkpoint each gate so the per-stage counts (and the
+    // final packing) build on materialized prefixes instead of re-running
+    // the pipeline once per stage; the un-audited pipeline stays lazy
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointStages) df.localCheckpoint(eager = false) else df
     val base = docs.filter(col("text").isNotNull)
     val reps1 = base.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
@@ -225,17 +235,17 @@ object Graft {
       .localCheckpoint(eager = false)
     val cc = Dedup.connectedComponents(spark, d1,
       Dedup.jaccardEdgesOf(spark, d1, minJaccard))
-    val d2 = d1.join(
+    val d2 = cp(d1.join(
       cc.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"))
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
-    val d3 = d2.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
-      nStop.cast("double") / nTok < quality.maxStopwordRatio)
+    val d3 = cp(d2.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
+      nStop.cast("double") / nTok < quality.maxStopwordRatio))
     val clean = TextOps.contaminationScanAC(d3, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
-    val d4 = d3.join(clean, Seq("doc_id"), "left_semi")
+    val d4 = cp(d3.join(clean, Seq("doc_id"), "left_semi"))
     Seq("input" -> base, "exact_dedup" -> d1, "neardup_dedup" -> d2,
       "quality_gate" -> d3, "contamination" -> d4)
   }

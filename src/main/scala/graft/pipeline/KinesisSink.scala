@@ -93,8 +93,8 @@ object KinesisSink {
     * are injectable so specs drive it deterministically.
     */
   final class ShardThrottle(
-      recordsPerSec: Int = ShardRecordsPerSec,
-      bytesPerSec: Long = ShardBytesPerSec,
+      val recordsPerSec: Int = ShardRecordsPerSec,
+      val bytesPerSec: Long = ShardBytesPerSec,
       nanoTime: () => Long = System.nanoTime,
       sleep: Long => Unit = Thread.sleep) extends Serializable {
     private var recTokens: Double = recordsPerSec.toDouble
@@ -151,15 +151,26 @@ object KinesisSink {
     private val registry =
       new java.util.concurrent.ConcurrentHashMap[(String, Int), ShardThrottle]()
 
-    /** The throttle for (scope, shard), created by `mk` on first touch on
-      * this JVM. `scope` is typically the stream's base directory / name.
+    /** The throttle for (scope, shard) at the given rates. `scope` is
+      * typically the stream's base directory / name. An existing bucket
+      * is kept — debt included — only while its rates match: a restart
+      * with CHANGED limits replaces the bucket rather than silently
+      * pacing at the old rates forever; a restart with the same limits
+      * keeps the balance, so a stopped stream's debt cannot be dodged by
+      * bouncing the query. Entries live for the executor JVM (evict via
+      * [[evictScope]] on teardown if the scope is ephemeral).
       */
     def resident(scope: String, shard: Int,
-        mk: () => ShardThrottle = () => new ShardThrottle()): ShardThrottle =
-      registry.computeIfAbsent((scope, shard), _ => mk())
+        recordsPerSec: Int = ShardRecordsPerSec,
+        bytesPerSec: Long = ShardBytesPerSec): ShardThrottle =
+      registry.compute((scope, shard), (_, cur) =>
+        if (cur != null && cur.recordsPerSec == recordsPerSec &&
+          cur.bytesPerSec == bytesPerSec) cur
+        else new ShardThrottle(recordsPerSec, bytesPerSec))
 
     /** Pre-seed a bucket (specs inject fake-clock throttles); replaces any
-      * existing entry for the key. */
+      * existing entry for the key. The seeded instance survives `resident`
+      * lookups whose rates match it. */
     def register(scope: String, shard: Int, t: ShardThrottle): Unit =
       registry.put((scope, shard), t)
 

@@ -136,8 +136,7 @@ private[pipeline] class KinesisV2Writer(baseDir: String, numShards: Int,
   // with fake-clock instances via ShardThrottle.register.
   private def throttleFor(shard: Int): Option[KinesisSink.ShardThrottle] =
     throttle.map { case (rps, bps) =>
-      KinesisSink.ShardThrottle.resident(baseDir, shard,
-        () => new KinesisSink.ShardThrottle(rps, bps))
+      KinesisSink.ShardThrottle.resident(baseDir, shard, rps, bps)
     }
 
   private def flush(shard: Int): Unit = if (pending(shard).nonEmpty) {

@@ -87,12 +87,14 @@ object Adhoc {
         .withColumn("source", lit("adhoc"))
         .withColumn("n_chars", length(col("text")).cast("long"))
       for (rep <- 1 to 2) {
+        Thread.sleep(2000) // listener bus is async — let prior events drain
         val s0 = shuffleWrite.get()
         val t0 = System.nanoTime()
         val (out, audit) = Graft.curateCorpusAudited(spark, docs,
           screenPhrases = Seq("alpha beta gamma", "the quick brown fox"))
         val packed = out.count()
         val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // drain trailing stage-completed events too
         audit.foreach(a => println(f"ADHOC curate_stage rep=$rep ${a.stage}%-14s kept=${a.kept} dropped=${a.dropped}"))
         println(f"ADHOC curate_50k rep=$rep packed_rows=$packed secs=$secs%.2f " +
           f"shuffle_written_mb=${(shuffleWrite.get() - s0) / 1e6}%.1f")

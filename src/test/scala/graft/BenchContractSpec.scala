@@ -25,11 +25,17 @@ class BenchContractSpec extends AnyFunSuite {
     val r = Bench.Reps(Seq(1.1, 6.2, 1.0))
     assert(r.median == 1.1)
     assert(math.abs(r.spread - 5.2) < 1e-9)
+    // even rep counts average the two middles — upper-middle alone would
+    // report the slower of 2 reps, reinstating the stall
+    assert(math.abs(Bench.Reps(Seq(1.0, 6.0)).median - 3.5) < 1e-9)
+    assert(math.abs(Bench.Reps(Seq(4.0, 1.0, 2.0, 3.0)).median - 2.5) < 1e-9)
   }
 
   test("loadavg is readable on this platform") {
     // the bench artifact embeds it so a reader can discount noisy runs —
-    // a -1 here would mean the field silently degrades to useless
+    // a -1 on a /proc-bearing box would mean the field silently degrades
+    assume(new java.io.File("/proc/loadavg").exists(),
+      "no /proc/loadavg on this platform — the -1 fallback is correct there")
     assert(Bench.loadAvg1m() >= 0.0)
   }
 

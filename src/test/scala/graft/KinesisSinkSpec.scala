@@ -220,6 +220,12 @@ class KinesisSinkSpec extends SparkSpec {
       val fake = new KinesisSink.ShardThrottle(nanoTime = () => 0L, sleep = _ => ())
       KinesisSink.ShardThrottle.register(scope, 0, fake)
       assert(KinesisSink.ShardThrottle.resident(scope, 0) eq fake)
+      // changed limits REPLACE the bucket — a restart with new options
+      // must not keep pacing at the stale rates
+      val reRated = KinesisSink.ShardThrottle.resident(scope, 0, recordsPerSec = 100)
+      assert(!(reRated eq fake) && reRated.recordsPerSec == 100)
+      // and same limits keep the (possibly indebted) bucket
+      assert(KinesisSink.ShardThrottle.resident(scope, 0, recordsPerSec = 100) eq reRated)
     } finally KinesisSink.ShardThrottle.evictScope(scope)
   }
 
@@ -236,8 +242,11 @@ class KinesisSinkSpec extends SparkSpec {
     // proves the V2 path paces at all AND that the bucket SURVIVED between
     // micro-batches — a per-epoch writer copy would have admitted batch 2
     // free on a fresh bucket.
+    // rates must equal what the writer resolves from its options
+    // (10 rec/s + default byte limit) — resident() would replace a
+    // mismatched-rate seed; tiny test records never dent the byte bucket
     KinesisSink.ShardThrottle.register(out, 0, new KinesisSink.ShardThrottle(
-      recordsPerSec = 10, bytesPerSec = Long.MaxValue / 4,
+      recordsPerSec = 10, bytesPerSec = KinesisSink.ShardBytesPerSec,
       nanoTime = () => nowNs,
       sleep = ms => { sleeps += ms; nowNs += ms * 1000000L }))
     try {
