@@ -119,6 +119,25 @@ object Dedup {
         .select(col("u") +: least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl") +: rest: _*)
     }
 
+    // pointer-jumping shortcut: lbl := min(lbl, lbl(lbl)). Every label IS
+    // a node id of the same component (labels start as self-ids and only
+    // ever adopt neighbor/label labels), so following the label's label
+    // compresses label chains geometrically — the classic doubling trick
+    // that turns O(diameter) propagation rounds into O(log diameter).
+    // Cost: one |V|-row self-join on the slim (u, lbl) table, stage
+    // overhead rather than data at any scale — so it runs every SECOND
+    // step: shallow graphs (the common near-dup case, 3–5 steps) pay for
+    // it once or twice, while a 300-node mutation CHAIN (real in
+    // adversarial corpora) still converges in 13 steps where plain
+    // propagation needs 299 and would exhaust maxIters (simulated; spec
+    // asserts the 300-chain).
+    def shortcut(lbls: DataFrame): DataFrame = {
+      val rest = lbls.columns.filter(c => c != "u" && c != "lbl").toSeq.map(col)
+      val ptr = lbls.select(col("u").as("ju"), col("lbl").as("jlbl"))
+      lbls.join(ptr, col("lbl") === col("ju"), "left")
+        .select(col("u") +: least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl") +: rest: _*)
+    }
+
     var labels = step(nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl")))
       .localCheckpoint(eager = true)
     var converged = false
@@ -126,9 +145,14 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val k = math.min(checkEvery, maxIters - iter)
       var stepped = labels.withColumn("prev", col("lbl"))
-      for (_ <- 1 to k) stepped = step(stepped)
+      for (i <- 1 to k) {
+        stepped = step(stepped)
+        if ((iter + i) % 2 == 0) stepped = shortcut(stepped)
+      }
       val next = stepped.localCheckpoint(eager = false)
-      // labels only decrease: no change across k steps ⇒ fixpoint
+      // labels only decrease: no change across k steps ⇒ fixpoint (a
+      // state stable under neighbor-min alone is already per-component
+      // constant at the min id; the shortcut can only reach it sooner)
       converged = next.filter(col("lbl") < col("prev")).count() == 0
       labels = next.select(col("u"), col("lbl"))
       iter += k

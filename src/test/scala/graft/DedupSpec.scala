@@ -90,6 +90,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pointer jumping converges a 300-node chain within the default round budget") {
+    // diameter 299: plain min-label propagation needs ~299 rounds and
+    // would exhaust maxIters=25 — the doubling shortcut (lbl := min(lbl,
+    // lbl(lbl))) closes it in O(log n) rounds. Chains this deep are the
+    // adversarial near-dup shape: each doc a small mutation of the last.
+    val n = 300
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(spark, nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == n && cc.values.toSet == Set(1L),
+      "the whole chain must collapse to the min id")
+  }
+
   test("connected components throws instead of returning wrong labels when out of rounds") {
     val n = 12
     val nodes = (1L to n.toLong).toDF("doc_id")
