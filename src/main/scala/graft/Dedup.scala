@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -196,9 +195,27 @@ object Dedup {
       |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
     val cc = connectedComponents(s, documents(s, d),
       jaccardEdges(s, d, 0.6))
-    cc.withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .orderBy(col("doc_id"))
+    withClusterSize(cc).orderBy(col("doc_id"))
+  }
+
+  /** Decorate a (…, cluster_id) frame with each cluster's member count.
+    *
+    * Deliberately NOT `count(*) OVER (PARTITION BY cluster_id)`: a window
+    * partition cannot be split by AQE, so one mega-cluster (boilerplate-
+    * heavy corpus, adversarial near-dup blob) would funnel its entire
+    * membership into a single WindowExec partition that buffers every row —
+    * the straggler class this module exists to avoid. A partial+final
+    * aggregate on the slim (cluster_id) key plus a join back computes the
+    * identical column with map-side combine, and AQE is free to broadcast
+    * the (typically tiny) size table or split a skewed probe side.
+    * ScaleLayoutSpec plants a mega-cluster and asserts no WindowExec over
+    * cluster_id survives in the executed plan.
+    */
+  def withClusterSize(cc: DataFrame): DataFrame = {
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val rest = cc.columns.filterNot(_ == "cluster_id").toSeq.map(col)
+    cc.join(sizes, Seq("cluster_id"))
+      .select(rest :+ col("cluster_id") :+ col("cluster_size"): _*)
   }
 
   def all: Seq[Q] = Seq(qDedupGroups)

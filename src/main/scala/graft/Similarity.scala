@@ -296,9 +296,9 @@ object Similarity {
       if (useLsh) lshCandidates(s, emb, minCos).select(col("a_id"), col("b_id"))
       else exactCosineEdges(s, emb, minCos)
     val nodes = emb.select(col("vec_id").as("doc_id"))
-    Dedup.connectedComponents(s, nodes, edges)
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    // cluster_size via groupBy+join (Dedup.withClusterSize), not a window:
+    // one mega-cluster would pin a whole WindowExec partition otherwise.
+    Dedup.withClusterSize(Dedup.connectedComponents(s, nodes, edges))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("vec_id"))
   }

@@ -141,6 +141,51 @@ class ScaleLayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("F11/F21 mega-cluster: cluster_size is an aggregate+join, no WindowExec over cluster_id") {
+    // the degenerate-corpus case for dedup clustering: ONE component holding
+    // (nearly) every doc — a boilerplate-heavy real corpus or an adversarial
+    // near-dup blob. A count(*) OVER (PARTITION BY cluster_id) would funnel
+    // the whole membership into a single WindowExec partition that buffers
+    // every row and that AQE cannot split. The shipped shape
+    // (Dedup.withClusterSize) computes the same column with a partial+final
+    // aggregate on the slim key plus a join back. Plant a 20k-node star
+    // (one component, diameter 2) plus a 300-node chain and assert both the
+    // values and that no Window node survives in the executed plan.
+    val n = 20000
+    val nodes = spark.range(0, n + 300).select($"id".as("doc_id"))
+    val star = spark.range(1, n).select(lit(0L).as("a_id"), $"id".as("b_id"))
+    val chain = spark.range(n, n + 299)
+      .select($"id".as("a_id"), ($"id" + 1).as("b_id"))
+    val cc = Dedup.withClusterSize(
+      Dedup.connectedComponents(spark, nodes, star.unionByName(chain)))
+    val rows = cc.collect() // executes → AQE finalizes the plan
+    assert(rows.length == n + 300)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))).toMap
+    assert(byId(0L) == ((0L, n.toLong)) && byId((n - 1).toLong) == ((0L, n.toLong)))
+    assert(byId(n.toLong) == ((n.toLong, 300L)) &&
+      byId((n + 299).toLong) == ((n.toLong, 300L)))
+    val plan = cc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"cluster_size must not be computed by a window at scale:\n$plan")
+  }
+
+  test("semanticClusters executes without any WindowExec (LSH and exact paths)") {
+    // same property on the F21 surface itself: both edge builds feed the
+    // shared component loop + withClusterSize, so neither plan may contain
+    // a window over cluster_id (or anything else).
+    val emb = spark.range(0, 60).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => ($"id" % 5 + j).cast("float")).as("embedding"))
+    for (useLsh <- Seq(false, true)) {
+      val out = Similarity.semanticClusters(spark, emb, minCos = 0.9, useLsh = useLsh)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"semanticClusters(useLsh=$useLsh) plan contains a window:\n$plan")
+    }
+  }
+
   test("partitioned parquet scans prune to the filtered partition") {
     val dir = tmpDir("part_events")
     Tables.events(spark, sf001)
