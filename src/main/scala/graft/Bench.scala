@@ -78,17 +78,89 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
-  /** One timed measurement: seconds per rep, in rep order. */
+  /** One timed measurement: seconds per rep, in rep order. A FAILED rep is
+    * stored as the NEGATED time-to-failure (round 6 ADVICE: a throwing
+    * query used to record its time-to-failure as a legitimate rep, so the
+    * median of 3 fast failures published as a fast timing — a silent-red
+    * perf gate). The sign is the sentinel: raw rep arrays keep the
+    * magnitude (how long it ran before dying) but no consumer can mistake
+    * it for a measurement.
+    */
   final case class Reps(secs: Seq[Double]) {
+    def errors: Int = secs.count(_ < 0)
     /** True median: mean of the two middle reps when the count is even —
       * upper-middle alone would report the SLOWER of 2 reps, i.e. keep
-      * exactly the one-rep stall this protocol exists to reject. */
-    def median: Double = {
-      val s = secs.sorted
-      val n = s.size
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      * exactly the one-rep stall this protocol exists to reject. ANY
+      * failed rep poisons the query's published number to the -1.0
+      * sentinel — a query that fails intermittently has no honest timing.
+      */
+    def median: Double =
+      if (errors > 0) FailedSentinel
+      else {
+        val s = secs.sorted
+        val n = s.size
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+    def spread: Double =
+      if (errors > 0) 0.0 else secs.max - secs.min
+  }
+
+  val FailedSentinel: Double = -1.0
+
+  /** Timed section: `reps` measured runs per query, in spec order. */
+  def measure(spark: SparkSession, specs: Seq[Q], sfDir: String, reps: Int): Seq[(String, Reps)] =
+    specs.map { q =>
+      q.name -> Reps((1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -sec
+      })
     }
-    def spread: Double = secs.max - secs.min
+
+  /** The three JSON artifacts (family line, headline line, full line).
+    * Pure so the failure-sentinel contract is spec-testable: failed
+    * queries publish -1.0 in the per-query maps, are EXCLUDED from every
+    * total (a failure must not make a total look faster), and are named
+    * in an `errors` array on all three lines (empty array = all green).
+    */
+  def render(results: Seq[(String, Reps)], reps: Int,
+      loadStart: Double, loadEnd: Double, sfDir: String): (String, String, String) = {
+    val load = s""""loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
+    val worstSpread = results.maxBy(_._2.spread)
+    val spreadInfo =
+      s""""reps":$reps,"max_spread":{"q":"${worstSpread._1}","sec":${fmt(worstSpread._2.spread)}}"""
+    val failedQs = results.filter(_._2.errors > 0).map(_._1)
+    val errorsInfo =
+      s""""errors":${failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val medians = results.map { case (k, r) => k -> r.median }
+    def total(ms: Seq[(String, Double)]): Double = ms.collect { case (_, v) if v >= 0 => v }.sum
+    val fam = familyOf
+    val byFamily = medians.groupBy { case (k, _) => fam.getOrElse(k, "other") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + fmt(total(rs)) }
+      .mkString("{", ",", "}")
+    // deliberately NOT shaped like the headline line ("aux", no "metric"
+    // key): a tail parser scanning for the first {"metric":...} line must
+    // only ever match the headline, which prints LAST
+    val famLine =
+      s"""{"aux":"families","total_all_sec":${fmt(total(medians))},"families":$byFamily,"n":${medians.size},$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
+    val wanted = headline.toSet
+    val head = medians.filter { case (k, _) => wanted(k) }
+    val qs = head.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val headLine =
+      s"""{"metric":"total","value":${fmt(total(head))},"unit":"sec","queries":$qs,$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
+    val allQs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val allSpreads = results.map { case (k, r) =>
+      "\"" + k + "\":[" + r.secs.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"full","value":${fmt(total(medians))},"unit":"sec","queries":$allQs,"rep_secs":$allSpreads,"families":$byFamily,"n":${medians.size},$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
+    (famLine, headLine, fullLine)
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,42 +179,10 @@ object Bench {
       try q.fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val loadStart = loadAvg1m()
-    val results: Seq[(String, Reps)] = specs.map { q =>
-      q.name -> Reps((1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      })
-    }
+    val results = measure(spark, specs, sfDir, reps)
     val loadEnd = loadAvg1m()
-    val load = s""""loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
-    val worstSpread = results.maxBy(_._2.spread)
-    val spreadInfo =
-      s""""reps":$reps,"max_spread":{"q":"${worstSpread._1}","sec":${fmt(worstSpread._2.spread)}}"""
-    val medians = results.map { case (k, r) => k -> r.median }
-    val fam = familyOf
-    val byFamily = medians.groupBy { case (k, _) => fam.getOrElse(k, "other") }
-      .toSeq.sortBy(_._1)
-      .map { case (f, rs) => "\"" + f + "\":" + fmt(rs.map(_._2).sum) }
-      .mkString("{", ",", "}")
-    // deliberately NOT shaped like the headline line ("aux", no "metric"
-    // key): a tail parser scanning for the first {"metric":...} line must
-    // only ever match the headline, which prints LAST
-    val famLine =
-      s"""{"aux":"families","total_all_sec":${fmt(medians.map(_._2).sum)},"families":$byFamily,"n":${medians.size},$load,$spreadInfo,"sf":"$sfDir"}"""
-    val wanted = headline.toSet
-    val head = medians.filter { case (k, _) => wanted(k) }
-    val qs = head.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val headLine =
-      s"""{"metric":"total","value":${fmt(head.map(_._2).sum)},"unit":"sec","queries":$qs,$load,$spreadInfo,"sf":"$sfDir"}"""
-    val allQs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val allSpreads = results.map { case (k, r) =>
-      "\"" + k + "\":[" + r.secs.map(fmt).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    writeFile("BENCH_FULL.json",
-      s"""{"metric":"full","value":${fmt(medians.map(_._2).sum)},"unit":"sec","queries":$allQs,"rep_secs":$allSpreads,"families":$byFamily,"n":${medians.size},$load,$spreadInfo,"sf":"$sfDir"}""")
+    val (famLine, headLine, fullLine) = render(results, reps, loadStart, loadEnd, sfDir)
+    writeFile("BENCH_FULL.json", fullLine)
     writeFile("BENCH_LATEST.json", headLine)
     println(famLine)
     println(headLine)

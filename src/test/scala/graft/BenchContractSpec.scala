@@ -1,11 +1,9 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Bench protocol invariants — cheap guards against the artifact
   * regressions that cost rounds 2 and 3 their parsed bench line.
   */
-class BenchContractSpec extends AnyFunSuite {
+class BenchContractSpec extends SparkSpec {
 
   test("every graded query belongs to a bench family") {
     val fam = Bench.familyOf
@@ -29,6 +27,39 @@ class BenchContractSpec extends AnyFunSuite {
     // report the slower of 2 reps, reinstating the stall
     assert(math.abs(Bench.Reps(Seq(1.0, 6.0)).median - 3.5) < 1e-9)
     assert(math.abs(Bench.Reps(Seq(4.0, 1.0, 2.0, 3.0)).median - 2.5) < 1e-9)
+  }
+
+  test("a throwing query publishes the failure sentinel, never a timing") {
+    // round-6 ADVICE #4: a query that threw used to record its
+    // time-to-failure as a rep, so 3 fast failures published as a fast
+    // median with no marker. The whole chain is asserted here: measure()
+    // negates failed reps, Reps poisons the median, render() names the
+    // query in `errors` on every line and excludes it from every total.
+    val good = Q.noOracle("bench_ok") { (s, _) => s.range(0, 10).toDF("id") }
+    val boom = Q.noOracle("bench_boom") { (_, _) =>
+      throw new RuntimeException("deliberate bench failure")
+    }
+    val results = Bench.measure(spark, Seq(good, boom), sf001, reps = 3)
+    val byName = results.toMap
+    assert(byName("bench_ok").secs.forall(_ > 0) && byName("bench_ok").errors == 0)
+    assert(byName("bench_boom").secs.forall(_ < 0), "failed reps must be negated")
+    assert(byName("bench_boom").errors == 3)
+    assert(byName("bench_boom").median == Bench.FailedSentinel)
+    val (famLine, headLine, fullLine) = Bench.render(results, 3, 0.5, 0.5, sf001)
+    for (line <- Seq(famLine, headLine, fullLine))
+      assert(line.contains("\"errors\":[\"bench_boom\"]"),
+        s"line must name the failed query:\n$line")
+    // the failed query appears in the full per-query map only as -1.0,
+    // and its time-to-failure is not summed into any total
+    assert(fullLine.contains("\"bench_boom\":-1.0"))
+    val okMedian = byName("bench_ok").median
+    val total = "\"value\":([0-9.]+)".r.findFirstMatchIn(fullLine).get.group(1).toDouble
+    assert(math.abs(total - okMedian) < 1e-3, // %.3f rendering granularity
+      s"total $total must be the good query's median $okMedian alone")
+    // a clean run renders an empty errors array (the field is always there)
+    val (_, cleanHead, _) =
+      Bench.render(Bench.measure(spark, Seq(good), sf001, reps = 2), 2, 0.5, 0.5, sf001)
+    assert(cleanHead.contains("\"errors\":[]"))
   }
 
   test("loadavg is readable on this platform") {
