@@ -167,6 +167,23 @@ object Graft {
   /** One curation stage's audit row: documents entering minus surviving. */
   final case class StageCount(stage: String, kept: Long, dropped: Long)
 
+  /** Semantic-dedup knobs for [[curateCorpus]]: an embeddings frame keyed
+    * by `doc_id` (columns `doc_id`, `embedding: array<float>`), the cosine
+    * threshold above which two documents count as semantic duplicates, and
+    * the edge build. Documents with no embedding row pass the stage
+    * untouched — they have nothing to compare. `useLsh = false` is the
+    * exact brute-force edge build (quadratic candidate space — fine up to
+    * ~10^5 docs); at corpus scale set `useLsh = true` for the banded
+    * sign-LSH equi-join and see [[Similarity.semanticClusters]] for the
+    * recall trade-off at moderate `minCos`.
+    */
+  final case class SemanticDedup(
+      embeddings: DataFrame,
+      minCos: Double = 0.9,
+      useLsh: Boolean = false,
+      nPlanes: Int = 16,
+      bandBits: Int = 4)
+
   /** The full corpus-curation pipeline, composed end-to-end — the workflow
     * a training-data user actually runs, proving the operators compose as
     * DataFrame stages. NOT fully lazy: stage 2's connected components is
@@ -177,11 +194,14 @@ object Graft {
     *  1. exact dedup  — min-doc_id representative per md5(text)
     *  2. near-dup dedup — connected components over the prefix-filtered
     *     Jaccard edge list; keep each cluster's min-id representative
-    *  3. quality gate — token-count bounds + stopword ratio ([[QualityGate]])
-    *  4. contamination screen — broadcast Aho–Corasick, drop any hit
-    *  5. eval decontamination (when `evalDocs` is given) — drop any doc
+    *  3. semantic dedup (when `semantic` is given) — connected components
+    *     over the embedding-cosine near-dup graph ([[SemanticDedup]]);
+    *     keep each cluster's min-id representative (F21)
+    *  4. quality gate — token-count bounds + stopword ratio ([[QualityGate]])
+    *  5. contamination screen — broadcast Aho–Corasick, drop any hit
+    *  6. eval decontamination (when `evalDocs` is given) — drop any doc
     *     sharing a 10-token window with the held-out eval corpus (F22)
-    *  6. sequence packing — survivors mapped to 1024-token training
+    *  7. sequence packing — survivors mapped to 1024-token training
     *     sequences in the concat-and-chunk layout
     *
     * Returns (doc_id, n_toks, seq_first, seq_last, n_seqs) for the
@@ -191,10 +211,11 @@ object Graft {
   def curateCorpus(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double = 0.6,
       quality: QualityGate = QualityGate(),
-      evalDocs: Option[DataFrame] = None): DataFrame =
+      evalDocs: Option[DataFrame] = None,
+      semantic: Option[SemanticDedup] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
-        evalDocs = evalDocs).last._2)
+        evalDocs = evalDocs, semantic = semantic).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -211,9 +232,10 @@ object Graft {
   def curateCorpusAudited(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double = 0.6,
       quality: QualityGate = QualityGate(),
-      evalDocs: Option[DataFrame] = None): (DataFrame, Seq[StageCount]) = {
+      evalDocs: Option[DataFrame] = None,
+      semantic: Option[SemanticDedup] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
-      evalDocs = evalDocs)
+      evalDocs = evalDocs, semantic = semantic)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -222,12 +244,14 @@ object Graft {
   }
 
   /** The named intermediate frames of the curation pipeline, in order:
-    * input → exact_dedup → neardup_dedup → quality_gate → contamination.
+    * input → exact_dedup → neardup_dedup → [semantic_dedup] → quality_gate
+    * → contamination → [eval_decontam].
     */
   private def curationStages(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double,
       quality: QualityGate,
-      evalDocs: Option[DataFrame] = None): Seq[(String, DataFrame)] = {
+      evalDocs: Option[DataFrame] = None,
+      semantic: Option[SemanticDedup] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
     // expensive computations) are checkpointed, so re-running the cheap
@@ -245,16 +269,32 @@ object Graft {
     val d2 = d1.join(
       cc.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
+    // optional F21 stage: semantic near-dups chain like text near-dups, so
+    // this is a second CC pass over cosine edges, restricted to the docs
+    // still alive (no edges wasted on rows earlier stages already dropped).
+    // Keep each cluster's min-id representative; docs with no embedding
+    // row are untouched (left_anti on the dropped set).
+    val dSem = semantic.fold(d2) { sd =>
+      val alive = sd.embeddings
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .join(d2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val dropped = Similarity.semanticClusters(spark, alive, sd.minCos,
+          sd.useLsh, sd.nPlanes, sd.bandBits)
+        .filter(col("vec_id") =!= col("cluster_id"))
+        .select(col("vec_id").as("doc_id"))
+      d2.join(dropped, Seq("doc_id"), "left_anti")
+    }
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
-    val d3 = d2.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
+    val d3 = dSem.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
       nStop.cast("double") / nTok < quality.maxStopwordRatio)
     val clean = TextOps.contaminationScanAC(d3, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
     val d4 = d3.join(clean, Seq("doc_id"), "left_semi")
-    val core = Seq("input" -> base, "exact_dedup" -> d1, "neardup_dedup" -> d2,
-      "quality_gate" -> d3, "contamination" -> d4)
+    val core = Seq("input" -> base, "exact_dedup" -> d1, "neardup_dedup" -> d2) ++
+      semantic.map(_ => "semantic_dedup" -> dSem).toSeq ++
+      Seq("quality_gate" -> d3, "contamination" -> d4)
     evalDocs match {
       case None => core
       case Some(ev) =>

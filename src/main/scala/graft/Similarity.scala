@@ -199,23 +199,35 @@ object Similarity {
   /** Banded sign-LSH candidate pairs over any (vec_id, embedding) frame,
     * verified with exact cosine ≥ minCos.
     *
-    * The 16-plane signature is ONE codegen'd `sign_lsh_bits` pass per row
+    * The signature is ONE codegen'd `sign_lsh_bits` pass per row
     * (round 3) — the previous posexplode → broadcast-join(planes) →
     * groupBy ×2 pipeline shuffled dim × nPlanes rows per vector twice just
     * to compute signs. Now the only shuffle in the pipeline is the
-    * (band, 4-bit key) equi-join itself — the property that matters at
+    * (band, bandBits-key) equi-join itself — the property that matters at
     * 100 TB, and the same shape as the MinHash banding.
+    *
+    * Recall knobs: a pair with cosine θ collides in one band with
+    * probability (1 − arccos(θ)/π)^bandBits, so the default 4 bands of
+    * 4 bits is tuned for NEAR-IDENTICAL duplicates (cos ≳ 0.9, per-band
+    * hit rate ≈ 0.87) and has materially partial recall at moderate
+    * thresholds (cos ≈ 0.35 → per-band ≈ 0.04, 4-band union ≈ 0.15).
+    * Raise `nPlanes` (more bands at fixed `bandBits`) to buy recall with
+    * more candidate-join fan-out; SimilaritySpec measures the gap at
+    * minCos = 0.35 rather than asserting it away. `nPlanes` ≤ 64 (one
+    * long), `bandBits` must divide `nPlanes`.
     */
-  def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
+  def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double,
+      nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
     VectorFunctions.register(s)
-    val nPlanes = 16
-    val bandBits = 4
+    require(nPlanes > 0 && nPlanes <= 64 && bandBits > 0 && bandBits <= 32 &&
+      nPlanes % bandBits == 0,
+      s"need 0 < bandBits <= 32, bandBits | nPlanes <= 64; got nPlanes=$nPlanes bandBits=$bandBits")
     val n = emb.select(col("vec_id"), col("embedding"),
       call_function("sign_lsh_bits", col("embedding"), lit(nPlanes)).as("bits"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val bands = n.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until nPlanes / bandBits).map(b =>
-        shiftright(col("bits"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1))): _*))
+        shiftright(col("bits"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "bkey")))
     val a = bands.select(col("vec_id").as("a_id"), col("band"), col("bkey"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
@@ -286,14 +298,26 @@ object Similarity {
     * `useLsh = false` is the exact brute-force edge build (the graded
     * oracle contract); `useLsh = true` swaps in [[lshCandidates]] — the
     * same banded sign-LSH equi-join that replaces the cartesian product at
-    * 100 TB — and leaves the component loop untouched. The composition is
-    * spec-proven equivalent on planted near-dup cliques (SimilaritySpec),
-    * which is what licenses the swap at scale.
+    * 100 TB — and leaves the component loop untouched.
+    *
+    * Equivalence scope (honest version): the planted-clique spec
+    * (SimilaritySpec) proves the LSH composition cluster-identical on
+    * NEAR-IDENTICAL duplicates (cos ≳ 0.9), where every band collides
+    * with probability ≈ 0.87 and 4 independent bands make a miss
+    * vanishingly rare. At MODERATE thresholds (the benched minCos = 0.35)
+    * the default 4-band/4-bit scheme recovers only a fraction of
+    * borderline edges — CC is union-tolerant (any one edge per pair of
+    * subclusters merges them), but clusters can still differ materially
+    * from exact. For moderate-threshold runs raise `nPlanes` (more bands)
+    * and/or lower `bandBits`; SimilaritySpec records the measured recall
+    * gap at minCos = 0.35 instead of asserting it away (sf0.001 corpus:
+    * 0.46 edge recall at 16 planes, 0.93 at 64 planes, 257 exact edges).
     */
   def semanticClusters(s: SparkSession, emb: DataFrame, minCos: Double,
-      useLsh: Boolean = false): DataFrame = {
+      useLsh: Boolean = false, nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
     val edges =
-      if (useLsh) lshCandidates(s, emb, minCos).select(col("a_id"), col("b_id"))
+      if (useLsh) lshCandidates(s, emb, minCos, nPlanes, bandBits)
+        .select(col("a_id"), col("b_id"))
       else exactCosineEdges(s, emb, minCos)
     val nodes = emb.select(col("vec_id").as("doc_id"))
     // cluster_size via groupBy+join (Dedup.withClusterSize), not a window:
