@@ -102,7 +102,17 @@ object Dedup {
     * component whose diameter exceeds the budget.
     */
   def connectedComponents(s: SparkSession, nodes: DataFrame, edges: DataFrame,
-      maxIters: Int = 25, checkEvery: Int = 2): DataFrame = {
+      maxIters: Int = 25, checkEvery: Int = 2): DataFrame =
+    connectedComponentsWithRounds(s, nodes, edges, maxIters, checkEvery)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * loop ran — the scale observability hook: at 100 TB the per-round
+    * shuffle is the edge list, so rounds × edge volume is the cost model,
+    * and a monitoring job wants the round count without re-deriving it
+    * from Spark's job history.
+    */
+  def connectedComponentsWithRounds(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2): (DataFrame, Int) = {
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(eager = true)
@@ -160,7 +170,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
           "a component's diameter exceeds the budget; raise maxIters")
-    labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id")), iter)
   }
 
   // F11: dedup groups — every doc labeled with its component's min doc_id,

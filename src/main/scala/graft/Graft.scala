@@ -157,6 +157,11 @@ object Graft {
 
   /** Quality-gate knobs for [[curateCorpus]]: token-count bounds and the
     * stopword lexicon/ratio a real curation run tunes per corpus.
+    *
+    * NOTE: the default `stopwords` lexicon grew from `Seq("the", "a")` to
+    * six words in round 5 — a behavior change for default-knob callers
+    * (more stopword-heavy docs drop at the gate). Documented in
+    * README "Behavior changes"; pass an explicit lexicon to pin output.
     */
   final case class QualityGate(
       minTokens: Int = 20,

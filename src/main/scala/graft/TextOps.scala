@@ -743,22 +743,35 @@ object TextOps {
     * the eval corpus (the published GPT-3/PaLM-style leakage screen:
     * substring OVERLAP against held-out sets, where F13's phrase list is
     * exact-string screening). Windows reuse the `window_md5s` codegen
-    * kernel, the eval side is distinct-hashed and BROADCAST (eval sets
-    * are small by construction — benchmarks, not corpora), so the
+    * kernel; when the distinct eval window set is small (eval sets
+    * usually are — benchmarks, not corpora) it is BROADCAST, so the
     * training side never shuffles on a window key: one map-side
     * broadcast semi-join + two per-doc aggregates. At 100 TB the train
     * scan streams once; nothing in the plan grows with corpus size but
     * the map work.
+    *
+    * Size guard (round-6 ADVICE #5): an unconditional broadcast of a
+    * LARGE "eval" set (a caller screening corpus-vs-corpus) would OOM the
+    * driver, not downgrade the plan. The distinct window set is therefore
+    * checkpointed and counted up front — ONE eager job at call time, on
+    * the side that is small by contract — and above
+    * `maxBroadcastWindows` (default 2M hashes ≈ 160 MB of driver heap)
+    * the semi-join falls back to a shuffle: identical output, spec-pinned
+    * in Round7OpsSpec.
     */
   def ngramDecontamOf(train: org.apache.spark.sql.DataFrame,
-      eval: org.apache.spark.sql.DataFrame, w: Int = 10): org.apache.spark.sql.DataFrame = {
+      eval: org.apache.spark.sql.DataFrame, w: Int = 10,
+      maxBroadcastWindows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
     val evalWins = eval
       .select(explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
       .distinct()
+      .localCheckpoint(eager = false) // sized once, reused by the join
+    val evalSide =
+      if (evalWins.count() <= maxBroadcastWindows) broadcast(evalWins) else evalWins
     val trainWins = train.select(col("doc_id"),
       explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
     val nw = trainWins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-    val hits = trainWins.join(broadcast(evalWins), Seq("wh"), "left_semi")
+    val hits = trainWins.join(evalSide, Seq("wh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     val nOv = coalesce(col("n_hit"), lit(0L))
     nw.join(hits, Seq("doc_id"), "left")

@@ -177,6 +177,14 @@ object KinesisSink {
     /** Drop a scope's buckets (stream teardown / spec isolation). */
     def evictScope(scope: String): Unit =
       registry.keySet.removeIf(_._1 == scope)
+
+    /** Scopes currently holding buckets in THIS JVM (teardown-spec
+      * visibility). */
+    def scopes: Set[String] = {
+      val out = Set.newBuilder[String]
+      registry.keySet.forEach(k => out += k._1)
+      out.result()
+    }
   }
 
   /** The stream endpoint. Production shape would be the AWS SDK; here the

@@ -72,6 +72,87 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("megacc")) {
+      // adversarial single-component stress: one 10k-doc CLIQUE (50M-edge
+      // breadth — the boilerplate-blob shape) plus one 300-doc CHAIN
+      // (depth — needs pointer-jumping, plain propagation would exhaust
+      // maxIters). Proves the CC loop AND the round-7 cluster_size
+      // aggregate+join reshape under the exact shapes they exist for.
+      import spark.implicits._
+      val n = 10000
+      val nodes = spark.range(0, n + 300).select(col("id").as("doc_id"))
+      val clique = spark.range(0, n).select(col("id").as("a_id"))
+        .crossJoin(spark.range(0, n).select(col("id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
+      val chain = spark.range(n, n + 299)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      val edges = clique.unionByName(chain).localCheckpoint(eager = true)
+      println(s"edges: ${edges.count()}")
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val (cc, rounds) = Dedup.connectedComponentsWithRounds(spark, nodes, edges)
+        val sizes = Dedup.withClusterSize(cc)
+          .groupBy(col("cluster_size")).count()
+          .orderBy(col("cluster_size"))
+          .as[(Long, Long)].collect().toSeq
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"ADHOC megacc rep=$rep rounds=$rounds secs=$secs%.2f sizes=$sizes")
+        assert(sizes == Seq((300L, 300L), (n.toLong, n.toLong)),
+          s"mega-component mis-clustered: $sizes")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("ann100k")) {
+      // ANN crossover pinning: 100k vectors (sf0.1 embeddings ×50, planted
+      // 50-cliques at cosine ≥ ~0.999). Brute force here is the 5G-pair
+      // cartesian (≈50 min extrapolating the measured curve) — the whole
+      // point of the LSH path — so the 100k run takes the LSH path only
+      // and is checked against CONSTRUCTION ground truth (stronger than
+      // agreement with exact: every cluster must be exactly one planted
+      // 50-clique). Exact runs at 20k to extend the measured exact curve.
+      // 16-bit bands: at 100k vectors the default 4-bit keys (16 buckets)
+      // would degenerate into all-pairs within buckets; 64 planes / 4
+      // bands of 16 bits keep per-band collision ~1.5 rows per bucket.
+      def planted(copies: Int): DataFrame =
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+          .crossJoin(spark.range(0, copies).select(col("id").as("copy")))
+          .select((col("vec_id") * copies + col("copy")).as("vec_id"),
+            when(col("copy") === 0, col("embedding"))
+              .otherwise(transform(col("embedding"),
+                (v, i) => when(i === ((col("copy") - 1) % 64).cast("int"),
+                  v * lit(1.03f)).otherwise(v)))
+              .as("embedding"))
+          .localCheckpoint(eager = true)
+      val e100k = planted(50)
+      println(s"vectors: ${e100k.count()}")
+      for (rep <- 1 to 2) {
+        time(s"ann100k_lsh_cluster rep=$rep") {
+          Similarity.semanticClusters(spark, e100k, 0.9,
+            useLsh = true, nPlanes = 64, bandBits = 16).count()
+        }
+      }
+      val cl = Similarity.semanticClusters(spark, e100k, 0.9,
+        useLsh = true, nPlanes = 64, bandBits = 16)
+      val mism = cl.filter(col("cluster_id") =!=
+        (col("vec_id") - col("vec_id") % 50)).count()
+      val ncl = cl.select("cluster_id").distinct().count()
+      println(s"ADHOC ann100k_truth mismatched=$mism clusters=$ncl (expect 0 / 2000)")
+      assert(mism == 0 && ncl == 2000)
+      val e20k = planted(10)
+      println(s"vectors: ${e20k.count()}")
+      time("ann20k_exact_cluster") {
+        Similarity.semanticClusters(spark, e20k, 0.9).count()
+      }
+      time("ann20k_lsh_cluster") {
+        Similarity.semanticClusters(spark, e20k, 0.9,
+          useLsh = true, nPlanes = 64, bandBits = 16).count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded

@@ -152,6 +152,36 @@ class KinesisSinkSpec extends SparkSpec {
     assert(all.map(_._2).toSet == (1 to 100).map(_.toString).toSet)
   }
 
+  test("V2 stream teardown evicts the resident throttle scope (janitor listener)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmpDir("ksinkv2_evict")
+    val in = MemoryStream[(String, Array[Byte])]
+    val q = in.toDF().toDF("partitionKey", "data")
+      .writeStream
+      .format(classOf[graft.pipeline.KinesisTableProvider].getName)
+      .option("checkpointLocation", tmpDir("ksinkv2_evict_ckpt"))
+      .option("baseDir", out)
+      .option("numShards", "2")
+      .option("throttleRecordsPerSec", "1000000") // pacing on, never sleeps
+      .start()
+    try {
+      in.addData((1 to 40).map(i => (i.toString, s"v$i".getBytes(UTF_8))): _*)
+      q.processAllAvailable()
+      assert(KinesisSink.ShardThrottle.scopes.contains(out),
+        "throttled writers must hold resident buckets while the stream runs")
+      q.stop()
+      q.awaitTermination()
+      // QueryTerminatedEvent is delivered on the async listener bus
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (KinesisSink.ShardThrottle.scopes.contains(out) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!KinesisSink.ShardThrottle.scopes.contains(out),
+        "stream teardown must evict its throttle scope from the registry")
+    } finally KinesisSink.ShardThrottle.evictScope(out)
+  }
+
   test("shard throttle paces to the record limit with one-request burst debt") {
     var nowNs = 0L
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()

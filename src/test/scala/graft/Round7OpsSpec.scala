@@ -63,6 +63,40 @@ class Round7OpsSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("F22 eval broadcast is size-guarded: the shuffle fallback is plan-different, output-identical") {
+    graft.functions.VectorFunctions.register(spark)
+    val train = (10 to 40).map(i =>
+      (i.toLong, (1 to 14).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    // eval shares doc 10's first 10 tokens → doc 10 contaminated, rest clean
+    val eval = Seq((1L, (1 to 10).map(j => s"t10_$j").mkString(" ")),
+      (2L, (1 to 12).map(j => s"e$j").mkString(" "))).toDF("doc_id", "text")
+    // auto-broadcast off both at plan and AQE time: on this tiny fixture
+    // AQE would otherwise re-broadcast the fallback join and hide the plan
+    // difference the guard exists to create; the explicit broadcast() hint
+    // on the guarded path is immune to the thresholds
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      prev.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val viaBroadcast = TextOps.ngramDecontamOf(train, eval)
+      val viaShuffle = TextOps.ngramDecontamOf(train, eval, maxBroadcastWindows = 0L)
+      val a = viaBroadcast.collect().toSeq
+      val b = viaShuffle.collect().toSeq
+      assert(a == b, s"fallback changed the result:\n$a\nvs\n$b")
+      assert(a.exists(r => r.getLong(0) == 10L && r.getBoolean(3)))
+      val pb = viaBroadcast.queryExecution.executedPlan.toString
+      val ps = viaShuffle.queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin") || pb.contains("BroadcastExchange"),
+        s"small eval set should broadcast:\n$pb")
+      assert(!ps.contains("BroadcastHashJoin") && !ps.contains("BroadcastExchange"),
+        s"guarded fallback must not broadcast:\n$ps")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("semantic dedup only clusters docs still alive after text dedup") {
     // doc 2 is an EXACT text dup of doc 1 and also doc 3's semantic twin.
     // Because 2 dies at exact_dedup, its embedding must not be allowed to
