@@ -102,20 +102,48 @@ object Dedup {
     * component whose diameter exceeds the budget.
     */
   def connectedComponents(s: SparkSession, nodes: DataFrame, edges: DataFrame,
-      maxIters: Int = 25, checkEvery: Int = 2): DataFrame =
-    connectedComponentsWithRounds(s, nodes, edges, maxIters, checkEvery)._1
+      maxIters: Int = 25, checkEvery: Int = 2,
+      contractAbove: Long = DefaultContractAbove): DataFrame =
+    connectedComponentsWithRounds(s, nodes, edges, maxIters, checkEvery,
+      contractAbove)._1
+
+  /** Edge lists at or above this size get label-contracted between
+    * convergence blocks; below it the rewrite's two joins + distinct cost
+    * more stage overhead than the propagation they would save. ~1M rows
+    * ≈ where the megacc stress showed per-round edge volume dominating.
+    */
+  val DefaultContractAbove: Long = 1000000L
 
   /** [[connectedComponents]] plus the number of propagation rounds the
     * loop ran — the scale observability hook: at 100 TB the per-round
     * shuffle is the edge list, so rounds × edge volume is the cost model,
     * and a monitoring job wants the round count without re-deriving it
     * from Spark's job history.
+    *
+    * Edge CONTRACTION (round 7, `contractAbove`): each non-converged
+    * block rewrites the big edge list as (lbl(u), lbl(v)), dropping
+    * self-loops and duplicates. A component that has already collapsed
+    * to one label contributes ZERO edges to every later round — without
+    * this, the megacc stress (one 10k-clique + one 300-chain) dragged
+    * the clique's 50M edges through all 17 rounds the chain needs.
+    * Correct for min-label propagation: labels always name a node of the
+    * same component (so contracted edges stay within components), the
+    * component min always labels itself, two nodes sharing a label keep
+    * sharing one at fixpoint (both chase the same pointer chain through
+    * the every-other-step shortcut), and any surviving (La ≠ Lb) edge
+    * strictly decreases a label on the next step — so the no-decrease
+    * convergence check still certifies the per-component-min fixpoint.
+    * DedupSpec forces contraction on planted graphs and asserts labels
+    * identical to the uncontracted run.
     */
   def connectedComponentsWithRounds(s: SparkSession, nodes: DataFrame,
-      edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2): (DataFrame, Int) = {
-    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
+      contractAbove: Long = DefaultContractAbove): (DataFrame, Int) = {
+    var sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(eager = true)
+    // cheap: counts the blocks the eager checkpoint just materialized
+    var symBig = sym.count() >= contractAbove
 
     // one min-label propagation step; passes through any extra columns
     // (the improvement tracker rides along the k-step chain)
@@ -147,8 +175,28 @@ object Dedup {
         .select(col("u") +: least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl") +: rest: _*)
     }
 
+    // label-contract the edge list: edges between same-label nodes are
+    // self-loops of the label graph and can never move a label again THIS
+    // side of a merge, which also flows through label-nodes — see the
+    // correctness note in the Scaladoc. Runs after the seed step (a
+    // 1-step-collapsed mega-component sheds its edges before the block
+    // loop ever runs) and after each non-converged block.
+    def contract(lbls: DataFrame): Unit = {
+      sym = sym
+        .join(lbls.select(col("u").as("cu"), col("lbl").as("clu")),
+          col("u") === col("cu"))
+        .join(lbls.select(col("u").as("cv"), col("lbl").as("clv")),
+          col("v") === col("cv"))
+        .select(col("clu").as("u"), col("clv").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      symBig = sym.count() >= contractAbove
+    }
+
     var labels = step(nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl")))
       .localCheckpoint(eager = true)
+    if (symBig) contract(labels)
     var converged = false
     var iter = 1
     while (!converged && iter < maxIters) {
@@ -165,6 +213,7 @@ object Dedup {
       converged = next.filter(col("lbl") < col("prev")).count() == 0
       labels = next.select(col("u"), col("lbl"))
       iter += k
+      if (!converged && symBig) contract(labels)
     }
     if (!converged)
       throw new IllegalStateException(

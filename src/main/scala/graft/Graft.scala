@@ -233,6 +233,14 @@ object Graft {
     * where a count() scans column-pruned), so the lazy form is the
     * shipped one. The audit's cost is one count job per gate, paid only
     * when asked for.
+    *
+    * `observe()`/CollectMetrics was evaluated (round 7) as a zero-extra-
+    * job alternative and rejected: the stages FORK their subplans (`base`
+    * feeds both the md5 rep-set and the semi-join probe; `d3` feeds both
+    * the AC scan and its own filter), and a CollectMetrics node copied
+    * into two branches of one query is an AnalysisException (duplicate
+    * observed-metrics name) — linearizing the stages to avoid the forks
+    * is exactly the per-stage materialization measured slower above.
     */
   def curateCorpusAudited(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double = 0.6,

@@ -104,6 +104,35 @@ class DedupSpec extends SparkSpec {
       "the whole chain must collapse to the min id")
   }
 
+  test("edge contraction: forced-contraction labels equal the uncontracted run's") {
+    // contractAbove = 0 forces the label-contraction rewrite every block;
+    // the mixed shape covers the cases contraction must not break: a
+    // deep chain (labels keep improving AFTER early contractions — the
+    // merge has to flow through contracted label-nodes), a clique that
+    // collapses to zero edges in block 1, an isolated pair, a singleton
+    val nodes = (1L to 70L).toDF("doc_id")
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val clique = (for (a <- 41L to 55L; b <- (a + 1) to 55L) yield (a, b))
+    val pair = Seq((60L, 61L))
+    val edges = (chain ++ clique ++ pair).toDF("a_id", "b_id")
+    val plain = Dedup.connectedComponents(spark, nodes, edges,
+        contractAbove = Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val contracted = Dedup.connectedComponents(spark, nodes, edges,
+        contractAbove = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(contracted == plain,
+      s"contraction changed labels: ${contracted.toSet -- plain.toSet}")
+    assert(plain(39L) == 1L && plain(55L) == 41L && plain(61L) == 60L &&
+      plain(70L) == 70L)
+    // rounds: contraction must not slow convergence
+    val (_, rPlain) = Dedup.connectedComponentsWithRounds(spark, nodes, edges,
+      contractAbove = Long.MaxValue)
+    val (_, rContr) = Dedup.connectedComponentsWithRounds(spark, nodes, edges,
+      contractAbove = 0L)
+    assert(rContr <= rPlain, s"contracted rounds $rContr > plain $rPlain")
+  }
+
   test("connected components throws instead of returning wrong labels when out of rounds") {
     val n = 12
     val nodes = (1L to n.toLong).toDF("doc_id")
