@@ -101,6 +101,22 @@ object KinesisSink {
     private var byteTokens: Double = bytesPerSec.toDouble
     private var last = nanoTime()
 
+    /** True once the bucket has sat untouched past its DEBT HORIZON: the
+      * worst overdraw one admitted request can leave (≤ 5 MiB against
+      * bytesPerSec, ≤ 500 records against recordsPerSec) plus the one
+      * second a full refill takes. Such a bucket is indistinguishable
+      * from a brand-new one — `refill` would cap it full before the next
+      * charge — so evicting it (ShardThrottle.resident's idle sweep)
+      * provably cannot change any pacing decision. Uses THIS bucket's
+      * injectable clock, so specs drive it deterministically.
+      */
+    def idleBeyondHorizon(): Boolean = synchronized {
+      val horizonSec = math.max(
+        MaxBytesPerRequest.toDouble / bytesPerSec,
+        MaxRecordsPerRequest.toDouble / recordsPerSec) + 1.2
+      (nanoTime() - last) / 1e9 > horizonSec
+    }
+
     private def refill(): Unit = {
       val now = nanoTime()
       val dt = (now - last) / 1e9
@@ -162,11 +178,24 @@ object KinesisSink {
       */
     def resident(scope: String, shard: Int,
         recordsPerSec: Int = ShardRecordsPerSec,
-        bytesPerSec: Long = ShardBytesPerSec): ShardThrottle =
+        bytesPerSec: Long = ShardBytesPerSec): ShardThrottle = {
+      sweepIdle()
       registry.compute((scope, shard), (_, cur) =>
         if (cur != null && cur.recordsPerSec == recordsPerSec &&
           cur.bytesPerSec == bytesPerSec) cur
         else new ShardThrottle(recordsPerSec, bytesPerSec))
+    }
+
+    /** Drop every bucket idle past its debt horizon. Semantically a
+      * no-op — such a bucket refills to full before it could charge
+      * again (see [[ShardThrottle.idleBeyondHorizon]]) — but it bounds
+      * registry growth on long-lived EXECUTORS cycling many ephemeral
+      * throttled streams, which the driver-side ThrottleJanitor cannot
+      * reach. Runs on every `resident` lookup: an executor that still
+      * writes throttled streams keeps its own registry trim.
+      */
+    def sweepIdle(): Unit =
+      registry.entrySet.removeIf(e => e.getValue.idleBeyondHorizon())
 
     /** Pre-seed a bucket (specs inject fake-clock throttles); replaces any
       * existing entry for the key. The seeded instance survives `resident`

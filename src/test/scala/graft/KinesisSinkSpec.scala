@@ -302,6 +302,30 @@ class KinesisSinkSpec extends SparkSpec {
     } finally KinesisSink.ShardThrottle.evictScope(out)
   }
 
+  test("idle sweep evicts only buckets past their debt horizon") {
+    // executor-side counterpart of the janitor: a bucket idle longer than
+    // max(5 MiB/bytesPerSec, 500/recordsPerSec) + refill is provably a
+    // fresh bucket, so resident() sweeps it; a recently-touched one stays
+    val scopeOld = "sweep_old_scope"
+    val scopeHot = "sweep_hot_scope"
+    try {
+      var oldNow = 0L
+      // defaults → horizon = max(5 MiB / 1 MiB/s, 500/1000) + 1.2 = 6.2 s
+      val oldBucket = new KinesisSink.ShardThrottle(
+        nanoTime = () => oldNow, sleep = _ => ())
+      KinesisSink.ShardThrottle.register(scopeOld, 0, oldBucket)
+      val hotBucket = new KinesisSink.ShardThrottle(sleep = _ => ())
+      KinesisSink.ShardThrottle.register(scopeHot, 0, hotBucket)
+      hotBucket.acquire(1, 1L) // touch now, real clock
+      oldNow = 10L * 1000 * 1000 * 1000 // 10 s of idle on its own clock
+      KinesisSink.ShardThrottle.resident("sweep_trigger", 0)
+      val scopes = KinesisSink.ShardThrottle.scopes
+      assert(!scopes.contains(scopeOld), "idle bucket must be swept")
+      assert(scopes.contains(scopeHot), "recently-touched bucket must stay")
+    } finally Seq(scopeOld, scopeHot, "sweep_trigger")
+      .foreach(KinesisSink.ShardThrottle.evictScope)
+  }
+
   test("record size counts the partition key's UTF-8 bytes, not chars") {
     val cjk = "键值分区键" // 5 chars, 15 UTF-8 bytes
     val r = KinesisSink.KinesisRecord(cjk, Array[Byte](1, 2, 3))
