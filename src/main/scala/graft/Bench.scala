@@ -122,9 +122,16 @@ object Bench {
 
   /** The three JSON artifacts (family line, headline line, full line).
     * Pure so the failure-sentinel contract is spec-testable: failed
-    * queries publish -1.0 in the per-query maps, are EXCLUDED from every
-    * total (a failure must not make a total look faster), and are named
-    * in an `errors` array on all three lines (empty array = all green).
+    * queries publish -1.0 in the per-query maps and are named in an
+    * `errors` array on all three lines (empty array = all green). When
+    * ANY query failed, the headline/full `value` fields publish the -1.0
+    * sentinel too (round-7 ADVICE): excluding a failure from the total
+    * made a broken run look FASTER than a healthy one to any gate that
+    * compares `value` without also reading `errors` — a total-only
+    * consumer must fail loudly instead of seeing a speedup. The family
+    * subtotals stay as sums over the surviving queries (clearly aux,
+    * never the gated number) so per-family drift remains readable even
+    * on a red run.
     */
   def render(results: Seq[(String, Reps)], reps: Int,
       loadStart: Double, loadEnd: Double, sfDir: String): (String, String, String) = {
@@ -137,6 +144,9 @@ object Bench {
       s""""errors":${failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val medians = results.map { case (k, r) => k -> r.median }
     def total(ms: Seq[(String, Double)]): Double = ms.collect { case (_, v) if v >= 0 => v }.sum
+    // the gated number: poisoned outright when anything failed
+    def gatedTotal(ms: Seq[(String, Double)]): Double =
+      if (failedQs.nonEmpty) FailedSentinel else total(ms)
     val fam = familyOf
     val byFamily = medians.groupBy { case (k, _) => fam.getOrElse(k, "other") }
       .toSeq.sortBy(_._1)
@@ -152,14 +162,14 @@ object Bench {
     val qs = head.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val headLine =
-      s"""{"metric":"total","value":${fmt(total(head))},"unit":"sec","queries":$qs,$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(gatedTotal(head))},"unit":"sec","queries":$qs,$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
     val allQs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val allSpreads = results.map { case (k, r) =>
       "\"" + k + "\":[" + r.secs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"full","value":${fmt(total(medians))},"unit":"sec","queries":$allQs,"rep_secs":$allSpreads,"families":$byFamily,"n":${medians.size},$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
+      s"""{"metric":"full","value":${fmt(gatedTotal(medians))},"unit":"sec","queries":$allQs,"rep_secs":$allSpreads,"families":$byFamily,"n":${medians.size},$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
     (famLine, headLine, fullLine)
   }
 

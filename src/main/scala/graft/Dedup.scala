@@ -103,9 +103,10 @@ object Dedup {
     */
   def connectedComponents(s: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 25, checkEvery: Int = 2,
-      contractAbove: Long = DefaultContractAbove): DataFrame =
+      contractAbove: Long = DefaultContractAbove,
+      checkpointDir: Option[String] = None): DataFrame =
     connectedComponentsWithRounds(s, nodes, edges, maxIters, checkEvery,
-      contractAbove)._1
+      contractAbove, checkpointDir)._1
 
   /** Edge lists at or above this size get label-contracted between
     * convergence blocks; below it the rewrite's two joins + distinct cost
@@ -135,13 +136,28 @@ object Dedup {
     * convergence check still certifies the per-component-min fixpoint.
     * DedupSpec forces contraction on planted graphs and asserts labels
     * identical to the uncontracted run.
+    *
+    * Fault tolerance (`checkpointDir`, round 8): the default lineage cut
+    * is `localCheckpoint` — blocks live on EXECUTORS with their lineage
+    * truncated, so on a real cluster losing ANY executor mid-loop loses
+    * blocks that can never be recomputed and kills the job irrecoverably.
+    * Fine on local[n] and for short loops; for a long-running 100 TB run,
+    * pass a reliable `checkpointDir` (HDFS/S3) and every cut becomes a
+    * reliable `checkpoint()` — each round's labels and the contracted
+    * edge list survive executor loss at the cost of one distributed-FS
+    * write per cut. Labels are bit-identical either way (DedupSpec).
     */
   def connectedComponentsWithRounds(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
-      contractAbove: Long = DefaultContractAbove): (DataFrame, Int) = {
-    var sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint(eager = true)
+      contractAbove: Long = DefaultContractAbove,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = eager)
+      else df.localCheckpoint(eager = eager)
+    var sym = cut(edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v"))),
+      eager = true)
     // cheap: counts the blocks the eager checkpoint just materialized
     var symBig = sym.count() >= contractAbove
 
@@ -182,20 +198,20 @@ object Dedup {
     // 1-step-collapsed mega-component sheds its edges before the block
     // loop ever runs) and after each non-converged block.
     def contract(lbls: DataFrame): Unit = {
-      sym = sym
+      sym = cut(sym
         .join(lbls.select(col("u").as("cu"), col("lbl").as("clu")),
           col("u") === col("cu"))
         .join(lbls.select(col("u").as("cv"), col("lbl").as("clv")),
           col("v") === col("cv"))
         .select(col("clu").as("u"), col("clv").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(eager = true)
+        .distinct(),
+        eager = true)
       symBig = sym.count() >= contractAbove
     }
 
-    var labels = step(nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl")))
-      .localCheckpoint(eager = true)
+    var labels = cut(step(nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl"))),
+      eager = true)
     if (symBig) contract(labels)
     var converged = false
     var iter = 1
@@ -206,7 +222,7 @@ object Dedup {
         stepped = step(stepped)
         if ((iter + i) % 2 == 0) stepped = shortcut(stepped)
       }
-      val next = stepped.localCheckpoint(eager = false)
+      val next = cut(stepped, eager = false)
       // labels only decrease: no change across k steps ⇒ fixpoint (a
       // state stable under neighbor-min alone is already per-component
       // constant at the min id; the shortcut can only reach it sooner)

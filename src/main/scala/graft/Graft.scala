@@ -186,8 +186,8 @@ object Graft {
       embeddings: DataFrame,
       minCos: Double = 0.9,
       useLsh: Boolean = false,
-      nPlanes: Int = 16,
-      bandBits: Int = 4)
+      nPlanes: Int = Similarity.DefaultPlanes,
+      bandBits: Int = Similarity.AutoBandBits)
 
   /** The full corpus-curation pipeline, composed end-to-end — the workflow
     * a training-data user actually runs, proving the operators compose as

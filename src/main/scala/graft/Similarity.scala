@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -19,6 +18,27 @@ import graft.functions.VectorFunctions
 object Similarity {
 
   private def dot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
+
+  /** Per-group top-k of (q_id, n_id, cos_sim) rows ranked (cos DESC,
+    * n_id ASC), emitted with a 1-based `rn` — the bounded-heap
+    * `collect_top_k` shape q_f4 proved out, shared by every ANN candidate
+    * ranker: a ranking window shuffles AND SORTS every candidate row per
+    * query partition (a hot LSH bucket inflates exactly that partition),
+    * while the heap keeps k rows per query through a map-side partial
+    * aggregate. The heap retains the k LARGEST under struct ordering, so
+    * (cos, -n_id) ≡ (cos DESC, n_id ASC) = the oracle's row_number order;
+    * sort_array(desc) puts the survivors in rank order.
+    */
+  private def topKByCosine(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .select(col("q_id"),
+        struct(col("cos_sim"), (-col("n_id")).as("negid"), col("n_id")).as("p"))
+      .groupBy(col("q_id"))
+      .agg(call_function("collect_top_k", col("p"), lit(k), lit(false)).as("top"))
+      .select(col("q_id"), posexplode(sort_array(col("top"), asc = false)).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.n_id").as("n_id"), col("p.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
 
   /** vec_id, emb, nrm — norms computed once, before any pairing. */
   private def normed(s: SparkSession, d: String): DataFrame =
@@ -165,24 +185,25 @@ object Similarity {
     val n = normed(s, d)
     val cent = n.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(trunc4(col("c_dot")).desc, col("c_id"))
+    // nearest-centroid assignment as an ARGMAX aggregate, not a ranking
+    // window: max_by over the (trunc4(dot), -c_id) struct picks the same
+    // (dot DESC, c_id ASC) winner the oracle's row_number does — the key
+    // struct is unique per (vector, centroid), so the pick is
+    // deterministic — and the map-side partial collapses the ×|centroids|
+    // fan-out before any shuffle, where the window shuffled and sorted it
     val assign = n.crossJoin(broadcast(cent))
       .withColumn("c_dot", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(trunc4(col("c_dot")), (-col("c_id")).as("ni"))).as("cell"))
     val qs = assign.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("cell"))
     val cands = assign.select(col("vec_id").as("n_id"), col("cell"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
-    qs.join(cands, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-      .join(n.select(col("vec_id").as("q_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm")), Seq("q_id"))
-      .join(n.select(col("vec_id").as("n_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("n_id"))
-      .select(col("q_id"), col("n_id"),
-        trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .filter(col("rn") <= 3)
-      .orderBy(col("q_id"), col("rn"))
+    topKByCosine(
+      qs.join(cands, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .join(n.select(col("vec_id").as("q_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm")), Seq("q_id"))
+        .join(n.select(col("vec_id").as("n_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim")),
+      k = 3)
   }
 
   // F5 (no oracle): banded random-hyperplane LSH near-dup candidates.
@@ -196,6 +217,39 @@ object Similarity {
     lshCandidates(s, embeddings(s, d), minCos = 0.35)
   }
 
+  /** Default hyperplane count for the banded sign-LSH paths: 64 (one
+    * long of sign bits) — the value the ann100k stress proved at corpus
+    * scale. More planes = more bands at a given width = recall.
+    */
+  val DefaultPlanes: Int = 64
+
+  /** Sentinel `bandBits` value: derive the band width from the corpus
+    * size at call time (see [[autoBandBits]]).
+    */
+  val AutoBandBits: Int = 0
+
+  /** Corpus-sized band width: the smallest divisor of `nPlanes` at or
+    * above max(4, ⌈log₂ n⌉ − 4), capped at min(nPlanes, 32).
+    *
+    * Rationale: a band of b bits hashes into 2^b buckets, so the expected
+    * bucket population is n / 2^b and the candidate join's output is
+    * ~n² / 2^b per band — b must GROW with log₂ n or the join degenerates
+    * toward all-pairs (the round-7 ann100k stress measured exactly that:
+    * 4-bit keys = 16 buckets per band collapse at 100k vectors; 16-bit
+    * bands keep ~1.5 rows per bucket). ⌈log₂ n⌉ − 4 targets ~16 expected
+    * rows per bucket from RANDOM collisions (true near-dups still pile up
+    * together — that's the output, not overhead); the floor of 4 keeps
+    * small corpora at the recall-friendly narrow bands, and divisibility
+    * keeps the shift/mask band extraction exact. At the 64-plane default:
+    * n ≤ ~250 → 4 bits (16 bands), n = 100k → 16 bits (4 bands, the
+    * proven ann100k config), n = 100M → 32 bits (2 bands).
+    */
+  def autoBandBits(n: Long, nPlanes: Int): Int = {
+    val ceilLog2 = if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val target = math.min(math.max(4, ceilLog2 - 4), math.min(nPlanes, 32))
+    (target to nPlanes).find(nPlanes % _ == 0).getOrElse(math.min(nPlanes, 32))
+  }
+
   /** Banded sign-LSH candidate pairs over any (vec_id, embedding) frame,
     * verified with exact cosine ≥ minCos.
     *
@@ -206,28 +260,31 @@ object Similarity {
     * (band, bandBits-key) equi-join itself — the property that matters at
     * 100 TB, and the same shape as the MinHash banding.
     *
-    * Recall knobs: a pair with cosine θ collides in one band with
-    * probability (1 − arccos(θ)/π)^bandBits, so the default 4 bands of
-    * 4 bits is tuned for NEAR-IDENTICAL duplicates (cos ≳ 0.9, per-band
-    * hit rate ≈ 0.87) and has materially partial recall at moderate
-    * thresholds (cos ≈ 0.35 → per-band ≈ 0.04, 4-band union ≈ 0.15).
-    * Raise `nPlanes` (more bands at fixed `bandBits`) to buy recall with
-    * more candidate-join fan-out; SimilaritySpec measures the gap at
-    * minCos = 0.35 rather than asserting it away. `nPlanes` ≤ 64 (one
-    * long), `bandBits` must divide `nPlanes`.
+    * Recall/scale knobs: a pair with cosine θ collides in one band with
+    * probability (1 − arccos(θ)/π)^bandBits — narrower bands and more of
+    * them buy recall, wider bands keep the candidate join sparse as the
+    * corpus grows. By DEFAULT `bandBits` is derived from the corpus size
+    * ([[autoBandBits]]; one cheap count of `emb` at call time), because a
+    * fixed small-corpus width silently degenerates toward all-pairs at
+    * 100k+ vectors (round-7 verdict #1). Pass an explicit `bandBits` to
+    * pin a width; SimilaritySpec measures the moderate-threshold recall
+    * gap at minCos = 0.35 rather than asserting it away. `nPlanes` ≤ 64
+    * (one long), `bandBits` must divide `nPlanes`.
     */
   def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double,
-      nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+      nPlanes: Int = DefaultPlanes, bandBits: Int = AutoBandBits): DataFrame = {
     VectorFunctions.register(s)
-    require(nPlanes > 0 && nPlanes <= 64 && bandBits > 0 && bandBits <= 32 &&
-      nPlanes % bandBits == 0,
-      s"need 0 < bandBits <= 32, bandBits | nPlanes <= 64; got nPlanes=$nPlanes bandBits=$bandBits")
+    val bb =
+      if (bandBits == AutoBandBits) autoBandBits(emb.count(), nPlanes) else bandBits
+    require(nPlanes > 0 && nPlanes <= 64 && bb > 0 && bb <= 32 &&
+      nPlanes % bb == 0,
+      s"need 0 < bandBits <= 32, bandBits | nPlanes <= 64; got nPlanes=$nPlanes bandBits=$bb")
     val n = emb.select(col("vec_id"), col("embedding"),
       call_function("sign_lsh_bits", col("embedding"), lit(nPlanes)).as("bits"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val bands = n.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(array((0 until nPlanes / bandBits).map(b =>
-        shiftright(col("bits"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      posexplode(array((0 until nPlanes / bb).map(b =>
+        shiftright(col("bits"), b * bb).bitwiseAND(lit((1L << bb) - 1))): _*))
         .as(Seq("band", "bkey")))
     val a = bands.select(col("vec_id").as("a_id"), col("band"), col("bkey"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
@@ -257,28 +314,32 @@ object Similarity {
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // rank every (vector, centroid) pair; keep nprobe cells per query vector
+    // keep the nprobe nearest cells per query vector — the same bounded-
+    // heap aggregate shape as the final ranking (the heap keeps the k
+    // LARGEST, so the key is the NEGATED (dist, cell) pair: max(-dist) =
+    // min dist, tie → max(-cell) = min cell, matching the old window's
+    // (dist ASC, cell ASC)); the query's embedding rides the groupBy as a
+    // first() aggregate, identical across its centroid rows
     val centroids = s.createDataFrame(model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray.map(_.toFloat))
     }.toSeq).toDF("c_cell", "c_emb")
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_dist").asc, col("c_cell"))
     val probes = assigned.filter(queryPred)
       .crossJoin(broadcast(centroids))
       .withColumn("c_dist", -dot(col("embedding"), col("c_emb")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("c_cell").as("cell"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
-    probes.join(assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell")), Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        trunc4(dot(col("q_emb"), col("n_emb")) /
-          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))).as("cos_sim"))
-      .distinct()
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .filter(col("rn") <= topK)
-      .orderBy(col("q_id"), col("rn"))
+      .select(col("vec_id"), col("embedding"),
+        struct((-col("c_dist")).as("nd"), (-col("c_cell")).as("nc"), col("c_cell")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("q_emb"),
+        call_function("collect_top_k", col("p"), lit(nprobe), lit(false)).as("top"))
+      .select(col("vec_id").as("q_id"), col("q_emb"), explode(col("top.c_cell")).as("cell"))
+    topKByCosine(
+      probes.join(assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell")), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          trunc4(dot(col("q_emb"), col("n_emb")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))).as("cos_sim"))
+        .distinct(),
+      k = topK)
   }
 
   /** Exact brute-force cosine near-dup edge list (a_id < b_id, cosine ≥
@@ -312,9 +373,15 @@ object Similarity {
     * and/or lower `bandBits`; SimilaritySpec records the measured recall
     * gap at minCos = 0.35 instead of asserting it away (sf0.001 corpus:
     * 0.46 edge recall at 16 planes, 0.93 at 64 planes, 257 exact edges).
+    *
+    * Defaults (round 8): 64 planes with corpus-sized band width
+    * ([[autoBandBits]]) — a caller at corpus scale who never reads the
+    * knobs gets the non-degenerate join, and a small corpus still gets
+    * the narrow recall-friendly bands.
     */
   def semanticClusters(s: SparkSession, emb: DataFrame, minCos: Double,
-      useLsh: Boolean = false, nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+      useLsh: Boolean = false, nPlanes: Int = DefaultPlanes,
+      bandBits: Int = AutoBandBits): DataFrame = {
     val edges =
       if (useLsh) lshCandidates(s, emb, minCos, nPlanes, bandBits)
         .select(col("a_id"), col("b_id"))

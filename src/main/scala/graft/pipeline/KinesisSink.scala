@@ -99,7 +99,19 @@ object KinesisSink {
       sleep: Long => Unit = Thread.sleep) extends Serializable {
     private var recTokens: Double = recordsPerSec.toDouble
     private var byteTokens: Double = bytesPerSec.toDouble
-    private var last = nanoTime()
+    @volatile private var last = nanoTime()
+    // lookup-time liveness stamp, written lock-free by `touch` — kept
+    // separate from `last` because `last` doubles as the refill clock:
+    // advancing IT outside refill would silently discard the tokens
+    // accrued since the previous acquire
+    @volatile private var lastSeen = last
+
+    /** Mark the bucket recently-looked-up WITHOUT taking its monitor: a
+      * bucket handed out by `resident` cannot go idle-past-horizon before
+      * the caller's acquire lands, closing the return-then-evicted race
+      * that granted one free burst.
+      */
+    def touch(): Unit = lastSeen = nanoTime()
 
     /** True once the bucket has sat untouched past its DEBT HORIZON: the
       * worst overdraw one admitted request can leave (≤ 5 MiB against
@@ -109,12 +121,21 @@ object KinesisSink {
       * charge — so evicting it (ShardThrottle.resident's idle sweep)
       * provably cannot change any pacing decision. Uses THIS bucket's
       * injectable clock, so specs drive it deterministically.
+      *
+      * Deliberately UNSYNCHRONIZED (volatile reads): `acquire` sleeps
+      * while holding the monitor — by design, that IS the pacing — so a
+      * synchronized read here would make every registry sweep block until
+      * every currently-sleeping bucket finished sleeping out its debt,
+      * serializing independent shard writers across streams. A stale
+      * `last`/`lastSeen` can only make the bucket look MORE recently
+      * used, which delays or skips an eviction — harmless, since the
+      * sweep is itself a semantic no-op.
       */
-    def idleBeyondHorizon(): Boolean = synchronized {
+    def idleBeyondHorizon(): Boolean = {
       val horizonSec = math.max(
         MaxBytesPerRequest.toDouble / bytesPerSec,
         MaxRecordsPerRequest.toDouble / recordsPerSec) + 1.2
-      (nanoTime() - last) / 1e9 > horizonSec
+      (nanoTime() - math.max(last, lastSeen)) / 1e9 > horizonSec
     }
 
     private def refill(): Unit = {
@@ -182,8 +203,15 @@ object KinesisSink {
       sweepIdle()
       registry.compute((scope, shard), (_, cur) =>
         if (cur != null && cur.recordsPerSec == recordsPerSec &&
-          cur.bytesPerSec == bytesPerSec) cur
-        else new ShardThrottle(recordsPerSec, bytesPerSec))
+          cur.bytesPerSec == bytesPerSec) {
+          // stamp INSIDE the remapping (atomic with the lookup): a bucket
+          // this method returns can never be idle-past-horizon before the
+          // caller's acquire charges it, so a concurrent sweep cannot
+          // evict it and strand the charge on an orphan while the next
+          // lookup mints a fresh full bucket (one free burst)
+          cur.touch()
+          cur
+        } else new ShardThrottle(recordsPerSec, bytesPerSec))
     }
 
     /** Drop every bucket idle past its debt horizon. Semantically a

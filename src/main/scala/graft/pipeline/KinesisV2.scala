@@ -141,7 +141,17 @@ private[pipeline] object ThrottleJanitor {
               case e: QueryTerminatedEvent =>
                 Seq(e.id.toString, e.runId.toString).foreach { k =>
                   val scope = watched.remove(k)
-                  if (scope != null) KinesisSink.ShardThrottle.evictScope(scope)
+                  // evict only when NO other live watched query shares the
+                  // scope: two concurrent streams writing the same baseDir
+                  // share its buckets, and the first termination evicting
+                  // them would hand the survivor a fresh full bucket — the
+                  // free-burst bug the resident registry exists to prevent.
+                  // The listener bus delivers events serially, so the
+                  // check-then-evict pair cannot interleave with another
+                  // termination; containsValue is O(watched), which is
+                  // tiny (one entry per live throttled query).
+                  if (scope != null && !watched.containsValue(scope))
+                    KinesisSink.ShardThrottle.evictScope(scope)
                 }
               case _ => ()
             }

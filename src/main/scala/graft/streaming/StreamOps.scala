@@ -16,6 +16,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** The RocksDB state-store provider class shipped in spark-sql. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch the session's streaming state store to RocksDB — the 100 TB
+    * answer for every stateful operator in this module (SURVEY §4): the
+    * default HDFS-backed provider keeps each partition's ENTIRE state map
+    * on the executor HEAP and snapshots it whole per batch, so state is
+    * bounded by executor memory and checkpoint cost by state size; the
+    * RocksDB provider spills to local SSD (state >> heap), checkpoints
+    * incrementally (changelog = per-batch delta, enabled here), and is
+    * what `transformWithState` ([[runningTotals]], [[nearDupSuppressTws]],
+    * [[sessionizeTws]]) requires anyway.
+    *
+    * Session-wide and read at query START: set it before `writeStream
+    * .start()`; queries already running keep their provider. Existing
+    * checkpoints are provider-specific — don't flip this under a query's
+    * established checkpointLocation.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    // incremental checkpointing: write the per-batch changelog instead of
+    // re-uploading full SST snapshots every commit
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
   // E1: tumbling window aggregation.
   def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
     events

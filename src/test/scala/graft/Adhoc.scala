@@ -153,6 +153,132 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("sinkstress")) {
+      // A7/B11 throughput at volume: ~1M records through (a) the batch
+      // deliver path unthrottled — raw records/s — and (b) the V2
+      // streaming connector with per-shard record throttling, where
+      // elapsed must be ≥ the pacing floor (records / shards / rate) —
+      // proof the executor-resident buckets pace REAL volume, not just
+      // the spec's fake-clock fixtures.
+      import graft.pipeline.KinesisSink
+      val n = 1000000L
+      val shards = 8
+      val recs = spark.range(0, n).select(
+        col("id").cast("string").as("partitionKey"),
+        encode(concat(lit("payload-"), col("id")), "UTF-8").as("data"))
+        .localCheckpoint(eager = true)
+      println(s"records: ${recs.count()}")
+      def countKrf(base: String): Long = {
+        val dirs = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("shard="))
+        dirs.map { d =>
+          d.listFiles().filter(_.getName.endsWith(".krf")).map { f =>
+            val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+              new java.io.FileInputStream(f)))
+            var c = 0L
+            try {
+              while (in.available() > 0) {
+                in.skipBytes(in.readInt()); in.skipBytes(in.readInt()); c += 1
+              }
+            } finally in.close()
+            c
+          }.sum
+        }.sum
+      }
+      for (rep <- 1 to 2) {
+        val outB = java.nio.file.Files.createTempDirectory("sinkstress_batch").toString
+        val t0 = System.nanoTime()
+        KinesisSink.deliver(recs, shards,
+          (_, tag) => new KinesisSink.DirectoryClient(outB, tag), fileTag = s"stress$rep")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val delivered = countKrf(outB)
+        println(f"ADHOC sink_batch_1m rep=$rep records=$delivered secs=$secs%.2f " +
+          f"rate_rec_s=${delivered / secs}%.0f")
+        assert(delivered == n)
+      }
+      // V2 streaming, throttled: 50k rec/s per shard × 8 shards; md5
+      // routing spreads 1M keys ~uniformly → ~125k/shard → ≥2.5 s floor
+      // MINUS the one-request burst each shard's fresh bucket grants.
+      val inDir = java.nio.file.Files.createTempDirectory("sinkstress_in").toString
+      recs.write.mode("overwrite").parquet(inDir)
+      for ((rate, label) <- Seq((0, "unthrottled"), (50000, "50k_rps"))) {
+        val outS = java.nio.file.Files.createTempDirectory(s"sinkstress_v2_$label").toString
+        val t0 = System.nanoTime()
+        val w = spark.readStream
+          .schema("partitionKey STRING, data BINARY")
+          .parquet(inDir)
+          .writeStream
+          .format(classOf[graft.pipeline.KinesisTableProvider].getName)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"sinkstress_ckpt_$label").toString)
+          .option("baseDir", outS)
+          .option("numShards", shards.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        val q = (if (rate > 0)
+          w.option("throttleRecordsPerSec", rate.toString)
+            // byte limit out of the way: this run isolates record pacing
+            .option("throttleBytesPerSec", (1L << 30).toString)
+        else w).start()
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val delivered = countKrf(outS)
+        // pacing floor per shard: records minus the full-bucket burst
+        // (capacity = 1 s of rate) minus one-request overdraw, at `rate`
+        // rec/s; 0.97 absorbs md5 routing's deviation from uniform
+        val floor =
+          if (rate > 0) (n.toDouble / shards * 0.97 - rate - 500) / rate else 0.0
+        println(f"ADHOC sink_v2_1m mode=$label records=$delivered secs=$secs%.2f " +
+          f"rate_rec_s=${delivered / secs}%.0f pacing_floor_s=$floor%.2f")
+        assert(delivered == n)
+        if (rate > 0) assert(secs >= floor,
+          f"throttled run finished in $secs%.2f s, below the $floor%.2f s pacing floor")
+        graft.pipeline.KinesisSink.ShardThrottle.evictScope(outS)
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("ann1m")) {
+      // one more decade on the ann100k curve: 1M vectors as 20k planted
+      // 50-cliques — the sf0.1 embeddings rotated 10 ways (rotations of a
+      // random vector are near-orthogonal, so the 10 pseudo-bases of one
+      // source vector do NOT merge) × 50 near-identical copies each.
+      // LSH-only by design (brute force is 5e11 pairs); the DEFAULT
+      // auto-banded knobs must hold — this is the corpus size the round-8
+      // defaults exist for. Checked against construction ground truth.
+      val dim = 64
+      val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      val rotated = base
+        .crossJoin(spark.range(0, 10).select(col("id").as("r")))
+        .withColumn("rot", (col("r") * 6 + 1).cast("int"))
+        .select((col("vec_id") * 10 + col("r")).as("pb_id"),
+          concat(slice(col("embedding"), col("rot") + 1, lit(dim)),
+            slice(col("embedding"), lit(1), col("rot"))).as("embedding"))
+      val e1m = rotated
+        .crossJoin(spark.range(0, 50).select(col("id").as("copy")))
+        .select((col("pb_id") * 50 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (v, i) => when(i === ((col("copy") - 1) % 64).cast("int"),
+                v * lit(1.03f)).otherwise(v)))
+            .as("embedding"))
+        .localCheckpoint(eager = true)
+      println(s"vectors: ${e1m.count()}")
+      for (rep <- 1 to 2) {
+        time(s"ann1m_lsh_cluster rep=$rep") {
+          Similarity.semanticClusters(spark, e1m, 0.9, useLsh = true).count()
+        }
+      }
+      val cl = Similarity.semanticClusters(spark, e1m, 0.9, useLsh = true)
+      val mism = cl.filter(col("cluster_id") =!=
+        (col("vec_id") - col("vec_id") % 50)).count()
+      val ncl = cl.select("cluster_id").distinct().count()
+      println(s"ADHOC ann1m_truth mismatched=$mism clusters=$ncl (expect 0 / 20000)")
+      assert(mism == 0 && ncl == 20000)
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded

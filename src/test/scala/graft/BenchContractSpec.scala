@@ -49,17 +49,24 @@ class BenchContractSpec extends SparkSpec {
     for (line <- Seq(famLine, headLine, fullLine))
       assert(line.contains("\"errors\":[\"bench_boom\"]"),
         s"line must name the failed query:\n$line")
-    // the failed query appears in the full per-query map only as -1.0,
-    // and its time-to-failure is not summed into any total
+    // the failed query appears in the full per-query map only as -1.0
     assert(fullLine.contains("\"bench_boom\":-1.0"))
-    val okMedian = byName("bench_ok").median
-    val total = "\"value\":([0-9.]+)".r.findFirstMatchIn(fullLine).get.group(1).toDouble
-    assert(math.abs(total - okMedian) < 1e-3, // %.3f rendering granularity
-      s"total $total must be the good query's median $okMedian alone")
-    // a clean run renders an empty errors array (the field is always there)
-    val (_, cleanHead, _) =
-      Bench.render(Bench.measure(spark, Seq(good), sf001, reps = 2), 2, 0.5, 0.5, sf001)
+    // round-7 ADVICE: the gated `value` fields publish the sentinel when
+    // ANYTHING failed — a sum-of-survivors would look FASTER than a
+    // healthy run to a total-only consumer, reading a failure as a perf
+    // improvement. Per-query medians and the errors array still carry the
+    // detail; the aux family subtotals stay as survivor sums.
+    for (line <- Seq(headLine, fullLine))
+      assert(line.contains("\"value\":-1.0"),
+        s"a red run must publish the sentinel as its gated value:\n$line")
+    // a clean run renders an empty errors array and a real total
+    val cleanResults = Bench.measure(spark, Seq(good), sf001, reps = 2)
+    val (_, cleanHead, cleanFull) = Bench.render(cleanResults, 2, 0.5, 0.5, sf001)
     assert(cleanHead.contains("\"errors\":[]"))
+    val okMedian = cleanResults.toMap.apply("bench_ok").median
+    val total = "\"value\":(-?[0-9.]+)".r.findFirstMatchIn(cleanFull).get.group(1).toDouble
+    assert(total >= 0 && math.abs(total - okMedian) < 1e-3, // %.3f granularity
+      s"clean-run total $total must be the good query's median $okMedian")
   }
 
   test("loadavg is readable on this platform") {

@@ -182,6 +182,53 @@ class KinesisSinkSpec extends SparkSpec {
     } finally KinesisSink.ShardThrottle.evictScope(out)
   }
 
+  test("janitor keeps a shared throttle scope alive until its LAST query terminates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // round-7 ADVICE: two concurrent throttled streams writing the SAME
+    // baseDir share its resident buckets; the first termination used to
+    // evict the whole scope, handing the survivor a fresh full bucket
+    // (the free-burst bug). The janitor now evicts only when no other
+    // watched query references the scope.
+    val out = tmpDir("ksinkv2_shared_scope")
+    def startOne(tag: Int): (MemoryStream[(String, Array[Byte])],
+        org.apache.spark.sql.streaming.StreamingQuery) = {
+      val in = MemoryStream[(String, Array[Byte])]
+      val q = in.toDF().toDF("partitionKey", "data")
+        .writeStream
+        .format(classOf[graft.pipeline.KinesisTableProvider].getName)
+        .option("checkpointLocation", tmpDir(s"ksinkv2_shared_ckpt$tag"))
+        .option("baseDir", out)
+        .option("numShards", "2")
+        .option("throttleRecordsPerSec", "1000000")
+        .start()
+      in.addData((1 to 10).map(i => (s"$tag-$i", s"v$i".getBytes(UTF_8))): _*)
+      q.processAllAvailable()
+      (in, q)
+    }
+    val (_, q1) = startOne(1)
+    val (_, q2) = startOne(2)
+    try {
+      assert(KinesisSink.ShardThrottle.scopes.contains(out))
+      q1.stop(); q1.awaitTermination()
+      // the termination event is async — give it time to land, then
+      // assert the scope SURVIVED q1's teardown because q2 still runs
+      Thread.sleep(1500)
+      assert(KinesisSink.ShardThrottle.scopes.contains(out),
+        "first termination must not evict a scope another live query shares")
+      q2.stop(); q2.awaitTermination()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (KinesisSink.ShardThrottle.scopes.contains(out) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!KinesisSink.ShardThrottle.scopes.contains(out),
+        "last termination must evict the shared scope")
+    } finally {
+      Seq(q1, q2).foreach(q => if (q.isActive) q.stop())
+      KinesisSink.ShardThrottle.evictScope(out)
+    }
+  }
+
   test("shard throttle paces to the record limit with one-request burst debt") {
     var nowNs = 0L
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()

@@ -186,6 +186,27 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("ANN candidate ranking executes without any WindowExec (IVF oracle + kMeans paths)") {
+    // round-7 verdict #3: the IVF/LSH neighbor rankers used
+    // Window.partitionBy(q_id) where q_f4 had already proven the
+    // bounded-heap collect_top_k shape — a hot band bucket inflates
+    // exactly the partition a ranking window buffers and sorts. Both ANN
+    // paths (and the centroid argmax/probe selection, also windows until
+    // round 8) are aggregates now; no Window node may survive execution.
+    val ivf = Similarity.qIvfAnn.fn(spark, sf001)
+    ivf.collect() // executes → AQE finalizes the plan
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("Window"),
+      s"q_f5_ivf_ann plan contains a window:\n$ivfPlan")
+    val km = Similarity.ivfKMeans(spark,
+      Tables.embeddings(spark, sf001).select($"vec_id", $"embedding"),
+      k = 8, nprobe = 2, topK = 3, queryPred = $"vec_id" < 10)
+    km.collect()
+    val kmPlan = km.queryExecution.executedPlan.toString
+    assert(!kmPlan.contains("Window"),
+      s"ivfKMeans plan contains a window:\n$kmPlan")
+  }
+
   test("partitioned parquet scans prune to the filtered partition") {
     val dir = tmpDir("part_events")
     Tables.events(spark, sf001)

@@ -120,13 +120,15 @@ class SimilaritySpec extends SparkSpec {
     // away, and checks the documented remedy: more planes (more bands at
     // fixed width) strictly widen the candidate set, because plane p's
     // hyperplane is a pure function of p — a 64-plane signature's first 4
-    // bands ARE the 16-plane signature's bands.
+    // bands ARE the 16-plane signature's bands. bandBits is PINNED to 4:
+    // the band-prefix monotonicity law only holds at a fixed width, and
+    // the round-8 auto default would pick the corpus-sized width instead.
     val emb = Tables.embeddings(spark, sf001).select($"vec_id", $"embedding")
     val exact = Similarity.exactCosineEdges(spark, emb, 0.35)
       .as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "threshold 0.35 must produce edges on sf0.001")
     def lsh(nPlanes: Int): Set[(Long, Long)] =
-      Similarity.lshCandidates(spark, emb, 0.35, nPlanes = nPlanes)
+      Similarity.lshCandidates(spark, emb, 0.35, nPlanes = nPlanes, bandBits = 4)
         .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     val r16 = lsh(16)
     val r64 = lsh(64)

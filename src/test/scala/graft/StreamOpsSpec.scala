@@ -127,8 +127,7 @@ class StreamOpsSpec extends SparkSpec {
     val in = MemoryStream[Ev]
     val name = nextName()
     val ckpt = tmpDir("tws_ckpt")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    StreamOps.useRocksDbStateStore(spark)
     val q = StreamOps.runningTotals(in.toDS()).toDF()
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Update())
@@ -165,8 +164,7 @@ class StreamOpsSpec extends SparkSpec {
   test("E8: transformWithState event-time timers close sessions at the gap") {
     val in = MemoryStream[Ev]
     val name = nextName()
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    StreamOps.useRocksDbStateStore(spark)
     val q = StreamOps.sessionizeTws(in.toDS(), gapMillis = 600000L).toDF()
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", tmpDir("tws_sess_ckpt"))
@@ -370,8 +368,7 @@ class StreamOpsSpec extends SparkSpec {
     val nearDup = base.replace("kappa", "KAPPA")
     val unrelated = "completely different words with zero overlap whatsoever " +
       "nothing shared here at all honestly not a single trigram in common"
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    StreamOps.useRocksDbStateStore(spark)
     val in = MemoryStream[Doc]
     val name = nextName()
     val q = StreamOps.nearDupSuppressTws(in.toDF(), minEst = 0.5).toDF()
