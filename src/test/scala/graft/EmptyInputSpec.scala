@@ -25,7 +25,8 @@ class EmptyInputSpec extends SparkSpec {
       "q_repetition", "q_pii_redact", "q_f7_tfidf", "q_f13_contamination",
       "q_f2_minhash_sig", "q_f2_minhash_pairs", "q_f2_simhash",
       "q_ngram_jaccard", "q_f3_cosine_topk", "q_f3_cosine_neardup",
-      "q_f4_knn", "q_f5_lsh_neardup", "q_f11_dedup_groups", "q_f12_quantize",
+      "q_f4_knn", "q_f5_ivf_ann", "q_f5_lsh_neardup", "q_f11_dedup_groups",
+      "q_f12_quantize",
       "q_f10_multimodal", "q22_explode", "q_f13b_contamination_ac", "q_f21_semantic_dedup",
       "q_f16_dup_substrings", "q_f17_chunking", "q_f18_stratified_sample",
       "q_f19_lm_quality", "q_f20_pack_sequences", "q_f21b_semantic_dedup_lsh",
