@@ -215,7 +215,7 @@ object StreamOps {
               .filter(_.tsMs > horizon)
             val out = List.newBuilder[Doc]
             var maxTs = Long.MinValue
-            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+            rows.toArray.sortInPlaceBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
               maxTs = math.max(maxTs, d.ts.getTime)
               if (!seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)) {
                 seen = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: seen
@@ -260,7 +260,7 @@ object StreamOps {
         timerValues: TimerValues): Iterator[Doc] = {
       var seen = sigs.get().toList
       val out = List.newBuilder[Doc]
-      rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+      rows.toArray.sortInPlaceBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
         if (!seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)) {
           val entry = BucketEntry(d.doc_id, d.ts.getTime, d.sig)
           seen = entry :: seen
@@ -389,7 +389,7 @@ object StreamOps {
               .filter(_.tsMs > horizon)
             val out = List.newBuilder[BandVerdict]
             var maxTs = Long.MinValue
-            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+            rows.toArray.sortInPlaceBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
               maxTs = math.max(maxTs, d.ts.getTime)
               val matched = seen.exists(e => estJaccard(e.sig, d.sig) >= minEst)
               seen = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: seen
