@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Golden-output harness (SURVEY §5.6): the flagship queries' sf0.001
+  * results live as committed CSVs under `src/test/resources/golden/`, so
+  * an oracle-parity break is visible in `sbt test` without DuckDB.
+  *
+  * Canonical form mirrors the driver's t2 gate: columns sorted by name,
+  * rows rendered cell-by-cell and sorted lexicographically. Values that
+  * the session renders timezone-dependently (Timestamp, Date) go through
+  * field/instant forms so the files are stable across JVM default zones.
+  */
+object Golden {
+
+  val Flagships: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_join_topk", "q15_window_rank",
+    "q24_sessionize", "q_f3_cosine_topk", "q_f1_dedup_first")
+
+  val ResourceDir = "src/test/resources/golden"
+
+  private def cell(v: Any): String = v match {
+    case null => "NULL"
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case s: Seq[_] => s.map(cell).mkString("[", ",", "]")
+    case a: Array[_] => a.map(cell).mkString("[", ",", "]")
+    case x =>
+      x.toString.replace("\\", "\\\\").replace("\n", "\\n").replace("|", "\\|")
+  }
+
+  /** Header line (sorted column names) followed by sorted row lines. */
+  def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    val rows = df.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i => cell(r.get(i))).mkString("|"))
+      .sorted.toSeq
+    cols.mkString("|") +: rows
+  }
+
+  def path(name: String) = s"$ResourceDir/$name.csv"
+}
+
+/** Regenerates the committed goldens from the current query code:
+  * `sbt "Test/runMain graft.GoldenMain"`, then review the diff — a golden
+  * should only change when the query's CONTRACT deliberately changes.
+  */
+object GoldenMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("golden")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(Golden.ResourceDir))
+    Golden.Flagships.foreach { name =>
+      val lines = Golden.canon(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(Golden.path(name)),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      println(s"[golden] wrote ${Golden.path(name)} (${lines.size - 1} rows)")
+    }
+    spark.stop()
+  }
+}
