@@ -238,6 +238,63 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("streamdedup")) {
+      // E8 throughput at volume: 100k docs (each sf0.1 text × 20 EXACT
+      // copies — identical text → identical sig → same band-0 bucket →
+      // est 1.0, so suppression is certain and ground truth exact:
+      // admitted ≤ distinct sources, every planted copy suppressed)
+      // through the streaming near-dup suppressor in 10 MemoryStream
+      // micro-batches of 10k. Both state backends, same batching: the
+      // fMGWS event-time form on the default HDFS-backed store, then
+      // transformWithState on RocksDB — the two 100 TB deployment shapes.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamOps
+      import graft.streaming.StreamOps.Doc
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val texts = Tables.documents(spark, d)
+        .filter(col("text").isNotNull).select(col("text"))
+        .collect().map(_.getString(0))
+      val copies = 20
+      val perBatch = 2 // copies of each source per micro-batch
+      val nBatches = copies / perBatch
+      val n = texts.length.toLong * copies
+      println(s"streamdedup corpus: ${texts.length} sources x $copies copies = $n docs")
+      def run(label: String, mk: DataFrame => org.apache.spark.sql.Dataset[Doc]): Long = {
+        val in = MemoryStream[Doc]
+        val q = mk(in.toDF()).toDF().writeStream.format("memory")
+          .queryName(s"sd_$label").outputMode(OutputMode.Append())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"sd_ckpt_$label").toString)
+          .start()
+        val t0 = System.nanoTime()
+        for (b <- 0 until nBatches) {
+          val batch = for {
+            (t, src) <- texts.iterator.zipWithIndex
+            c <- 0 until perBatch
+          } yield Doc(src.toLong * copies + b * perBatch + c,
+            new java.sql.Timestamp(1700000000000L + b * 1000L), t)
+          in.addData(batch.toSeq)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val admitted = spark.table(s"sd_$label").count()
+        println(f"ADHOC streamdedup_$label docs=$n secs=$secs%.2f " +
+          f"rate_docs_s=${n / secs}%.0f admitted=$admitted")
+        assert(admitted <= texts.length,
+          s"$label admitted $admitted > ${texts.length} sources — a planted copy escaped")
+        admitted
+      }
+      val aF = run("fmgws_hdfs", df => StreamOps.nearDupSuppress(df, minEst = 0.8))
+      StreamOps.useRocksDbStateStore(spark)
+      val aT = run("tws_rocksdb", df => StreamOps.nearDupSuppressTws(df, minEst = 0.8))
+      assert(aF == aT, s"backends disagree: fMGWS admitted $aF, TWS admitted $aT")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ann1m")) {
       // one more decade on the ann100k curve: 1M vectors as 20k planted
       // 50-cliques — the sf0.1 embeddings rotated 10 ways (rotations of a
