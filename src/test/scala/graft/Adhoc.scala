@@ -238,6 +238,36 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("packstress")) {
+      // F20 at 400× the graded corpus: 2M synthetic docs (token count =
+      // doc_id % 100 + 1, so totals are closed-form) through the full
+      // graded packSequencesOf shape — per-bucket cumsum windows + the
+      // bucket-offset cascade + the final presentation sort. The global
+      // invariant is exact: with 20k groups of 0..99 the stream holds
+      // 20k × (1+2+...+100) tokens, and the last doc's seq_last must be
+      // floor((total-1)/1024).
+      val n = 2000000L
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+        rtrim(repeat(lit("w "), (col("id") % 100 + 1).cast("int"))).as("text"))
+        .localCheckpoint(eager = true)
+      val totalToks = (n / 100) * (100L * 101L / 2L)
+      for (rep <- 1 to 2) {
+        time(s"packstress_2m rep=$rep") {
+          TextOps.packSequencesOf(docs).count()
+        }
+      }
+      val out = TextOps.packSequencesOf(docs)
+        .agg(sum(col("n_toks")).as("toks"), max(col("seq_last")).as("last"),
+          sum(col("n_seqs")).as("spans"))
+        .collect()(0)
+      println(s"ADHOC packstress toks=${out.getLong(0)} expected=$totalToks " +
+        s"last_seq=${out.getLong(1)} expected=${(totalToks - 1) / 1024}")
+      assert(out.getLong(0) == totalToks)
+      assert(out.getLong(1) == (totalToks - 1) / 1024)
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("streamdedup")) {
       // E8 throughput at volume: 100k docs (each sf0.1 text × 20 EXACT
       // copies — identical text → identical sig → same band-0 bucket →
