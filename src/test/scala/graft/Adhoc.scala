@@ -238,6 +238,50 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("acstress")) {
+      // F13 at eval-screen scale: the graded query uses a handful of
+      // phrases; a real contamination screen is 10^5 eval n-grams. Build
+      // the Aho-Corasick automaton from 100k REAL corpus 3-grams (drawn
+      // from the documents themselves, so the scan takes live automaton
+      // transitions rather than idling in the root state), measure build
+      // wall + java-serialized (broadcast payload) size, then scan the
+      // 50k-doc scaled corpus for the contaminated count.
+      import spark.implicits._
+      val base0 = Tables.documents(spark, d).filter(col("text").isNotNull)
+      def gramsOf(sizes: Seq[Int]): Array[String] = base0.select(explode(array(
+        sizes.map(k => expr(
+          s"transform(sequence(0, greatest(size(split(text,' '))-$k, 0)), " +
+            s"i -> concat_ws(' ', slice(split(text,' '), i+1, $k)))")): _*)).as("gs"))
+        .select(explode(col("gs")).as("g"))
+        .filter(length(col("g")) > 0).distinct().limit(100000)
+        .collect().map(_.getString(0))
+      val chars = scaled.agg(sum(length(col("text")))).collect()(0).getLong(0)
+      for ((label, sizes) <- Seq("3grams" -> Seq(3), "345grams" -> Seq(3, 4, 5))) {
+        val grams = gramsOf(sizes)
+        val t0 = System.nanoTime()
+        val ac = graft.functions.AhoCorasick(grams.toSeq)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(ac); oos.close()
+        println(f"ADHOC acstress_$label phrases=${grams.length} " +
+          f"build_s=$buildS%.2f ser_mb=${bos.size() / 1e6}%.1f")
+        val bc = spark.sparkContext.broadcast(ac)
+        for (rep <- 1 to 2) {
+          time(s"acstress_scan_50k set=$label rep=$rep chars=$chars") {
+            scaled.select(col("doc_id"), col("text")).as[(Long, String)]
+              .mapPartitions { it =>
+                val a = bc.value
+                it.filter { case (_, t) => t != null && a.presence(t).exists(identity) }
+              }.count()
+          }
+        }
+        bc.destroy()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("packstress")) {
       // F20 at 400× the graded corpus: 2M synthetic docs (token count =
       // doc_id % 100 + 1, so totals are closed-form) through the full
