@@ -238,6 +238,37 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("substrstress")) {
+      // F16 at volume + mega-skew: the 50k-doc scaled corpus (real text,
+      // windows duplicated ~10x by the copies) plus 200k planted docs
+      // sharing ONE 10-token window — 10x the ScaleLayoutSpec hot case.
+      // The singleton-identity shape must stay wall-sane with the hot
+      // window routed only through partial-aggregating hash aggs.
+      val dir = java.nio.file.Files.createTempDirectory("substrstress").toString
+      val shared = (1 to 10).map(i => s"hot$i").mkString(" ")
+      val hot = spark.range(0, 200000)
+        .select((col("id") + 10000000L).as("doc_id"), lit(shared).as("text"))
+      scaled.unionByName(hot)
+        .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val nWindows = TextOps.qDupSubstrings.fn(spark, dir)
+        .agg(sum(col("n_windows"))).collect()(0).getLong(0)
+      println(s"substrstress corpus: 250k docs, $nWindows windows")
+      for (rep <- 1 to 2) {
+        time(s"substrstress_250k rep=$rep") {
+          TextOps.qDupSubstrings.fn(spark, dir).count()
+        }
+      }
+      val hotRow = TextOps.qDupSubstrings.fn(spark, dir)
+        .filter(col("doc_id") === 10000000L).collect()(0)
+      println(s"ADHOC substrstress hot_doc=$hotRow")
+      assert(hotRow.getLong(1) == 1L && hotRow.getLong(2) == 1L,
+        s"hot doc should report its 1 window duplicated, got $hotRow")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("acstress")) {
       // F13 at eval-screen scale: the graded query uses a handful of
       // phrases; a real contamination screen is 10^5 eval n-grams. Build
