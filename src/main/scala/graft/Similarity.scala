@@ -264,12 +264,17 @@ object Similarity {
     * probability (1 − arccos(θ)/π)^bandBits — narrower bands and more of
     * them buy recall, wider bands keep the candidate join sparse as the
     * corpus grows. By DEFAULT `bandBits` is derived from the corpus size
-    * ([[autoBandBits]]; one cheap count of `emb` at call time), because a
-    * fixed small-corpus width silently degenerates toward all-pairs at
-    * 100k+ vectors (round-7 verdict #1). Pass an explicit `bandBits` to
-    * pin a width; SimilaritySpec measures the moderate-threshold recall
-    * gap at minCos = 0.35 rather than asserting it away. `nPlanes` ≤ 64
-    * (one long), `bandBits` must divide `nPlanes`.
+    * ([[autoBandBits]] via `emb.count()` at call time), because a fixed
+    * small-corpus width silently degenerates toward all-pairs at 100k+
+    * vectors (round-7 verdict #1). Cost of that count: metadata-cheap on
+    * a parquet-backed `emb` (row-group counts, no data read), but a FULL
+    * extra execution of the upstream plan when `emb` is derived — at
+    * corpus scale either pass an explicit `bandBits` (only ⌈log₂ n⌉
+    * matters, an estimate is fine), or cache/checkpoint the frame before
+    * calling. Pass an explicit `bandBits` to pin a width; SimilaritySpec
+    * measures the moderate-threshold recall gap at minCos = 0.35 rather
+    * than asserting it away. `nPlanes` ≤ 64 (one long), `bandBits` must
+    * divide `nPlanes`.
     */
   def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double,
       nPlanes: Int = DefaultPlanes, bandBits: Int = AutoBandBits): DataFrame = {
