@@ -362,7 +362,10 @@ object Adhoc {
         .filter(col("text").isNotNull).select(col("text"))
         .collect().map(_.getString(0))
       val copies = 20
-      val perBatch = 2 // copies of each source per micro-batch
+      // copies of each source per micro-batch (arg 2): 2 → 10 batches of
+      // 10k (per-batch overhead visible), 10 → 2 batches of 50k (overhead
+      // amortized — the rate the claim "fixed cost dominates" predicts)
+      val perBatch = args.lift(1).map(_.toInt).getOrElse(2)
       val nBatches = copies / perBatch
       val n = texts.length.toLong * copies
       println(s"streamdedup corpus: ${texts.length} sources x $copies copies = $n docs")
