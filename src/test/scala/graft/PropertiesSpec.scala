@@ -134,6 +134,43 @@ class SparkLawsSpec extends SparkSpec {
     }
   }
 
+  test("law: rank equals row_number under distinct order keys (10 seeded tables)") {
+    // C15: with a total order inside each partition (distinct keys), rank
+    // can never skip — any gap means ties were fabricated or rows lost
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, rank, row_number}
+    val keysGen = Gen.listOfN(40, Gen.chooseNum(0L, 1000000L)).map(_.distinct)
+    (1L to 10L).foreach { seed =>
+      val keys = sample(keysGen, seed)
+      val rows = keys.zipWithIndex.map { case (k, i) => (i % 3, k) }
+      val w = Window.partitionBy(col("p")).orderBy(col("k"))
+      val bad = rows.toDF("p", "k")
+        .select(rank().over(w).as("rk"), row_number().over(w).as("rn"))
+        .filter(col("rk") =!= col("rn")).count()
+      assert(bad == 0L, s"seed $seed: rank skipped on distinct keys")
+    }
+  }
+
+  test("law: tumbling windows partition events exactly (sum of counts = total)") {
+    // E1: windowing must neither lose nor double-count — every event falls
+    // in exactly one tumbling window
+    import org.apache.spark.sql.functions.col
+    val evGen = Gen.listOfN(200, for {
+      t <- Gen.chooseNum(0L, 3600L * 1000)
+      k <- Gen.oneOf("click", "view", "buy")
+      v <- Gen.chooseNum(-100, 100)
+    } yield (new java.sql.Timestamp(1700000000000L + t), k, v))
+    (1L to 5L).foreach { seed =>
+      val evs = sample(evGen, seed)
+      val df = evs.toDF("ts", "event_type", "value")
+      val agg = graft.streaming.StreamOps.tumblingCounts(df, "10 minutes")
+      assert(agg.agg(org.apache.spark.sql.functions.sum(col("n")))
+        .as[Long].head() == evs.size.toLong, s"seed $seed: events lost/duplicated")
+      assert(agg.agg(org.apache.spark.sql.functions.sum(col("total")))
+        .as[Long].head() == evs.map(_._3.toLong).sum, s"seed $seed: values drifted")
+    }
+  }
+
   test("SQL surface: registered tables + fvec_dot are reachable from spark.sql") {
     Graft.registerTables(spark, sf001)
     val n = spark.sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
