@@ -238,6 +238,55 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("pipestress")) {
+      // E10 exactly-once at volume WITH an interrupt: 200k events in 100
+      // bucket objects through the full decode → validate → key → route →
+      // deliver pipeline; the first query is stopped mid-flight (~batch
+      // 6-8 of 40), then a resume runs to completion. The offset WAL must
+      // replay the interrupted batch and the batchId-keyed sink files
+      // must make that replay overwrite, not append — exactly 200k
+      // distinct events delivered, zero duplicates.
+      import graft.pipeline.Pipeline
+      val bucket = java.nio.file.Files.createTempDirectory("ps_bucket").toString
+      val stream = java.nio.file.Files.createTempDirectory("ps_stream").toString
+      val quar = java.nio.file.Files.createTempDirectory("ps_quar").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ps_ckpt").toString
+      val nFiles = 100; val perFile = 2000
+      val nEv = nFiles.toLong * perFile
+      for (f <- 0 until nFiles) {
+        val w = new java.io.PrintWriter(
+          new java.io.File(bucket, f"obj-$f%04d.jsonl"), "UTF-8")
+        try (0 until perFile).foreach { i =>
+          val id = f.toLong * perFile + i
+          w.println(s"""{"event_id":$id,"ts":"2024-01-01T00:00:00Z",""" +
+            s""""user_id":${id % 997},"event_type":"view","value":1.5,"props":"{}"}""")
+        } finally w.close()
+      }
+      val t0 = System.nanoTime()
+      val q1 = Pipeline.run(spark, bucket, stream, quar, ckpt, numShards = 8,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        maxFilesPerTrigger = 5)
+      Thread.sleep(2500)
+      q1.stop() // interrupt mid-flight; the in-progress batch replays on resume
+      val stoppedAt = (System.nanoTime() - t0) / 1e9
+      val q2 = Pipeline.run(spark, bucket, stream, quar, ckpt, numShards = 8,
+        maxFilesPerTrigger = 5)
+      q2.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recs = new KinesisSinkSpec().readShardDir(stream).values.flatten.toSeq
+      val ids = recs.map { case (_, data) =>
+        """"event_id":(\d+)""".r.findFirstMatchIn(
+          new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
+      }
+      println(f"ADHOC pipestress events=$nEv delivered=${recs.size} " +
+        f"distinct=${ids.toSet.size} interrupted_at=$stoppedAt%.2f secs=$secs%.2f " +
+        f"rate_ev_s=${nEv / secs}%.0f")
+      assert(ids.toSet.size == nEv, s"lost events: ${ids.toSet.size} of $nEv")
+      assert(recs.size == nEv, s"duplicate deliveries: ${recs.size} != $nEv")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("substrstress")) {
       // F16 at volume + mega-skew: the 50k-doc scaled corpus (real text,
       // windows duplicated ~10x by the copies) plus 200k planted docs
