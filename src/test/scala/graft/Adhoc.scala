@@ -283,6 +283,31 @@ object Adhoc {
         f"rate_ev_s=${nEv / secs}%.0f")
       assert(ids.toSet.size == nEv, s"lost events: ${ids.toSet.size} of $nEv")
       assert(recs.size == nEv, s"duplicate deliveries: ${recs.size} != $nEv")
+      // same corpus and interrupt through the DataSourceV2 connector path
+      // (epoch-tagged writer files instead of foreachBatch fileTags)
+      val streamV2 = java.nio.file.Files.createTempDirectory("ps_stream_v2").toString
+      val ckptV2 = java.nio.file.Files.createTempDirectory("ps_ckpt_v2").toString
+      val t1 = System.nanoTime()
+      val v1 = Pipeline.runV2(spark, bucket, streamV2, ckptV2, numShards = 8,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        maxFilesPerTrigger = 5)
+      Thread.sleep(2500)
+      v1.stop()
+      val v2StoppedAt = (System.nanoTime() - t1) / 1e9
+      val v2 = Pipeline.runV2(spark, bucket, streamV2, ckptV2, numShards = 8,
+        maxFilesPerTrigger = 5)
+      v2.awaitTermination()
+      val v2Secs = (System.nanoTime() - t1) / 1e9
+      val recsV2 = new KinesisSinkSpec().readShardDir(streamV2).values.flatten.toSeq
+      val idsV2 = recsV2.map { case (_, data) =>
+        """"event_id":(\d+)""".r.findFirstMatchIn(
+          new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
+      }
+      println(f"ADHOC pipestress_v2 events=$nEv delivered=${recsV2.size} " +
+        f"distinct=${idsV2.toSet.size} interrupted_at=$v2StoppedAt%.2f secs=$v2Secs%.2f " +
+        f"rate_ev_s=${nEv / v2Secs}%.0f")
+      assert(idsV2.toSet.size == nEv, s"V2 lost events: ${idsV2.toSet.size} of $nEv")
+      assert(recsV2.size == nEv, s"V2 duplicate deliveries: ${recsV2.size} != $nEv")
       spark.stop()
       return
     }
