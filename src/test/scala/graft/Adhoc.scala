@@ -477,6 +477,51 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("ivfstress")) {
+      // The OTHER 100 TB ANN path at the ann100k corpus: IVF with real
+      // k-means cells (vs the banded sign-LSH the ann100k/ann1m rows
+      // measure). Same construction ground truth — 2000 planted
+      // 50-cliques — so recall is exact: each clique-base query's true
+      // top-49 is its 49 siblings. k ≈ √n cells, nprobe 8.
+      val e100k = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        .crossJoin(spark.range(0, 50).select(col("id").as("copy")))
+        .select((col("vec_id") * 50 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (v, i) => when(i === ((col("copy") - 1) % 64).cast("int"),
+                v * lit(1.03f)).otherwise(v)))
+            .as("embedding"))
+        .localCheckpoint(eager = true)
+      println(s"vectors: ${e100k.count()}")
+      // recall < 1 is EXPECTED here and worth measuring honestly: k-means
+      // cell boundaries can split near-identical siblings into cells the
+      // query does not probe (unlike LSH bands, which hash near-identical
+      // vectors identically with high probability) — nprobe is the recall
+      // knob, and the sweep shows what it buys
+      def runCfg(k: Int, nprobe: Int): Double = {
+        val t0 = System.nanoTime()
+        val res = Similarity.ivfKMeans(spark, e100k, k = k, nprobe = nprobe,
+          topK = 49, queryPred = col("vec_id") % 50 === 0)
+          .localCheckpoint(eager = true)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val hits = res.filter(
+          (col("n_id") - col("n_id") % 50) === (col("q_id") - col("q_id") % 50)).count()
+        val recall = hits.toDouble / (2000.0 * 49.0)
+        println(f"ADHOC ivfstress_100k queries=2000 k=$k nprobe=$nprobe " +
+          f"secs=$secs%.2f rows=${res.count()} recall=$recall%.4f")
+        recall
+      }
+      val r8 = runCfg(316, 8)
+      val r32 = runCfg(316, 32)
+      val r100 = runCfg(100, 8)
+      assert(r32 > r8, "nprobe must buy recall at fixed cells")
+      assert(r8 >= 0.80 && r32 >= 0.90,
+        f"IVF recall collapsed: nprobe8=$r8%.4f nprobe32=$r32%.4f")
+      println(f"ADHOC ivfstress_sweep nprobe8=$r8%.4f nprobe32=$r32%.4f k100_nprobe8=$r100%.4f")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ann1m")) {
       // one more decade on the ann100k curve: 1M vectors as 20k planted
       // 50-cliques — the sf0.1 embeddings rotated 10 ways (rotations of a
