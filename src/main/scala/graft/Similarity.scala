@@ -308,6 +308,14 @@ object Similarity {
     * the `nprobe - 1` next-nearest cells — candidate generation stays an
     * equi-join on cell id, the property that scales. Returns per-query
     * top-`topK` neighbors by exact cosine among probed candidates.
+    *
+    * Recall is structural, not certain: cell BOUNDARIES can split even
+    * near-identical vectors into cells a query never probes, and `nprobe`
+    * is the knob — measured at 100k vectors (BASELINE.md round-8 IVF
+    * table): recall@49 0.87 at k=√n/nprobe=8 → 0.9965 at nprobe=32 for
+    * +26% wall. Prefer [[lshCandidates]] for corpus-member near-dup work;
+    * IVF wins when queries are not corpus members or the cell fit is
+    * reused across many query batches.
     */
   def ivfKMeans(s: SparkSession, emb: DataFrame, k: Int, nprobe: Int,
       topK: Int, queryPred: Column): DataFrame = {
