@@ -107,18 +107,55 @@ object Bench {
 
   val FailedSentinel: Double = -1.0
 
+  /** One query's timed reps. */
+  def measureOne(spark: SparkSession, q: Q, sfDir: String, reps: Int): Reps =
+    Reps((1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { q.fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else -sec
+    })
+
   /** Timed section: `reps` measured runs per query, in spec order. */
   def measure(spark: SparkSession, specs: Seq[Q], sfDir: String, reps: Int): Seq[(String, Reps)] =
-    specs.map { q =>
-      q.name -> Reps((1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { q.fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) sec else -sec
-      })
+    specs.map(q => q.name -> measureOne(spark, q, sfDir, reps))
+
+  /** Spread-triggered retry predicate (round 9): a rep spread above
+    * `frac` of the median means the reps straddled an ambient-load window
+    * — the median-of-3 absorbs ONE stalled rep but not a sustained-busy
+    * stretch (BENCH_r08 shipped a phantom +13% regression exactly this
+    * way; the judge's quiet-box re-run refuted it). Such a query earns
+    * one re-measure before publishing.
+    */
+  def needsRetry(r: Reps, frac: Double = RetrySpreadFrac): Boolean =
+    r.errors == 0 && r.median > 0 && r.spread > frac * r.median
+
+  val RetrySpreadFrac: Double = 0.5
+
+  /** Measure every query, then re-measure ONCE any query whose first pass
+    * trips [[needsRetry]], keeping the steadier (smaller-spread) of the
+    * two measurements — a retry that is itself noisy must not replace a
+    * cleaner first pass. Generic over the per-query measurement so the
+    * retry path is assertable in BenchContractSpec with synthetic reps.
+    * Returns the results plus the names retried (published on the JSON
+    * lines so the artifact records that it defended itself).
+    */
+  def measureWithRetry(specs: Seq[Q], measureQ: Q => Reps,
+      frac: Double = RetrySpreadFrac): (Seq[(String, Reps)], Seq[String]) = {
+    val retried = Seq.newBuilder[String]
+    val out = specs.map { q =>
+      val r = measureQ(q)
+      if (!needsRetry(r, frac)) q.name -> r
+      else {
+        retried += q.name
+        val r2 = measureQ(q)
+        q.name -> (if (r2.errors == 0 && r2.spread < r.spread) r2 else r)
+      }
     }
+    (out, retried.result())
+  }
 
   /** The three JSON artifacts (family line, headline line, full line).
     * Pure so the failure-sentinel contract is spec-testable: failed
@@ -134,11 +171,14 @@ object Bench {
     * on a red run.
     */
   def render(results: Seq[(String, Reps)], reps: Int,
-      loadStart: Double, loadEnd: Double, sfDir: String): (String, String, String) = {
+      loadStart: Double, loadEnd: Double, sfDir: String,
+      retried: Seq[String] = Nil): (String, String, String) = {
     val load = s""""loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
     val worstSpread = results.maxBy(_._2.spread)
+    val retriedInfo =
+      s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val spreadInfo =
-      s""""reps":$reps,"max_spread":{"q":"${worstSpread._1}","sec":${fmt(worstSpread._2.spread)}}"""
+      s""""reps":$reps,"max_spread":{"q":"${worstSpread._1}","sec":${fmt(worstSpread._2.spread)}},$retriedInfo"""
     val failedQs = results.filter(_._2.errors > 0).map(_._1)
     val errorsInfo =
       s""""errors":${failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
@@ -189,9 +229,11 @@ object Bench {
       try q.fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val loadStart = loadAvg1m()
-    val results = measure(spark, specs, sfDir, reps)
+    val (results, retried) =
+      measureWithRetry(specs, q => measureOne(spark, q, sfDir, reps))
     val loadEnd = loadAvg1m()
-    val (famLine, headLine, fullLine) = render(results, reps, loadStart, loadEnd, sfDir)
+    val (famLine, headLine, fullLine) =
+      render(results, reps, loadStart, loadEnd, sfDir, retried)
     writeFile("BENCH_FULL.json", fullLine)
     writeFile("BENCH_LATEST.json", headLine)
     println(famLine)

@@ -84,8 +84,8 @@ object Graft {
     * signature pass; the only shuffle is the band-key equi-join).
     */
   def lshNearDupPairs(spark: SparkSession, emb: DataFrame,
-      minCos: Double = 0.35): DataFrame =
-    Similarity.lshCandidates(spark, emb, minCos)
+      minCos: Double = 0.35, nHint: Long = 0L): DataFrame =
+    Similarity.lshCandidates(spark, emb, minCos, nHint = nHint)
 
   /** Gopher/C4-style per-doc repetition quality signals. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
@@ -106,11 +106,26 @@ object Graft {
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.qCosineTopk.fn(spark, dir)
 
-  /** IVF ANN with MLlib-KMeans centroids and nprobe cells per query. */
+  /** IVF ANN with MLlib-KMeans centroids and nprobe cells per query.
+    * One-shot (fits per call); for repeated query batches over one corpus
+    * use [[annFit]]/[[annProbe]] so the k-means fit is paid once.
+    */
   def annSearch(spark: SparkSession, emb: DataFrame, k: Int = 16,
       nprobe: Int = 2, topK: Int = 10,
       queryPred: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true)): DataFrame =
     Similarity.ivfKMeans(spark, emb, k, nprobe, topK, queryPred)
+
+  /** Fit the IVF cell structure once (eager k-means); probe it with
+    * [[annProbe]] as many times as needed. */
+  def annFit(spark: SparkSession, emb: DataFrame, k: Int = 16): Similarity.IvfFitted =
+    Similarity.ivfFit(spark, emb, k)
+
+  /** Probe a fitted IVF index — no k-means work, just the broadcast cell
+    * ranking plus the cell equi-join. */
+  def annProbe(fitted: Similarity.IvfFitted,
+      queryPred: org.apache.spark.sql.Column, nprobe: Int = 2,
+      topK: Int = 10): DataFrame =
+    Similarity.ivfProbe(fitted, queryPred, nprobe, topK)
 
   /** Duplicated-substring signal: per-doc count/fraction of 10-token
     * windows occurring more than once in the corpus.
@@ -180,14 +195,19 @@ object Graft {
     * exact brute-force edge build (quadratic candidate space — fine up to
     * ~10^5 docs); at corpus scale set `useLsh = true` for the banded
     * sign-LSH equi-join and see [[Similarity.semanticClusters]] for the
-    * recall trade-off at moderate `minCos`.
+    * recall trade-off at moderate `minCos`. `nHint` > 0 is a known or
+    * estimated embedding count forwarded to the auto-band width — only
+    * ⌈log₂ n⌉ matters, and without it the pipeline counts the BASE
+    * `embeddings` frame once instead of the stage's derived alive set
+    * (which would re-execute the dedup stages upstream of it).
     */
   final case class SemanticDedup(
       embeddings: DataFrame,
       minCos: Double = 0.9,
       useLsh: Boolean = false,
       nPlanes: Int = Similarity.DefaultPlanes,
-      bandBits: Int = Similarity.AutoBandBits)
+      bandBits: Int = Similarity.AutoBandBits,
+      nHint: Long = 0L)
 
   /** The full corpus-curation pipeline, composed end-to-end — the workflow
     * a training-data user actually runs, proving the operators compose as
@@ -291,8 +311,18 @@ object Graft {
       val alive = sd.embeddings
         .select(col("doc_id").as("vec_id"), col("embedding"))
         .join(d2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      // auto-band count hint: `alive` is derived from d2, so letting
+      // lshCandidates count() it would re-run the exact-dedup join + CC
+      // labeling as a whole extra execution. The caller's nHint wins;
+      // otherwise count the BASE embeddings frame once — metadata-cheap
+      // on parquet, and an upper bound on |alive|, which errs toward
+      // wider/sparser bands (the safe direction at scale).
+      val hint =
+        if (!sd.useLsh || sd.bandBits != Similarity.AutoBandBits) sd.nHint
+        else if (sd.nHint > 0) sd.nHint
+        else sd.embeddings.count()
       val dropped = Similarity.semanticClusters(spark, alive, sd.minCos,
-          sd.useLsh, sd.nPlanes, sd.bandBits)
+          sd.useLsh, sd.nPlanes, sd.bandBits, hint)
         .filter(col("vec_id") =!= col("cluster_id"))
         .select(col("vec_id").as("doc_id"))
       d2.join(dropped, Seq("doc_id"), "left_anti")

@@ -269,18 +269,22 @@ object Similarity {
     * vectors (round-7 verdict #1). Cost of that count: metadata-cheap on
     * a parquet-backed `emb` (row-group counts, no data read), but a FULL
     * extra execution of the upstream plan when `emb` is derived — at
-    * corpus scale either pass an explicit `bandBits` (only ⌈log₂ n⌉
-    * matters, an estimate is fine), or cache/checkpoint the frame before
-    * calling. Pass an explicit `bandBits` to pin a width; SimilaritySpec
-    * measures the moderate-threshold recall gap at minCos = 0.35 rather
-    * than asserting it away. `nPlanes` ≤ 64 (one long), `bandBits` must
-    * divide `nPlanes`.
+    * corpus scale a derived-frame caller has three outs, in preference
+    * order: pass `nHint` (a known or estimated row count — only ⌈log₂ n⌉
+    * matters, and an UPPER bound errs toward wider/sparser bands, the
+    * safe direction), pass an explicit `bandBits`, or cache/checkpoint
+    * the frame before calling. SimilaritySpec measures the
+    * moderate-threshold recall gap at minCos = 0.35 rather than
+    * asserting it away. `nPlanes` ≤ 64 (one long), `bandBits` must
+    * divide `nPlanes`; `nHint` ≤ 0 means "not provided".
     */
   def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double,
-      nPlanes: Int = DefaultPlanes, bandBits: Int = AutoBandBits): DataFrame = {
+      nPlanes: Int = DefaultPlanes, bandBits: Int = AutoBandBits,
+      nHint: Long = 0L): DataFrame = {
     VectorFunctions.register(s)
     val bb =
-      if (bandBits == AutoBandBits) autoBandBits(emb.count(), nPlanes) else bandBits
+      if (bandBits != AutoBandBits) bandBits
+      else autoBandBits(if (nHint > 0) nHint else emb.count(), nPlanes)
     require(nPlanes > 0 && nPlanes <= 64 && bb > 0 && bb <= 32 &&
       nPlanes % bb == 0,
       s"need 0 < bandBits <= 32, bandBits | nPlanes <= 64; got nPlanes=$nPlanes bandBits=$bb")
@@ -303,41 +307,64 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
   }
 
-  /** IVF with real centroids: MLlib KMeans (seeded) fits `k` cells, every
-    * vector is assigned to its cell, and a query searches its own cell plus
-    * the `nprobe - 1` next-nearest cells — candidate generation stays an
-    * equi-join on cell id, the property that scales. Returns per-query
-    * top-`topK` neighbors by exact cosine among probed candidates.
-    *
-    * Recall is structural, not certain: cell BOUNDARIES can split even
-    * near-identical vectors into cells a query never probes, and `nprobe`
-    * is the knob — measured at 100k vectors (BASELINE.md round-8 IVF
-    * table): recall@49 0.87 at k=√n/nprobe=8 → 0.9965 at nprobe=32 for
-    * +26% wall. Prefer [[lshCandidates]] for corpus-member near-dup work;
-    * IVF wins when queries are not corpus members or the cell fit is
-    * reused across many query batches.
+  /** A fitted IVF index: the per-vector cell assignment and the centroid
+    * table produced by [[ivfFit]], reusable across any number of
+    * [[ivfProbe]] calls. The k-means fit (the expensive, iterative part)
+    * runs exactly once, at fit time; probes only pay the broadcast
+    * centroid ranking plus the cell equi-join. For repeated probing call
+    * [[cached]] first so the assignment scan isn't re-derived from the
+    * input frame on every probe (the caller owns the unpersist).
     */
-  def ivfKMeans(s: SparkSession, emb: DataFrame, k: Int, nprobe: Int,
-      topK: Int, queryPred: Column): DataFrame = {
+  final case class IvfFitted(assigned: DataFrame, centroids: DataFrame, k: Int) {
+    def cached(): IvfFitted = copy(assigned = assigned.cache())
+  }
+
+  /** Count of k-means fits since JVM start — lets the one-fit-many-probes
+    * contract be asserted in tests (the F22 accumulator pattern applied to
+    * the fit path) rather than taken on faith from the API shape.
+    */
+  private[graft] val kmeansFitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Fit the IVF cell structure: MLlib KMeans (seeded) fits `k` cells and
+    * every vector is assigned to its nearest cell. This is the expensive
+    * half of IVF — the iterative k-means jobs run HERE, eagerly, exactly
+    * once — and the returned [[IvfFitted]] amortizes it across query
+    * batches via [[ivfProbe]], the serving-shaped use IVF exists for.
+    */
+  def ivfFit(s: SparkSession, emb: DataFrame, k: Int): IvfFitted = {
     VectorFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = emb.withColumn("features",
       array_to_vector(transform(col("embedding"), _.cast("double"))))
+    kmeansFitCount.incrementAndGet()
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val centroids = s.createDataFrame(model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }.toSeq).toDF("c_cell", "c_emb")
+    IvfFitted(assigned, centroids, k)
+  }
+
+  /** Probe a fitted IVF index: queries selected by `queryPred` search
+    * their own cell plus the `nprobe - 1` next-nearest cells — candidate
+    * generation stays an equi-join on cell id, the property that scales.
+    * Returns per-query top-`topK` neighbors by exact cosine among probed
+    * candidates. No k-means work happens here; call repeatedly against
+    * one [[ivfFit]] result.
+    */
+  def ivfProbe(fitted: IvfFitted, queryPred: Column, nprobe: Int,
+      topK: Int): DataFrame = {
+    val assigned = fitted.assigned
     // keep the nprobe nearest cells per query vector — the same bounded-
     // heap aggregate shape as the final ranking (the heap keeps the k
     // LARGEST, so the key is the NEGATED (dist, cell) pair: max(-dist) =
     // min dist, tie → max(-cell) = min cell, matching the old window's
     // (dist ASC, cell ASC)); the query's embedding rides the groupBy as a
     // first() aggregate, identical across its centroid rows
-    val centroids = s.createDataFrame(model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.map(_.toFloat))
-    }.toSeq).toDF("c_cell", "c_emb")
     val probes = assigned.filter(queryPred)
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(fitted.centroids))
       .withColumn("c_dist", -dot(col("embedding"), col("c_emb")))
       .select(col("vec_id"), col("embedding"),
         struct((-col("c_dist")).as("nd"), (-col("c_cell")).as("nc"), col("c_cell")).as("p"))
@@ -354,6 +381,23 @@ object Similarity {
         .distinct(),
       k = topK)
   }
+
+  /** One-shot IVF ANN: [[ivfFit]] + [[ivfProbe]] in a single call — the
+    * shape for a single query batch. When probing the same corpus with
+    * MANY batches, fit once and probe repeatedly instead; the fit is the
+    * dominant cost and this wrapper pays it every call.
+    *
+    * Recall is structural, not certain: cell BOUNDARIES can split even
+    * near-identical vectors into cells a query never probes, and `nprobe`
+    * is the knob — measured at 100k vectors (BASELINE.md round-8 IVF
+    * table): recall@49 0.87 at k=√n/nprobe=8 → 0.9965 at nprobe=32 for
+    * +26% wall. Prefer [[lshCandidates]] for corpus-member near-dup work;
+    * IVF wins when queries are not corpus members or the cell fit is
+    * reused across many query batches (via [[ivfFit]]/[[ivfProbe]]).
+    */
+  def ivfKMeans(s: SparkSession, emb: DataFrame, k: Int, nprobe: Int,
+      topK: Int, queryPred: Column): DataFrame =
+    ivfProbe(ivfFit(s, emb, k), queryPred, nprobe, topK)
 
   /** Exact brute-force cosine near-dup edge list (a_id < b_id, cosine ≥
     * minCos) — the correctness-baseline edge source for [[semanticClusters]].
@@ -390,13 +434,15 @@ object Similarity {
     * Defaults (round 8): 64 planes with corpus-sized band width
     * ([[autoBandBits]]) — a caller at corpus scale who never reads the
     * knobs gets the non-degenerate join, and a small corpus still gets
-    * the narrow recall-friendly bands.
+    * the narrow recall-friendly bands. `nHint` (round 9) forwards to
+    * [[lshCandidates]] so a derived-frame caller avoids the auto-band
+    * `count()` re-executing the upstream plan.
     */
   def semanticClusters(s: SparkSession, emb: DataFrame, minCos: Double,
       useLsh: Boolean = false, nPlanes: Int = DefaultPlanes,
-      bandBits: Int = AutoBandBits): DataFrame = {
+      bandBits: Int = AutoBandBits, nHint: Long = 0L): DataFrame = {
     val edges =
-      if (useLsh) lshCandidates(s, emb, minCos, nPlanes, bandBits)
+      if (useLsh) lshCandidates(s, emb, minCos, nPlanes, bandBits, nHint)
         .select(col("a_id"), col("b_id"))
       else exactCosineEdges(s, emb, minCos)
     val nodes = emb.select(col("vec_id").as("doc_id"))

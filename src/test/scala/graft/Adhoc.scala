@@ -477,6 +477,49 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("ivffitprobe")) {
+      // Round-9 fit/probe split: at the ivfstress corpus (100k vectors,
+      // k=316 cells) measure what one eager fit costs and what each probe
+      // batch costs off the cached fit, vs the one-shot wrapper that
+      // refits per batch — the amortization the split exists for.
+      val e100k = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        .crossJoin(spark.range(0, 50).select(col("id").as("copy")))
+        .select((col("vec_id") * 50 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (v, i) => when(i === ((col("copy") - 1) % 64).cast("int"),
+                v * lit(1.03f)).otherwise(v)))
+            .as("embedding"))
+        .localCheckpoint(eager = true)
+      println(s"vectors: ${e100k.count()}")
+      def t[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (fitted, fitSec) = t {
+        val f = Similarity.ivfFit(spark, e100k, k = 316).cached()
+        f.assigned.count() // materialize the cache so probes pay probe cost only
+        f
+      }
+      // 3 disjoint query batches off the ONE fit (the serving shape)
+      def batchPred(b: Int) =
+        col("vec_id") % 50 === 0 && pmod(col("vec_id") / 50, lit(3)) === b
+      val probeSecs = (0 until 3).map { b =>
+        val (n, s) = t(Similarity.ivfProbe(fitted, batchPred(b),
+          nprobe = 8, topK = 49).count())
+        println(f"ADHOC ivffitprobe probe_batch=$b rows=$n secs=$s%.2f")
+        s
+      }
+      val (_, oneShot) = t(Similarity.ivfKMeans(spark, e100k, k = 316,
+        nprobe = 8, topK = 49, queryPred = batchPred(0)).count())
+      println(f"ADHOC ivffitprobe fit=$fitSec%.2f " +
+        f"probe_avg=${probeSecs.sum / 3}%.2f oneshot_per_batch=$oneShot%.2f")
+      assert(probeSecs.max < oneShot,
+        "a probe off the cached fit must beat the refit-per-batch wrapper")
+      fitted.assigned.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ivfstress")) {
       // The OTHER 100 TB ANN path at the ann100k corpus: IVF with real
       // k-means cells (vs the banded sign-LSH the ann100k/ann1m rows

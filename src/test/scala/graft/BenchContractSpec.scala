@@ -69,6 +69,52 @@ class BenchContractSpec extends SparkSpec {
       s"clean-run total $total must be the good query's median $okMedian")
   }
 
+  test("spread-triggered retry re-measures a sustained-noisy query once") {
+    // BENCH_r08's failure mode: the median-of-3 absorbs ONE stalled rep,
+    // but a sustained-busy window inflates the median itself and ships a
+    // phantom regression. The retry path re-measures exactly the queries
+    // whose spread exceeds half their median and keeps the steadier pass.
+    val stable = Q.noOracle("bench_stable") { (s, _) => s.range(0, 1).toDF("id") }
+    val noisy = Q.noOracle("bench_noisy") { (s, _) => s.range(0, 1).toDF("id") }
+    val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val firstPass = Map(
+      "bench_stable" -> Bench.Reps(Seq(1.0, 1.05, 1.1)),
+      // synthetic stalled window: spread 4.0 > 0.5 × median 3.0
+      "bench_noisy" -> Bench.Reps(Seq(1.0, 3.0, 5.0)))
+    val secondPass = Bench.Reps(Seq(1.0, 1.02, 1.08))
+    def meas(q: Q): Bench.Reps = {
+      calls(q.name) += 1
+      if (q.name == "bench_noisy" && calls(q.name) == 2) secondPass
+      else firstPass(q.name)
+    }
+    val (out, retried) = Bench.measureWithRetry(Seq(stable, noisy), meas)
+    assert(retried == Seq("bench_noisy"))
+    assert(calls("bench_stable") == 1, "a steady query must not re-run")
+    assert(calls("bench_noisy") == 2, "the noisy query earns exactly one retry")
+    assert(out.toMap.apply("bench_noisy") == secondPass,
+      "the steadier re-measure must replace the noisy first pass")
+    // the artifact records that it defended itself
+    val (famLine, headLine, fullLine) = Bench.render(out, 3, 0.5, 0.5, sf001, retried)
+    for (line <- Seq(famLine, headLine, fullLine))
+      assert(line.contains("\"retried\":[\"bench_noisy\"]"),
+        s"line must name the retried query:\n$line")
+  }
+
+  test("retry keeps the first pass when the re-measure is noisier, and skips failed/quiet reps") {
+    val q = Q.noOracle("bench_q") { (s, _) => s.range(0, 1).toDF("id") }
+    val first = Bench.Reps(Seq(1.0, 3.0, 5.0))
+    val worse = Bench.Reps(Seq(1.0, 4.0, 7.0))
+    var n = 0
+    val (out, retried) = Bench.measureWithRetry(Seq(q), { _ => n += 1; if (n == 1) first else worse })
+    assert(retried == Seq("bench_q") && out.toMap.apply("bench_q") == first,
+      "a noisier retry must not replace a cleaner first pass")
+    // predicate edges: steady, failed, and sub-threshold reps never retry
+    assert(!Bench.needsRetry(Bench.Reps(Seq(1.0, 1.1, 1.2))))
+    assert(!Bench.needsRetry(Bench.Reps(Seq(-1.0, 1.0, 1.0))),
+      "a failed rep already poisons the median — retrying would mask it")
+    assert(Bench.needsRetry(Bench.Reps(Seq(1.0, 3.0, 5.0))))
+  }
+
   test("loadavg is readable on this platform") {
     // the bench artifact embeds it so a reader can discount noisy runs —
     // a -1 on a /proc-bearing box would mean the field silently degrades

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 hardening: the IVF fit/probe split (one k-means fit amortized
+  * across query batches), the auto-band count hint (no upstream
+  * re-execution for derived frames), and their wiring through the Graft
+  * facade.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic pseudo-random vectors: hash-derived components in
+    * [-1, 1], the same recipe the ANN stress harness uses.
+    */
+  private def vecs(n: Int, dim: Int = 8) =
+    spark.range(0, n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(hash($"id" * dim + j), lit(2001)) - 1000) / lit(1000.0)).cast("float"))
+        .as("embedding"))
+
+  test("ivfFit runs k-means exactly once; probes never refit") {
+    val emb = vecs(400)
+    val before = Similarity.kmeansFitCount.get()
+    val fitted = Similarity.ivfFit(spark, emb, k = 8).cached()
+    try {
+      assert(Similarity.kmeansFitCount.get() == before + 1,
+        "ivfFit must fit exactly once")
+      // two probe batches off the ONE fit — the serving shape the
+      // operator's doc promises (round-8 verdict missing item #2)
+      val p1 = Similarity.ivfProbe(fitted, col("vec_id") < 5, nprobe = 2, topK = 3)
+        .collect()
+      val p2 = Similarity.ivfProbe(fitted, col("vec_id") >= 5 && col("vec_id") < 12,
+        nprobe = 2, topK = 3).collect()
+      assert(Similarity.kmeansFitCount.get() == before + 1,
+        "probing must not trigger another k-means fit")
+      assert(p1.nonEmpty && p2.nonEmpty)
+      assert(p1.map(_.getLong(0)).forall(_ < 5))
+      assert(p2.map(_.getLong(0)).forall(q => q >= 5 && q < 12))
+      // the one-shot wrapper is exactly fit+probe: identical rows, one
+      // additional fit (its documented cost)
+      val oneShot = Similarity.ivfKMeans(spark, emb, k = 8, nprobe = 2, topK = 3,
+        queryPred = col("vec_id") < 5).collect()
+      assert(Similarity.kmeansFitCount.get() == before + 2,
+        "the one-shot wrapper pays one fit per call")
+      assert(p1.map(_.toString).sorted.toSeq == oneShot.map(_.toString).sorted.toSeq,
+        "split fit+probe must produce the wrapper's rows")
+    } finally fitted.assigned.unpersist()
+  }
+
+  test("auto-band nHint skips the count's extra upstream execution") {
+    // an accumulator-instrumented frame stands in for an expensive
+    // derived plan: every materialization of a row bumps the counter, so
+    // the accumulator IS the execution count (the F22 assert pattern)
+    val n = 300
+    val acc = spark.sparkContext.longAccumulator("emb_scans")
+    val emb = spark.range(0, n).as[Long].mapPartitions { it =>
+      it.map { i =>
+        acc.add(1)
+        (i, Array.tabulate(8)(j => (((i * 31 + j * 7) % 13) - 6).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    acc.reset()
+    val withHint = Similarity.lshCandidates(spark, emb, minCos = 0.9, nHint = n).count()
+    val scansWith = acc.value.toLong
+    acc.reset()
+    val noHint = Similarity.lshCandidates(spark, emb, minCos = 0.9).count()
+    val scansWithout = acc.value.toLong
+    // same derived band width (hint == true count) → same candidates
+    assert(withHint == noHint, "a truthful hint must not change the output")
+    // the hint saves exactly the one full upstream pass emb.count() costs
+    assert(scansWithout == scansWith + n,
+      s"expected the hint to save one $n-row pass; with=$scansWith without=$scansWithout")
+  }
+
+  test("curateCorpus semantic stage honors the caller's nHint") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"doc $i body ${"tok " * (i % 10 + 20)}")
+    }.toDF("doc_id", "text")
+    val emb = vecs(60).select($"vec_id".as("doc_id"), $"embedding")
+    def run(hint: Long) =
+      Graft.curateCorpus(spark, docs, screenPhrases = Seq("zzz_never"),
+        semantic = Some(Graft.SemanticDedup(emb, minCos = 0.9, useLsh = true,
+          nHint = hint)))
+        .collect().map(_.toString).sorted.toSeq
+    // hint == base embedding count (what the default path derives) →
+    // identical survivors; the wiring is exercised end-to-end either way
+    assert(run(60L) == run(0L))
+  }
+}
