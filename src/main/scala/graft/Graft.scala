@@ -276,6 +276,92 @@ object Graft {
     (TextOps.packSequencesOf(stages.last._2), audit)
   }
 
+  /** Streaming curation entry point — the reference's north-star shape
+    * (S3-in → curated → Kinesis-out) as ONE streaming DataFrame over
+    * (doc_id: Long, ts: Timestamp, text: String) rows:
+    *
+    *  1. quality gate — token-count bounds + stopword ratio
+    *     ([[QualityGate]]); stateless row filter, no shuffle
+    *  2. contamination screen — broadcast Aho–Corasick, one O(|text|)
+    *     pass per doc regardless of phrase count; stateless
+    *  3. near-dup suppression — MinHash signatures in
+    *     flatMapGroupsWithState state with an event-time TTL
+    *     ([[streaming.StreamOps.nearDupSuppress]]); the only stateful
+    *     stage
+    *
+    * The admitted docs come back with `partitionKey` (doc_id) and `data`
+    * (JSON bytes) columns appended, ready for the Kinesis-semantics V2
+    * sink — [[runCurateStream]] wires exactly that. Stage ORDER differs
+    * from [[curateCorpus]] deliberately: the stateless filters run FIRST
+    * so only gate-surviving docs enter (and occupy) dedup state — at
+    * 100 TB ingest the state bound is the property that matters. The
+    * semantic difference vs the batch order: a doc the gate drops can no
+    * longer suppress a later near-dup of itself (batch dedups before
+    * gating) — for curation that is the desired outcome, junk neither
+    * survives nor shadows admissible docs. Works identically on a batch
+    * frame, which is how the spec pins results.
+    */
+  def curateStream(docs: DataFrame, screenPhrases: Seq[String],
+      quality: QualityGate = QualityGate(), minEst: Double = 0.8,
+      ttlMillis: Long = Long.MaxValue,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
+    val gated = docs
+      .filter(col("text").isNotNull &&
+        nTok.between(quality.minTokens, quality.maxTokens) &&
+        nStop.cast("double") / nTok < quality.maxStopwordRatio)
+      .select(col("doc_id"), col("ts"), col("text"))
+    val screened =
+      if (screenPhrases.isEmpty) gated
+      else {
+        import spark.implicits._
+        // the sanctioned AC mapPartitions path (TextOps.contaminationScanAC
+        // minus its batch-only orderBy): gate guarantees non-null text
+        val ac = spark.sparkContext.broadcast(functions.AhoCorasick(screenPhrases))
+        gated.as[streaming.StreamOps.Doc]
+          .mapPartitions { it =>
+            val a = ac.value
+            it.filter(d => !a.presence(d.text).exists(identity))
+          }
+          .toDF()
+      }
+    streaming.StreamOps.nearDupSuppress(screened, minEst, ttlMillis, watermarkDelay)
+      .toDF()
+      .withColumn("partitionKey", col("doc_id").cast("string"))
+      .withColumn("data",
+        to_json(struct(col("doc_id"), col("ts"), col("text"))).cast("binary"))
+  }
+
+  /** [[curateStream]] started against the Kinesis-semantics DataSourceV2
+    * sink: admitted docs land as shard files under `streamDir`, offsets
+    * checkpoint through the standard WAL, and the V2 writers'
+    * epoch-tagged files keep a restart re-delivery idempotent — the same
+    * exactly-once contract PipelineSpec proves for the event pipeline,
+    * now carrying curated documents.
+    */
+  def runCurateStream(docs: DataFrame, screenPhrases: Seq[String],
+      streamDir: String, checkpointDir: String, numShards: Int = 4,
+      quality: QualityGate = QualityGate(), minEst: Double = 0.8,
+      ttlMillis: Long = Long.MaxValue,
+      watermarkDelay: String = "0 seconds",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    curateStream(docs, screenPhrases, quality, minEst, ttlMillis, watermarkDelay)
+      .select(col("partitionKey"), col("data"))
+      .writeStream
+      .format(KinesisSinkFormat)
+      .option("checkpointLocation", checkpointDir)
+      .option("baseDir", streamDir)
+      .option("numShards", numShards.toString)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The named intermediate frames of the curation pipeline, in order:
     * input → exact_dedup → neardup_dedup → [semantic_dedup] → quality_gate
     * → contamination → [eval_decontam].
