@@ -146,7 +146,24 @@ object Dedup {
     * reliable `checkpoint()` — each round's labels and the contracted
     * edge list survive executor loss at the cost of one distributed-FS
     * write per cut. Labels are bit-identical either way (DedupSpec).
+    * Recovery semantics: with a reliable dir the loop holds NO state in
+    * executor block storage — every block's inputs re-read from the
+    * checkpoint files, so losing any (or every) executor mid-loop costs
+    * only a recompute-from-files of the current block. Round9OpsSpec
+    * simulates total block loss between blocks and asserts the reliable
+    * loop completes with correct labels while the localCheckpoint loop
+    * fails irrecoverably — the documented trade, now exercised.
     */
+  /** Test-only hook (Round9OpsSpec): invoked at the top of every
+    * convergence block, standing in for the executor loss local[n]
+    * cannot produce — the spec drops every persisted block here and
+    * asserts the reliable-checkpoint loop completes with correct labels
+    * (its rounds live as FILES under checkpointDir, not as executor
+    * blocks) while the default localCheckpoint loop dies irrecoverably.
+    * Never set outside tests.
+    */
+  private[graft] var testBlockLossHook: Option[SparkSession => Unit] = None
+
   def connectedComponentsWithRounds(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,
@@ -216,6 +233,7 @@ object Dedup {
     var converged = false
     var iter = 1
     while (!converged && iter < maxIters) {
+      testBlockLossHook.foreach(_(s))
       val k = math.min(checkEvery, maxIters - iter)
       var stepped = labels.withColumn("prev", col("lbl"))
       for (i <- 1 to k) {

@@ -22,6 +22,48 @@ class KinesisSinkSpec extends SparkSpec {
     assert(byShard.size == n && byShard.values.forall(_ > 150))
   }
 
+  test("a resident() lookup never blocks behind another shard's mid-sleep bucket") {
+    // the property the round-8 volatile idle-sweep fix bought: acquire
+    // sleeps debt out INSIDE the bucket's monitor (that IS the pacing),
+    // so the registry sweep that every resident() lookup runs must read
+    // liveness lock-free — otherwise one throttled shard serializes every
+    // other shard's writer behind its sleep
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val scope = s"contention_${System.nanoTime()}"
+    @volatile var now = 0L
+    val inSleep = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val t = new ShardThrottle(
+      nanoTime = () => now,
+      sleep = ms => {
+        inSleep.countDown()
+        release.await(30, TimeUnit.SECONDS)
+        now += ms * 1000000L // advance the fake clock so the debt drains
+      })
+    ShardThrottle.register(scope, 0, t)
+    try {
+      val worker = new Thread(() => {
+        t.acquire(500, 5L * 1024 * 1024) // admitted; leaves ~4 MiB debt
+        t.acquire(1, 1L)                 // sleeps the debt out, monitor held
+        ()
+      })
+      worker.start()
+      assert(inSleep.await(30, TimeUnit.SECONDS), "worker never reached the throttled sleep")
+      val t0 = System.nanoTime()
+      val other = ShardThrottle.resident(scope, 1)
+      val lookupMs = (System.nanoTime() - t0) / 1000000L
+      assert(other ne t, "shard 1 must get its own bucket")
+      assert(lookupMs < 2000,
+        s"resident() blocked $lookupMs ms behind shard 0's sleeping bucket")
+      release.countDown()
+      worker.join(30000)
+      assert(!worker.isAlive, "worker failed to drain its debt after release")
+    } finally {
+      release.countDown()
+      ShardThrottle.evictScope(scope)
+    }
+  }
+
   test("batches respect the 500-record limit") {
     val bs = batches(Iterator.fill(1200)(rec("k"))).toVector
     assert(bs.map(_.size) == Vector(500, 500, 200))

@@ -74,6 +74,43 @@ class Round9OpsSpec extends SparkSpec {
       s"expected the hint to save one $n-row pass; with=$scansWith without=$scansWithout")
   }
 
+  test("CC with a reliable checkpointDir survives total block loss; the default path cannot") {
+    // local[n] cannot lose an executor, so the loss is simulated: the
+    // test hook fires at the top of every convergence block and drops
+    // EVERY persisted block in the session — exactly what an executor
+    // crash does to localCheckpoint state. The reliable path must finish
+    // with correct labels (its rounds live as files under checkpointDir);
+    // the default localCheckpoint path must die, proving the gap the
+    // option exists to close is real.
+    val nodes = spark.range(0, 400).select($"id".as("doc_id"))
+    val star = spark.range(1, 150).select(lit(0L).as("a_id"), $"id".as("b_id"))
+    val chain = spark.range(150, 399)
+      .select($"id".as("a_id"), ($"id" + 1).as("b_id"))
+    val edges = star.unionByName(chain)
+    var residentSeen = 0
+    Dedup.testBlockLossHook = Some { s =>
+      val rdds = s.sparkContext.getPersistentRDDs.values.toSeq
+      residentSeen = math.max(residentSeen, rdds.size)
+      rdds.foreach(_.unpersist(blocking = true))
+    }
+    try {
+      val dir = tmpDir("cc_loss_ckpt")
+      val labels = Dedup.connectedComponents(spark, nodes, edges,
+        checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(labels(149L) == 0L && labels(399L) == 150L,
+        "reliable-checkpoint CC must label correctly despite block loss")
+      assert(labels.size == 400)
+      // the same loss kills the default path: localCheckpoint blocks are
+      // the ONLY copy, and their lineage is truncated
+      val ex = intercept[Exception] {
+        Dedup.connectedComponents(spark, nodes, edges)
+          .as[(Long, Long)].collect()
+      }
+      assert(ex.getMessage != null)
+    } finally Dedup.testBlockLossHook = None
+  }
+
   test("curateCorpus semantic stage honors the caller's nHint") {
     val docs = (0 until 60).map { i =>
       (i.toLong, s"doc $i body ${"tok " * (i % 10 + 20)}")
