@@ -31,17 +31,53 @@ object Multimodal {
       }
   }
 
-  /** STUB codec — deterministic fake decode. A real deployment replaces
-    * this one function with an actual library call (e.g. TwelveMonkeys /
-    * javacv); everything around it (partition batching, schema, nullability
-    * on failure) is production plumbing.
+  /** Formats [[decodeOne]] decodes FOR REAL via the JDK's `javax.imageio`
+    * (baseline PNG/JPEG readers ship with the JVM — no external library
+    * needed, round 9). Everything else stays on the labeled stub.
     */
-  private def decodeOne(payload: Array[Byte], meta: MediaMeta): (Long, Int, Int, Boolean) = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-    (sum, meta.declaredWidth, meta.declaredHeight, payload.nonEmpty)
-  }
+  val RealImageFormats: Set[String] = Set("image/png", "image/jpeg")
+
+  /** Real baseline image decode: actual pixel dimensions and a
+    * deterministic row-major hash over the ARGB values. None when the
+    * payload is not decodable as the claimed image (corrupt bytes, or a
+    * format this JVM's ImageIO has no reader for).
+    */
+  private def decodeImage(payload: Array[Byte]): Option[(Long, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var h = 1125899906842597L // deterministic FNV-ish pixel hash
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { h = h * 31 + img.getRGB(x, y); x += 1 }
+          y += 1
+        }
+        Some((h, img.getWidth, img.getHeight))
+      }
+    } catch { case _: Exception => None }
+
+  /** Codec: REAL for baseline PNG/JPEG ([[RealImageFormats]] →
+    * `javax.imageio`, actual dimensions + pixel hash, `ok = false` with
+    * zeroed features when the payload does not decode); a clearly-marked
+    * deterministic STUB for every other modality (video/audio/raw — no
+    * media libraries in this container). A production deployment swaps
+    * the stub branch for a library call (e.g. javacv); everything around
+    * it (partition batching, schema, failure nullability) is production
+    * plumbing either way.
+    */
+  private def decodeOne(payload: Array[Byte], meta: MediaMeta): (Long, Int, Int, Boolean) =
+    if (RealImageFormats(meta.format))
+      decodeImage(payload).map { case (h, w, ht) => (h, w, ht, true) }
+        .getOrElse((0L, 0, 0, false))
+    else {
+      // STUB branch: byte-sum checksum + declared dimensions
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      (sum, meta.declaredWidth, meta.declaredHeight, payload.nonEmpty)
+    }
 
   /** Partition-wise decode: one codec context per partition (the expensive
     * init a real codec would amortize), records streamed through it.

@@ -267,6 +267,10 @@ object Adhoc {
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
         maxFilesPerTrigger = 5)
       Thread.sleep(2500)
+      // the interrupt must actually interrupt: on a machine fast enough to
+      // finish inside the sleep, the replay path would silently go
+      // untested while the asserts still pass (round-9 ADVICE)
+      assert(q1.isActive, "query already finished — pipestress interrupted nothing")
       q1.stop() // interrupt mid-flight; the in-progress batch replays on resume
       val stoppedAt = (System.nanoTime() - t0) / 1e9
       val q2 = Pipeline.run(spark, bucket, stream, quar, ckpt, numShards = 8,

@@ -20,10 +20,23 @@ object Golden {
 
   val ResourceDir = "src/test/resources/golden"
 
+  /** The sf0.001 dataset both GoldenMain (regeneration) and GoldenSpec
+    * (verification, via SparkSpec.sf001) read — one constant so the two
+    * can never silently diverge if the path moves (round-9 ADVICE).
+    */
+  val DataDir = "/root/testdata/sf0.001"
+
   private def cell(v: Any): String = v match {
     case null => "NULL"
     case t: java.sql.Timestamp => t.toInstant.toString
     case d: java.sql.Date => d.toLocalDate.toString
+    // floating point renders via an explicit round-trip-exact format:
+    // default Double.toString changed algorithms in JDK 19 (shortest
+    // decimal), so committed goldens must not depend on the generating
+    // JDK's renderer (round-9 ADVICE). %.17e/%.9e uniquely identify
+    // every double/float and are locale- and version-stable.
+    case d: java.lang.Double => String.format(java.util.Locale.ROOT, "%.17e", d)
+    case f: java.lang.Float => String.format(java.util.Locale.ROOT, "%.9e", f)
     case s: Seq[_] => s.map(cell).mkString("[", ",", "]")
     case a: Array[_] => a.map(cell).mkString("[", ",", "]")
     case x =>
@@ -55,7 +68,7 @@ object GoldenMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(Golden.ResourceDir))
     Golden.Flagships.foreach { name =>
-      val lines = Golden.canon(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+      val lines = Golden.canon(SparkEntry.queries(name)(spark, Golden.DataDir))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(Golden.path(name)),
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))

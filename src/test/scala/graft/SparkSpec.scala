@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all specs (one JVM, forked by sbt). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-  val sf001 = "/root/testdata/sf0.001"
+  val sf001: String = Golden.DataDir // one constant with GoldenMain (ADVICE r9)
 
   def tmpDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)

@@ -25,13 +25,19 @@ def canon(d):
     rows = sorted("|".join(repr(r[i]) for i in order) for r in rel.fetchall())
     return hashlib.md5(("\n".join([",".join(sorted(cols))] + rows)).encode()).hexdigest()
 
+# iterate the UNION of both dumps' directory sets: a query present only
+# in the second dump (stale/truncated first dump) must be reported, not
+# silently skipped (round-9 ADVICE)
+def dirs(base):
+    return {d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d))}
+
 diffs, n = [], 0
-for name in sorted(os.listdir(A)):
+for name in sorted(dirs(A) | dirs(B)):
     da, db = os.path.join(A, name), os.path.join(B, name)
-    if not os.path.isdir(da):
-        continue
     n += 1
-    if not os.path.isdir(db):
+    if not os.path.isdir(da):
+        diffs.append((name, "missing in first dump"))
+    elif not os.path.isdir(db):
         diffs.append((name, "missing in second dump"))
     elif canon(da) != canon(db):
         diffs.append((name, "content differs"))
