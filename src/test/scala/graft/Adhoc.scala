@@ -610,6 +610,83 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("curatestream")) {
+      // Round-9 streaming-curation stress: 100k docs (each sf0.1 text ×
+      // 20 exact copies) through the FULL curateStream — quality gate →
+      // 1000-phrase broadcast AC screen → MinHash near-dup state — out
+      // the DataSourceV2 Kinesis sink to shard files, fed as 10
+      // MemoryStream micro-batches of 10k. Ground truth is the SAME
+      // operator run in batch mode over the identical frame (curateStream
+      // works on batch frames by design): the streamed+checkpointed+
+      // sink-delivered id set must equal it exactly, with zero duplicate
+      // deliveries.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamOps.Doc
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val texts = Tables.documents(spark, d)
+        .filter(col("text").isNotNull).select(col("text"))
+        .collect().map(_.getString(0))
+      // realistic screen: 50 phrases actually present (first two words of
+      // the first 50 sources) + 950 never-matching — AC cost is real,
+      // drops are real
+      val phrases = texts.take(50).map(_.split(" ").take(2).mkString(" ")).toSeq ++
+        (0 until 950).map(i => s"neverseen_$i xq")
+      val copies = 20
+      val perBatch = 2
+      val nBatches = copies / perBatch
+      val n = texts.length.toLong * copies
+      def mkDoc(src: Int, b: Int, c: Int): Doc =
+        Doc(src.toLong * copies + b * perBatch + c,
+          new java.sql.Timestamp(1700000000000L + b * 1000L), texts(src))
+      println(s"curatestream corpus: ${texts.length} sources x $copies copies = $n docs")
+      val allDocs = (for {
+        src <- texts.indices.iterator; b <- 0 until nBatches; c <- 0 until perBatch
+      } yield mkDoc(src, b, c)).toSeq.toDF()
+      // two gate configs: the default strict gate (filters carry the run —
+      // most docs drop stateless) and a permissive gate that routes ALL
+      // 100k docs through the AC screen AND the dedup state — the
+      // state-bound worst case for the composed path
+      val looseGate = Graft.QualityGate(minTokens = 1, maxTokens = 1000000,
+        maxStopwordRatio = 1.0)
+      for ((label, gate) <- Seq("strict_gate" -> Graft.QualityGate(),
+          "loose_gate" -> looseGate)) {
+        // batch-mode reference over the identical rows
+        val expected = Graft.curateStream(allDocs, phrases, quality = gate)
+          .select("doc_id").as[Long].collect().toSet
+        // streaming run, end-to-end to shard files
+        val stream = java.nio.file.Files.createTempDirectory("cs_stream").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("cs_ckpt").toString
+        val in = MemoryStream[Doc]
+        val q = Graft.runCurateStream(in.toDF(), phrases, stream, ckpt,
+          numShards = 8, quality = gate,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        val t0 = System.nanoTime()
+        for (b <- 0 until nBatches) {
+          in.addData((for {
+            src <- texts.indices.iterator; c <- 0 until perBatch
+          } yield mkDoc(src, b, c)).toSeq)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val delivered = new KinesisSinkSpec().readShardDir(stream).values.flatten.toSeq
+          .map { case (_, data) =>
+            """"doc_id":(\d+)""".r.findFirstMatchIn(
+              new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
+          }
+        println(f"ADHOC curatestream_$label docs=$n secs=$secs%.2f " +
+          f"rate_docs_s=${n / secs}%.0f delivered=${delivered.size} " +
+          f"distinct=${delivered.toSet.size} expected=${expected.size}")
+        assert(delivered.size == delivered.toSet.size, "duplicate deliveries")
+        assert(delivered.toSet == expected,
+          s"$label stream∪sink admitted set != batch reference " +
+            s"(${delivered.toSet.size} vs ${expected.size})")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded
