@@ -187,6 +187,20 @@ object Graft {
   /** One curation stage's audit row: documents entering minus surviving. */
   final case class StageCount(stage: String, kept: Long, dropped: Long)
 
+  /** The quality gate as a row predicate over `text` — one definition
+    * shared by the batch pipeline ([[curateCorpus]]) and the streaming
+    * entry point ([[curateStream]]) so the two gates can never drift.
+    * NULL text fails (null token array → null comparisons → filter drop).
+    */
+  private def qualityPredicate(quality: QualityGate): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
+    nTok.between(quality.minTokens, quality.maxTokens) &&
+      nStop.cast("double") / nTok < quality.maxStopwordRatio
+  }
+
   /** Semantic-dedup knobs for [[curateCorpus]]: an embeddings frame keyed
     * by `doc_id` (columns `doc_id`, `embedding: array<float>`), the cosine
     * threshold above which two documents count as semantic duplicates, and
@@ -307,13 +321,8 @@ object Graft {
       watermarkDelay: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
     val gated = docs
-      .filter(col("text").isNotNull &&
-        nTok.between(quality.minTokens, quality.maxTokens) &&
-        nStop.cast("double") / nTok < quality.maxStopwordRatio)
+      .filter(col("text").isNotNull && qualityPredicate(quality))
       .select(col("doc_id"), col("ts"), col("text"))
     val screened =
       if (screenPhrases.isEmpty) gated
@@ -413,11 +422,7 @@ object Graft {
         .select(col("vec_id").as("doc_id"))
       d2.join(dropped, Seq("doc_id"), "left_anti")
     }
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
-    val d3 = dSem.filter(nTok.between(quality.minTokens, quality.maxTokens) &&
-      nStop.cast("double") / nTok < quality.maxStopwordRatio)
+    val d3 = dSem.filter(qualityPredicate(quality))
     val clean = TextOps.contaminationScanAC(d3, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
     val d4 = d3.join(clean, Seq("doc_id"), "left_semi")

@@ -113,6 +113,12 @@ class BenchContractSpec extends SparkSpec {
     assert(!Bench.needsRetry(Bench.Reps(Seq(-1.0, 1.0, 1.0))),
       "a failed rep already poisons the median — retrying would mask it")
     assert(Bench.needsRetry(Bench.Reps(Seq(1.0, 3.0, 5.0))))
+    // a millisecond-scale query whose spread is large RELATIVE to its
+    // median but under the absolute floor is already accurate to better
+    // than the artifact's granularity — no retry churn
+    assert(!Bench.needsRetry(Bench.Reps(Seq(0.02, 0.045, 0.02))))
+    assert(Bench.needsRetry(Bench.Reps(Seq(0.02, 0.5, 0.02))),
+      "a genuine stall on a tiny query still retries")
   }
 
   test("loadavg is readable on this platform") {
