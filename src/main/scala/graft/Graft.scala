@@ -127,6 +127,12 @@ object Graft {
       topK: Int = 10): DataFrame =
     Similarity.ivfProbe(fitted, queryPred, nprobe, topK)
 
+  /** Probe with external (non-corpus) query vectors — (q_id, embedding)
+    * rows; the serving-lookup shape where IVF beats LSH. */
+  def annProbeVectors(fitted: Similarity.IvfFitted, queries: DataFrame,
+      nprobe: Int = 2, topK: Int = 10): DataFrame =
+    Similarity.ivfProbeVectors(fitted, queries, nprobe, topK)
+
   /** Duplicated-substring signal: per-doc count/fraction of 10-token
     * windows occurring more than once in the corpus.
     */

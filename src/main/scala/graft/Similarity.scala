@@ -347,23 +347,17 @@ object Similarity {
     IvfFitted(assigned, centroids, k)
   }
 
-  /** Probe a fitted IVF index: queries selected by `queryPred` search
-    * their own cell plus the `nprobe - 1` next-nearest cells — candidate
-    * generation stays an equi-join on cell id, the property that scales.
-    * Returns per-query top-`topK` neighbors by exact cosine among probed
-    * candidates. No k-means work happens here; call repeatedly against
-    * one [[ivfFit]] result.
+  /** Per-query nprobe nearest cells for any (vec_id, embedding) query
+    * frame — the same bounded-heap aggregate shape as the final ranking
+    * (the heap keeps the k LARGEST, so the key is the NEGATED (dist,
+    * cell) pair: max(-dist) = min dist, tie → max(-cell) = min cell,
+    * matching the old window's (dist ASC, cell ASC)); the query's
+    * embedding rides the groupBy as a first() aggregate, identical
+    * across its centroid rows.
     */
-  def ivfProbe(fitted: IvfFitted, queryPred: Column, nprobe: Int,
-      topK: Int): DataFrame = {
-    val assigned = fitted.assigned
-    // keep the nprobe nearest cells per query vector — the same bounded-
-    // heap aggregate shape as the final ranking (the heap keeps the k
-    // LARGEST, so the key is the NEGATED (dist, cell) pair: max(-dist) =
-    // min dist, tie → max(-cell) = min cell, matching the old window's
-    // (dist ASC, cell ASC)); the query's embedding rides the groupBy as a
-    // first() aggregate, identical across its centroid rows
-    val probes = assigned.filter(queryPred)
+  private def probeCells(fitted: IvfFitted, qvecs: DataFrame,
+      nprobe: Int): DataFrame =
+    qvecs
       .crossJoin(broadcast(fitted.centroids))
       .withColumn("c_dist", -dot(col("embedding"), col("c_emb")))
       .select(col("vec_id"), col("embedding"),
@@ -372,15 +366,55 @@ object Similarity {
       .agg(first(col("embedding")).as("q_emb"),
         call_function("collect_top_k", col("p"), lit(nprobe), lit(false)).as("top"))
       .select(col("vec_id").as("q_id"), col("q_emb"), explode(col("top.c_cell")).as("cell"))
+
+  /** Exact-cosine top-`topK` among a probe frame's cell candidates. */
+  private def rankProbed(fitted: IvfFitted, probes: DataFrame, topK: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val cands = probes
+      .join(fitted.assigned.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("cell")), Seq("cell"))
+    val filtered = if (excludeSelf) cands.filter(col("q_id") =!= col("n_id")) else cands
     topKByCosine(
-      probes.join(assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell")), Seq("cell"))
-        .filter(col("q_id") =!= col("n_id"))
+      filtered
         .select(col("q_id"), col("n_id"),
           trunc4(dot(col("q_emb"), col("n_emb")) /
             (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))).as("cos_sim"))
         .distinct(),
       k = topK)
   }
+
+  /** Probe a fitted IVF index: corpus-member queries selected by
+    * `queryPred` search their own cell plus the `nprobe - 1`
+    * next-nearest cells — candidate generation stays an equi-join on
+    * cell id, the property that scales. Returns per-query top-`topK`
+    * neighbors by exact cosine among probed candidates (self excluded).
+    * No k-means work happens here; call repeatedly against one
+    * [[ivfFit]] result.
+    */
+  def ivfProbe(fitted: IvfFitted, queryPred: Column, nprobe: Int,
+      topK: Int): DataFrame =
+    rankProbed(fitted,
+      probeCells(fitted,
+        fitted.assigned.filter(queryPred).select(col("vec_id"), col("embedding")),
+        nprobe),
+      topK, excludeSelf = true)
+
+  /** Probe a fitted IVF index with ARBITRARY query vectors — a
+    * (q_id, embedding) frame whose rows need NOT be corpus members: the
+    * serving-lookup / cross-corpus shape the operator doc names as where
+    * IVF beats LSH (an external query has no corpus row to share an LSH
+    * band with). Cells are ranked per query against the broadcast
+    * centroid table exactly as member probes are; candidates come from
+    * the same cell equi-join. No self-exclusion — an external query has
+    * no self row, and a member vector passed here simply ranks itself
+    * first at cosine 1.
+    */
+  def ivfProbeVectors(fitted: IvfFitted, queries: DataFrame, nprobe: Int,
+      topK: Int): DataFrame =
+    rankProbed(fitted,
+      probeCells(fitted,
+        queries.select(col("q_id").as("vec_id"), col("embedding")), nprobe),
+      topK, excludeSelf = false)
 
   /** One-shot IVF ANN: [[ivfFit]] + [[ivfProbe]] in a single call — the
     * shape for a single query batch. When probing the same corpus with

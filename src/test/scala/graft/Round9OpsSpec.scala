@@ -49,6 +49,28 @@ class Round9OpsSpec extends SparkSpec {
     } finally fitted.assigned.unpersist()
   }
 
+  test("ivfProbeVectors: external queries find their corpus neighbors off one fit, no refit") {
+    val emb = vecs(300)
+    val fitted = Similarity.ivfFit(spark, emb, k = 8).cached()
+    try {
+      val before = Similarity.kmeansFitCount.get()
+      // external queries: copies of 20 corpus vectors under new ids ≥
+      // 1000 — not members of the fitted corpus frame, so this is the
+      // serving-lookup shape; each must retrieve its source vector at
+      // cosine ≈ 1 as its top neighbor
+      val queries = vecs(20).select(($"vec_id" + 1000).as("q_id"), $"embedding")
+      val res = Similarity.ivfProbeVectors(fitted, queries, nprobe = 3, topK = 1)
+        .collect()
+      assert(Similarity.kmeansFitCount.get() == before, "vector probe must not refit")
+      assert(res.length == 20, s"every external query must return: got ${res.length}")
+      res.foreach { r =>
+        val (q, n, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        assert(n == q - 1000, s"query $q retrieved $n, expected ${q - 1000}")
+        assert(cos >= 0.9999, s"query $q cos $cos")
+      }
+    } finally fitted.assigned.unpersist()
+  }
+
   test("auto-band nHint skips the count's extra upstream execution") {
     // an accumulator-instrumented frame stands in for an expensive
     // derived plan: every materialization of a row bumps the counter, so
