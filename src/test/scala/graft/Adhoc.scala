@@ -519,6 +519,26 @@ object Adhoc {
         f"probe_avg=${probeSecs.sum / 3}%.2f oneshot_per_batch=$oneShot%.2f")
       assert(probeSecs.max < oneShot,
         "a probe off the cached fit must beat the refit-per-batch wrapper")
+      // EXTERNAL query vectors (round 9, ivfProbeVectors): 2000 queries =
+      // each clique's base vector with one dim perturbed ×1.01 under a
+      // fresh id — NOT corpus members, the serving shape. Ground truth:
+      // a query's true top-49 live in its source clique.
+      val ext = e100k.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") / 50).cast("long").as("q_id"),
+          transform(col("embedding"),
+            (v, i) => when(i === 0, v * lit(1.01f)).otherwise(v)).as("embedding"))
+      val (extRes, extSec) = t {
+        val r = Similarity.ivfProbeVectors(fitted, ext, nprobe = 8, topK = 49)
+          .localCheckpoint(eager = true)
+        r.count(); r
+      }
+      val extHits = extRes.filter(
+        (col("n_id") - col("n_id") % 50) === col("q_id") * 50).count()
+      val extRecall = extHits.toDouble / (2000.0 * 49.0)
+      println(f"ADHOC ivffitprobe_external queries=2000 secs=$extSec%.2f " +
+        f"recall=$extRecall%.4f")
+      assert(extRecall >= 0.80,
+        f"external-query recall collapsed: $extRecall%.4f")
       fitted.assigned.unpersist()
       spark.stop()
       return
