@@ -320,6 +320,15 @@ object Graft {
     * gating) — for curation that is the desired outcome, junk neither
     * survives nor shadows admissible docs. Works identically on a batch
     * frame, which is how the spec pins results.
+    *
+    * Deliberately ABSENT from the streaming path: the corpus-GLOBAL
+    * stages — near-dup connected components, semantic dedup, and eval
+    * n-gram decontamination — which need whole-corpus structures (a
+    * global edge list / the full eval window set vs an unbounded
+    * stream). Streaming covers the per-arrival operations; run
+    * [[curateCorpus]] over the accumulated corpus for the global passes
+    * (the suppression here is the streaming approximation of near-dup
+    * dedup: first arrival per cluster wins).
     */
   def curateStream(docs: DataFrame, screenPhrases: Seq[String],
       quality: QualityGate = QualityGate(), minEst: Double = 0.8,
