@@ -333,7 +333,10 @@ object Graft {
   def curateStream(docs: DataFrame, screenPhrases: Seq[String],
       quality: QualityGate = QualityGate(), minEst: Double = 0.8,
       ttlMillis: Long = Long.MaxValue,
-      watermarkDelay: String = "0 seconds"): DataFrame = {
+      watermarkDelay: String = "0 seconds",
+      useTws: Boolean = false,
+      twsTtl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     val gated = docs
@@ -353,7 +356,16 @@ object Graft {
           }
           .toDF()
       }
-    streaming.StreamOps.nearDupSuppress(screened, minEst, ttlMillis, watermarkDelay)
+    // suppressor choice (mirrors the two E8 deployment shapes): fMGWS
+    // with an EVENT-time TTL is the replay-deterministic default; the
+    // transformWithState variant (useTws) runs on the RocksDB store —
+    // call StreamOps.useRocksDbStateStore first — with a native
+    // PROCESSING-time TTLConfig, the self-bounding operational cap for
+    // state larger than heap. Same admission semantics per batch.
+    val admitted =
+      if (useTws) streaming.StreamOps.nearDupSuppressTws(screened, minEst, twsTtl)
+      else streaming.StreamOps.nearDupSuppress(screened, minEst, ttlMillis, watermarkDelay)
+    admitted
       .toDF()
       .withColumn("partitionKey", col("doc_id").cast("string"))
       .withColumn("data",
@@ -373,9 +385,13 @@ object Graft {
       ttlMillis: Long = Long.MaxValue,
       watermarkDelay: String = "0 seconds",
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      useTws: Boolean = false,
+      twsTtl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
-    curateStream(docs, screenPhrases, quality, minEst, ttlMillis, watermarkDelay)
+    curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
+      watermarkDelay, useTws, twsTtl)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)

@@ -427,6 +427,41 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("curateStream on transformWithState/RocksDB: same E2E contract, restart-safe") {
+    import graft.streaming.StreamOps.Doc
+    // the OTHER E8 deployment shape for the composed path: native
+    // ListState on the RocksDB store. Same asserts as the fMGWS E2E —
+    // suppression within a batch, across batches, and across a restart.
+    StreamOps.useRocksDbStateStore(spark)
+    val in = MemoryStream[Doc]
+    val stream = tmpDir("curate_tws_stream"); val ckpt = tmpDir("curate_tws_ckpt")
+    def words(tag: String): String = (1 to 25).map(k => s"${tag}w$k").mkString(" ")
+    def run(): Unit = {
+      val q = Graft.runCurateStream(in.toDF(), Seq("contraband phrase"), stream, ckpt,
+        numShards = 3, useTws = true,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      q.processAllAvailable(); q.stop()
+    }
+    def delivered(): Seq[Long] =
+      new KinesisSinkSpec().readShardDir(stream).values.flatten.map { case (_, data) =>
+        """"doc_id":(\d+)""".r.findFirstMatchIn(
+          new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
+      }.toSeq
+    in.addData(
+      Doc(1L, ts(1), words("a")),
+      Doc(2L, ts(2), words("a")),                        // dup of 1 → suppressed
+      Doc(3L, ts(2), "too short"),                       // gate
+      Doc(4L, ts(3), words("c") + " contraband phrase")) // screen
+    run()
+    assert(delivered().sorted == Seq(1L))
+    in.addData(
+      Doc(10L, ts(11), words("a")),  // dup of doc 1, across the restart
+      Doc(11L, ts(12), words("z")))
+    run()
+    assert(delivered().sorted == Seq(1L, 11L),
+      s"after restart: ${delivered().sorted}")
+  }
+
   test("gram-less docs bypass near-dup state and always pass") {
     import graft.streaming.StreamOps.Doc
     // < 3 tokens → NULL signature; the old sentinel signature made all of
