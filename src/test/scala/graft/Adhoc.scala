@@ -669,9 +669,18 @@ object Adhoc {
       // state-bound worst case for the composed path
       val looseGate = Graft.QualityGate(minTokens = 1, maxTokens = 1000000,
         maxStopwordRatio = 1.0)
-      for ((label, gate) <- Seq("strict_gate" -> Graft.QualityGate(),
-          "loose_gate" -> looseGate)) {
-        // batch-mode reference over the identical rows
+      // third config: the state-bound gate again, but with the suppressor
+      // on transformWithState + RocksDB (useTws) — the state-larger-than-
+      // heap shape. Must admit the identical set; throughput printed for
+      // the backend comparison.
+      for ((label, gate, useTws) <- Seq(
+          ("strict_gate", Graft.QualityGate(), false),
+          ("loose_gate", looseGate, false),
+          ("loose_gate_tws", looseGate, true))) {
+        if (useTws) graft.streaming.StreamOps.useRocksDbStateStore(spark)
+        // batch-mode reference over the identical rows (fMGWS batch path
+        // for all configs — round-8 evidence pins the two suppressors
+        // bit-identical, so one reference serves both backends)
         val expected = Graft.curateStream(allDocs, phrases, quality = gate)
           .select("doc_id").as[Long].collect().toSet
         // streaming run, end-to-end to shard files
@@ -679,7 +688,7 @@ object Adhoc {
         val ckpt = java.nio.file.Files.createTempDirectory("cs_ckpt").toString
         val in = MemoryStream[Doc]
         val q = Graft.runCurateStream(in.toDF(), phrases, stream, ckpt,
-          numShards = 8, quality = gate,
+          numShards = 8, quality = gate, useTws = useTws,
           trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
         val t0 = System.nanoTime()
         for (b <- 0 until nBatches) {
