@@ -317,6 +317,31 @@ object Similarity {
     */
   final case class IvfFitted(assigned: DataFrame, centroids: DataFrame, k: Int) {
     def cached(): IvfFitted = copy(assigned = assigned.cache())
+
+    /** Persist the fitted index as two parquet tables (`assigned/`,
+      * `centroids/`) under `dir`. With [[ivfLoad]] this is the
+      * cross-job serving shape: at corpus scale the k-means fit runs in
+      * ONE indexing job and every query batch — in other Spark jobs, on
+      * other days — probes the saved tables. A loaded index is strictly
+      * better than a derived in-memory one for member probes: `assigned`
+      * becomes a plain columnar scan, so [[ivfProbe]]'s `queryPred`
+      * pushes down to the parquet reader instead of filtering a
+      * recomputed plan.
+      */
+    def save(dir: String): Unit = {
+      assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+  }
+
+  /** Re-open an index persisted by [[IvfFitted.save]]. `k` is recovered
+    * from the centroid table's row count (k rows — a parquet-footer
+    * count, no shuffle). No k-means work happens here or in any
+    * subsequent probe.
+    */
+  def ivfLoad(s: SparkSession, dir: String): IvfFitted = {
+    val centroids = s.read.parquet(s"$dir/centroids")
+    IvfFitted(s.read.parquet(s"$dir/assigned"), centroids, centroids.count().toInt)
   }
 
   /** Count of k-means fits since JVM start — lets the one-fit-many-probes

@@ -71,6 +71,34 @@ class Round9OpsSpec extends SparkSpec {
     } finally fitted.assigned.unpersist()
   }
 
+  test("IvfFitted round-trips through parquet: loaded index probes identically, no refit") {
+    val emb = vecs(300)
+    val fitted = Similarity.ivfFit(spark, emb, k = 8)
+    val dir = tmpDir("ivf_index")
+    fitted.save(dir)
+    val before = Similarity.kmeansFitCount.get()
+    // the cross-job serving shape: a "later session" re-opens the saved
+    // index and probes it — no k-means anywhere downstream of the load
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.k == 8, s"k recovered from centroid rows: ${loaded.k}")
+    val pred = col("vec_id") < 10
+    val direct = Similarity.ivfProbe(fitted, pred, nprobe = 3, topK = 5).collect()
+    val replay = Similarity.ivfProbe(loaded, pred, nprobe = 3, topK = 5).collect()
+    assert(Similarity.kmeansFitCount.get() == before, "load + probe must not refit")
+    assert(replay.map(_.toString).sorted.toSeq == direct.map(_.toString).sorted.toSeq,
+      "loaded index must probe bit-identically to the in-memory fit")
+    // external-vector probes work off the loaded index too
+    val queries = vecs(5).select(($"vec_id" + 1000).as("q_id"), $"embedding")
+    val ext = Similarity.ivfProbeVectors(loaded, queries, nprobe = 3, topK = 1).collect()
+    assert(ext.length == 5 && ext.forall(r => r.getLong(1) == r.getLong(0) - 1000))
+    // the scale property save/load buys: the member-probe predicate
+    // reaches the parquet reader of the persisted assignment table
+    val plan = Similarity.ivfProbe(loaded, pred, nprobe = 3, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(vec_id,10)"),
+      s"probe predicate must push down to the index scan:\n$plan")
+  }
+
   test("auto-band nHint skips the count's extra upstream execution") {
     // an accumulator-instrumented frame stands in for an expensive
     // derived plan: every materialization of a row bumps the counter, so
