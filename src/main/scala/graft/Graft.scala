@@ -133,6 +133,12 @@ object Graft {
       nprobe: Int = 2, topK: Int = 10): DataFrame =
     Similarity.ivfProbeVectors(fitted, queries, nprobe, topK)
 
+  /** Re-open an index persisted with `annFit(...).save(dir)` — the
+    * cross-job serving shape: one indexing job fits and saves, later
+    * jobs load and probe at probe cost. */
+  def annLoad(spark: SparkSession, dir: String): Similarity.IvfFitted =
+    Similarity.ivfLoad(spark, dir)
+
   /** Duplicated-substring signal: per-doc count/fraction of 10-token
     * windows occurring more than once in the corpus.
     */

@@ -539,6 +539,23 @@ object Adhoc {
         f"recall=$extRecall%.4f")
       assert(extRecall >= 0.80,
         f"external-query recall collapsed: $extRecall%.4f")
+      // SAVED index (round 9, save/ivfLoad): persist the fit, re-open it
+      // as a later job would, and probe batch 0 off the parquet-backed
+      // index — must return the in-memory probe's exact rows, at probe
+      // (not fit) cost.
+      val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+      val (_, saveSec) = t(fitted.save(idxDir))
+      val (loadedRows, loadSec) = t {
+        val loaded = Similarity.ivfLoad(spark, idxDir)
+        Similarity.ivfProbe(loaded, batchPred(0), nprobe = 8, topK = 49)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      val memRows = Similarity.ivfProbe(fitted, batchPred(0), nprobe = 8, topK = 49)
+        .collect().map(_.toString).sorted.toSeq
+      println(f"ADHOC ivffitprobe_saved save=$saveSec%.2f load_probe=$loadSec%.2f " +
+        f"rows=${loadedRows.size}")
+      assert(loadedRows == memRows,
+        "saved+loaded index must probe bit-identically to the in-memory fit")
       fitted.assigned.unpersist()
       spark.stop()
       return

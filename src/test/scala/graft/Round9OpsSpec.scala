@@ -79,7 +79,7 @@ class Round9OpsSpec extends SparkSpec {
     val before = Similarity.kmeansFitCount.get()
     // the cross-job serving shape: a "later session" re-opens the saved
     // index and probes it — no k-means anywhere downstream of the load
-    val loaded = Similarity.ivfLoad(spark, dir)
+    val loaded = Graft.annLoad(spark, dir) // facade alias of Similarity.ivfLoad
     assert(loaded.k == 8, s"k recovered from centroid rows: ${loaded.k}")
     val pred = col("vec_id") < 10
     val direct = Similarity.ivfProbe(fitted, pred, nprobe = 3, topK = 5).collect()
