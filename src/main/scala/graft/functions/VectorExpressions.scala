@@ -56,29 +56,42 @@ case class FloatVecDot(left: Expression, right: Expression,
     acc
   }
 
+  // CAUTION: `nullSafeCodeGen` applies this closure BEFORE deciding
+  // whether `ev.isNull` is a declared variable — when the expression is
+  // non-nullable (lax mode on non-null children: spark.range-derived
+  // frames, post-localCheckpoint schemas) no isNull variable exists, and
+  // a template referencing `${ev.isNull}` emits an undeclared name.
+  // Janino then rejects the WHOLE generated class and the hot loop
+  // silently runs interpreted. So the lax template must not mention
+  // `ev.isNull` at all; only `strict` (which forces nullable=true, so
+  // the variable always exists) may.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      val lenGuard = if (strict)
-        s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }" else ""
-      val nullGuard = if (strict)
-        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
-      val assign = if (strict) s"if (!${ev.isNull}) { ${ev.value} = $acc; }"
-        else s"${ev.value} = $acc;"
-      s"""
-         |$lenGuard
-         |if (!${ev.isNull}) {
-         |  final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullGuard
-         |    $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
-         |  }
-         |  $assign
-         |}
-       """.stripMargin
+      if (!strict)
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      else
+        s"""
+           |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |if (!${ev.isNull}) {
+           |  final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
