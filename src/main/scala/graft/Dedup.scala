@@ -115,6 +115,16 @@ object Dedup {
     */
   val DefaultContractAbove: Long = 1000000L
 
+  /** Test-only hook (Round9OpsSpec): invoked at the top of every
+    * convergence block, standing in for the executor loss local[n]
+    * cannot produce — the spec drops every persisted block here and
+    * asserts the reliable-checkpoint loop completes with correct labels
+    * (its rounds live as FILES under checkpointDir, not as executor
+    * blocks) while the default localCheckpoint loop dies irrecoverably.
+    * Never set outside tests.
+    */
+  private[graft] var testBlockLossHook: Option[SparkSession => Unit] = None
+
   /** [[connectedComponents]] plus the number of propagation rounds the
     * loop ran — the scale observability hook: at 100 TB the per-round
     * shuffle is the edge list, so rounds × edge volume is the cost model,
@@ -154,16 +164,6 @@ object Dedup {
     * loop completes with correct labels while the localCheckpoint loop
     * fails irrecoverably — the documented trade, now exercised.
     */
-  /** Test-only hook (Round9OpsSpec): invoked at the top of every
-    * convergence block, standing in for the executor loss local[n]
-    * cannot produce — the spec drops every persisted block here and
-    * asserts the reliable-checkpoint loop completes with correct labels
-    * (its rounds live as FILES under checkpointDir, not as executor
-    * blocks) while the default localCheckpoint loop dies irrecoverably.
-    * Never set outside tests.
-    */
-  private[graft] var testBlockLossHook: Option[SparkSession => Unit] = None
-
   def connectedComponentsWithRounds(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,

@@ -37,25 +37,55 @@ object Multimodal {
     */
   val RealImageFormats: Set[String] = Set("image/png", "image/jpeg")
 
-  /** Real baseline image decode: actual pixel dimensions and a
-    * deterministic row-major hash over the ARGB values. None when the
-    * payload is not decodable as the claimed image (corrupt bytes, or a
-    * format this JVM's ImageIO has no reader for).
+  /** ImageIO reader format names accepted per claimed MIME type —
+    * decoding VERIFIES the payload is the format the metadata claims,
+    * not merely something some reader can sniff.
     */
-  private def decodeImage(payload: Array[Byte]): Option[(Long, Int, Int)] =
+  private val ImageFormatNames: Map[String, Set[String]] =
+    Map("image/png" -> Set("png"), "image/jpeg" -> Set("jpeg", "jpg"))
+
+  // payloads arrive as in-memory byte arrays: never spill ImageIO's
+  // input through a per-record temp file on the executor
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real baseline image decode: actual pixel dimensions and a
+    * deterministic row-major hash over the ARGB values (bulk row reads —
+    * one color-model conversion per ROW, not per pixel). None when the
+    * payload is corrupt, no reader exists, or the payload's sniffed
+    * format does not match the CLAIMED format — a valid GIF labeled
+    * `image/png` is a format-corrupted record, not a decode success.
+    */
+  private def decodeImage(payload: Array[Byte], claimed: String): Option[(Long, Int, Int)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        var h = 1125899906842597L // deterministic FNV-ish pixel hash
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { h = h * 31 + img.getRGB(x, y); x += 1 }
-          y += 1
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        val expected = ImageFormatNames.getOrElse(claimed, Set.empty)
+        if (iis == null || !readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            if (!expected.contains(reader.getFormatName.toLowerCase(java.util.Locale.ROOT))) None
+            else {
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val w = img.getWidth
+              val ht = img.getHeight
+              var h = 1125899906842597L // deterministic FNV-ish pixel hash
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < ht) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) { h = h * 31 + row(x); x += 1 }
+                y += 1
+              }
+              Some((h, w, ht))
+            }
+          } finally reader.dispose()
         }
-        Some((h, img.getWidth, img.getHeight))
-      }
+      } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
 
   /** Codec: REAL for baseline PNG/JPEG ([[RealImageFormats]] →
@@ -69,7 +99,7 @@ object Multimodal {
     */
   private def decodeOne(payload: Array[Byte], meta: MediaMeta): (Long, Int, Int, Boolean) =
     if (RealImageFormats(meta.format))
-      decodeImage(payload).map { case (h, w, ht) => (h, w, ht, true) }
+      decodeImage(payload, meta.format).map { case (h, w, ht) => (h, w, ht, true) }
         .getOrElse((0L, 0, 0, false))
     else {
       // STUB branch: byte-sum checksum + declared dimensions

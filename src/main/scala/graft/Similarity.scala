@@ -340,6 +340,10 @@ object Similarity {
     * subsequent probe.
     */
   def ivfLoad(s: SparkSession, dir: String): IvfFitted = {
+    // the load-then-probe session never went through ivfFit, so the
+    // probe plan's temp functions (fvec_dot, collect_top_k) must be
+    // registered HERE — a fresh job's first contact with the index
+    VectorFunctions.register(s)
     val centroids = s.read.parquet(s"$dir/centroids")
     IvfFitted(s.read.parquet(s"$dir/assigned"), centroids, centroids.count().toInt)
   }
@@ -417,29 +421,35 @@ object Similarity {
     * [[ivfFit]] result.
     */
   def ivfProbe(fitted: IvfFitted, queryPred: Column, nprobe: Int,
-      topK: Int): DataFrame =
+      topK: Int): DataFrame = {
+    VectorFunctions.register(fitted.assigned.sparkSession)
     rankProbed(fitted,
       probeCells(fitted,
         fitted.assigned.filter(queryPred).select(col("vec_id"), col("embedding")),
         nprobe),
       topK, excludeSelf = true)
+  }
 
   /** Probe a fitted IVF index with ARBITRARY query vectors — a
     * (q_id, embedding) frame whose rows need NOT be corpus members: the
     * serving-lookup / cross-corpus shape the operator doc names as where
     * IVF beats LSH (an external query has no corpus row to share an LSH
-    * band with). Cells are ranked per query against the broadcast
-    * centroid table exactly as member probes are; candidates come from
-    * the same cell equi-join. No self-exclusion — an external query has
-    * no self row, and a member vector passed here simply ranks itself
-    * first at cosine 1.
+    * band with). `q_id` must be UNIQUE per query vector — cell ranking
+    * groups by it, so two rows sharing an id would have their centroid
+    * distances mixed and one embedding silently chosen. Cells are
+    * ranked per query against the broadcast centroid table exactly as
+    * member probes are; candidates come from the same cell equi-join.
+    * No self-exclusion — an external query has no self row, and a
+    * member vector passed here simply ranks itself first at cosine 1.
     */
   def ivfProbeVectors(fitted: IvfFitted, queries: DataFrame, nprobe: Int,
-      topK: Int): DataFrame =
+      topK: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
     rankProbed(fitted,
       probeCells(fitted,
         queries.select(col("q_id").as("vec_id"), col("embedding")), nprobe),
       topK, excludeSelf = false)
+  }
 
   /** One-shot IVF ANN: [[ivfFit]] + [[ivfProbe]] in a single call — the
     * shape for a single query batch. When probing the same corpus with

@@ -112,26 +112,8 @@ class KinesisSinkSpec extends SparkSpec {
   }
 
   /** Read every record back out of a shard directory (length-prefixed). */
-  def readShardDir(base: String): Map[Int, Seq[(String, Array[Byte])]] = {
-    val dirs = Option(new File(base).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("shard="))
-    dirs.map { d =>
-      val shard = d.getName.stripPrefix("shard=").toInt
-      val recs = d.listFiles().filter(_.getName.endsWith(".krf")).sortBy(_.getName).toSeq.flatMap { f =>
-        val in = new DataInputStream(new FileInputStream(f))
-        val buf = mutable.Buffer.empty[(String, Array[Byte])]
-        try {
-          while (in.available() > 0) {
-            val pk = new Array[Byte](in.readInt()); in.readFully(pk)
-            val data = new Array[Byte](in.readInt()); in.readFully(data)
-            buf += ((new String(pk, UTF_8), data))
-          }
-        } finally in.close()
-        buf
-      }
-      shard -> recs
-    }.toMap
-  }
+  def readShardDir(base: String): Map[Int, Seq[(String, Array[Byte])]] =
+    ShardFiles.read(base)
 
   test("kinesis_shard expression equals shardFor on every key (routing law)") {
     import org.apache.spark.sql.functions.{call_function, col, lit}
@@ -454,4 +436,41 @@ class KinesisSinkSpec extends SparkSpec {
     assert(all.forall { case (s, pk, _) => shardFor(pk, 4) == s })
     assert(all.map(_._2).toSet == (1 to 100).map(_.toString).toSet)
   }
+}
+
+/** Shared shard-file readers for every suite that drives the
+  * file-backed Kinesis sink (KinesisSinkSpec, StreamOpsSpec, Adhoc).
+  */
+object ShardFiles {
+
+  /** Every record in a shard directory (length-prefixed .krf files). */
+  def read(base: String): Map[Int, Seq[(String, Array[Byte])]] = {
+    val dirs = Option(new File(base).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("shard="))
+    dirs.map { d =>
+      val shard = d.getName.stripPrefix("shard=").toInt
+      val recs = d.listFiles().filter(_.getName.endsWith(".krf")).sortBy(_.getName).toSeq.flatMap { f =>
+        val in = new DataInputStream(new FileInputStream(f))
+        val buf = mutable.Buffer.empty[(String, Array[Byte])]
+        try {
+          while (in.available() > 0) {
+            val pk = new Array[Byte](in.readInt()); in.readFully(pk)
+            val data = new Array[Byte](in.readInt()); in.readFully(data)
+            buf += ((new String(pk, UTF_8), data))
+          }
+        } finally in.close()
+        buf
+      }
+      shard -> recs
+    }.toMap
+  }
+
+  /** doc_ids parsed out of curation-pipeline JSON payloads — the one
+    * place the sink's payload format is assumed, shared by every E2E.
+    */
+  def deliveredDocIds(base: String): Seq[Long] =
+    read(base).values.flatten.map { case (_, data) =>
+      """"doc_id":(\d+)""".r.findFirstMatchIn(
+        new String(data, UTF_8)).get.group(1).toLong
+    }.toSeq
 }

@@ -40,13 +40,19 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.MediaMeta("image/png", 999, 999)),
       // non-image modality stays on the labeled stub: declared dims pass through
       Multimodal.MediaRecord(4L, "video", Array[Byte](10, 20, 30),
-        Multimodal.MediaMeta("fake/raw", 640, 480))).toDS()
+        Multimodal.MediaMeta("fake/raw", 640, 480)),
+      // a VALID PNG mislabeled image/jpeg: the sniffed format contradicts
+      // the claim, so this is a format-corrupted record — fail closed
+      Multimodal.MediaRecord(5L, "image", pngBytes(7, 5),
+        Multimodal.MediaMeta("image/jpeg", 999, 999))).toDS()
     val feats = Multimodal.decodeFeatures(recs).collect().map(f => f.id -> f).toMap
     assert(feats(1L).ok && feats(1L).width == 7 && feats(1L).height == 5)
     assert(feats(2L).ok && feats(2L).width == 3 && feats(2L).height == 4)
     assert(!feats(3L).ok && feats(3L).width == 0 && feats(3L).height == 0)
     assert(feats(4L).ok && feats(4L).width == 640 && feats(4L).height == 480)
     assert(feats(4L).checksum == 60L, "stub branch must keep the byte-sum contract")
+    assert(!feats(5L).ok && feats(5L).width == 0 && feats(5L).height == 0,
+      "a payload whose sniffed format contradicts the claimed MIME must fail closed")
     // pixel hash is a real function of the pixels: distinct images differ,
     // and a re-decode is bit-identical
     assert(feats(1L).checksum != feats(2L).checksum)

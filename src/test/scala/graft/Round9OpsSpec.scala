@@ -79,7 +79,13 @@ class Round9OpsSpec extends SparkSpec {
     val before = Similarity.kmeansFitCount.get()
     // the cross-job serving shape: a "later session" re-opens the saved
     // index and probes it — no k-means anywhere downstream of the load
-    val loaded = Graft.annLoad(spark, dir) // facade alias of Similarity.ivfLoad
+    // a NEW session: same SparkContext, but a FRESH function registry —
+    // the cross-job shape for real. Before round 9's register-on-load
+    // fix this threw UNRESOLVED_ROUTINE on fvec_dot/collect_top_k,
+    // because only ivfFit had ever registered the probe plan's temp
+    // functions and this session never ran it.
+    val freshSession = spark.newSession()
+    val loaded = Graft.annLoad(freshSession, dir) // facade alias of Similarity.ivfLoad
     assert(loaded.k == 8, s"k recovered from centroid rows: ${loaded.k}")
     val pred = col("vec_id") < 10
     val direct = Similarity.ivfProbe(fitted, pred, nprobe = 3, topK = 5).collect()

@@ -399,11 +399,7 @@ class StreamOpsSpec extends SparkSpec {
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       q.processAllAvailable(); q.stop()
     }
-    def delivered(): Seq[Long] =
-      new KinesisSinkSpec().readShardDir(stream).values.flatten.map { case (_, data) =>
-        """"doc_id":(\d+)""".r.findFirstMatchIn(
-          new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
-      }.toSeq
+    def delivered(): Seq[Long] = ShardFiles.deliveredDocIds(stream)
     in.addData(
       Doc(1L, ts(1), words("a")),
       Doc(2L, ts(2), words("a")),                        // exact dup of 1 → suppressed
@@ -420,7 +416,7 @@ class StreamOpsSpec extends SparkSpec {
     assert(delivered().sorted == Seq(1L, 11L),
       s"after restart: ${delivered().sorted} (10 must be suppressed by restored state; 1 not re-delivered)")
     // the Kinesis routing law holds for curated records too
-    new KinesisSinkSpec().readShardDir(stream).foreach { case (shard, rs) =>
+    ShardFiles.read(stream).foreach { case (shard, rs) =>
       rs.foreach { case (pk, _) =>
         assert(graft.pipeline.KinesisSink.shardFor(pk, 3) == shard)
       }
@@ -442,11 +438,7 @@ class StreamOpsSpec extends SparkSpec {
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       q.processAllAvailable(); q.stop()
     }
-    def delivered(): Seq[Long] =
-      new KinesisSinkSpec().readShardDir(stream).values.flatten.map { case (_, data) =>
-        """"doc_id":(\d+)""".r.findFirstMatchIn(
-          new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
-      }.toSeq
+    def delivered(): Seq[Long] = ShardFiles.deliveredDocIds(stream)
     in.addData(
       Doc(1L, ts(1), words("a")),
       Doc(2L, ts(2), words("a")),                        // dup of 1 → suppressed
