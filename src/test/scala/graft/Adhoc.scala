@@ -277,7 +277,7 @@ object Adhoc {
         maxFilesPerTrigger = 5)
       q2.awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
-      val recs = new KinesisSinkSpec().readShardDir(stream).values.flatten.toSeq
+      val recs = ShardFiles.read(stream).values.flatten.toSeq
       val ids = recs.map { case (_, data) =>
         """"event_id":(\d+)""".r.findFirstMatchIn(
           new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
@@ -606,6 +606,73 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("ivf1m")) {
+      // IVF one decade past the 100k fit/probe row, on the ann1m corpus
+      // (1M vectors = 20k planted 50-cliques, same construction): k = √n
+      // = 1000 cells. The fit is the one-off indexing-job cost; probes
+      // and the saved-index path must stay probe-priced. Recall against
+      // the construction ground truth, 2000 clique-base queries.
+      val dim = 64
+      val base = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      val rotated = base
+        .crossJoin(spark.range(0, 10).select(col("id").as("r")))
+        .withColumn("rot", (col("r") * 6 + 1).cast("int"))
+        .select((col("vec_id") * 10 + col("r")).as("pb_id"),
+          concat(slice(col("embedding"), col("rot") + 1, lit(dim)),
+            slice(col("embedding"), lit(1), col("rot"))).as("embedding"))
+      val e1m = rotated
+        .crossJoin(spark.range(0, 50).select(col("id").as("copy")))
+        .select((col("pb_id") * 50 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (v, i) => when(i === ((col("copy") - 1) % 64).cast("int"),
+                v * lit(1.03f)).otherwise(v)))
+            .as("embedding"))
+        .localCheckpoint(eager = true)
+      println(s"vectors: ${e1m.count()}")
+      def t[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (fitted, fitSec) = t {
+        val f = Similarity.ivfFit(spark, e1m, k = 1000).cached()
+        f.assigned.count(); f
+      }
+      // every 10th clique base → 2000 queries, as at 100k. nprobe must
+      // scale with k to hold the probed CELL FRACTION: nprobe 8 was 2.5%
+      // of k=316 cells at 100k vectors but is only 0.8% of k=1000 here
+      // (measured recall 0.725); nprobe 25 restores the 2.5% fraction.
+      val pred = col("vec_id") % 50 === 0 && pmod(col("vec_id") / 50, lit(10)) === 0
+      def probeRecall(nprobe: Int): (Long, Double, Double) = {
+        val (r, sec) = t {
+          val rr = Similarity.ivfProbe(fitted, pred, nprobe = nprobe, topK = 49)
+            .localCheckpoint(eager = true)
+          rr.count(); rr
+        }
+        val hits = r.filter(
+          (col("n_id") - col("n_id") % 50) === col("q_id")).count()
+        (r.count(), hits.toDouble / (2000.0 * 49.0), sec)
+      }
+      val (n8, recall8, sec8) = probeRecall(8)
+      val (_, recall25, sec25) = probeRecall(25)
+      // saved-index path at this scale: a later job loads and probes
+      val idxDir = java.nio.file.Files.createTempDirectory("ivf1m_idx").toString
+      val (_, saveSec) = t(fitted.save(idxDir))
+      val (loadedN, loadSec) = t {
+        Similarity.ivfProbe(Similarity.ivfLoad(spark, idxDir), pred,
+          nprobe = 8, topK = 49).count()
+      }
+      println(f"ADHOC ivf1m fit=$fitSec%.1f probe2000_np8=$sec8%.1f " +
+        f"recall_np8=$recall8%.4f probe2000_np25=$sec25%.1f " +
+        f"recall_np25=$recall25%.4f save=$saveSec%.1f load_probe=$loadSec%.1f")
+      assert(recall25 >= 0.80,
+        f"1M-vector IVF recall at the held cell fraction collapsed: $recall25%.4f")
+      assert(recall25 > recall8, "nprobe must buy recall at fixed cells")
+      assert(loadedN == n8, "saved-index probe row count diverged")
+      fitted.assigned.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ann1m")) {
       // one more decade on the ann100k curve: 1M vectors as 20k planted
       // 50-cliques — the sf0.1 embeddings rotated 10 ways (rotations of a
@@ -716,11 +783,7 @@ object Adhoc {
         }
         val secs = (System.nanoTime() - t0) / 1e9
         q.stop()
-        val delivered = new KinesisSinkSpec().readShardDir(stream).values.flatten.toSeq
-          .map { case (_, data) =>
-            """"doc_id":(\d+)""".r.findFirstMatchIn(
-              new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
-          }
+        val delivered = ShardFiles.deliveredDocIds(stream)
         println(f"ADHOC curatestream_$label docs=$n secs=$secs%.2f " +
           f"rate_docs_s=${n / secs}%.0f delivered=${delivered.size} " +
           f"distinct=${delivered.toSet.size} expected=${expected.size}")
