@@ -88,15 +88,23 @@ object Adhoc {
         .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
       val edges = clique.unionByName(chain).localCheckpoint(eager = true)
       println(s"edges: ${edges.count()}")
-      for (rep <- 1 to 2) {
+      // rep 1/2: the default localCheckpoint loop; rep 3: the reliable
+      // checkpointDir option (round 8) at the same 50M edges — measures
+      // what executor-loss fault tolerance COSTS (a distributed-FS write
+      // per cut; here local disk stands in for HDFS/S3)
+      val ckptDir = java.nio.file.Files.createTempDirectory("megacc_ckpt").toString
+      for (rep <- 1 to 3) {
+        val dir = if (rep == 3) Some(ckptDir) else None
         val t0 = System.nanoTime()
-        val (cc, rounds) = Dedup.connectedComponentsWithRounds(spark, nodes, edges)
+        val (cc, rounds) = Dedup.connectedComponentsWithRounds(spark, nodes, edges,
+          checkpointDir = dir)
         val sizes = Dedup.withClusterSize(cc)
           .groupBy(col("cluster_size")).count()
           .orderBy(col("cluster_size"))
           .as[(Long, Long)].collect().toSeq
         val secs = (System.nanoTime() - t0) / 1e9
-        println(f"ADHOC megacc rep=$rep rounds=$rounds secs=$secs%.2f sizes=$sizes")
+        val label = if (rep == 3) "reliable_ckpt" else s"rep=$rep"
+        println(f"ADHOC megacc $label rounds=$rounds secs=$secs%.2f sizes=$sizes")
         assert(sizes == Seq((300L, 300L), (n.toLong, n.toLong)),
           s"mega-component mis-clustered: $sizes")
       }
