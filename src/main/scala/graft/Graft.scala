@@ -111,7 +111,7 @@ object Graft {
     * use [[annFit]]/[[annProbe]] so the k-means fit is paid once.
     */
   def annSearch(spark: SparkSession, emb: DataFrame, k: Int = 16,
-      nprobe: Int = 2, topK: Int = 10,
+      nprobe: Int = 0, topK: Int = 10,
       queryPred: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true)): DataFrame =
     Similarity.ivfKMeans(spark, emb, k, nprobe, topK, queryPred)
 
@@ -123,14 +123,14 @@ object Graft {
   /** Probe a fitted IVF index — no k-means work, just the broadcast cell
     * ranking plus the cell equi-join. */
   def annProbe(fitted: Similarity.IvfFitted,
-      queryPred: org.apache.spark.sql.Column, nprobe: Int = 2,
+      queryPred: org.apache.spark.sql.Column, nprobe: Int = 0,
       topK: Int = 10): DataFrame =
     Similarity.ivfProbe(fitted, queryPred, nprobe, topK)
 
   /** Probe with external (non-corpus) query vectors — (q_id, embedding)
     * rows; the serving-lookup shape where IVF beats LSH. */
   def annProbeVectors(fitted: Similarity.IvfFitted, queries: DataFrame,
-      nprobe: Int = 2, topK: Int = 10): DataFrame =
+      nprobe: Int = 0, topK: Int = 10): DataFrame =
     Similarity.ivfProbeVectors(fitted, queries, nprobe, topK)
 
   /** Re-open an index persisted with `annFit(...).save(dir)` — the

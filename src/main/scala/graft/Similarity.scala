@@ -412,21 +412,34 @@ object Similarity {
       k = topK)
   }
 
+  /** Default probed-cell count for a k-cell index: recall tracks the
+    * probed cell FRACTION, not the probe count — measured at 100k
+    * vectors (k=316: recall@49 0.87 at nprobe 8 = 2.5% of cells) and at
+    * 1M (k=1000: the same nprobe 8 is only 0.8% and recall fell to
+    * 0.725, while nprobe 25 — restoring 2.5% — measured 0.9905; both in
+    * BASELINE.md). So the default holds ~2.5% of cells with a floor of
+    * 8, exactly as [[autoBandBits]] derives the LSH band width from the
+    * corpus size: the measured lesson lives in the default, not in a
+    * doc the caller has to read.
+    */
+  def autoNprobe(k: Int): Int = math.max(8, math.ceil(k * 0.025).toInt)
+
   /** Probe a fitted IVF index: corpus-member queries selected by
     * `queryPred` search their own cell plus the `nprobe - 1`
     * next-nearest cells — candidate generation stays an equi-join on
     * cell id, the property that scales. Returns per-query top-`topK`
     * neighbors by exact cosine among probed candidates (self excluded).
-    * No k-means work happens here; call repeatedly against one
-    * [[ivfFit]] result.
+    * `nprobe <= 0` (the default) resolves to [[autoNprobe]] of the
+    * index's cell count. No k-means work happens here; call repeatedly
+    * against one [[ivfFit]] result.
     */
-  def ivfProbe(fitted: IvfFitted, queryPred: Column, nprobe: Int,
-      topK: Int): DataFrame = {
+  def ivfProbe(fitted: IvfFitted, queryPred: Column, nprobe: Int = 0,
+      topK: Int = 10): DataFrame = {
     VectorFunctions.register(fitted.assigned.sparkSession)
     rankProbed(fitted,
       probeCells(fitted,
         fitted.assigned.filter(queryPred).select(col("vec_id"), col("embedding")),
-        nprobe),
+        if (nprobe > 0) nprobe else autoNprobe(fitted.k)),
       topK, excludeSelf = true)
   }
 
@@ -441,13 +454,15 @@ object Similarity {
     * member probes are; candidates come from the same cell equi-join.
     * No self-exclusion — an external query has no self row, and a
     * member vector passed here simply ranks itself first at cosine 1.
+    * `nprobe <= 0` (the default) resolves to [[autoNprobe]].
     */
-  def ivfProbeVectors(fitted: IvfFitted, queries: DataFrame, nprobe: Int,
-      topK: Int): DataFrame = {
+  def ivfProbeVectors(fitted: IvfFitted, queries: DataFrame, nprobe: Int = 0,
+      topK: Int = 10): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     rankProbed(fitted,
       probeCells(fitted,
-        queries.select(col("q_id").as("vec_id"), col("embedding")), nprobe),
+        queries.select(col("q_id").as("vec_id"), col("embedding")),
+        if (nprobe > 0) nprobe else autoNprobe(fitted.k)),
       topK, excludeSelf = false)
   }
 
@@ -460,9 +475,11 @@ object Similarity {
     * near-identical vectors into cells a query never probes, and `nprobe`
     * is the knob — measured at 100k vectors (BASELINE.md round-8 IVF
     * table): recall@49 0.87 at k=√n/nprobe=8 → 0.9965 at nprobe=32 for
-    * +26% wall. Prefer [[lshCandidates]] for corpus-member near-dup work;
-    * IVF wins when queries are not corpus members or the cell fit is
-    * reused across many query batches (via [[ivfFit]]/[[ivfProbe]]).
+    * +26% wall. `nprobe <= 0` resolves to [[autoNprobe]] (the measured
+    * ~2.5%-of-cells default). Prefer [[lshCandidates]] for corpus-member
+    * near-dup work; IVF wins when queries are not corpus members or the
+    * cell fit is reused across many query batches (via
+    * [[ivfFit]]/[[ivfProbe]]).
     */
   def ivfKMeans(s: SparkSession, emb: DataFrame, k: Int, nprobe: Int,
       topK: Int, queryPred: Column): DataFrame =

@@ -71,6 +71,22 @@ class Round9OpsSpec extends SparkSpec {
     } finally fitted.assigned.unpersist()
   }
 
+  test("nprobe <= 0 resolves to autoNprobe — the measured ~2.5%-of-cells default") {
+    // the two measured anchors (BASELINE.md): nprobe 8 IS 2.5% of k=316,
+    // and k=1000 needs 25 to hold the fraction (recall 0.725 → 0.9905)
+    assert(Similarity.autoNprobe(316) == 8)
+    assert(Similarity.autoNprobe(1000) == 25)
+    assert(Similarity.autoNprobe(16) == 8, "floor of 8 for small indexes")
+    val emb = vecs(300)
+    val fitted = Similarity.ivfFit(spark, emb, k = 8)
+    val auto = Similarity.ivfProbe(fitted, col("vec_id") < 5).collect()
+    val explicit = Similarity.ivfProbe(fitted, col("vec_id") < 5,
+      Similarity.autoNprobe(fitted.k), topK = 10).collect()
+    assert(auto.map(_.toString).sorted.toSeq ==
+      explicit.map(_.toString).sorted.toSeq,
+      "the default must be exactly autoNprobe(k)")
+  }
+
   test("IvfFitted round-trips through parquet: loaded index probes identically, no refit") {
     val emb = vecs(300)
     val fitted = Similarity.ivfFit(spark, emb, k = 8)
