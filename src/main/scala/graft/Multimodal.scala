@@ -31,38 +31,39 @@ object Multimodal {
       }
   }
 
-  /** Formats [[decodeOne]] decodes FOR REAL via the JDK's `javax.imageio`
-    * (baseline PNG/JPEG readers ship with the JVM — no external library
-    * needed, round 9). Everything else stays on the labeled stub.
-    */
-  val RealImageFormats: Set[String] = Set("image/png", "image/jpeg")
-
   /** ImageIO reader format names accepted per claimed MIME type —
     * decoding VERIFIES the payload is the format the metadata claims,
-    * not merely something some reader can sniff.
+    * not merely something some reader can sniff. One source of truth:
+    * [[RealImageFormats]] is this map's key set.
     */
   private val ImageFormatNames: Map[String, Set[String]] =
     Map("image/png" -> Set("png"), "image/jpeg" -> Set("jpeg", "jpg"))
 
-  // payloads arrive as in-memory byte arrays: never spill ImageIO's
-  // input through a per-record temp file on the executor
-  javax.imageio.ImageIO.setUseCache(false)
+  /** Formats [[decodeOne]] decodes FOR REAL via the JDK's `javax.imageio`
+    * (baseline PNG/JPEG readers ship with the JVM — no external library
+    * needed, round 9). Everything else stays on the labeled stub.
+    */
+  val RealImageFormats: Set[String] = ImageFormatNames.keySet
 
   /** Real baseline image decode: actual pixel dimensions and a
     * deterministic row-major hash over the ARGB values (bulk row reads —
-    * one color-model conversion per ROW, not per pixel). None when the
-    * payload is corrupt, no reader exists, or the payload's sniffed
-    * format does not match the CLAIMED format — a valid GIF labeled
-    * `image/png` is a format-corrupted record, not a decode success.
+    * one color-model conversion per ROW, not per pixel). The payload is
+    * already an in-memory byte array, so the input stream is an explicit
+    * `MemoryCacheImageInputStream` — no per-record temp file and no
+    * mutation of the JVM-global `ImageIO.setUseCache` toggle a host
+    * application may rely on. None when the payload is corrupt, no
+    * reader exists, or the payload's sniffed format does not match the
+    * CLAIMED format — a valid GIF labeled `image/png` is a
+    * format-corrupted record, not a decode success.
     */
   private def decodeImage(payload: Array[Byte], claimed: String): Option[(Long, Int, Int)] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         val expected = ImageFormatNames.getOrElse(claimed, Set.empty)
-        if (iis == null || !readers.hasNext) None
+        if (!readers.hasNext) None
         else {
           val reader = readers.next()
           try {
@@ -85,7 +86,7 @@ object Multimodal {
             }
           } finally reader.dispose()
         }
-      } finally if (iis != null) iis.close()
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** Codec: REAL for baseline PNG/JPEG ([[RealImageFormats]] →

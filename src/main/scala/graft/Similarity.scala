@@ -412,17 +412,26 @@ object Similarity {
       k = topK)
   }
 
-  /** Default probed-cell count for a k-cell index: recall tracks the
-    * probed cell FRACTION, not the probe count — measured at 100k
-    * vectors (k=316: recall@49 0.87 at nprobe 8 = 2.5% of cells) and at
-    * 1M (k=1000: the same nprobe 8 is only 0.8% and recall fell to
-    * 0.725, while nprobe 25 — restoring 2.5% — measured 0.9905; both in
-    * BASELINE.md). So the default holds ~2.5% of cells with a floor of
-    * 8, exactly as [[autoBandBits]] derives the LSH band width from the
-    * corpus size: the measured lesson lives in the default, not in a
-    * doc the caller has to read.
+  /** Default probed-cell count for a k-cell index: AT LEAST 2.5% of
+    * cells, floor 8. The fraction is the scaling variable — holding a
+    * fixed COUNT while k grows collapses recall (measured at 1M/k=1000:
+    * 0.725 at nprobe 8 = 0.8% of cells vs 0.9905 at nprobe 25 = the
+    * 2.5% the 100k run probed; BASELINE.md). The fraction is a floor on
+    * sane behavior, not a recall guarantee: recall at a fixed fraction
+    * still depends on how cell boundaries fall across the query's true
+    * neighbors (2.5% measured 0.87@100k but 0.99@1M on the planted
+    * corpora; 10% of cells bought 0.9965 at 100k) — raise nprobe when
+    * the recall target demands it. For small k the floor dominates
+    * (k <= 8 probes every cell — exhaustive and exact, cheap at that
+    * size). Like [[autoBandBits]] for LSH bands, the measured scaling
+    * lesson lives in the default, not in a doc the caller has to read.
     */
   def autoNprobe(k: Int): Int = math.max(8, math.ceil(k * 0.025).toInt)
+
+  /** `nprobe <= 0` → [[autoNprobe]]; the single resolution point for
+    * both probe entry points. */
+  private def resolveNprobe(fitted: IvfFitted, nprobe: Int): Int =
+    if (nprobe > 0) nprobe else autoNprobe(fitted.k)
 
   /** Probe a fitted IVF index: corpus-member queries selected by
     * `queryPred` search their own cell plus the `nprobe - 1`
@@ -439,7 +448,7 @@ object Similarity {
     rankProbed(fitted,
       probeCells(fitted,
         fitted.assigned.filter(queryPred).select(col("vec_id"), col("embedding")),
-        if (nprobe > 0) nprobe else autoNprobe(fitted.k)),
+        resolveNprobe(fitted, nprobe)),
       topK, excludeSelf = true)
   }
 
@@ -462,7 +471,7 @@ object Similarity {
     rankProbed(fitted,
       probeCells(fitted,
         queries.select(col("q_id").as("vec_id"), col("embedding")),
-        if (nprobe > 0) nprobe else autoNprobe(fitted.k)),
+        resolveNprobe(fitted, nprobe)),
       topK, excludeSelf = false)
   }
 

@@ -310,7 +310,7 @@ object Adhoc {
         maxFilesPerTrigger = 5)
       v2.awaitTermination()
       val v2Secs = (System.nanoTime() - t1) / 1e9
-      val recsV2 = new KinesisSinkSpec().readShardDir(streamV2).values.flatten.toSeq
+      val recsV2 = ShardFiles.read(streamV2).values.flatten.toSeq
       val idsV2 = recsV2.map { case (_, data) =>
         """"event_id":(\d+)""".r.findFirstMatchIn(
           new String(data, java.nio.charset.StandardCharsets.UTF_8)).get.group(1).toLong
@@ -650,6 +650,9 @@ object Adhoc {
       // of k=316 cells at 100k vectors but is only 0.8% of k=1000 here
       // (measured recall 0.725); nprobe 25 restores the 2.5% fraction.
       val pred = col("vec_id") % 50 === 0 && pmod(col("vec_id") / 50, lit(10)) === 0
+      // recall denominator derived from the corpus, not hardcoded — so a
+      // smaller sf dir still computes an honest recall
+      val nQueries = e1m.filter(pred).count()
       def probeRecall(nprobe: Int): (Long, Double, Double) = {
         val (r, sec) = t {
           val rr = Similarity.ivfProbe(fitted, pred, nprobe = nprobe, topK = 49)
@@ -658,7 +661,7 @@ object Adhoc {
         }
         val hits = r.filter(
           (col("n_id") - col("n_id") % 50) === col("q_id")).count()
-        (r.count(), hits.toDouble / (2000.0 * 49.0), sec)
+        (r.count(), hits.toDouble / (nQueries * 49.0), sec)
       }
       val (n8, recall8, sec8) = probeRecall(8)
       val (_, recall25, sec25) = probeRecall(25)

@@ -19,7 +19,7 @@ class PipelineSpec extends SparkSpec {
     s"""{"event_id":$id,"ts":"2024-01-01T00:0$id:00Z","user_id":$user,"event_type":"$tpe","value":1.5,"props":"{}"}"""
 
   private def deliveredIds(streamDir: String): Seq[Long] =
-    new KinesisSinkSpec().readShardDir(streamDir).values.flatten
+    ShardFiles.read(streamDir).values.flatten
       .map { case (_, data) =>
         val s = new String(data, UTF_8)
         """"event_id":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
@@ -66,7 +66,7 @@ class PipelineSpec extends SparkSpec {
     val ids = deliveredIds(stream)
     assert(ids.sorted == (1L to 6L), s"delivered: $ids")
     // routing law holds end-to-end: every record sits in its md5 shard
-    new KinesisSinkSpec().readShardDir(stream).foreach { case (shard, rs) =>
+    ShardFiles.read(stream).foreach { case (shard, rs) =>
       rs.foreach { case (pk, _) =>
         assert(graft.pipeline.KinesisSink.shardFor(pk, 3) == shard)
       }

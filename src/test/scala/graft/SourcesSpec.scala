@@ -83,7 +83,7 @@ class SourcesSpec extends SparkSpec {
       write(bucket, "second.jsonl", Seq(
         """{"event_id":2,"ts":"2024-01-01T00:02:00Z","user_id":2,"event_type":"view","value":1.0,"props":"{}"}"""))
       q.processAllAvailable()
-      val ids = new KinesisSinkSpec().readShardDir(stream).values.flatten
+      val ids = ShardFiles.read(stream).values.flatten
         .map { case (pk, _) => pk }.toSeq.sorted
       assert(ids == Seq("1", "2"))
     } finally q.stop()
