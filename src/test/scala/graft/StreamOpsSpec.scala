@@ -384,6 +384,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L))
   }
 
+  test("transformWithState TTL: an expired signature is evicted and a late near-dup passes") {
+    import graft.streaming.StreamOps.Doc
+    // the PROCESSING-time sibling of the fMGWS event-time TTL test: the
+    // TTLConfig cap is what bounds RocksDB state operationally, so prove
+    // it actually evicts — suppress inside the TTL, admit after it, and
+    // suppress again off the refreshed entry.
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "one two three four five six seven eight nine ten").trim
+    val nearDup = base.replace("kappa", "KAPPA")
+    StreamOps.useRocksDbStateStore(spark)
+    val in = MemoryStream[Doc]
+    val name = nextName()
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(10))
+    // Processing-time TimeMode makes the engine schedule NO-DATA batches
+    // to advance the clock, which (a) free-runs the continuous default
+    // trigger and (b) keeps resetting processAllAvailable's wait
+    // condition so it never returns. So: a real trigger interval, and
+    // progress-polling instead of processAllAvailable.
+    val q = StreamOps.nearDupSuppressTws(in.toDF(), minEst = 0.5, ttl).toDF()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir("tws_ttl_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+      .outputMode(OutputMode.Append()).start()
+    def survivors(): Set[Long] =
+      spark.table(name).select("doc_id").as[Long].collect().toSet
+    // await on the SINK TABLE, not recentProgress: the no-data batches
+    // advancing the TTL clock overflow the 100-entry progress ring
+    def awaitTable(expected: Set[Long]): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (survivors() != expected && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(survivors() == expected, s"sink table stuck at ${survivors()}")
+    }
+    in.addData(Doc(1L, ts(1), base))
+    awaitTable(Set(1L))
+    in.addData(Doc(2L, ts(2), nearDup)) // within the TTL → suppressed
+    Thread.sleep(2000)
+    assert(survivors() == Set(1L), s"doc 2 must be suppressed: ${survivors()}")
+    Thread.sleep(12000) // let doc 1's entry expire (processing-time TTL)
+    in.addData(Doc(3L, ts(3), nearDup)) // expired → ADMITTED
+    awaitTable(Set(1L, 3L))
+    in.addData(Doc(4L, ts(4), nearDup)) // refreshed entry → suppressed again
+    Thread.sleep(2000)
+    q.stop()
+    assert(survivors() == Set(1L, 3L), s"got ${survivors()}")
+  }
+
   test("curateStream: gate + AC screen + dedup state survive a checkpoint restart, E2E to shard files") {
     import graft.streaming.StreamOps.Doc
     // the reference's north-star shape: docs in → curated → Kinesis out.
