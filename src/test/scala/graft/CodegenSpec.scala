@@ -68,7 +68,7 @@ class CodegenSpec extends SparkSpec {
     assert(res.nonEmpty)
   }
 
-  test("minhash/simhash/shingle text expressions compile under CODEGEN_ONLY") {
+  test("every registered custom expression compiles under CODEGEN_ONLY on non-nullable inputs") {
     import strict.implicits._
     val docs = strict.range(0, 32).select($"id",
       concat_ws(" ", (0 until 12).map(k => concat(lit(s"w$k"), $"id" % 7)): _*).as("text"))
@@ -76,8 +76,23 @@ class CodegenSpec extends SparkSpec {
       call_function("minhash_sig", col("text"), lit(16), lit(3)).as("sig"),
       call_function("simhash64", col("text")).as("sh"),
       call_function("rolling_hash", col("text")).as("rh"),
-      call_function("window_md5s", col("text"), lit(5)).as("wm"))
+      call_function("window_md5s", col("text"), lit(5)).as("wm"),
+      call_function("shingle_hashes", col("text"), lit(3)).as("shg"),
+      call_function("kinesis_shard", col("text"), lit(8)).as("ks"))
       .collect()
     assert(out.length == 32)
+    // the array-input pair: sorted_intersect_count + sign_lsh_bits over
+    // range-derived (non-nullable) arrays
+    val arr = strict.range(0, 16).select($"id",
+      sequence(lit(0L), $"id" % 5 + 3).as("a"),
+      sequence(lit(2L), $"id" % 7 + 4).as("b"),
+      transform(sequence(lit(0), lit(7)),
+        j => ((pmod(hash($"id" * 8 + j), lit(2001)) - 1000) / lit(1000.0)).cast("float"))
+        .as("emb"))
+    val out2 = arr.select(
+      call_function("sorted_intersect_count", col("a"), col("b")).as("ic"),
+      call_function("sign_lsh_bits", col("emb"), lit(16)).as("bits"))
+      .collect()
+    assert(out2.length == 16)
   }
 }
