@@ -145,22 +145,30 @@ object Bench {
     * two measurements — a retry that is itself noisy must not replace a
     * cleaner first pass. Generic over the per-query measurement so the
     * retry path is assertable in BenchContractSpec with synthetic reps.
-    * Returns the results plus the names retried (published on the JSON
-    * lines so the artifact records that it defended itself).
+    * Returns the results plus two name lists published on the JSON lines:
+    * `retried` (first pass tripped the gate, re-measured once) and
+    * `noisy` (round 10) — the KEPT measurement still trips the gate, i.e.
+    * both passes straddled ambient load, so a reader should discount that
+    * query's number without needing a re-run. `noisy ⊆ retried` by
+    * construction: a query is only noisy after its one retry failed to
+    * produce a steady reading.
     */
   def measureWithRetry(specs: Seq[Q], measureQ: Q => Reps,
-      frac: Double = RetrySpreadFrac): (Seq[(String, Reps)], Seq[String]) = {
+      frac: Double = RetrySpreadFrac): (Seq[(String, Reps)], Seq[String], Seq[String]) = {
     val retried = Seq.newBuilder[String]
+    val noisy = Seq.newBuilder[String]
     val out = specs.map { q =>
       val r = measureQ(q)
       if (!needsRetry(r, frac)) q.name -> r
       else {
         retried += q.name
         val r2 = measureQ(q)
-        q.name -> (if (r2.errors == 0 && r2.spread < r.spread) r2 else r)
+        val kept = if (r2.errors == 0 && r2.spread < r.spread) r2 else r
+        if (needsRetry(kept, frac)) noisy += q.name
+        q.name -> kept
       }
     }
-    (out, retried.result())
+    (out, retried.result(), noisy.result())
   }
 
   /** The three JSON artifacts (family line, headline line, full line).
@@ -178,11 +186,11 @@ object Bench {
     */
   def render(results: Seq[(String, Reps)], reps: Int,
       loadStart: Double, loadEnd: Double, sfDir: String,
-      retried: Seq[String] = Nil): (String, String, String) = {
+      retried: Seq[String] = Nil, noisy: Seq[String] = Nil): (String, String, String) = {
     val load = s""""loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
     val worstSpread = results.maxBy(_._2.spread)
     val retriedInfo =
-      s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      s""""retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")},"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val spreadInfo =
       s""""reps":$reps,"max_spread":{"q":"${worstSpread._1}","sec":${fmt(worstSpread._2.spread)}},$retriedInfo"""
     val failedQs = results.filter(_._2.errors > 0).map(_._1)
@@ -235,11 +243,11 @@ object Bench {
       try q.fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val loadStart = loadAvg1m()
-    val (results, retried) =
+    val (results, retried, noisy) =
       measureWithRetry(specs, q => measureOne(spark, q, sfDir, reps))
     val loadEnd = loadAvg1m()
     val (famLine, headLine, fullLine) =
-      render(results, reps, loadStart, loadEnd, sfDir, retried)
+      render(results, reps, loadStart, loadEnd, sfDir, retried, noisy)
     writeFile("BENCH_FULL.json", fullLine)
     writeFile("BENCH_LATEST.json", headLine)
     println(famLine)

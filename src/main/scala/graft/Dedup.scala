@@ -121,9 +121,21 @@ object Dedup {
     * asserts the reliable-checkpoint loop completes with correct labels
     * (its rounds live as FILES under checkpointDir, not as executor
     * blocks) while the default localCheckpoint loop dies irrecoverably.
-    * Never set outside tests.
+    * Never set outside tests — and fenced so it CANNOT fire outside
+    * them: the hook is honored only when scalatest is on the classpath
+    * (round-10 ADVICE: a leaked assignment — a spec failing before its
+    * `finally`, a concurrent suite — must not silently drop every
+    * persisted block in a production run; in a deployed job the fence
+    * is structurally closed because no test classpath exists).
     */
   private[graft] var testBlockLossHook: Option[SparkSession => Unit] = None
+
+  private lazy val onTestClasspath: Boolean =
+    try { Class.forName("org.scalatest.Suite"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private def fireBlockLossHook(s: SparkSession): Unit =
+    if (onTestClasspath) testBlockLossHook.foreach(_(s))
 
   /** [[connectedComponents]] plus the number of propagation rounds the
     * loop ran — the scale observability hook: at 100 TB the per-round
@@ -233,7 +245,7 @@ object Dedup {
     var converged = false
     var iter = 1
     while (!converged && iter < maxIters) {
-      testBlockLossHook.foreach(_(s))
+      fireBlockLossHook(s)
       val k = math.min(checkEvery, maxIters - iter)
       var stepped = labels.withColumn("prev", col("lbl"))
       for (i <- 1 to k) {

@@ -116,9 +116,20 @@ object Graft {
     Similarity.ivfKMeans(spark, emb, k, nprobe, topK, queryPred)
 
   /** Fit the IVF cell structure once (eager k-means); probe it with
-    * [[annProbe]] as many times as needed. */
-  def annFit(spark: SparkSession, emb: DataFrame, k: Int = 16): Similarity.IvfFitted =
-    Similarity.ivfFit(spark, emb, k)
+    * [[annProbe]] as many times as needed. The iterative fit runs on a
+    * bounded deterministic sample (`fitSample`, round 10 — sub-bound
+    * corpora are untouched; `<= 0` forces the full-corpus fit) and the
+    * full corpus is assigned in one broadcast pass. */
+  def annFit(spark: SparkSession, emb: DataFrame, k: Int = 16,
+      fitSample: Long = Similarity.DefaultFitSample,
+      nHint: Long = 0L): Similarity.IvfFitted =
+    Similarity.ivfFit(spark, emb, k, fitSample, nHint)
+
+  /** Append new vectors to a fitted index without a refit — the
+    * growing-corpus serving shape; see [[Similarity.ivfAssign]] for the
+    * when-to-refit guidance (centroid drift). */
+  def annAssign(fitted: Similarity.IvfFitted, newVecs: DataFrame): Similarity.IvfFitted =
+    Similarity.ivfAssign(fitted, newVecs)
 
   /** Probe a fitted IVF index — no k-means work, just the broadcast cell
     * ranking plus the cell equi-join. */

@@ -63,12 +63,24 @@ object Multimodal {
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         val expected = ImageFormatNames.getOrElse(claimed, Set.empty)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            if (!expected.contains(reader.getFormatName.toLowerCase(java.util.Locale.ROOT))) None
-            else {
+        // scan ALL sniff-matched readers for one whose format name matches
+        // the CLAIMED format (round-10 ADVICE): a host app that registers
+        // extra readers (e.g. TwelveMonkeys) can put a differently-named
+        // reader FIRST for the same bytes — a correctly-labeled payload
+        // must not fail closed just because of registry ordering. A
+        // mislabeled payload still fails: no reader that sniffs the bytes
+        // carries the claimed format's name.
+        var matched: Option[javax.imageio.ImageReader] = None
+        while (matched.isEmpty && readers.hasNext) {
+          val r = readers.next()
+          if (expected.contains(r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+            matched = Some(r)
+          else r.dispose()
+        }
+        matched match {
+          case None => None
+          case Some(reader) =>
+            try {
               reader.setInput(iis)
               val img = reader.read(0)
               val w = img.getWidth
@@ -83,17 +95,96 @@ object Multimodal {
                 y += 1
               }
               Some((h, w, ht))
-            }
-          } finally reader.dispose()
+            } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
 
+  /** `javax.sound.sampled` file types accepted per claimed audio MIME —
+    * same one-source-of-truth shape as [[ImageFormatNames]]: decoding
+    * VERIFIES the payload is what the metadata claims.
+    */
+  private val AudioFileTypes: Map[String, Set[String]] =
+    Map("audio/wav" -> Set("wave"), "audio/x-wav" -> Set("wave"),
+      "audio/aiff" -> Set("aiff"), "audio/x-aiff" -> Set("aiff"))
+
+  /** Formats [[decodeOne]] and [[decodeAudioFeatures]] decode FOR REAL
+    * via the JDK's `javax.sound.sampled` (WAV/AIFF header + PCM readers
+    * ship with the JVM — round 10, mirroring the round-9 ImageIO move).
+    * Compressed audio (mp3/ogg/aac) and video stay on the labeled stub:
+    * those codecs genuinely are not in this container.
+    */
+  val RealAudioFormats: Set[String] = AudioFileTypes.keySet
+
+  /** Real WAV/AIFF decode: header fields (sample rate, channels, frame
+    * count) plus a deterministic FNV-ish hash over the decoded PCM
+    * stream bytes. None when the payload is corrupt, unreadable, or its
+    * sniffed file type does not match the CLAIMED format — a valid WAV
+    * labeled `audio/aiff` is a format-corrupted record, exactly the
+    * image-path contract. The payload is in memory, so streams are
+    * plain `ByteArrayInputStream`s (mark/reset-capable, as
+    * `AudioSystem` requires) — no temp files.
+    */
+  private def decodeAudio(payload: Array[Byte],
+      claimed: String): Option[(Long, Int, Int, Long)] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val expected = AudioFileTypes.getOrElse(claimed, Set.empty)
+      val sniffed = AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+        .getType.toString.toLowerCase(java.util.Locale.ROOT)
+      if (!expected.contains(sniffed)) None
+      else {
+        val ais = AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          var h = 1125899906842597L // same FNV-ish constant as the pixel hash
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) { h = h * 31 + (buf(i) & 0xff); i += 1 }
+            n = ais.read(buf)
+          }
+          Some((h, math.round(fmt.getSampleRate), fmt.getChannels, frames))
+        } finally ais.close()
+      }
+    } catch { case _: Exception => None }
+
+  final case class AudioFeatures(id: Long, n_bytes: Long, sample_rate: Int,
+      channels: Int, frames: Long, sample_hash: Long, ok: Boolean)
+
+  /** Typed audio-feature extraction — the audio sibling of
+    * [[decodeFeatures]], with the schema audio actually has (rate /
+    * channels / frames) instead of width×height. Real for
+    * [[RealAudioFormats]]; anything else is `ok = false` zeroes (an mp3
+    * here is honest refusal, not a stub guess).
+    */
+  def decodeAudioFeatures(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        decodeAudio(r.payload, r.meta.format) match {
+          case Some((h, rate, ch, frames)) =>
+            AudioFeatures(r.id, r.payload.length.toLong, rate, ch, frames, h, ok = true)
+          case None =>
+            AudioFeatures(r.id, r.payload.length.toLong, 0, 0, 0L, 0L, ok = false)
+        }
+      }
+    }
+  }
+
   /** Codec: REAL for baseline PNG/JPEG ([[RealImageFormats]] →
-    * `javax.imageio`, actual dimensions + pixel hash, `ok = false` with
-    * zeroed features when the payload does not decode); a clearly-marked
-    * deterministic STUB for every other modality (video/audio/raw — no
-    * media libraries in this container). A production deployment swaps
+    * `javax.imageio`, actual dimensions + pixel hash) and for WAV/AIFF
+    * ([[RealAudioFormats]] → `javax.sound.sampled`, PCM-stream hash with
+    * sample rate / channels standing in the width / height slots of this
+    * image-shaped generic schema — [[decodeAudioFeatures]] is the typed
+    * path with honest field names); `ok = false` with zeroed features
+    * when the payload does not decode as claimed. A clearly-marked
+    * deterministic STUB remains for compressed audio and video — no
+    * media libraries in this container. A production deployment swaps
     * the stub branch for a library call (e.g. javacv); everything around
     * it (partition batching, schema, failure nullability) is production
     * plumbing either way.
@@ -101,6 +192,10 @@ object Multimodal {
   private def decodeOne(payload: Array[Byte], meta: MediaMeta): (Long, Int, Int, Boolean) =
     if (RealImageFormats(meta.format))
       decodeImage(payload, meta.format).map { case (h, w, ht) => (h, w, ht, true) }
+        .getOrElse((0L, 0, 0, false))
+    else if (RealAudioFormats(meta.format))
+      decodeAudio(payload, meta.format)
+        .map { case (h, rate, ch, _) => (h, rate, ch, true) }
         .getOrElse((0L, 0, 0, false))
     else {
       // STUB branch: byte-sum checksum + declared dimensions

@@ -354,26 +354,102 @@ object Similarity {
     */
   private[graft] val kmeansFitCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Default k-means fit-sample bound (rows). The round-9 `ivf1m`
+    * measurement (BASELINE.md) made the case: at 1M vectors the FULL
+    * fit is 1,210 s and decade-dominant (probes are 5–7 s) and the
+    * iterative k-means jobs are largely driver-bound — while centroid
+    * QUALITY needs only a sample, not the corpus. Like [[autoNprobe]],
+    * the measured lesson lives in the default: callers at corpus scale
+    * who never read the knob get a bounded fit; sub-bound corpora are
+    * untouched (the sample is the whole corpus — bit-identical fit).
+    */
+  val DefaultFitSample: Long = 100000L
+
   /** Fit the IVF cell structure: MLlib KMeans (seeded) fits `k` cells and
     * every vector is assigned to its nearest cell. This is the expensive
     * half of IVF — the iterative k-means jobs run HERE, eagerly, exactly
     * once — and the returned [[IvfFitted]] amortizes it across query
     * batches via [[ivfProbe]], the serving-shaped use IVF exists for.
+    *
+    * Sampled fit (round 10): the ITERATIVE k-means passes run on a
+    * bounded deterministic sample — rows whose `xxhash64(vec_id)` falls
+    * under `max(fitSample, 10·k) / n` (the q25 hash pattern: same rows
+    * every run, engine, partitioning, cluster size; the `10·k` floor
+    * keeps every cell ≥ ~10 expected fit points) — and the FULL corpus
+    * is then assigned in ONE non-iterative broadcast-centroid pass
+    * (`model.transform`). `fitSample <= 0` forces the full-corpus fit;
+    * any `fitSample >= n` is equivalent to it (no filter is planned at
+    * all). `nHint` (the F21 pattern) supplies `n` so derived-frame
+    * callers skip the sizing `count()` — a count job is noise next to a
+    * fit, but not free when the input frame re-executes an upstream
+    * pipeline. Refit vs [[ivfAssign]]: appends reuse these centroids;
+    * refit when the appended volume rivals the fitted corpus (see
+    * [[ivfAssign]]).
     */
-  def ivfFit(s: SparkSession, emb: DataFrame, k: Int): IvfFitted = {
+  def ivfFit(s: SparkSession, emb: DataFrame, k: Int,
+      fitSample: Long = DefaultFitSample, nHint: Long = 0L): IvfFitted = {
     VectorFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = emb.withColumn("features",
       array_to_vector(transform(col("embedding"), _.cast("double"))))
+    val fitRows =
+      if (fitSample <= 0) feat
+      else {
+        val n = if (nHint > 0) nHint else emb.count()
+        val target = math.max(fitSample, 10L * k)
+        if (target >= n) feat
+        else feat.filter(
+          pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+            lit(math.ceil(target.toDouble / n * 1000000L).toLong))
+      }
     kmeansFitCount.incrementAndGet()
-    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(feat)
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(fitRows)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     val centroids = s.createDataFrame(model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray.map(_.toFloat))
     }.toSeq).toDF("c_cell", "c_emb")
     IvfFitted(assigned, centroids, k)
+  }
+
+  /** Append NEW vectors to an existing fitted index WITHOUT a refit —
+    * the growing-corpus serving shape the [[IvfFitted.save]]/[[ivfLoad]]
+    * split implies: an indexing job fits once, and ingest batches assign
+    * themselves against the frozen centroid table forever after. The
+    * assignment is the same non-iterative pass k-means itself ends with:
+    * per vector, argmin over the BROADCAST centroids of the Euclidean
+    * distance — computed as `|c|² − 2·v·c` (`|v|²` is constant per row),
+    * with `|c|²` evaluated once per centroid BEFORE the broadcast — via
+    * the bounded-heap `collect_top_k(1)` (negated-struct key: min cost,
+    * tie → min cell, matching MLlib's lowest-index tie-break). No
+    * k-means work, no shuffle beyond the per-vector groupBy.
+    *
+    * WHEN TO REFIT instead: the centroids never move, so appended mass
+    * degrades the index as drift accumulates — cells grow unbalanced
+    * (probe cost skews) and recall decays if the new vectors'
+    * distribution differs from the fitted corpus. Rule of thumb: refit
+    * once appended volume rivals a meaningful fraction (~20%+) of the
+    * fitted corpus or measured recall drops below target; with the
+    * round-10 sampled fit a refit costs ~one bounded k-means regardless
+    * of corpus size, so refitting is cheap insurance, not a 1,210 s
+    * penance.
+    */
+  def ivfAssign(fitted: IvfFitted, newVecs: DataFrame): IvfFitted = {
+    VectorFunctions.register(newVecs.sparkSession)
+    val cent = fitted.centroids
+      .withColumn("c_nrm2", dot(col("c_emb"), col("c_emb")))
+    val assignedNew = newVecs
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cost", col("c_nrm2") - lit(2.0) * dot(col("embedding"), col("c_emb")))
+      .select(col("vec_id"), col("embedding"),
+        struct((-col("cost")).as("ncost"), (-col("c_cell")).as("ncell"), col("c_cell")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        call_function("collect_top_k", col("p"), lit(1), lit(false)).as("top"))
+      .select(col("vec_id"), col("embedding"), col("top").getItem(0).getField("c_cell").as("cell"))
+    fitted.copy(assigned = fitted.assigned.unionByName(assignedNew))
   }
 
   /** Per-query nprobe nearest cells for any (vec_id, embedding) query
@@ -464,14 +540,26 @@ object Similarity {
     * No self-exclusion — an external query has no self row, and a
     * member vector passed here simply ranks itself first at cosine 1.
     * `nprobe <= 0` (the default) resolves to [[autoNprobe]].
+    *
+    * The `q_id`-unique contract is GUARDED, not assumed (round-10
+    * ADVICE): duplicate ids would silently mix centroid distances
+    * across rows while `first()` picks one embedding — wrong neighbors
+    * with no error. `dropDuplicates("q_id")` makes a duplicated id
+    * resolve to ONE (arbitrary but self-consistent) embedding instead;
+    * `assertUnique = true` fails fast on the first duplicate (one extra
+    * count job — the debug/test mode).
     */
   def ivfProbeVectors(fitted: IvfFitted, queries: DataFrame, nprobe: Int = 0,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, assertUnique: Boolean = false): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
+    val q = queries.select(col("q_id").as("vec_id"), col("embedding"))
+    if (assertUnique) {
+      val dups = q.groupBy("vec_id").count().filter(col("count") > 1).count()
+      require(dups == 0L, s"ivfProbeVectors: $dups duplicate q_id value(s) — " +
+        "each query vector needs a unique id (cell ranking groups by it)")
+    }
     rankProbed(fitted,
-      probeCells(fitted,
-        queries.select(col("q_id").as("vec_id"), col("embedding")),
-        resolveNprobe(fitted, nprobe)),
+      probeCells(fitted, q.dropDuplicates("vec_id"), resolveNprobe(fitted, nprobe)),
       topK, excludeSelf = false)
   }
 

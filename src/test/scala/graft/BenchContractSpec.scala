@@ -87,17 +87,42 @@ class BenchContractSpec extends SparkSpec {
       if (q.name == "bench_noisy" && calls(q.name) == 2) secondPass
       else firstPass(q.name)
     }
-    val (out, retried) = Bench.measureWithRetry(Seq(stable, noisy), meas)
+    val (out, retried, noisyQs) = Bench.measureWithRetry(Seq(stable, noisy), meas)
     assert(retried == Seq("bench_noisy"))
     assert(calls("bench_stable") == 1, "a steady query must not re-run")
     assert(calls("bench_noisy") == 2, "the noisy query earns exactly one retry")
     assert(out.toMap.apply("bench_noisy") == secondPass,
       "the steadier re-measure must replace the noisy first pass")
+    assert(noisyQs.isEmpty, "a steady retry clears the noisy flag")
     // the artifact records that it defended itself
-    val (famLine, headLine, fullLine) = Bench.render(out, 3, 0.5, 0.5, sf001, retried)
-    for (line <- Seq(famLine, headLine, fullLine))
+    val (famLine, headLine, fullLine) =
+      Bench.render(out, 3, 0.5, 0.5, sf001, retried, noisyQs)
+    for (line <- Seq(famLine, headLine, fullLine)) {
       assert(line.contains("\"retried\":[\"bench_noisy\"]"),
         s"line must name the retried query:\n$line")
+      assert(line.contains("\"noisy\":[]"),
+        s"a defended run publishes an empty noisy array:\n$line")
+    }
+  }
+
+  test("a query still stormy AFTER its retry is published as noisy") {
+    // round-10 VERDICT task 5: when both passes straddle ambient load the
+    // kept reading is the best available but not trustworthy — the
+    // artifact must say so, distinctly from `retried`, so a judge can
+    // discount it without a re-run.
+    val q = Q.noOracle("bench_stormy") { (s, _) => s.range(0, 1).toDF("id") }
+    // two synthetic stormy passes: every spread exceeds half its median
+    val passes = Iterator(Bench.Reps(Seq(1.0, 3.0, 5.0)), Bench.Reps(Seq(1.0, 2.5, 4.0)))
+    val (out, retried, noisyQs) = Bench.measureWithRetry(Seq(q), _ => passes.next())
+    assert(retried == Seq("bench_stormy") && noisyQs == Seq("bench_stormy"),
+      "a twice-stormy query must appear in BOTH retried and noisy")
+    // the steadier (second) pass is still the one kept
+    assert(out.toMap.apply("bench_stormy") == Bench.Reps(Seq(1.0, 2.5, 4.0)))
+    val (famLine, headLine, fullLine) =
+      Bench.render(out, 3, 0.5, 0.5, sf001, retried, noisyQs)
+    for (line <- Seq(famLine, headLine, fullLine))
+      assert(line.contains("\"noisy\":[\"bench_stormy\"]"),
+        s"line must name the still-noisy query:\n$line")
   }
 
   test("retry keeps the first pass when the re-measure is noisier, and skips failed/quiet reps") {
@@ -105,7 +130,7 @@ class BenchContractSpec extends SparkSpec {
     val first = Bench.Reps(Seq(1.0, 3.0, 5.0))
     val worse = Bench.Reps(Seq(1.0, 4.0, 7.0))
     var n = 0
-    val (out, retried) = Bench.measureWithRetry(Seq(q), { _ => n += 1; if (n == 1) first else worse })
+    val (out, retried, _) = Bench.measureWithRetry(Seq(q), { _ => n += 1; if (n == 1) first else worse })
     assert(retried == Seq("bench_q") && out.toMap.apply("bench_q") == first,
       "a noisier retry must not replace a cleaner first pass")
     // predicate edges: steady, failed, and sub-threshold reps never retry
