@@ -807,6 +807,158 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("bridge")) {
+      // Round-10 lambda-handoff stress: curateStream's doc points at
+      // curateCorpus for the corpus-GLOBAL stages (Graft.scala) — this
+      // DEMONSTRATES the handoff instead of promising it. 100k docs
+      // (sf0.1 texts × 20 exact copies) stream through the full
+      // runCurateStream to V2 shard files; the delivered corpus is read
+      // BACK from the shard files and the batch global stages (near-dup
+      // CC + exact-edge semantic dedup + F22 eval decontamination) run
+      // over it; the composed result must EQUAL one-shot batch curation
+      // of the identical input. The equality is exact here because the
+      // gate is permissive and the screen empty, so the one stage-order
+      // divergence the streaming doc records (a gate-dropped doc cannot
+      // shadow its near-dups) has nothing to bite on — what remains is
+      // pure composition: stream suppression (est >= minEst, first
+      // arrival = min id) followed by batch jaccard-CC must land on the
+      // clusters one batch pass computes.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamOps.Doc
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val texts = Tables.documents(spark, d)
+        .filter(col("text").isNotNull).select(col("text"))
+        .collect().map(_.getString(0))
+      val nSrc = texts.length
+      val copies = 20
+      val perBatch = 2
+      val nBatches = copies / perBatch
+      val n = nSrc.toLong * copies
+      def mkDoc(src: Int, b: Int, c: Int): Doc =
+        Doc(src.toLong * copies + b * perBatch + c,
+          new java.sql.Timestamp(1700000000000L + b * 1000L), texts(src))
+      println(s"bridge corpus: $nSrc sources x $copies copies = $n docs")
+      val allDocs = (for {
+        src <- texts.indices.iterator; b <- 0 until nBatches; c <- 0 until perBatch
+      } yield mkDoc(src, b, c)).toSeq.toDF()
+      val looseGate = Graft.QualityGate(minTokens = 1, maxTokens = 1000000,
+        maxStopwordRatio = 1.0)
+      // planted semantic structure: per-source 64-dim hash vectors with
+      // source s and s + nSrc/2 SHARING one embedding — semantic dups
+      // across textually-unrelated sources, the case only the global
+      // batch pass can catch (64 dims: accidental cos >= 0.9 between
+      // distinct hash vectors is essentially impossible, so the planted
+      // cliques are the only edges and exact-vs-composed transitivity
+      // cannot diverge)
+      val emb = spark.range(0, n)
+        .select(col("id").as("doc_id"),
+          pmod(floor(col("id") / copies), lit((nSrc / 2).toLong)).as("eb"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => ((pmod(hash(col("eb") * 64 + j), lit(2001)) - 1000) / lit(1000.0))
+              .cast("float")).as("embedding"))
+      val sd = Graft.SemanticDedup(emb, minCos = 0.9)
+      // held-out eval corpus: 50 source texts — every lineage sharing a
+      // 10-token window with them must fall at the F22 stage of BOTH paths
+      val ev = texts.take(50).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      def curateBatch(docs: org.apache.spark.sql.DataFrame): Seq[String] =
+        Graft.curateCorpus(spark, docs, screenPhrases = Seq(),
+            quality = looseGate, evalDocs = Some(ev), semantic = Some(sd))
+          .collect().map(_.toString).sorted.toSeq
+      // 1. stream to shard files
+      val stream = java.nio.file.Files.createTempDirectory("bridge_stream").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("bridge_ckpt").toString
+      val in = MemoryStream[Doc]
+      val q = Graft.runCurateStream(in.toDF(), Seq(), stream, ckpt,
+        numShards = 8, quality = looseGate,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      val t0 = System.nanoTime()
+      for (b <- 0 until nBatches) {
+        in.addData((for {
+          src <- texts.indices.iterator; c <- 0 until perBatch
+        } yield mkDoc(src, b, c)).toSeq)
+        q.processAllAvailable()
+      }
+      val streamSecs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      // 2. read the DELIVERED corpus back off the shard files — the
+      // accumulated-corpus frame a nightly global pass would start from
+      val delivered = ShardFiles.read(stream).values.flatten
+        .map { case (_, data) => new String(data, java.nio.charset.StandardCharsets.UTF_8) }
+        .toSeq.toDF("json")
+        .select(from_json(col("json"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, ts TIMESTAMP, text STRING")).as("r"))
+        .select(col("r.doc_id"), col("r.text"))
+        .localCheckpoint(eager = true)
+      val nDelivered = delivered.count()
+      // 3. batch global passes over the delivered corpus vs one-shot
+      val t1 = System.nanoTime()
+      val composed = curateBatch(delivered)
+      val composedSecs = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val oneShot = curateBatch(allDocs)
+      val oneShotSecs = (System.nanoTime() - t2) / 1e9
+      println(f"ADHOC bridge docs=$n stream_secs=$streamSecs%.2f " +
+        f"delivered=$nDelivered composed_secs=$composedSecs%.2f " +
+        f"oneshot_secs=$oneShotSecs%.2f survivors=${composed.size}")
+      assert(composed.nonEmpty, "bridge produced no survivors — setup broken")
+      assert(composed == oneShot,
+        s"composed stream->batch curation diverged from one-shot batch " +
+          s"(${composed.size} vs ${oneShot.size} rows)")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("megacc5")) {
+      // Round-10 CC decade extension: 5 replicated (10k-clique + 300-
+      // chain) groups = 250M clique edges + 1,495 chain edges — one
+      // decade past megacc's 50M, the breadth×depth mix at the volume
+      // where per-round edge shuffle is the 100 TB cost model. Reps:
+      // default localCheckpoint loop, then the reliable checkpointDir
+      // loop (the fault-tolerant 100 TB configuration) at the same
+      // volume. rounds × edge-volume accounting printed for BASELINE.md.
+      import spark.implicits._
+      val n = 10000
+      val span = 20000L // group id stride: clique at +0, chain at +n
+      val groups = spark.range(0, 5).select(col("id").as("g"))
+      val nodes = groups.crossJoin(
+          spark.range(0, n + 300).select(col("id").as("i")))
+        .select((col("g") * span + col("i")).as("doc_id"))
+      val clique = spark.range(0, n).select(col("id").as("ai"))
+        .crossJoin(spark.range(0, n).select(col("id").as("bi")))
+        .filter(col("ai") < col("bi"))
+        .crossJoin(groups)
+        .select((col("g") * span + col("ai")).as("a_id"),
+          (col("g") * span + col("bi")).as("b_id"))
+      val chain = groups.crossJoin(
+          spark.range(n, n + 299).select(col("id").as("i")))
+        .select((col("g") * span + col("i")).as("a_id"),
+          (col("g") * span + col("i") + 1).as("b_id"))
+      val edges = clique.unionByName(chain).localCheckpoint(eager = true)
+      println(s"edges: ${edges.count()}")
+      val ckptDir = java.nio.file.Files.createTempDirectory("megacc5_ckpt").toString
+      for (rep <- 1 to 2) {
+        val dir = if (rep == 2) Some(ckptDir) else None
+        val t0 = System.nanoTime()
+        val (cc, rounds) = Dedup.connectedComponentsWithRounds(spark, nodes, edges,
+          checkpointDir = dir)
+        val sizes = Dedup.withClusterSize(cc)
+          .groupBy(col("cluster_size")).count()
+          .orderBy(col("cluster_size"))
+          .as[(Long, Long)].collect().toSeq
+        val secs = (System.nanoTime() - t0) / 1e9
+        val label = if (rep == 2) "reliable_ckpt" else "default"
+        println(f"ADHOC megacc5 $label rounds=$rounds secs=$secs%.2f sizes=$sizes")
+        assert(sizes == Seq((300L, 1500L), (n.toLong, 50000L)),
+          s"replicated mega-components mis-clustered: $sizes")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded

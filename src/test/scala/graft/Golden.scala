@@ -18,6 +18,20 @@ object Golden {
     "q1_pricing_summary", "q3_join_topk", "q15_window_rank",
     "q24_sessionize", "q_f3_cosine_topk", "q_f1_dedup_first")
 
+  /** The 8 sanctioned no-oracle queries (SURVEY §7.4.7): spec-covered but
+    * — before round 10 — with no drift tripwire inside `sbt test`. Their
+    * outputs are deterministic by construction (seeded hashes, md5-pinned
+    * orderings), so committed goldens surface a silent behavior change
+    * the rows-only driver gate would wave through.
+    */
+  val NoOracleGoldens: Seq[String] = Seq(
+    "q13_approx_distinct", "q20_sample", "q_f2_minhash_sig",
+    "q_f2_minhash_pairs", "q_f2_simhash", "q_f5_lsh_neardup",
+    "q_rolling_fingerprint", "q_f21b_semantic_dedup_lsh")
+
+  /** Every query with a committed golden. */
+  val All: Seq[String] = Flagships ++ NoOracleGoldens
+
   val ResourceDir = "src/test/resources/golden"
 
   /** The sf0.001 dataset both GoldenMain (regeneration) and GoldenSpec
@@ -67,7 +81,7 @@ object GoldenMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(Golden.ResourceDir))
-    Golden.Flagships.foreach { name =>
+    Golden.All.foreach { name =>
       val lines = Golden.canon(SparkEntry.queries(name)(spark, Golden.DataDir))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(Golden.path(name)),

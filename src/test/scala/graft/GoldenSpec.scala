@@ -7,7 +7,7 @@ package graft
   */
 class GoldenSpec extends SparkSpec {
 
-  Golden.Flagships.foreach { name =>
+  Golden.All.foreach { name =>
     test(s"$name matches its committed sf0.001 golden") {
       val expectedPath = java.nio.file.Paths.get(Golden.path(name))
       assert(java.nio.file.Files.exists(expectedPath),

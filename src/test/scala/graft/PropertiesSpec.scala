@@ -20,6 +20,34 @@ object SinkProps extends Properties("KinesisSink") {
         bs.flatten == recs
     }
 
+  property("throttle long-run admitted rate never exceeds the configured limit") = {
+    // the B11 contract as a LAW (round-10 VERDICT stretch): over ANY
+    // admission sequence — bursts, overdraws, debt — the tokens admitted
+    // by fake-clock time t are bounded by limit·(t + 1s) + one request's
+    // overdraw (the 1s is the initial full bucket, the overdraw the
+    // single admitted-then-charged request the doc promises). Dividing
+    // by t: the long-run rate converges to the limit from above, with a
+    // burst of exactly one bucket + one request, never more.
+    val reqGen = Gen.zip(Gen.chooseNum(1, 500), Gen.chooseNum(1L, 5L * 1024 * 1024))
+    Prop.forAll(Gen.listOfN(40, reqGen)) { reqs =>
+      val rps = 100
+      val bps = 100000L
+      var now = 0L
+      val t = new ShardThrottle(rps, bps,
+        nanoTime = () => now, sleep = ms => now += ms * 1000000L)
+      var recs = 0L
+      var bytes = 0L
+      reqs.forall { case (n, b) =>
+        t.acquire(n, b)
+        recs += n
+        bytes += b
+        val sec = now / 1e9
+        recs <= rps * (sec + 1) + MaxRecordsPerRequest &&
+          bytes <= (bps * (sec + 1) + MaxBytesPerRequest).toLong
+      }
+    }
+  }
+
   property("shardFor is total, in-range, deterministic") =
     Prop.forAll(Gen.alphaNumStr, Gen.chooseNum(1, 64)) { (key, n) =>
       val s = shardFor(key, n)
