@@ -327,9 +327,25 @@ object Similarity {
       * becomes a plain columnar scan, so [[ivfProbe]]'s `queryPred`
       * pushes down to the parquet reader instead of filtering a
       * recomputed plan.
+      *
+      * The assignment table is PARTITIONED BY CELL (round 10): with the
+      * probe side broadcast (the [[DefaultMaxBroadcastProbes]] guard),
+      * Spark's dynamic partition pruning turns the candidate equi-join
+      * into a scan of ONLY the probed cells — a 2.5%-fraction probe of a
+      * 100 TB index reads ~2.5% of it instead of all of it, which is
+      * the scan-side half of what an inverted file IS. At corpus scale
+      * every cell is many parquet files of GBs; `partitioned = false`
+      * opts back into the round-9 flat layout (e.g. for tiny indexes
+      * where k directories outweigh the data).
       */
-    def save(dir: String): Unit = {
-      assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    def save(dir: String, partitioned: Boolean = true): Unit = {
+      // the repartition is the one-off indexing-job shuffle that lays
+      // each cell out contiguously — without it every write task emits
+      // a file per cell it happens to hold (tasks × k small files)
+      if (partitioned)
+        assigned.repartition(col("cell")).write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$dir/assigned")
+      else assigned.write.mode("overwrite").parquet(s"$dir/assigned")
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     }
   }
@@ -472,10 +488,53 @@ object Similarity {
         call_function("collect_top_k", col("p"), lit(nprobe), lit(false)).as("top"))
       .select(col("vec_id").as("q_id"), col("q_emb"), explode(col("top.c_cell")).as("cell"))
 
+  /** Max probed rows (queries × nprobe) the candidate join will BROADCAST
+    * (round 10). The probe side of [[rankProbed]]'s cell equi-join is
+    * |queries|·nprobe rows carrying one query embedding each — for a
+    * serving batch that is MBs, and broadcasting it leaves the corpus
+    * side entirely un-shuffled (map-side hash join against the assigned
+    * scan). Without the hint, Catalyst estimates the aggregate-derived
+    * probe side pessimistically and falls back to a sort-merge join that
+    * SHUFFLES THE WHOLE CORPUS on `cell` — k distinct keys, skewed, per
+    * probe batch; measured at 1M vectors / k=1000 / nprobe 25 off a
+    * saved index: 27.4 s SMJ vs 6.2 s broadcast (BASELINE.md round 10) —
+    * the exact shuffle IVF exists to avoid. 200k rows ≈ 50 MB at dim 64
+    * (scale the knob down for wide embeddings: bytes ≈ rows × 4·dim).
+    * Queries above the cap keep the planner's choice — a corpus-sized
+    * query batch amortizes its shuffle and must not be driver-broadcast.
+    */
+  val DefaultMaxBroadcastProbes: Long = 200000L
+
+  /** The broadcast decision, factored for testability: broadcast iff the
+    * guard is enabled and `nQueries · nprobe <= maxProbes` (division
+    * form — no overflow on huge counts). */
+  private[graft] def shouldBroadcastProbes(nQueries: Long, nprobe: Int,
+      maxProbes: Long): Boolean =
+    maxProbes > 0 && nQueries <= maxProbes / math.max(1, nprobe)
+
+  /** Broadcasting the probe side streams the corpus AT ITS EXISTING
+    * partitioning — which is the whole point (no corpus shuffle) when
+    * that partitioning is parallel (any real saved index: parquet splits
+    * by maxPartitionBytes; any 100 TB frame), and a trap when it is not:
+    * a corpus built from one small file plans 1–2 partitions, and the
+    * forced broadcast pins the candidate join + ranking to those few
+    * cores where the sort-merge shuffle would have re-parallelized it
+    * (measured at 1M vectors / nprobe 25: 27.8 s pinned vs 5.5 s
+    * shuffled). Rule: the corpus side must bring at least a QUARTER of
+    * the shuffle parallelism for the broadcast to win — below that, the
+    * shuffle's parallelism gain repays shuffling the corpus.
+    */
+  private[graft] def adequateStreamParallelism(fitted: IvfFitted): Boolean = {
+    val shufflePartitions = fitted.assigned.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    fitted.assigned.rdd.getNumPartitions.toLong * 4L >= shufflePartitions.toLong
+  }
+
   /** Exact-cosine top-`topK` among a probe frame's cell candidates. */
   private def rankProbed(fitted: IvfFitted, probes: DataFrame, topK: Int,
-      excludeSelf: Boolean): DataFrame = {
-    val cands = probes
+      excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame = {
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val cands = probeSide
       .join(fitted.assigned.select(col("vec_id").as("n_id"),
         col("embedding").as("n_emb"), col("cell")), Seq("cell"))
     val filtered = if (excludeSelf) cands.filter(col("q_id") =!= col("n_id")) else cands
@@ -519,13 +578,24 @@ object Similarity {
     * against one [[ivfFit]] result.
     */
   def ivfProbe(fitted: IvfFitted, queryPred: Column, nprobe: Int = 0,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, qHint: Long = 0L,
+      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     VectorFunctions.register(fitted.assigned.sparkSession)
-    rankProbed(fitted,
-      probeCells(fitted,
-        fitted.assigned.filter(queryPred).select(col("vec_id"), col("embedding")),
-        resolveNprobe(fitted, nprobe)),
-      topK, excludeSelf = true)
+    val np = resolveNprobe(fitted, nprobe)
+    val queries = fitted.assigned.filter(queryPred)
+      .select(col("vec_id"), col("embedding"))
+    // the parallelism veto is free — check it before paying the sizing
+    // count (ONE count with the predicate pushed to the index scan;
+    // `qHint` — the fit's nHint pattern — skips it when the caller knows
+    // the batch size, `maxBroadcastProbes = 0` disables the hint)
+    val hintable = maxBroadcastProbes > 0 && adequateStreamParallelism(fitted)
+    val nq = if (!hintable) Long.MaxValue
+      else if (qHint > 0) qHint
+      else queries.count()
+    rankProbed(fitted, probeCells(fitted, queries, np), topK,
+      excludeSelf = true,
+      broadcastProbes = hintable &&
+        shouldBroadcastProbes(nq, np, maxBroadcastProbes))
   }
 
   /** Probe a fitted IVF index with ARBITRARY query vectors — a
@@ -550,7 +620,8 @@ object Similarity {
     * count job — the debug/test mode).
     */
   def ivfProbeVectors(fitted: IvfFitted, queries: DataFrame, nprobe: Int = 0,
-      topK: Int = 10, assertUnique: Boolean = false): DataFrame = {
+      topK: Int = 10, assertUnique: Boolean = false, qHint: Long = 0L,
+      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     val q = queries.select(col("q_id").as("vec_id"), col("embedding"))
     if (assertUnique) {
@@ -558,9 +629,19 @@ object Similarity {
       require(dups == 0L, s"ivfProbeVectors: $dups duplicate q_id value(s) — " +
         "each query vector needs a unique id (cell ranking groups by it)")
     }
+    val np = resolveNprobe(fitted, nprobe)
+    // parallelism veto first (free); the sizing count runs on the RAW
+    // frame (an upper bound — counting the deduplicated one would
+    // execute the dedup shuffle twice)
+    val hintable = maxBroadcastProbes > 0 && adequateStreamParallelism(fitted)
+    val nq = if (!hintable) Long.MaxValue
+      else if (qHint > 0) qHint
+      else q.count()
     rankProbed(fitted,
-      probeCells(fitted, q.dropDuplicates("vec_id"), resolveNprobe(fitted, nprobe)),
-      topK, excludeSelf = false)
+      probeCells(fitted, q.dropDuplicates("vec_id"), np),
+      topK, excludeSelf = false,
+      broadcastProbes = hintable &&
+        shouldBroadcastProbes(nq, np, maxBroadcastProbes))
   }
 
   /** One-shot IVF ANN: [[ivfFit]] + [[ivfProbe]] in a single call — the

@@ -679,6 +679,47 @@ object Adhoc {
         f"1M-vector IVF recall at the held cell fraction collapsed: $recall25%.4f")
       assert(recall25 > recall8, "nprobe must buy recall at fixed cells")
       assert(loadedN == n8, "saved-index probe row count diverged")
+      // incremental append at this scale (round 10): a 100k-vector ingest
+      // batch (10% of the fitted corpus) — exact copies of every 10th
+      // member under fresh ids — joins the fitted 1M index via
+      // ivfAssign's one broadcast-argmin pass, NO refit. The appended
+      // twins of the 2000-query set are then probed (same query volume
+      // as the earlier phases): each must retrieve its exact-copy source
+      // at top-1 (identical vector → same cell, so the source's cell is
+      // always probed). The measured claim: append is probe-priced,
+      // not fit-priced.
+      val fitsBefore = Similarity.kmeansFitCount.get()
+      val appendVecs = e1m.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      val (grown, appendSec) = t {
+        val g0 = Similarity.ivfAssign(fitted, appendVecs)
+        val g = g0.copy(assigned = g0.assigned.localCheckpoint(eager = true))
+        g.assigned.count(); g
+      }
+      val nAppended = appendVecs.count()
+      val apPred = col("vec_id") >= 100000000L &&
+        (col("vec_id") - 100000000L) % 50 === 0 &&
+        pmod((col("vec_id") - 100000000L) / 50, lit(10)) === 0
+      val nApQ = grown.assigned.filter(apPred).count()
+      // serving shape after an append: the ingest job SAVES the grown
+      // index and query jobs probe the parquet tables (member-probe
+      // predicate pushed to the scan) — same as the pre-append path
+      val grownDir = java.nio.file.Files.createTempDirectory("ivf1m_grown").toString
+      val (_, growSaveSec) = t(grown.save(grownDir))
+      val (appendHits, apSec) = t {
+        Similarity.ivfProbe(Similarity.ivfLoad(spark, grownDir), apPred,
+            nprobe = 25, topK = 1)
+          .filter(col("n_id") === col("q_id") - 100000000L).count()
+      }
+      val appendRecall = appendHits.toDouble / nApQ
+      println(f"ADHOC ivf1m_append n=$nAppended assign=$appendSec%.1f " +
+        f"save=$growSaveSec%.1f probe${nApQ}_top1=$apSec%.1f " +
+        f"recall_top1=$appendRecall%.4f " +
+        f"fits=${Similarity.kmeansFitCount.get() - fitsBefore}")
+      assert(Similarity.kmeansFitCount.get() == fitsBefore,
+        "ivfAssign at 1M triggered a k-means fit")
+      assert(appendRecall >= 0.95,
+        f"appended members must retrieve their exact-copy sources: $appendRecall%.4f")
       fitted.assigned.unpersist()
       spark.stop()
       return

@@ -22,7 +22,7 @@ class Round10OpsSpec extends SparkSpec {
 
   private def centroidGrid(f: Similarity.IvfFitted): Seq[String] =
     f.centroids.orderBy(col("c_cell")).collect()
-      .map(r => r.getInt(0) + ":" +
+      .map(r => s"${r.getInt(0)}:" +
         r.getSeq[Float](1).map(v => f"$v%.9e").mkString(","))
       .toSeq
 
@@ -140,5 +140,89 @@ class Round10OpsSpec extends SparkSpec {
       assert(res.map(_.toString).sorted.toSeq == clean.map(_.toString).sorted.toSeq,
         "an exact-duplicate q_id row must not change the result set")
     } finally fitted.assigned.unpersist()
+  }
+
+  test("probe-side broadcast guard: decision law and output parity") {
+    // the decision itself (division form — no nq·nprobe overflow)
+    assert(Similarity.shouldBroadcastProbes(1000, 8, 200000))
+    assert(!Similarity.shouldBroadcastProbes(30000, 8, 200000),
+      "30k queries x 8 cells = 240k probe rows must exceed a 200k cap")
+    assert(!Similarity.shouldBroadcastProbes(1, 1, 0), "cap 0 disables the hint")
+    assert(!Similarity.shouldBroadcastProbes(Long.MaxValue, 8, 200000))
+    assert(Similarity.shouldBroadcastProbes(Long.MaxValue / 8, 8, Long.MaxValue))
+    // the hint is a physical-plan choice: rows identical with it on
+    // (default), off (cap 0), and sized via qHint (no sizing count)
+    val emb = vecs(400)
+    val fitted = Similarity.ivfFit(spark, emb, k = 8, fitSample = 0).cached()
+    try {
+      val pred = col("vec_id") < 25
+      val on = Similarity.ivfProbe(fitted, pred, nprobe = 3, topK = 5)
+        .collect().map(_.toString).sorted.toSeq
+      val off = Similarity.ivfProbe(fitted, pred, nprobe = 3, topK = 5,
+        maxBroadcastProbes = 0).collect().map(_.toString).sorted.toSeq
+      val hinted = Similarity.ivfProbe(fitted, pred, nprobe = 3, topK = 5,
+        qHint = 25).collect().map(_.toString).sorted.toSeq
+      assert(on == off, "broadcast hint must not change probe results")
+      assert(on == hinted, "qHint must not change probe results")
+    } finally fitted.assigned.unpersist()
+  }
+
+  test("broadcast hint defers to the corpus side's parallelism") {
+    // pinning the corpus to its existing partitioning is only a win when
+    // that partitioning is parallel (measured at 1M/np25: 27.8 s pinned
+    // to a 1-partition corpus vs 5.5 s re-parallelized by the SMJ
+    // shuffle) — the quarter-of-shuffle-parallelism rule encodes it
+    val emb = vecs(200)
+    val fitted = Similarity.ivfFit(spark, emb, k = 4, fitSample = 0)
+    val few = fitted.copy(assigned = fitted.assigned.coalesce(1))
+    // test session: shuffle.partitions = 4 → 1 partition × 4 ≥ 4 passes
+    assert(Similarity.adequateStreamParallelism(few))
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      assert(!Similarity.adequateStreamParallelism(few),
+        "1 partition must not carry a 64-partition shuffle's worth of work")
+      assert(Similarity.adequateStreamParallelism(
+        fitted.copy(assigned = fitted.assigned.repartition(16))))
+      // and the veto changes only the plan, never the rows
+      val pred = col("vec_id") < 20
+      val vetoed = Similarity.ivfProbe(few, pred, nprobe = 2, topK = 3)
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", old)
+      val hintedP = Similarity.ivfProbe(few, pred, nprobe = 2, topK = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(vetoed == hintedP, "the parallelism veto must not change results")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("partitioned save: cell layout, identical probes, prunable candidate scan") {
+    val emb = vecs(400)
+    val fitted = Similarity.ivfFit(spark, emb, k = 8, fitSample = 0)
+    val dirP = tmpDir("ivf_part")
+    val dirF = tmpDir("ivf_flat")
+    fitted.save(dirP) // partitioned by cell — the round-10 default
+    fitted.save(dirF, partitioned = false) // the round-9 flat layout
+    def cellDirs(d: String): Boolean =
+      new java.io.File(s"$d/assigned").listFiles
+        .exists(_.getName.startsWith("cell="))
+    assert(cellDirs(dirP), "default save must partition the assignment by cell")
+    assert(!cellDirs(dirF), "partitioned = false must keep the flat layout")
+    val pred = col("vec_id") < 25
+    val direct = Similarity.ivfProbe(fitted, pred, nprobe = 3, topK = 5)
+      .collect().map(_.toString).sorted.toSeq
+    for (d <- Seq(dirP, dirF)) {
+      val probe = Similarity.ivfProbe(Similarity.ivfLoad(spark, d), pred,
+        nprobe = 3, topK = 5)
+      assert(probe.collect().map(_.toString).sorted.toSeq == direct,
+        s"loaded-index probe diverged for layout $d")
+    }
+    // the scale property the layout buys: with the probe side broadcast,
+    // the candidate join's scan of the partitioned index carries a
+    // dynamic-partition-pruning filter on cell — only probed cells are
+    // read (at 1M vectors: 7.4 s vs the 27.4 s full-scan SMJ shape)
+    val plan = Similarity.ivfProbe(Similarity.ivfLoad(spark, dirP), pred,
+      nprobe = 3, topK = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"partitioned candidate scan must be DPP-prunable:\n$plan")
   }
 }
