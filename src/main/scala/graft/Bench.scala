@@ -48,7 +48,7 @@ object Bench {
     "q_f13_contamination", "q_repetition", "q_pii_redact",
     // similarity / ANN
     "q_f3_cosine_topk", "q_f3_cosine_neardup", "q_f4_knn", "q_f5_ivf_ann",
-    "q_f5_lsh_neardup", "q_f12_quantize",
+    "q_f5_lsh_neardup", "q_f12_quantize", "q_f23_pq_adc",
     // near-dup
     "q_f2_minhash_sig", "q_f2_minhash_pairs", "q_f2_simhash",
     "q_ngram_jaccard", "q_f11_dedup_groups")
@@ -60,6 +60,7 @@ object Bench {
       ScalarFuncs.all.map(_.name -> "scalar") ++
       TextOps.all.map(_.name -> "text") ++
       Similarity.all.map(_.name -> "similarity") ++
+      Pq.all.map(_.name -> "similarity") ++
       MinHash.all.map(_.name -> "minhash") ++
       Dedup.all.map(_.name -> "dedup")).toMap
 

@@ -29,7 +29,7 @@ object Similarity {
     * (cos, -n_id) ≡ (cos DESC, n_id ASC) = the oracle's row_number order;
     * sort_array(desc) puts the survivors in rank order.
     */
-  private def topKByCosine(cands: DataFrame, k: Int): DataFrame =
+  private[graft] def topKByCosine(cands: DataFrame, k: Int): DataFrame =
     cands
       .select(col("q_id"),
         struct(col("cos_sim"), (-col("n_id")).as("negid"), col("n_id")).as("p"))
@@ -476,10 +476,10 @@ object Similarity {
     * embedding rides the groupBy as a first() aggregate, identical
     * across its centroid rows.
     */
-  private def probeCells(fitted: IvfFitted, qvecs: DataFrame,
+  private[graft] def probeCells(centroids: DataFrame, qvecs: DataFrame,
       nprobe: Int): DataFrame =
     qvecs
-      .crossJoin(broadcast(fitted.centroids))
+      .crossJoin(broadcast(centroids))
       .withColumn("c_dist", -dot(col("embedding"), col("c_emb")))
       .select(col("vec_id"), col("embedding"),
         struct((-col("c_dist")).as("nd"), (-col("c_cell")).as("nc"), col("c_cell")).as("p"))
@@ -524,10 +524,10 @@ object Similarity {
     * the shuffle parallelism for the broadcast to win — below that, the
     * shuffle's parallelism gain repays shuffling the corpus.
     */
-  private[graft] def adequateStreamParallelism(fitted: IvfFitted): Boolean = {
-    val shufflePartitions = fitted.assigned.sparkSession.conf
+  private[graft] def adequateStreamParallelism(assigned: DataFrame): Boolean = {
+    val shufflePartitions = assigned.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
-    fitted.assigned.rdd.getNumPartitions.toLong * 4L >= shufflePartitions.toLong
+    assigned.rdd.getNumPartitions.toLong * 4L >= shufflePartitions.toLong
   }
 
   /** Exact-cosine top-`topK` among a probe frame's cell candidates. */
@@ -588,11 +588,11 @@ object Similarity {
     // count (ONE count with the predicate pushed to the index scan;
     // `qHint` — the fit's nHint pattern — skips it when the caller knows
     // the batch size, `maxBroadcastProbes = 0` disables the hint)
-    val hintable = maxBroadcastProbes > 0 && adequateStreamParallelism(fitted)
+    val hintable = maxBroadcastProbes > 0 && adequateStreamParallelism(fitted.assigned)
     val nq = if (!hintable) Long.MaxValue
       else if (qHint > 0) qHint
       else queries.count()
-    rankProbed(fitted, probeCells(fitted, queries, np), topK,
+    rankProbed(fitted, probeCells(fitted.centroids, queries, np), topK,
       excludeSelf = true,
       broadcastProbes = hintable &&
         shouldBroadcastProbes(nq, np, maxBroadcastProbes))
@@ -633,12 +633,12 @@ object Similarity {
     // parallelism veto first (free); the sizing count runs on the RAW
     // frame (an upper bound — counting the deduplicated one would
     // execute the dedup shuffle twice)
-    val hintable = maxBroadcastProbes > 0 && adequateStreamParallelism(fitted)
+    val hintable = maxBroadcastProbes > 0 && adequateStreamParallelism(fitted.assigned)
     val nq = if (!hintable) Long.MaxValue
       else if (qHint > 0) qHint
       else q.count()
     rankProbed(fitted,
-      probeCells(fitted, q.dropDuplicates("vec_id"), np),
+      probeCells(fitted.centroids, q.dropDuplicates("vec_id"), np),
       topK, excludeSelf = false,
       broadcastProbes = hintable &&
         shouldBroadcastProbes(nq, np, maxBroadcastProbes))

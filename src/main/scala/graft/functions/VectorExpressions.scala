@@ -261,6 +261,21 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    // PQ kernels: codebook/m/ksub are foldable literals, evaluated once
+    // here (the minhash_sig pattern) so the expression holds a plain
+    // float[] that codegen references instead of re-evaluating per row
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", (exprs: Seq[Expression]) =>
+        PqEncode(exprs.head,
+          exprs(1).eval().asInstanceOf[ArrayData].toFloatArray(),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc", (exprs: Seq[Expression]) =>
+        PqAdc(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[ArrayData].toFloatArray(),
+          exprs(3).eval().asInstanceOf[Number].intValue(),
+          exprs(4).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kinesis_shard", (exprs: Seq[Expression]) =>
         KinesisShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),

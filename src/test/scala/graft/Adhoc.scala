@@ -725,6 +725,105 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("pq1m")) {
+      // IVF-PQ at the ivf1m corpus (1M vectors = 20k planted 50-cliques,
+      // same construction): what the compression buys and costs at the
+      // decade where it matters. Measured: PQ fit (m seeded k-means on
+      // the bounded sample), the one-pass encode, on-disk bytes of the
+      // PQ code table vs the flat embedding index, external-query probe
+      // walls, and planted-clique recall for ADC-only vs re-ranked vs
+      // the flat-index exact probe.
+      val dim = 64
+      val base1m = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      val rotated = base1m
+        .crossJoin(spark.range(0, 10).select(col("id").as("r")))
+        .withColumn("rot", (col("r") * 6 + 1).cast("int"))
+        .select((col("vec_id") * 10 + col("r")).as("pb_id"),
+          concat(slice(col("embedding"), col("rot") + 1, lit(dim)),
+            slice(col("embedding"), lit(1), col("rot"))).as("embedding"))
+      val e1m = rotated
+        .crossJoin(spark.range(0, 50).select(col("id").as("copy")))
+        .select((col("pb_id") * 50 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (v, i) => when(i === ((col("copy") - 1) % 64).cast("int"),
+                v * lit(1.03f)).otherwise(v)))
+            .as("embedding"))
+        .localCheckpoint(eager = true)
+      val nVec = e1m.count()
+      println(s"vectors: $nVec")
+      def t[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (fitted, fitSec) = t {
+        val f = Similarity.ivfFit(spark, e1m, k = 1000, nHint = nVec).cached()
+        f.assigned.count(); f
+      }
+      val (model, pqFitSec) = t(
+        Pq.pqFit(spark, e1m, dim = dim, m = 8, ksub = 256, nHint = nVec))
+      val (index, encSec) = t {
+        val ix = Pq.ivfPqBuild(fitted, model).cached()
+        ix.assigned.count(); ix
+      }
+      // on-disk: the PQ code table vs the flat embedding index — the
+      // number a 100 TB probe scan is priced by
+      val flatDir = java.nio.file.Files.createTempDirectory("pq1m_flat").toString
+      val pqDir = java.nio.file.Files.createTempDirectory("pq1m_pq").toString
+      fitted.save(flatDir); index.save(pqDir)
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        val s = java.nio.file.Files.walk(root)
+        try s.filter((p: java.nio.file.Path) => java.nio.file.Files.isRegularFile(p))
+          .mapToLong((p: java.nio.file.Path) => java.nio.file.Files.size(p)).sum()
+        finally s.close()
+      }
+      val flatB = dirBytes(s"$flatDir/assigned")
+      val pqB = dirBytes(s"$pqDir/assigned")
+      // 2000 external queries: every 10th clique base under fresh ids —
+      // the serving shape (queries are NOT corpus members)
+      val queries = e1m
+        .filter(col("vec_id") % 50 === 0 && pmod(col("vec_id") / 50, lit(10)) === 0)
+        .select((col("vec_id") + 500000000L).as("q_id"), col("embedding"))
+        .localCheckpoint(eager = true)
+      val nQ = queries.count()
+      def cliqueRecall(r: org.apache.spark.sql.DataFrame): Double = {
+        val hits = r.filter(
+          (col("n_id") - pmod(col("n_id"), lit(50))) === col("q_id") - 500000000L)
+          .count()
+        hits.toDouble / (nQ * 49.0)
+      }
+      val (adcR, adcSec) = t {
+        val r = Pq.ivfPqProbeVectors(index, queries, nprobe = 25, topK = 49)
+          .localCheckpoint(eager = true)
+        r.count(); r
+      }
+      val (rrR, rrSec) = t {
+        val r = Pq.ivfPqProbeVectors(index, queries, nprobe = 25, topK = 49,
+          refine = 4, rerank = Some(e1m)).localCheckpoint(eager = true)
+        r.count(); r
+      }
+      val (flatR, flatSec) = t {
+        val r = Similarity.ivfProbeVectors(fitted, queries, nprobe = 25, topK = 49)
+          .localCheckpoint(eager = true)
+        r.count(); r
+      }
+      val (recAdc, recRr, recFlat) = (cliqueRecall(adcR), cliqueRecall(rrR), cliqueRecall(flatR))
+      println(f"ADHOC pq1m fit=$fitSec%.1f pqfit=$pqFitSec%.1f encode=$encSec%.1f " +
+        f"bytes_flat=$flatB bytes_pq=$pqB ratio=${flatB.toDouble / pqB}%.1f " +
+        f"probe${nQ}_adc=$adcSec%.1f recall_adc=$recAdc%.4f " +
+        f"probe${nQ}_rerank=$rrSec%.1f recall_rerank=$recRr%.4f " +
+        f"probe${nQ}_flat=$flatSec%.1f recall_flat=$recFlat%.4f")
+      assert(pqB * 4 < flatB,
+        s"PQ code table must be at least 4x smaller on disk: $pqB vs $flatB")
+      assert(recRr >= recFlat - 0.02,
+        f"re-ranked PQ recall $recRr%.4f fell behind the flat index $recFlat%.4f")
+      assert(recAdc >= 0.7,
+        f"ADC-only recall collapsed: $recAdc%.4f")
+      fitted.assigned.unpersist(); index.assigned.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ann1m")) {
       // one more decade on the ann100k curve: 1M vectors as 20k planted
       // 50-cliques — the sf0.1 embeddings rotated 10 ways (rotations of a

@@ -94,5 +94,14 @@ class CodegenSpec extends SparkSpec {
       call_function("sign_lsh_bits", col("emb"), lit(16)).as("bits"))
       .collect()
     assert(out2.length == 16)
+    // the PQ pair: encode then ADC over the same non-nullable arrays
+    // (codebook = m 2 × ksub 2 × dsub 4, carried as a reference object)
+    val cb = Array.tabulate(16)(i => (i % 5 - 2) * 0.25f)
+    val out3 = arr.select(
+      call_function("pq_adc", col("emb"),
+        call_function("pq_encode", col("emb"), lit(cb), lit(2), lit(2)),
+        lit(cb), lit(2), lit(2)).as("adc"))
+      .collect()
+    assert(out3.length == 16)
   }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PqOps, VectorFunctions}
+
+/** Product quantization (F23): kernel math, fit determinism, IVF-PQ
+  * probe recall, and the save/load round trip.
+  */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // m=2, ksub=2, dsub=2: j0 codewords (0,0),(1,1); j1 codewords (1,0),(0,1)
+  private val tinyCb = Array(0f, 0f, 1f, 1f, 1f, 0f, 0f, 1f)
+
+  test("pq_encode picks the nearest codeword per subspace (hand-computed)") {
+    VectorFunctions.register(spark)
+    val df = Seq((1L, Array(0.9f, 1.1f, 0.1f, 0.9f))).toDF("vec_id", "embedding")
+      .select(call_function("pq_encode", col("embedding"), lit(tinyCb), lit(2), lit(2)).as("codes"))
+    val codes = df.as[Array[Byte]].head()
+    assert(codes.toSeq == Seq[Byte](1, 1))
+    // ADC against q = (1,1,1,1): <(1,1),(1,1)> + <(1,1),(0,1)> = 2 + 1
+    val adc = Seq((Array(1f, 1f, 1f, 1f), codes)).toDF("q", "c")
+      .select(call_function("pq_adc", col("q"), col("c"), lit(tinyCb), lit(2), lit(2)).as("a"))
+      .as[Double].head()
+    assert(adc == 3.0)
+    // decode reconstructs the chosen codewords in subspace order
+    assert(PqOps.decode(codes, tinyCb, 2, 2).toSeq == Seq(1f, 1f, 0f, 1f))
+  }
+
+  test("pq_encode ties break to the lowest code and codes stay in [0, ksub)") {
+    VectorFunctions.register(spark)
+    // equidistant from both j0 codewords → code 0
+    val codes = Seq((Array(0.5f, 0.5f, 0f, 0.5f))).toDF("embedding")
+      .select(call_function("pq_encode", col("embedding"), lit(tinyCb), lit(2), lit(2)).as("c"))
+      .as[Array[Byte]].head()
+    assert(codes(0) == 0.toByte)
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Pq.pqFit(spark, emb, dim = 64, m = 8, ksub = 16)
+    val all = Pq.ivfPqBuild(Similarity.ivfFit(spark, emb, k = 4), model)
+      .assigned.select($"codes").as[Array[Byte]].collect()
+    assert(all.forall(c => c.length == 8 && c.forall(b => (b & 0xff) < model.ksub)))
+  }
+
+  test("pqFit is deterministic and bounded: same seed, same codebook; fit count += m") {
+    val emb = Tables.embeddings(spark, sf001)
+    val before = Similarity.kmeansFitCount.get()
+    val m1 = Pq.pqFit(spark, emb, dim = 64, m = 4, ksub = 8)
+    assert(Similarity.kmeansFitCount.get() == before + 4,
+      "one k-means per subspace, nothing else")
+    val m2 = Pq.pqFit(spark, emb, dim = 64, m = 4, ksub = 8)
+    assert(m1.codebook.toSeq == m2.codebook.toSeq)
+    assert(m1.m == 4 && m1.ksub == 8 && m1.dsub == 16 && m1.dim == 64)
+    assert(m1.bytesPerVector == 4 && m1.compressionRatio == 64.0)
+  }
+
+  test("IVF-PQ probe with exact re-rank puts a planted copy's source first") {
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Pq.pqFit(spark, emb, dim = 64, m = 8, ksub = 16)
+    val index = Pq.ivfPqBuild(Similarity.ivfFit(spark, emb, k = 8), model).cached()
+    try {
+      val queries = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 5000).as("q_id"), $"embedding")
+      val res = Pq.ivfPqProbeVectors(index, queries, nprobe = 2, topK = 5,
+        rerank = Some(emb))
+        .select($"q_id", $"n_id", $"cos_sim", $"rn")
+        .as[(Long, Long, Double, Long)].collect()
+      (0L until 10L).foreach { i =>
+        val top = res.filter(r => r._1 == i + 5000 && r._4 == 1L)
+        assert(top.length == 1 && top.head._2 == i,
+          s"query ${i + 5000} (copy of $i) should re-rank its source first, got ${top.toSeq}")
+        assert(top.head._3 >= 0.9999, s"exact cosine of a copy must be ~1, got ${top.head._3}")
+      }
+      // ADC-only ranking (no re-rank) still surfaces the source in top-5
+      val adcRes = Pq.ivfPqProbeVectors(index, queries, nprobe = 2, topK = 5)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      (0L until 10L).foreach { i =>
+        assert(adcRes(i + 5000).contains(i),
+          s"ADC top-5 for query ${i + 5000} should contain its source $i")
+      }
+    } finally { index.assigned.unpersist(); () }
+  }
+
+  test("IVF-PQ re-ranked recall vs brute force on member queries") {
+    // this corpus is PQ's adversarial case: i.i.d. random dims mean the
+    // exact top-5 are separated by cosine deltas of the same order as the
+    // quantization noise, so the ADC pre-rank needs resolution (m 16) and
+    // refine depth to keep the true neighbors in the re-rank pool —
+    // m 8 / refine 4 measured 0.57 recall@5 here, m 16 / refine 10
+    // measures far higher, and real clustered corpora sit in between
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Pq.pqFit(spark, emb, dim = 64, m = 16, ksub = 32)
+    val index = Pq.ivfPqBuild(Similarity.ivfFit(spark, emb, k = 8), model).cached()
+    try {
+      val queries = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding")
+      // exhaustive probe (all 8 cells) isolates PQ ranking loss from cell loss
+      val got = Pq.ivfPqProbeVectors(index, queries, nprobe = 8, topK = 6,
+        refine = 10, rerank = Some(emb))
+        .filter($"q_id" =!= $"n_id") // self ranks first at cos 1; score the rest
+        .select($"q_id", $"n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).take(5).toSet }
+      // brute-force exact top-5 (self excluded) on the driver
+      val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        }
+        d / math.sqrt(na * nb)
+      }
+      val recalls = (0L until 20L).map { qid =>
+        val q = vecs.find(_._1 == qid).get._2
+        val exact = vecs.filter(_._1 != qid)
+          .map { case (id, v) => (id, cos(q, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+        (exact intersect got(qid)).size.toDouble / 5.0
+      }
+      val mean = recalls.sum / recalls.size
+      info(f"IVF-PQ (m=16, ksub=32, refine=10) re-ranked recall@5: $mean%.3f")
+      assert(mean >= 0.8, f"re-ranked recall@5 $mean%.3f below floor 0.8")
+    } finally { index.assigned.unpersist(); () }
+  }
+
+  test("IVF-PQ save/load round-trips the codebook and probes identically") {
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Pq.pqFit(spark, emb, dim = 64, m = 8, ksub = 16)
+    val index = Pq.ivfPqBuild(Similarity.ivfFit(spark, emb, k = 8), model)
+    val dir = tmpDir("pqidx")
+    index.save(dir)
+    val loaded = Pq.ivfPqLoad(spark, dir)
+    assert(loaded.k == 8 && loaded.model.m == 8 && loaded.model.ksub == model.ksub)
+    assert(loaded.model.codebook.toSeq == model.codebook.toSeq)
+    val queries = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 7000).as("q_id"), $"embedding")
+    def run(ix: Pq.IvfPqIndex) =
+      Pq.ivfPqProbeVectors(ix, queries, nprobe = 3, topK = 4)
+        .select($"q_id", $"n_id", $"adc_sim", $"rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(run(loaded) == run(index))
+    // the compressed assignment really is codes, not embeddings
+    assert(loaded.assigned.columns.toSet == Set("vec_id", "cell", "codes"))
+  }
+
+  test("graded q_f23_pq_adc is deterministic and well-formed") {
+    val rows = Pq.qPqAdc.fn(spark, sf001).collect()
+    assert(rows.length == 30, s"10 queries x top-3, got ${rows.length}")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rs.forall(r => r.getLong(0) != r.getLong(1)), "self excluded")
+    }
+    val again = Pq.qPqAdc.fn(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

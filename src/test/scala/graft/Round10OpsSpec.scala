@@ -176,14 +176,14 @@ class Round10OpsSpec extends SparkSpec {
     val fitted = Similarity.ivfFit(spark, emb, k = 4, fitSample = 0)
     val few = fitted.copy(assigned = fitted.assigned.coalesce(1))
     // test session: shuffle.partitions = 4 → 1 partition × 4 ≥ 4 passes
-    assert(Similarity.adequateStreamParallelism(few))
+    assert(Similarity.adequateStreamParallelism(few.assigned))
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
-      assert(!Similarity.adequateStreamParallelism(few),
+      assert(!Similarity.adequateStreamParallelism(few.assigned),
         "1 partition must not carry a 64-partition shuffle's worth of work")
       assert(Similarity.adequateStreamParallelism(
-        fitted.copy(assigned = fitted.assigned.repartition(16))))
+        fitted.assigned.repartition(16)))
       // and the veto changes only the plan, never the rows
       val pred = col("vec_id") < 20
       val vetoed = Similarity.ivfProbe(few, pred, nprobe = 2, topK = 3)
