@@ -33,6 +33,13 @@ object Pq {
 
   private def dot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
 
+  /** Bytes cap for broadcasting the per-query LUT frame (rows are
+    * m·ksub·8 bytes — 16 KB at m 8 / ksub 256, so the row-count probe
+    * guard alone could admit a multi-GB broadcast). Above the cap the
+    * LUT join keeps the planner's choice.
+    */
+  val MaxLutBroadcastBytes: Long = 256L << 20
+
   /** A fitted PQ codebook: `m` subspaces × `ksub` codewords × `dsub`
     * dims, flattened row-major. Fit on L2-NORMALIZED vectors (cosine
     * domain) — [[ivfPqBuild]] and the probes normalize to match.
@@ -186,6 +193,32 @@ object Pq {
     IvfPqIndex(assigned, fitted.centroids, fitted.k, model)
   }
 
+  /** Append NEW vectors to a fitted IVF-PQ index WITHOUT refitting
+    * either the cell structure or the codebook — [[Similarity.ivfAssign]]'s
+    * growing-corpus shape carried through the compression: the same
+    * broadcast-centroid cell pass ([[Similarity.assignCells]]) plus one
+    * codegen `pq_encode` of the normalized embeddings against the FROZEN
+    * codebook. No k-means work on either the cells or the subspaces.
+    *
+    * WHEN TO REFIT: everything [[Similarity.ivfAssign]]'s drift rule says
+    * about centroids applies twice over here, because the codebook is a
+    * second frozen model — appended vectors from a shifted distribution
+    * quantize against codewords fit to the old one, so ADC ranking decays
+    * even when cell routing is still fine. Same rule of thumb: refit
+    * (cells and codebook are both bounded sampled fits — seconds) once
+    * appended volume rivals ~20% of the fitted corpus or measured recall
+    * drops below target.
+    */
+  def ivfPqAssign(index: IvfPqIndex, newVecs: DataFrame): IvfPqIndex = {
+    VectorFunctions.register(newVecs.sparkSession)
+    val assignedNew = withNormalized(
+      Similarity.assignCells(index.centroids, newVecs))
+      .select(col("vec_id"), col("cell"),
+        call_function("pq_encode", col("nemb"), index.model.cbLit,
+          lit(index.model.m), lit(index.model.ksub)).as("codes"))
+    index.copy(assigned = index.assigned.unionByName(assignedNew))
+  }
+
   /** Probe an IVF-PQ index with arbitrary (q_id, embedding) query
     * vectors: centroid cell ranking and the cell equi-join are exactly
     * [[Similarity.ivfProbeVectors]]'s plan (broadcast centroids; probe
@@ -219,26 +252,46 @@ object Pq {
     val nq = if (!hintable) Long.MaxValue
       else if (qHint > 0) qHint
       else q.count()
-    // normalized query rides the probe rows (the codes encode normalized
-    // vectors, so ADC on a normalized query approximates cosine); the
-    // raw embedding is re-joined only for the re-rank survivors
+    // THIN probe rows — (q_id, cell) only. The query itself enters the
+    // candidate join as a per-query ADC LOOKUP TABLE (`pq_lut`: m·ksub
+    // codeword partial dots of the NORMALIZED query — the codes encode
+    // normalized vectors, so LUT-summed ADC approximates cosine), built
+    // once per QUERY on a separate frame joined by q_id, so nprobe rows
+    // never duplicate the table. Per-candidate scoring is then
+    // `pq_adc_lut` — m array loads + adds instead of dim multiply-adds
+    // (measured 16.2 s → see BASELINE.md pq1m) — while the corpus-side
+    // scan still reads only the m-byte codes.
+    val doBroadcast =
+      hintable && Similarity.shouldBroadcastProbes(nq, np, maxBroadcastProbes)
     val probes = Similarity.probeCells(index.centroids, qd, np)
-      .withColumn("__qn", sqrt(dot(col("q_emb"), col("q_emb"))))
-      .select(col("q_id"), col("cell"),
-        when(col("__qn") > 0,
-          transform(col("q_emb"), x => (x / col("__qn")).cast("float")))
-          .otherwise(col("q_emb")).as("qn"))
-    val probeSide =
-      if (hintable && Similarity.shouldBroadcastProbes(nq, np, maxBroadcastProbes))
-        broadcast(probes)
-      else probes
+      .select(col("q_id"), col("cell"))
+    val probeSide = if (doBroadcast) broadcast(probes) else probes
+    val luts = qd
+      .withColumn("__qn", sqrt(dot(col("embedding"), col("embedding"))))
+      .select(col("vec_id").as("q_id"),
+        call_function("pq_lut",
+          when(col("__qn") > 0,
+            transform(col("embedding"), x => (x / col("__qn")).cast("float")))
+            .otherwise(col("embedding")),
+          index.model.cbLit, lit(index.model.m), lit(index.model.ksub)).as("lut"))
+    // the LUT frame is nq rows of m·ksub doubles — broadcast under the
+    // probe decision plus a bytes cap (a 16 KB/row table at ksub 256
+    // would turn the row-count guard into GBs)
+    val lutSide =
+      if (doBroadcast && nq * index.model.m.toLong * index.model.ksub * 8L <= MaxLutBroadcastBytes)
+        broadcast(luts)
+      else luts
+    // no distinct(): each corpus vector lives in exactly ONE cell and
+    // probe rows are unique (q_id, cell), so candidate pairs are unique
+    // by construction — a dedup here would shuffle the entire candidate
+    // set to remove nothing
     val adcCands = probeSide
       .join(index.assigned.select(col("vec_id").as("n_id"), col("cell"), col("codes")),
         Seq("cell"))
+      .join(lutSide, Seq("q_id"))
       .select(col("q_id"), col("n_id"),
-        trunc4(call_function("pq_adc", col("qn"), col("codes"), index.model.cbLit,
-          lit(index.model.m), lit(index.model.ksub))).as("cos_sim"))
-      .distinct()
+        trunc4(call_function("pq_adc_lut", col("lut"), col("codes"),
+          lit(index.model.ksub))).as("cos_sim"))
     rerank match {
       case None =>
         Similarity.topKByCosine(adcCands, topK)

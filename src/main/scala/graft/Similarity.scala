@@ -453,9 +453,20 @@ object Similarity {
     */
   def ivfAssign(fitted: IvfFitted, newVecs: DataFrame): IvfFitted = {
     VectorFunctions.register(newVecs.sparkSession)
-    val cent = fitted.centroids
+    fitted.copy(assigned =
+      fitted.assigned.unionByName(assignCells(fitted.centroids, newVecs)))
+  }
+
+  /** The non-iterative assignment pass both [[ivfAssign]] and
+    * [[Pq.ivfPqAssign]] append with: per vector, argmin over the
+    * BROADCAST centroids of `|c|² − 2·v·c` via the bounded-heap
+    * `collect_top_k(1)` (negated-struct key — min cost, tie → min cell,
+    * MLlib's lowest-index tie-break). Returns (vec_id, embedding, cell).
+    */
+  private[graft] def assignCells(centroids: DataFrame, newVecs: DataFrame): DataFrame = {
+    val cent = centroids
       .withColumn("c_nrm2", dot(col("c_emb"), col("c_emb")))
-    val assignedNew = newVecs
+    newVecs
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
       .withColumn("cost", col("c_nrm2") - lit(2.0) * dot(col("embedding"), col("c_emb")))
@@ -465,7 +476,6 @@ object Similarity {
       .agg(first(col("embedding")).as("embedding"),
         call_function("collect_top_k", col("p"), lit(1), lit(false)).as("top"))
       .select(col("vec_id"), col("embedding"), col("top").getItem(0).getField("c_cell").as("cell"))
-    fitted.copy(assigned = fitted.assigned.unionByName(assignedNew))
   }
 
   /** Per-query nprobe nearest cells for any (vec_id, embedding) query
@@ -538,12 +548,15 @@ object Similarity {
       .join(fitted.assigned.select(col("vec_id").as("n_id"),
         col("embedding").as("n_emb"), col("cell")), Seq("cell"))
     val filtered = if (excludeSelf) cands.filter(col("q_id") =!= col("n_id")) else cands
+    // no distinct(): every corpus vector lives in exactly ONE cell and
+    // probeCells emits unique (q_id, cell) rows, so candidate pairs are
+    // unique by construction — a dedup here (vestigial from the first
+    // IVF cut) shuffled the entire candidate set to remove nothing
     topKByCosine(
       filtered
         .select(col("q_id"), col("n_id"),
           trunc4(dot(col("q_emb"), col("n_emb")) /
-            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))).as("cos_sim"))
-        .distinct(),
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb"))))).as("cos_sim")),
       k = topK)
   }
 

@@ -69,12 +69,12 @@ object PqOps {
     * this approximates cosine directly. Accumulates in double,
     * sequentially by dimension, like fvec_dot.
     *
-    * Honest scale note: per-pair cost is m·dsub = dim multiply-adds —
-    * the same FLOPs as an exact dot; PQ's win in this join shape is the
-    * MEMORY/SCAN side (m bytes read per candidate instead of 4·dim).
-    * The classic per-query LUT amortization (m table lookups per pair)
-    * needs candidates batched per query, which a streaming hash join
-    * does not provide — candidates arrive grouped by corpus row.
+    * Scale note: per-pair cost is m·dsub = dim multiply-adds — the same
+    * FLOPs as an exact dot. [[lut]]/[[adcLut]] are the serving-path pair
+    * (m lookups per candidate, the classic amortization, carried into
+    * the join as a per-query LUT column joined by q_id); this direct
+    * form remains for one-off scoring where building a LUT per query
+    * row would not amortize.
     */
   def adc(q: ArrayData, codes: Array[Byte], cb: Array[Float], m: Int, ksub: Int): Double = {
     require(codes.length == m, s"pq_adc: codes length ${codes.length} != m = $m")
@@ -91,6 +91,59 @@ object PqOps {
         acc += q.getFloat(xOff + i).toDouble * cb(off + i).toDouble
         i += 1
       }
+      j += 1
+    }
+    acc
+  }
+
+  /** Per-query ADC lookup table: lut[j·ksub + c] = ⟨q_subj, codeword(j,c)⟩,
+    * each entry accumulated in double sequentially by dimension. Built
+    * ONCE per query row (ksub·dim multiply-adds — trivial against the
+    * candidate scan it amortizes), it turns every candidate's asymmetric
+    * distance into m table lookups ([[adcLut]]) instead of dim
+    * multiply-adds — the classic PQ serving trick (Jégou et al. 2011
+    * §IV-A), carried into the join DECLARATIVELY: the LUT is a column on
+    * a per-query frame the candidate join picks up by q_id, so the
+    * streaming side still reads only the m-byte codes.
+    */
+  def lut(q: ArrayData, cb: Array[Float], m: Int, ksub: Int): ArrayData = {
+    val dsub = dsubOf(cb, m, ksub)
+    require(q.numElements() == m * dsub,
+      s"pq_lut: query dim ${q.numElements()} != m*dsub = ${m * dsub}")
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val xOff = j * dsub
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += q.getFloat(xOff + i).toDouble * cb(off + i).toDouble
+          i += 1
+        }
+        out(j * ksub + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** LUT-amortized asymmetric distance: Σ_j lut[j·ksub + codes[j]] — m
+    * array loads + adds per candidate. Equal to [[adc]] up to double
+    * reassociation (per-subspace partials are each exact-order; the
+    * outer sum associates by subspace instead of by dimension).
+    */
+  def adcLut(lut: ArrayData, codes: Array[Byte], ksub: Int): Double = {
+    val m = codes.length
+    require(lut.numElements() == m * ksub,
+      s"pq_adc_lut: lut length ${lut.numElements()} != m*ksub = ${m * ksub}")
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getDouble(j * ksub + (codes(j) & 0xff))
       j += 1
     }
     acc
@@ -141,6 +194,59 @@ case class PqEncode(child: Expression, codebook: Array[Float], m: Int, ksub: Int
 /** `pq_adc(q_emb, codes, codebook, m, ksub)` → double: asymmetric
   * distance (inner product vs the coded reconstruction). See [[PqOps.adc]].
   */
+/** `pq_lut(nemb, codebook, m, ksub)` → array<double>: the per-query ADC
+  * lookup table of m·ksub codeword partial dots. See [[PqOps.lut]].
+  */
+case class PqLut(child: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires array<float>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any =
+    PqOps.lut(input.asInstanceOf[ArrayData], codebook, m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqOps.lut($c, $cbRef, $m, $ksub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_adc_lut(lut, codes, ksub)` → double: LUT-amortized asymmetric
+  * distance — m lookups + adds per candidate. See [[PqOps.adcLut]].
+  */
+case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_lut requires (array<double>, binary), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_lut"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqOps.adcLut(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) => s"graft.functions.PqOps.adcLut($l, $c, $ksub)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class PqAdc(left: Expression, right: Expression,
     codebook: Array[Float], m: Int, ksub: Int) extends BinaryExpression {
 

@@ -277,6 +277,16 @@ object VectorFunctions {
           exprs(3).eval().asInstanceOf[Number].intValue(),
           exprs(4).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_lut", (exprs: Seq[Expression]) =>
+        PqLut(exprs.head,
+          exprs(1).eval().asInstanceOf[ArrayData].toFloatArray(),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc_lut", (exprs: Seq[Expression]) =>
+        PqAdcLut(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kinesis_shard", (exprs: Seq[Expression]) =>
         KinesisShard(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")

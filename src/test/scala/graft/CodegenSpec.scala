@@ -103,5 +103,21 @@ class CodegenSpec extends SparkSpec {
         lit(cb), lit(2), lit(2)).as("adc"))
       .collect()
     assert(out3.length == 16)
+    // the LUT pair: pq_lut builds the per-query table, pq_adc_lut sums
+    // it against the codes — must equal the direct pq_adc up to double
+    // reassociation (here exactly: dsub-length partials are summed in
+    // the same subspace order)
+    val out4 = arr.select(
+      call_function("pq_adc_lut",
+        call_function("pq_lut", col("emb"), lit(cb), lit(2), lit(2)),
+        call_function("pq_encode", col("emb"), lit(cb), lit(2), lit(2)),
+        lit(2)).as("a"),
+      call_function("pq_adc", col("emb"),
+        call_function("pq_encode", col("emb"), lit(cb), lit(2), lit(2)),
+        lit(cb), lit(2), lit(2)).as("b"))
+      .collect()
+    assert(out4.length == 16)
+    out4.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+      s"LUT ADC ${r.getDouble(0)} != direct ADC ${r.getDouble(1)}"))
   }
 }

@@ -144,6 +144,42 @@ class PqSpec extends SparkSpec {
     assert(loaded.assigned.columns.toSet == Set("vec_id", "cell", "codes"))
   }
 
+  test("ivfPqAssign appends without any refit: same cell+codes as the source, probes find the new members") {
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Pq.pqFit(spark, emb, dim = 64, m = 8, ksub = 16)
+    val index = Pq.ivfPqBuild(Similarity.ivfFit(spark, emb, k = 8), model)
+    val baseN = index.assigned.count()
+    // exact copies of vectors 0..9 under fresh ids — cell and codes must
+    // match the source's bit-for-bit (same frozen centroids + codebook)
+    val newVecs = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    val before = Similarity.kmeansFitCount.get()
+    val appended = Pq.ivfPqAssign(index, newVecs).cached()
+    try {
+      assert(Similarity.kmeansFitCount.get() == before,
+        "ivfPqAssign must not run any k-means fit")
+      assert(appended.assigned.columns.toSet == Set("vec_id", "cell", "codes"),
+        "appended index stays compressed — codes, not embeddings")
+      assert(appended.assigned.count() == baseN + 10)
+      val mismatched = appended.assigned.filter($"vec_id" >= 9000)
+        .select(($"vec_id" - 9000).as("vec_id"), $"cell".as("a_cell"), $"codes".as("a_codes"))
+        .join(index.assigned, Seq("vec_id"))
+        .filter($"a_cell" =!= $"cell" || $"a_codes" =!= $"codes")
+        .count()
+      assert(mismatched == 0, "an exact copy must land in its source's cell with its source's codes")
+      // probing with the source embeddings retrieves the appended copies
+      val queries = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 7000).as("q_id"), $"embedding")
+      val got = Pq.ivfPqProbeVectors(appended, queries, nprobe = 2, topK = 5)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      (0L until 10L).foreach { i =>
+        assert(got(i + 7000).contains(i + 9000),
+          s"probe for source $i should surface appended copy ${i + 9000}")
+      }
+    } finally { appended.assigned.unpersist(); () }
+  }
+
   test("graded q_f23_pq_adc is deterministic and well-formed") {
     val rows = Pq.qPqAdc.fn(spark, sf001).collect()
     assert(rows.length == 30, s"10 queries x top-3, got ${rows.length}")
