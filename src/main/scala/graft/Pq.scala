@@ -21,7 +21,8 @@ import graft.functions.VectorFunctions
   * Division of labor, mirroring the IVF fit/probe split:
   *  - [[pqFit]]: per-subspace k-means on a bounded deterministic sample
   *    (the [[Similarity.ivfFit]] sampling pattern) → a driver-held
-  *    [[PqModel]] of m·ksub·dsub floats (KBs).
+  *    [[PqModel]] of m·ksub·dsub floats (KBs). [[pqFitResidual]] fits
+  *    the same codebooks on cell residuals instead (full IVFADC).
   *  - [[ivfPqBuild]]: one codegen `pq_encode` pass over a fitted IVF
   *    index → the compressed assignment table (vec_id, cell, codes).
   *  - [[ivfPqProbeVectors]]: the [[Similarity.ivfProbeVectors]] plan
@@ -116,27 +117,100 @@ object Pq {
     */
   def pqFit(s: SparkSession, emb: DataFrame, dim: Int, m: Int = 8,
       ksub: Int = 256, fitSample: Long = Similarity.DefaultFitSample,
+      nHint: Long = 0L): PqModel =
+    fitCodebooks(s, withNormalized(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("nemb").as("fvec")),
+      () => emb.count(), dim, m, ksub, fitSample, nHint)
+
+  /** Fit per-subspace codebooks on the RESIDUALS of a fitted IVF index —
+    * the full IVFADC composition (Jégou et al. 2011 §III: "the residual
+    * vector is quantized" — FAISS's IndexIVFPQ default): each vector is
+    * encoded as its offset from its cell's residual center ([[rcentersOf]]
+    * — the mean of the cell's normalized members) instead of its absolute
+    * position. Where the coarse quantizer captures real structure the
+    * residual ball is far smaller than the corpus, so the same m bytes
+    * spend their resolution on within-cell detail — ADC ranking sharpens
+    * exactly where the absolute codebook blurs; where it captures none,
+    * the centers are ~0 and nothing is lost (PqSpec measures both).
+    * Pair the model with `ivfPqBuild(fitted, model, residual = true)`;
+    * mixing residual models with absolute encoding (or vice versa)
+    * produces garbage rankings, which is why the index carries the flag
+    * and the probe consults it. The centers here and in the later build
+    * are computed independently (float means can differ in last bits
+    * across partitionings, like the k-means fit itself) — immaterial,
+    * since the codebook is a bounded-sample fit to begin with.
+    */
+  def pqFitResidual(fitted: Similarity.IvfFitted, dim: Int, m: Int = 8,
+      ksub: Int = 256, fitSample: Long = Similarity.DefaultFitSample,
       nHint: Long = 0L): PqModel = {
+    val s = fitted.assigned.sparkSession
+    fitCodebooks(s, withResidual(fitted.assigned, rcentersOf(fitted.assigned))
+      .select(col("vec_id"), col("rvec").as("fvec")),
+      () => fitted.assigned.count(), dim, m, ksub, fitSample, nHint)
+  }
+
+  /** Per-cell residual centers: (cell, rc) where rc is the MEAN of the
+    * cell's L2-NORMALIZED members — the least-squares center in the
+    * space the codes actually quantize. This is deliberately NOT the
+    * normalized k-means centroid: subtracting a UNIT vector from unit
+    * vectors GROWS the residual ball whenever members correlate weakly
+    * with their centroid (measured: ADC recall@5 0.190 vs 0.240 absolute
+    * on the i.i.d. random corpus), while subtracting the within-cell
+    * mean never increases within-cell SSE — on unclusterable data the
+    * mean is ~0 and residual encoding degenerates gracefully to absolute
+    * encoding, and on clustered data it spends the codebook's resolution
+    * on within-cell detail (the IVFADC win). One Summarizer.mean
+    * aggregation → a k-row frame; like the MLlib k-means fit itself, the
+    * float mean is partition-order sensitive in its last bits, so rc is
+    * COMPUTED ONCE at build time and persisted with the index rather
+    * than recomputed per probe.
+    */
+  private def rcentersOf(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    withNormalized(assigned)
+      .select(col("cell"),
+        array_to_vector(transform(col("nemb"), _.cast("double"))).as("nv"))
+      .groupBy(col("cell"))
+      .agg(Summarizer.mean(col("nv")).as("mv"))
+      .select(col("cell"),
+        transform(vector_to_array(col("mv")), _.cast("float")).as("rc"))
+  }
+
+  /** rvec = nemb − rc(cell) for an assigned frame (vec_id, embedding,
+    * cell) — the residual the IVFADC codebook quantizes. One broadcast
+    * join against the k-row center table; no shuffle.
+    */
+  private def withResidual(assigned: DataFrame, rcenters: DataFrame): DataFrame =
+    withNormalized(assigned)
+      .join(broadcast(rcenters), Seq("cell"))
+      .withColumn("rvec",
+        zip_with(col("nemb"), col("rc"), (a, b) => (a - b).cast("float")))
+
+  /** The shared fit core: bounded deterministic hash-threshold sample of
+    * the `fvec` column, then m seeded per-subspace k-means.
+    */
+  private def fitCodebooks(s: SparkSession, vecs: DataFrame, n0: () => Long,
+      dim: Int, m: Int, ksub: Int, fitSample: Long, nHint: Long): PqModel = {
     require(m > 0 && dim % m == 0, s"dim $dim must be divisible by m = $m")
     require(ksub > 0 && ksub <= 256, s"ksub must be in (0, 256] for byte codes, got $ksub")
     VectorFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val dsub = dim / m
-    val normed = withNormalized(emb.select(col("vec_id"), col("embedding")))
-    val fitRows = (if (fitSample <= 0) normed
+    val fitRows = (if (fitSample <= 0) vecs
     else {
-      val n = if (nHint > 0) nHint else emb.count()
+      val n = if (nHint > 0) nHint else n0()
       val target = math.max(fitSample, 10L * ksub)
-      if (target >= n) normed
-      else normed.filter(
+      if (target >= n) vecs
+      else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(1000000L)) <
           lit(math.ceil(target.toDouble / n * 1000000L).toLong))
     }).cache()
     try {
       val centers = (0 until m).map { j =>
         val feat = fitRows.select(array_to_vector(
-          transform(slice(col("nemb"), j * dsub + 1, dsub), _.cast("double")))
+          transform(slice(col("fvec"), j * dsub + 1, dsub), _.cast("double")))
           .as("features"))
         Similarity.kmeansFitCount.incrementAndGet()
         new KMeans().setK(ksub).setSeed(42L + j).setFeaturesCol("features")
@@ -156,11 +230,16 @@ object Pq {
     * full embeddings are needed only for the optional exact re-rank.
     */
   final case class IvfPqIndex(assigned: DataFrame, centroids: DataFrame,
-      k: Int, model: PqModel) {
+      k: Int, model: PqModel, residual: Boolean = false,
+      rcenters: Option[DataFrame] = None) {
     def cached(): IvfPqIndex = copy(assigned = assigned.cache())
 
     /** [[Similarity.IvfFitted.save]]'s layout (assignment partitioned by
-      * cell → probed-cell-only DPP scans) plus the codebook file.
+      * cell → probed-cell-only DPP scans) plus the codebook file; a
+      * residual index also persists its `rcenters` table and a
+      * `_residual` marker (the flag is part of the index's meaning — a
+      * probe that ignores it ranks garbage, so it persists with the
+      * index, not in caller memory).
       */
     def save(dir: String, partitioned: Boolean = true): Unit = {
       if (partitioned)
@@ -169,28 +248,52 @@ object Pq {
       else assigned.write.mode("overwrite").parquet(s"$dir/assigned")
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       model.save(assigned.sparkSession, s"$dir/pq_model.bin")
+      rcenters.foreach(_.write.mode("overwrite").parquet(s"$dir/rcenters"))
+      val s = assigned.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_residual")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (residual) fs.create(marker, true).close()
+      else if (fs.exists(marker)) { fs.delete(marker, false); () }
     }
   }
 
   def ivfPqLoad(s: SparkSession, dir: String): IvfPqIndex = {
     VectorFunctions.register(s)
     val centroids = s.read.parquet(s"$dir/centroids")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_residual")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val residual = fs.exists(marker)
     IvfPqIndex(s.read.parquet(s"$dir/assigned"), centroids,
-      centroids.count().toInt, PqModel.load(s, s"$dir/pq_model.bin"))
+      centroids.count().toInt, PqModel.load(s, s"$dir/pq_model.bin"),
+      residual = residual,
+      rcenters = if (residual) Some(s.read.parquet(s"$dir/rcenters")) else None)
   }
 
   /** Compress a fitted IVF index: one codegen `pq_encode` pass over the
-    * normalized embeddings — no shuffle, no iteration. The returned
-    * index drops the embedding column entirely; keep the original
-    * corpus around for exact re-ranks.
+    * normalized embeddings — no shuffle, no iteration (residual mode
+    * adds one broadcast join against the k-row centroid table). The
+    * returned index drops the embedding column entirely; keep the
+    * original corpus around for exact re-ranks. With `residual = true`
+    * the codes quantize `nemb − nc(cell)` against a [[pqFitResidual]]
+    * codebook — pass the matching model; the flag travels with the
+    * index so probes score consistently.
     */
-  def ivfPqBuild(fitted: Similarity.IvfFitted, model: PqModel): IvfPqIndex = {
+  def ivfPqBuild(fitted: Similarity.IvfFitted, model: PqModel,
+      residual: Boolean = false): IvfPqIndex = {
     VectorFunctions.register(fitted.assigned.sparkSession)
-    val assigned = withNormalized(fitted.assigned)
-      .select(col("vec_id"), col("cell"),
-        call_function("pq_encode", col("nemb"), model.cbLit,
-          lit(model.m), lit(model.ksub)).as("codes"))
-    IvfPqIndex(assigned, fitted.centroids, fitted.k, model)
+    // cache(): the k-row center table re-enters every subsequent probe
+    // plan (broadcast) — without it each probe would re-run the corpus
+    // mean aggregation; the first action pays the one pass
+    val rc = if (residual) Some(rcentersOf(fitted.assigned).cache()) else None
+    val enc = rc match {
+      case Some(centers) =>
+        withResidual(fitted.assigned, centers).withColumn("__fvec", col("rvec"))
+      case None => withNormalized(fitted.assigned).withColumn("__fvec", col("nemb"))
+    }
+    val assigned = enc.select(col("vec_id"), col("cell"),
+      call_function("pq_encode", col("__fvec"), model.cbLit,
+        lit(model.m), lit(model.ksub)).as("codes"))
+    IvfPqIndex(assigned, fitted.centroids, fitted.k, model, residual, rc)
   }
 
   /** Append NEW vectors to a fitted IVF-PQ index WITHOUT refitting
@@ -211,11 +314,18 @@ object Pq {
     */
   def ivfPqAssign(index: IvfPqIndex, newVecs: DataFrame): IvfPqIndex = {
     VectorFunctions.register(newVecs.sparkSession)
-    val assignedNew = withNormalized(
-      Similarity.assignCells(index.centroids, newVecs))
-      .select(col("vec_id"), col("cell"),
-        call_function("pq_encode", col("nemb"), index.model.cbLit,
-          lit(index.model.m), lit(index.model.ksub)).as("codes"))
+    val cells = Similarity.assignCells(index.centroids, newVecs)
+    val enc =
+      if (index.residual) {
+        val rc = index.rcenters.getOrElse(throw new IllegalStateException(
+          "residual IVF-PQ index has no rcenters table — was it built by ivfPqBuild/ivfPqLoad?"))
+        // frozen centers, like the frozen centroids and codebook: an
+        // exact copy of a member reproduces its source's codes
+        withResidual(cells, rc).withColumn("__fvec", col("rvec"))
+      } else withNormalized(cells).withColumn("__fvec", col("nemb"))
+    val assignedNew = enc.select(col("vec_id"), col("cell"),
+      call_function("pq_encode", col("__fvec"), index.model.cbLit,
+        lit(index.model.m), lit(index.model.ksub)).as("codes"))
     index.copy(assigned = index.assigned.unionByName(assignedNew))
   }
 
@@ -263,8 +373,24 @@ object Pq {
     // while the corpus-side scan still reads only the m-byte codes.
     val doBroadcast =
       hintable && Similarity.shouldBroadcastProbes(nq, np, maxBroadcastProbes)
-    val probes = Similarity.probeCells(index.centroids, qd, np)
-      .select(col("q_id"), col("cell"))
+    // Residual (IVFADC) scoring decomposes ⟨nq, x̂⟩ = ⟨nq, rc(cell)⟩ +
+    // ⟨nq, r̂⟩: the first term is computed HERE on the thin probe frame
+    // (nq·nprobe rows, one dim-width dot each against the broadcast
+    // k-row center table — trivial) and rides the join as one extra
+    // double per probe row, so per-candidate work stays m LUT lookups;
+    // the LUT covers the residual term because the codebook IS
+    // residual-space.
+    val probes0 = Similarity.probeCells(index.centroids, qd, np)
+    val probes =
+      if (index.residual) {
+        val rc = index.rcenters.getOrElse(throw new IllegalStateException(
+          "residual IVF-PQ index has no rcenters table — was it built by ivfPqBuild/ivfPqLoad?"))
+        val qn = sqrt(dot(col("q_emb"), col("q_emb")))
+        probes0.join(broadcast(rc), Seq("cell"))
+          .select(col("q_id"), col("cell"),
+            (dot(col("q_emb"), col("rc")) / when(qn > 0, qn).otherwise(lit(1.0)))
+              .as("qcent"))
+      } else probes0.select(col("q_id"), col("cell"))
     val probeSide = if (doBroadcast) broadcast(probes) else probes
     val luts = qd
       .withColumn("__qn", sqrt(dot(col("embedding"), col("embedding"))))
@@ -285,13 +411,14 @@ object Pq {
     // probe rows are unique (q_id, cell), so candidate pairs are unique
     // by construction — a dedup here would shuffle the entire candidate
     // set to remove nothing
+    val adcRaw = call_function("pq_adc_lut", col("lut"), col("codes"),
+      lit(index.model.ksub))
     val adcCands = probeSide
       .join(index.assigned.select(col("vec_id").as("n_id"), col("cell"), col("codes")),
         Seq("cell"))
       .join(lutSide, Seq("q_id"))
       .select(col("q_id"), col("n_id"),
-        trunc4(call_function("pq_adc_lut", col("lut"), col("codes"),
-          lit(index.model.ksub))).as("cos_sim"))
+        trunc4(if (index.residual) col("qcent") + adcRaw else adcRaw).as("cos_sim"))
     rerank match {
       case None =>
         Similarity.topKByCosine(adcCands, topK)

@@ -180,6 +180,125 @@ class PqSpec extends SparkSpec {
     } finally { appended.assigned.unpersist(); () }
   }
 
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    d / math.sqrt(na * nb)
+  }
+
+  /** Mean ADC-only recall@5 vs driver-side exact cosine, self excluded;
+    * queries are members under fresh ids (+100000), probes exhaustive so
+    * only RANKING quality (what the codes resolve) is scored.
+    */
+  private def adcRecall5(ix: Pq.IvfPqIndex, corpus: org.apache.spark.sql.DataFrame,
+      nq: Int): Double = {
+    val queries = corpus.filter($"vec_id" < nq)
+      .select(($"vec_id" + 100000).as("q_id"), $"embedding")
+    val got = Pq.ivfPqProbeVectors(ix, queries, nprobe = ix.k, topK = 6)
+      .filter($"n_id" =!= $"q_id" - 100000)
+      .select($"q_id", $"n_id", $"rn").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).take(5).toSet }
+    val vecs = corpus.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    (0L until nq.toLong).map { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosArr(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      (exact intersect got(qid + 100000)).size.toDouble / 5.0
+    }.sum / nq
+  }
+
+  test("residual encoding (IVFADC) sharpens ADC ranking on clustered data, never hurts on random") {
+    // same m/ksub budget, same cells, same queries — the only variable is
+    // WHAT the m bytes quantize: absolute position vs offset from the
+    // cell's residual center (mean of its normalized members).
+    //
+    // Clustered corpus (50 planted 10-cliques): the coarse quantizer
+    // absorbs the between-clique variance, so residual codes spend their
+    // resolution separating clique-mates — the IVFADC win.
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter($"vec_id" < 50)
+    val clustered = base
+      .crossJoin(spark.range(0, 10).select($"id".as("copy")))
+      .select(($"vec_id" * 10 + $"copy").as("vec_id"),
+        when($"copy" === 0, $"embedding")
+          .otherwise(transform($"embedding",
+            (v, i) => when(i % 10 === $"copy".cast("int") % 10, v * lit(1.3f)).otherwise(v)))
+          .as("embedding"))
+      .localCheckpoint(true)
+    val fittedC = Similarity.ivfFit(spark, clustered, k = 16)
+    val plainC = Pq.ivfPqBuild(fittedC, Pq.pqFit(spark, clustered, dim = 64, m = 8, ksub = 16))
+    val residC = Pq.ivfPqBuild(fittedC,
+      Pq.pqFitResidual(fittedC, dim = 64, m = 8, ksub = 16), residual = true)
+    assert(!plainC.residual && residC.residual && residC.rcenters.nonEmpty)
+    val (cPlain, cResid) = (adcRecall5(plainC, clustered, 20), adcRecall5(residC, clustered, 20))
+    info(f"clustered corpus ADC-only recall@5 — absolute: $cPlain%.3f, residual: $cResid%.3f")
+    assert(cResid > cPlain,
+      f"residual codes should outrank absolute codes on clustered data: $cResid%.3f vs $cPlain%.3f")
+    // Random corpus (PQ's adversarial case): k-means captures little, the
+    // residual centers are small, and residual encoding must degenerate
+    // gracefully — near the absolute codes, not below them. (Centering on
+    // the NORMALIZED CENTROID instead measured 0.190 vs 0.240 absolute
+    // here — subtracting a unit vector from weakly-correlated unit
+    // vectors GROWS the residual ball; the member-mean center is why.)
+    val fittedR = Similarity.ivfFit(spark, emb, k = 8)
+    val plainR = Pq.ivfPqBuild(fittedR, Pq.pqFit(spark, emb, dim = 64, m = 8, ksub = 16))
+    val residR = Pq.ivfPqBuild(fittedR,
+      Pq.pqFitResidual(fittedR, dim = 64, m = 8, ksub = 16), residual = true)
+    val (rPlain, rResid) = (adcRecall5(plainR, emb, 20), adcRecall5(residR, emb, 20))
+    info(f"random corpus ADC-only recall@5 — absolute: $rPlain%.3f, residual: $rResid%.3f")
+    assert(rResid >= rPlain - 0.05,
+      f"residual ADC recall $rResid%.3f fell below absolute codes $rPlain%.3f")
+    // an exact copy's residual ADC score approximates its true cosine (1)
+    // up to the m8/ksub16 quantization budget — measured 0.78–0.88 here;
+    // the floor pins "approximation", the re-rank path recovers exactness
+    val queries = clustered.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000).as("q_id"), $"embedding")
+    val selfSim = Pq.ivfPqProbeVectors(residC, queries, nprobe = 16, topK = 50)
+      .filter($"n_id" === $"q_id" - 100000)
+      .select($"adc_sim").as[Double].collect()
+    assert(selfSim.length == 20 && selfSim.forall(_ > 0.7),
+      s"residual ADC of an exact copy should approach 1, got ${selfSim.sorted.mkString(",")}")
+  }
+
+  test("residual index: save/load keeps the flag, probes identically, appends consistently") {
+    val emb = Tables.embeddings(spark, sf001)
+    val fitted = Similarity.ivfFit(spark, emb, k = 8)
+    val index = Pq.ivfPqBuild(fitted,
+      Pq.pqFitResidual(fitted, dim = 64, m = 8, ksub = 16), residual = true)
+    val dir = tmpDir("pqresid")
+    index.save(dir)
+    val loaded = Pq.ivfPqLoad(spark, dir)
+    assert(loaded.residual, "the residual flag must persist with the index")
+    val queries = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 7000).as("q_id"), $"embedding")
+    def run(ix: Pq.IvfPqIndex) =
+      Pq.ivfPqProbeVectors(ix, queries, nprobe = 3, topK = 4)
+        .select($"q_id", $"n_id", $"adc_sim", $"rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(run(loaded) == run(index))
+    // a non-residual save to the same dir clears the marker
+    Pq.ivfPqBuild(fitted, Pq.pqFit(spark, emb, dim = 64, m = 8, ksub = 16)).save(dir)
+    assert(!Pq.ivfPqLoad(spark, dir).residual)
+    // appends on a residual index: an exact copy lands in its source's
+    // cell with its source's codes (frozen centroids + frozen residual
+    // codebook → identical residual)
+    val newVecs = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    val before = Similarity.kmeansFitCount.get()
+    val appended = Pq.ivfPqAssign(index, newVecs)
+    assert(Similarity.kmeansFitCount.get() == before, "no refit on append")
+    assert(appended.residual, "append preserves the flag")
+    val mismatched = appended.assigned.filter($"vec_id" >= 9000)
+      .select(($"vec_id" - 9000).as("vec_id"), $"cell".as("a_cell"), $"codes".as("a_codes"))
+      .join(index.assigned, Seq("vec_id"))
+      .filter($"a_cell" =!= $"cell" || $"a_codes" =!= $"codes")
+      .count()
+    assert(mismatched == 0, "an exact copy must reproduce its source's cell and residual codes")
+  }
+
   test("graded q_f23_pq_adc is deterministic and well-formed") {
     val rows = Pq.qPqAdc.fn(spark, sf001).collect()
     assert(rows.length == 30, s"10 queries x top-3, got ${rows.length}")
