@@ -117,10 +117,14 @@ object Pq {
     */
   def pqFit(s: SparkSession, emb: DataFrame, dim: Int, m: Int = 8,
       ksub: Int = 256, fitSample: Long = Similarity.DefaultFitSample,
-      nHint: Long = 0L): PqModel =
+      nHint: Long = 0L): PqModel = {
+    // register BEFORE building any frame: withNormalized analyzes
+    // fvec_dot eagerly at Dataset construction
+    VectorFunctions.register(s)
     fitCodebooks(s, withNormalized(emb.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("nemb").as("fvec")),
       () => emb.count(), dim, m, ksub, fitSample, nHint)
+  }
 
   /** Fit per-subspace codebooks on the RESIDUALS of a fitted IVF index —
     * the full IVFADC composition (Jégou et al. 2011 §III: "the residual
@@ -144,6 +148,7 @@ object Pq {
       ksub: Int = 256, fitSample: Long = Similarity.DefaultFitSample,
       nHint: Long = 0L): PqModel = {
     val s = fitted.assigned.sparkSession
+    VectorFunctions.register(s)
     fitCodebooks(s, withResidual(fitted.assigned, rcentersOf(fitted.assigned))
       .select(col("vec_id"), col("rvec").as("fvec")),
       () => fitted.assigned.count(), dim, m, ksub, fitSample, nHint)

@@ -759,10 +759,17 @@ object Adhoc {
         val f = Similarity.ivfFit(spark, e1m, k = 1000, nHint = nVec).cached()
         f.assigned.count(); f
       }
+      // `pq1m resid` runs the residual (IVFADC) variant: the codebook
+      // fits on cell residuals and codes encode offsets from the
+      // member-mean centers — same measurement frame, so the extra cost
+      // of the center aggregation + decomposed probe is read directly
+      // against the absolute-encoding rows
+      val resid = args.lift(1).contains("resid")
       val (model, pqFitSec) = t(
-        Pq.pqFit(spark, e1m, dim = dim, m = 8, ksub = 256, nHint = nVec))
+        if (resid) Pq.pqFitResidual(fitted, dim = dim, m = 8, ksub = 256, nHint = nVec)
+        else Pq.pqFit(spark, e1m, dim = dim, m = 8, ksub = 256, nHint = nVec))
       val (index, encSec) = t {
-        val ix = Pq.ivfPqBuild(fitted, model).cached()
+        val ix = Pq.ivfPqBuild(fitted, model, residual = resid).cached()
         ix.assigned.count(); ix
       }
       // on-disk: the PQ code table vs the flat embedding index — the
@@ -808,6 +815,7 @@ object Adhoc {
         r.count(); r
       }
       val (recAdc, recRr, recFlat) = (cliqueRecall(adcR), cliqueRecall(rrR), cliqueRecall(flatR))
+      if (resid) print("ADHOC-VARIANT resid ")
       println(f"ADHOC pq1m fit=$fitSec%.1f pqfit=$pqFitSec%.1f encode=$encSec%.1f " +
         f"bytes_flat=$flatB bytes_pq=$pqB ratio=${flatB.toDouble / pqB}%.1f " +
         f"probe${nQ}_adc=$adcSec%.1f recall_adc=$recAdc%.4f " +

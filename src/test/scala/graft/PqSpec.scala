@@ -299,6 +299,28 @@ class PqSpec extends SparkSpec {
     assert(mismatched == 0, "an exact copy must reproduce its source's cell and residual codes")
   }
 
+  test("residual probe plan: no WindowExec, DPP-prunable saved candidate scan") {
+    val emb = Tables.embeddings(spark, sf001)
+    val fitted = Similarity.ivfFit(spark, emb, k = 8)
+    val index = Pq.ivfPqBuild(fitted,
+      Pq.pqFitResidual(fitted, dim = 64, m = 8, ksub = 16), residual = true)
+    val dir = tmpDir("pqresidplan")
+    index.save(dir)
+    val loaded = Pq.ivfPqLoad(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 7000).as("q_id"), $"embedding")
+    val probe = Pq.ivfPqProbeVectors(loaded, queries, nprobe = 3, topK = 4)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the center term must not reintroduce ranking windows or a shuffle
+    // of the code table: ranking stays bounded-heap, the rcenters join
+    // stays on the thin probe frame
+    assert(!plan.contains("WindowExec"),
+      s"residual probe must stay window-free:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"saved residual index scan must be DPP-prunable to the probed cells:\n$plan")
+    assert(probe.count() > 0)
+  }
+
   test("graded q_f23_pq_adc is deterministic and well-formed") {
     val rows = Pq.qPqAdc.fn(spark, sf001).collect()
     assert(rows.length == 30, s"10 queries x top-3, got ${rows.length}")
