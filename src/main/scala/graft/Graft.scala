@@ -150,6 +150,40 @@ object Graft {
   def annLoad(spark: SparkSession, dir: String): Similarity.IvfFitted =
     Similarity.ivfLoad(spark, dir)
 
+  /** Compress a fitted index for serving (IVF-PQ): fit the per-subspace
+    * codebooks (bounded sample) and encode the assignment table to m
+    * BYTES per vector — the probe-side scan footprint that prices a
+    * 100 TB index (5.4× smaller on disk at m 8/dim 64, BASELINE.md
+    * pq1m). `residual = true` fits/encodes cell residuals instead (full
+    * IVFADC) — worth it when within-cell ranking binds, pure overhead
+    * when cell routing does (see [[Pq.pqFitResidual]]); `dim` is the
+    * embedding dimension (must divide by `m`). Save with
+    * `index.save(dir)`, re-open with [[annLoadCompressed]].
+    */
+  def annCompress(fitted: Similarity.IvfFitted, dim: Int, m: Int = 8,
+      ksub: Int = 256, residual: Boolean = false,
+      fitSample: Long = Similarity.DefaultFitSample,
+      nHint: Long = 0L): Pq.IvfPqIndex = {
+    val model =
+      if (residual) Pq.pqFitResidual(fitted, dim, m, ksub, fitSample, nHint)
+      else Pq.pqFit(fitted.assigned.sparkSession, fitted.assigned, dim, m,
+        ksub, fitSample, nHint)
+    Pq.ivfPqBuild(fitted, model, residual)
+  }
+
+  /** Probe a compressed index with external (q_id, embedding) queries —
+    * ADC ranking over the m-byte codes (LUT-amortized); pass
+    * `rerank = Some(corpus)` to re-score the PQ top-(refine·topK) by
+    * exact cosine. */
+  def annProbeCompressed(index: Pq.IvfPqIndex, queries: DataFrame,
+      nprobe: Int = 0, topK: Int = 10, refine: Int = 4,
+      rerank: Option[DataFrame] = None): DataFrame =
+    Pq.ivfPqProbeVectors(index, queries, nprobe, topK, refine, rerank)
+
+  /** Re-open a compressed index persisted with `index.save(dir)`. */
+  def annLoadCompressed(spark: SparkSession, dir: String): Pq.IvfPqIndex =
+    Pq.ivfPqLoad(spark, dir)
+
   /** Duplicated-substring signal: per-doc count/fraction of 10-token
     * windows occurring more than once in the corpus.
     */
