@@ -86,4 +86,23 @@ class FreshSessionSpec extends SparkSpec {
       assert(Similarity.lshCandidates(s, corpus(s), 0.9).count() >= 0)
     }
   }
+
+  test("curation facade runs on a brand-new session (all stages engaged)") {
+    // the full 7-stage composition, with semantic dedup AND eval
+    // decontamination engaged, on a session whose registry has never
+    // seen a graft function — covers the text/minhash/vector expression
+    // registrations along every stage boundary
+    val s2 = spark.newSession()
+    val docs = Tables.documents(s2, sf001).limit(60)
+    val emb = Tables.embeddings(s2, sf001).limit(60)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val eval = Tables.documents(s2, sf001)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id").desc).limit(5)
+    val (out, audit) = Graft.curateCorpusAudited(s2, docs,
+      screenPhrases = Seq("alpha beta gamma"),
+      evalDocs = Some(eval),
+      semantic = Some(Graft.SemanticDedup(emb)))
+    assert(out.count() >= 0 && audit.nonEmpty)
+  }
 }
