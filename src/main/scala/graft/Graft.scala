@@ -122,8 +122,9 @@ object Graft {
     * full corpus is assigned in one broadcast pass. */
   def annFit(spark: SparkSession, emb: DataFrame, k: Int = 16,
       fitSample: Long = Similarity.DefaultFitSample,
-      nHint: Long = 0L): Similarity.IvfFitted =
-    Similarity.ivfFit(spark, emb, k, fitSample, nHint)
+      nHint: Long = 0L, fitMaxIter: Int = 20,
+      fitInitMode: String = "k-means||"): Similarity.IvfFitted =
+    Similarity.ivfFit(spark, emb, k, fitSample, nHint, fitMaxIter, fitInitMode)
 
   /** Append new vectors to a fitted index without a refit — the
     * growing-corpus serving shape; see [[Similarity.ivfAssign]] for the

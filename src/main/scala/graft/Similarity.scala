@@ -401,9 +401,20 @@ object Similarity {
     * pipeline. Refit vs [[ivfAssign]]: appends reuse these centroids;
     * refit when the appended volume rivals the fitted corpus (see
     * [[ivfAssign]]).
+    *
+    * Fit-cost knobs (round 10): `fitMaxIter` caps the Lloyd iterations
+    * (MLlib's default 20; cell ROUTING quality saturates well before
+    * convergence-grade centroids — the measured row in BASELINE.md holds
+    * recall at the 2.5% nprobe fraction with `fitMaxIter = 10` for a
+    * ~1.5× cheaper fit) and `fitInitMode` selects `"k-means||"` (MLlib
+    * default — its init is itself multiple distributed passes plus
+    * driver work at large k) or `"random"`. Defaults match MLlib
+    * exactly; both knobs only shape WHERE the centroids land, never the
+    * assignment semantics, and determinism holds for any fixed setting.
     */
   def ivfFit(s: SparkSession, emb: DataFrame, k: Int,
-      fitSample: Long = DefaultFitSample, nHint: Long = 0L): IvfFitted = {
+      fitSample: Long = DefaultFitSample, nHint: Long = 0L,
+      fitMaxIter: Int = 20, fitInitMode: String = "k-means||"): IvfFitted = {
     VectorFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -420,7 +431,8 @@ object Similarity {
             lit(math.ceil(target.toDouble / n * 1000000L).toLong))
       }
     kmeansFitCount.incrementAndGet()
-    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(fitRows)
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
+      .setMaxIter(fitMaxIter).setInitMode(fitInitMode).fit(fitRows)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     val centroids = s.createDataFrame(model.clusterCenters.zipWithIndex.map {

@@ -641,10 +641,18 @@ object Adhoc {
       def t[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
       }
+      // `ivf1m iter10` / `ivf1m iter10rand` cap the Lloyd iterations at
+      // 10 (and swap k-means|| init for random) — the round-10 fit-cost
+      // knobs, measured on the same corpus/asserts as the default fit
+      val maxIter = if (args.lift(1).exists(_.startsWith("iter10"))) 10 else 20
+      val initMode = if (args.lift(1).contains("iter10rand")) "random" else "k-means||"
       val (fitted, fitSec) = t {
-        val f = Similarity.ivfFit(spark, e1m, k = 1000).cached()
+        val f = Similarity.ivfFit(spark, e1m, k = 1000,
+          fitMaxIter = maxIter, fitInitMode = initMode).cached()
         f.assigned.count(); f
       }
+      if (maxIter != 20 || initMode != "k-means||")
+        println(s"ADHOC-VARIANT maxIter=$maxIter init=$initMode")
       // every 10th clique base → 2000 queries, as at 100k. nprobe must
       // scale with k to hold the probed CELL FRACTION: nprobe 8 was 2.5%
       // of k=316 cells at 100k vectors but is only 0.8% of k=1000 here
@@ -677,7 +685,9 @@ object Adhoc {
         f"recall_np25=$recall25%.4f save=$saveSec%.1f load_probe=$loadSec%.1f")
       assert(recall25 >= 0.80,
         f"1M-vector IVF recall at the held cell fraction collapsed: $recall25%.4f")
-      assert(recall25 > recall8, "nprobe must buy recall at fixed cells")
+      assert(recall25 >= recall8,
+        "nprobe can never cost recall at fixed cells (equality is legitimate " +
+          "at the ceiling — the iter10rand variant hits 1.0 at both)")
       assert(loadedN == n8, "saved-index probe row count diverged")
       // incremental append at this scale (round 10): a 100k-vector ingest
       // batch (10% of the fitted corpus) — exact copies of every 10th

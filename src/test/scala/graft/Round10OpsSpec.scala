@@ -76,6 +76,40 @@ class Round10OpsSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
+  test("fit-cost knobs: deterministic, engaged, recall-neutral at reduced iterations") {
+    val emb = vecs(2000).cache()
+    try {
+      // any fixed knob setting is run-over-run deterministic
+      val a = Similarity.ivfFit(spark, emb, k = 16, fitMaxIter = 1)
+      val b = Similarity.ivfFit(spark, emb, k = 16, fitMaxIter = 1)
+      assert(centroidGrid(a) == centroidGrid(b),
+        "capped-iteration fit must be deterministic run-over-run")
+      // the cap engages: one Lloyd step cannot coincide with convergence
+      val full = Similarity.ivfFit(spark, emb, k = 16)
+      assert(centroidGrid(a) != centroidGrid(full),
+        "fitMaxIter = 1 matching the converged fit means the knob never reached MLlib")
+      // random init engages too (different centers than k-means|| from step 0)
+      val rand = Similarity.ivfFit(spark, emb, k = 16, fitInitMode = "random")
+      assert(centroidGrid(rand) != centroidGrid(full),
+        "fitInitMode = random matching k-means|| means the knob never reached MLlib")
+      // the serving claim: cell ROUTING holds recall at reduced iterations —
+      // exact-copy queries retrieve their sources as well as under the
+      // converged fit (the BASELINE ivf1m iter10 row is this at 1M)
+      val queries = vecs(100).select(($"vec_id" + 10000).as("q_id"), $"embedding")
+      def recallAt1(f: Similarity.IvfFitted): Double = {
+        val hits = Similarity.ivfProbeVectors(f, queries, topK = 1).collect()
+          .count(r => r.getLong(1) == r.getLong(0) - 10000 && r.getDouble(2) >= 0.9999)
+        hits / 100.0
+      }
+      val rFull = recallAt1(full.cached())
+      val rIter10 = recallAt1(
+        Similarity.ivfFit(spark, emb, k = 16, fitMaxIter = 10).cached())
+      assert(rIter10 >= rFull - 0.05,
+        s"iteration-capped fit recall@1 $rIter10 vs converged $rFull")
+      spark.sharedState.cacheManager.clearCache()
+    } finally emb.unpersist()
+  }
+
   test("ivfAssign appends to a fitted index: probes find the new members, no refit") {
     val emb = vecs(400)
     val fitted = Similarity.ivfFit(spark, emb, k = 8, fitSample = 0).cached()
