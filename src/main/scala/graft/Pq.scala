@@ -184,13 +184,19 @@ object Pq {
 
   /** rvec = nemb − rc(cell) for an assigned frame (vec_id, embedding,
     * cell) — the residual the IVFADC codebook quantizes. One broadcast
-    * join against the k-row center table; no shuffle.
+    * join against the k-row center table; no shuffle. LEFT join: a cell
+    * with no members at build time has no center row (k-means can
+    * return empty clusters), and an appended vector routed to it must
+    * not be silently dropped — a missing center falls back to the zero
+    * vector, i.e. absolute encoding for that cell, which the probe's
+    * matching qcent fallback scores consistently.
     */
   private def withResidual(assigned: DataFrame, rcenters: DataFrame): DataFrame =
     withNormalized(assigned)
-      .join(broadcast(rcenters), Seq("cell"))
+      .join(broadcast(rcenters), Seq("cell"), "left")
       .withColumn("rvec",
-        zip_with(col("nemb"), col("rc"), (a, b) => (a - b).cast("float")))
+        when(col("rc").isNull, col("nemb"))
+          .otherwise(zip_with(col("nemb"), col("rc"), (a, b) => (a - b).cast("float"))))
 
   /** The shared fit core: bounded deterministic hash-threshold sample of
     * the `fvec` column, then m seeded per-subspace k-means.
@@ -391,10 +397,15 @@ object Pq {
         val rc = index.rcenters.getOrElse(throw new IllegalStateException(
           "residual IVF-PQ index has no rcenters table — was it built by ivfPqBuild/ivfPqLoad?"))
         val qn = sqrt(dot(col("q_emb"), col("q_emb")))
-        probes0.join(broadcast(rc), Seq("cell"))
+        // LEFT join + coalesce(·, 0): an empty-at-build cell has no
+        // center row but CAN hold appended vectors (encoded against the
+        // zero-center fallback above) — its probe rows must survive with
+        // qcent = ⟨nq, 0⟩ = 0 so those candidates score consistently
+        probes0.join(broadcast(rc), Seq("cell"), "left")
           .select(col("q_id"), col("cell"),
-            (dot(col("q_emb"), col("rc")) / when(qn > 0, qn).otherwise(lit(1.0)))
-              .as("qcent"))
+            coalesce(
+              dot(col("q_emb"), col("rc")) / when(qn > 0, qn).otherwise(lit(1.0)),
+              lit(0.0)).as("qcent"))
       } else probes0.select(col("q_id"), col("cell"))
     val probeSide = if (doBroadcast) broadcast(probes) else probes
     val luts = qd

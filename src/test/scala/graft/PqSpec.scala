@@ -321,6 +321,42 @@ class PqSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("residual append into a build-time-empty cell is kept and scored, not silently dropped") {
+    // MLlib k-means can return empty clusters: a cell with a centroid but
+    // no members has no rcenters row. Hand-built index reproduces that
+    // shape exactly; an appended vector routed there must survive the
+    // encode (zero-center fallback = absolute encoding for that cell)
+    // and be scored by probes (qcent fallback 0) — before the LEFT joins
+    // both paths silently dropped it.
+    val assigned = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1), (3L, Array(0.1f, 0.9f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "cell")
+    val centroids = Seq(
+      (0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)),
+      (2, Array(0f, 0f, 1f, 0f))).toDF("c_cell", "c_emb")
+    val fitted = Similarity.IvfFitted(assigned, centroids, 3)
+    val model = Pq.pqFitResidual(fitted, dim = 4, m = 2, ksub = 2, fitSample = 0)
+    val index = Pq.ivfPqBuild(fitted, model, residual = true).cached()
+    assert(index.rcenters.get.count() == 2, "only populated cells have centers")
+    val appended = Pq.ivfPqAssign(index,
+      Seq((10L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"))
+    assert(appended.assigned.count() == 5,
+      "a vector appended into a build-time-empty cell must not be dropped")
+    assert(appended.assigned.filter($"vec_id" === 10L)
+      .select($"cell").as[Int].collect().toSeq == Seq(2))
+    // exhaustive probe: the appended vector must be among the scored
+    // candidates with a non-null score (its MAGNITUDE is codebook-
+    // dependent — the codebook never saw that region — and not asserted)
+    val hits = Pq.ivfPqProbeVectors(appended,
+      Seq((99L, Array(0f, 0f, 1f, 0f))).toDF("q_id", "embedding"),
+      nprobe = 3, topK = 5)
+      .select($"n_id", $"adc_sim").as[(Long, java.lang.Double)].collect()
+    val ten = hits.filter(_._1 == 10L)
+    assert(ten.length == 1 && ten.head._2 != null && !ten.head._2.isNaN,
+      s"probe must score the appended vector in the empty-at-build cell: ${hits.toSeq}")
+  }
+
   test("Graft facade compressed-serving path matches the direct Pq path") {
     val emb = Tables.embeddings(spark, sf001)
     val fitted = Graft.annFit(spark, emb, k = 8, fitSample = 0)
