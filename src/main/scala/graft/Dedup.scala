@@ -87,6 +87,145 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Edit-distance near-dup pairs: every unordered doc pair within
+    * `maxDist` Levenshtein edits, id-canonicalized (a_id < b_id).
+    *
+    * Candidate generation is LENGTH-BANDED, not all-pairs: one edit
+    * changes a string's length by at most 1, so |len(a)−len(b)| ≤ maxDist
+    * is a necessary condition, and with band width W = maxDist+1 any
+    * qualifying pair sits in the same or adjacent band of floor(len/W).
+    * Each doc joins as the right side under its own band and as the left
+    * side under {band, band+1}; the (band<band | band=band ∧ id<id)
+    * predicate makes every qualifying pair match in EXACTLY one bucket —
+    * an equi-join with a 2× fan-out instead of a cross join, and no
+    * dedup pass afterwards. Verification is Spark's threshold-bounded
+    * `levenshtein(l, r, maxDist)` (banded O(maxDist·n) DP, codegen'd;
+    * −1 beyond the threshold), so a far pair costs O(maxDist·len), not
+    * O(len²). Result set is identical to the naive all-pairs filter,
+    * which is exactly what the DuckDB oracle computes.
+    *
+    * At 100 TB this is the fuzzy-dedup shape for SHORT records (titles,
+    * URLs, lines, OCR fragments): the band key distributes uniformly when
+    * lengths do, and a hot band is an AQE-splittable equi-join bucket.
+    * For long documents edit distance itself is the wrong metric — use
+    * [[jaccardEdgesOf]] / MinHash banding instead.
+    */
+  def editDistancePairsOf(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = maxDist + 1
+    val base = docs
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      .withColumn("band", floor(col("len") / w))
+    val l = base.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+      col("len").as("a_len"), col("band").as("a_band"),
+      explode(array(col("band"), col("band") + 1)).as("jband"))
+    val r = base.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+      col("len").as("b_len"), col("band").as("b_band"))
+    l.join(r,
+        col("jband") === col("b_band") &&
+          (col("a_band") < col("b_band") ||
+            (col("a_band") === col("b_band") && col("a_id") < col("b_id"))) &&
+          abs(col("a_len") - col("b_len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("dist"))
+  }
+
+  /** The SCALE path for [[editDistancePairsOf]]: q-gram count/prefix-filter
+    * candidate generation (the classic approximate-string-join scheme from
+    * the published set-join literature — count filtering + sorted-prefix
+    * filtering, the Ed-Join family without the location filter), then the
+    * same threshold-bounded Levenshtein verification. EXACT: returns the
+    * identical pair set (both filters are necessary-condition lemmas, not
+    * probabilistic; Round11OpsSpec proves equivalence on seeded corpora).
+    *
+    * Why banding alone fails at scale: short records cluster tightly in
+    * length, so a 1M-title corpus puts tens of thousands of strings in
+    * every length band and the within-band pair space is quadratic. The
+    * q-gram lemmas cut by CONTENT instead: one edit disturbs at most q of
+    * a string's positional byte q-grams, so ed(a,b) ≤ D implies multiset
+    * overlap |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − q·D — and any pair meeting that
+    * overlap must share at least one gram within the first q·D + 1
+    * elements of each side's ascending-sorted gram multiset (the same
+    * prefix-filter lemma the F11 Jaccard join uses, with the overlap
+    * threshold derived from edit distance instead of Jaccard). So the
+    * candidate join explodes q·D + 1 grams per doc — independent of
+    * document length and corpus size — and hot grams spread by hash
+    * order, an AQE-splittable equi-join key.
+    *
+    * Strings too short for the lemma to prune (fewer than q·D + 1 + q·D
+    * grams... precisely: |G| ≤ q·D, where the overlap bound is vacuous)
+    * fall back to the banded path over the SHORT ZONE (len ≤ q−1+q·D+D,
+    * every string a small one could pair with): banded pairs there are
+    * kept only when at least one side is genuinely small, and the q-gram
+    * join covers big×big — each qualifying pair lands in exactly one of
+    * the two branches. The zone is bounded by construction (≤ ~10 chars
+    * at q=3, D=2), so its quadratic-in-band cost is capped.
+    */
+  def editDistancePairsQGram(s: SparkSession, docs: DataFrame, maxDist: Int,
+      q: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    VectorFunctions.register(s)
+    val qd = q * maxDist
+    val base = docs
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"),
+        call_function("char_qgram_hashes", col("text"), lit(q)).as("g"))
+      .withColumn("ng", size(col("g")).cast("long"))
+    // |G| = max(0, bytelen−q+1); chars vs bytes differ on multibyte text,
+    // so smallness is decided on ng (gram count), zone on the char length
+    val big = base.filter(col("ng") > qd)
+    val shortZone = docs.filter(length(col("text")) <= (q - 1) + qd + maxDist)
+    // big×big via count+prefix filter
+    val pre = big.select(col("doc_id"), col("len"), col("ng"),
+      explode(slice(col("g"), 1, qd + 1)).as("gh"))
+    val cand = pre.select(col("doc_id").as("a_id"), col("len").as("la"), col("gh"))
+      .join(pre.select(col("doc_id").as("b_id"), col("len").as("lb"), col("gh")), Seq("gh"))
+      .filter(col("a_id") < col("b_id") && abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val bigPairs = cand
+      .join(big.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+        col("g").as("a_g"), col("ng").as("na")), Seq("a_id"))
+      .join(big.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("g").as("b_g"), col("ng").as("nb")), Seq("b_id"))
+      // count filter before the DP: multiset overlap via the same sorted
+      // merge kernel the Jaccard join verifies with
+      .filter(call_function("sorted_intersect_count", col("a_g"), col("b_g")) >=
+        greatest(col("na"), col("nb")) - lit(qd))
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+    // short-zone pairs (≥1 genuinely small side) via the banded path
+    val smallIds = base.filter(col("ng") <= qd).select(col("doc_id").as("s_id"))
+    val zonePairs = editDistancePairsOf(shortZone, maxDist)
+      .join(smallIds.select(col("s_id").as("a_id")).withColumn("a_small", lit(true)),
+        Seq("a_id"), "left")
+      .join(smallIds.select(col("s_id").as("b_id")).withColumn("b_small", lit(true)),
+        Seq("b_id"), "left")
+      .filter(col("a_small").isNotNull || col("b_small").isNotNull)
+      .select(col("a_id"), col("b_id"), col("dist"))
+    bigPairs.unionByName(zonePairs)
+  }
+
+  /** F-family graded query: edit-distance near-dup pairs over `documents`
+    * at maxDist = 8 (the planted near-dup mutations sit at distance 4–8;
+    * exact dups would appear as dist 0).
+    */
+  val qEditNearDup = Q(
+    "q_edit_neardup",
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id
+      | AND abs(length(a.text) - length(b.text)) <= 8
+      |WHERE levenshtein(a.text, b.text) <= 8
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    editDistancePairsOf(documents(s, d), 8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** doc_id → cluster_id (min doc_id in its connected component) for every
     * document; singletons label themselves.
     *
@@ -323,5 +462,5 @@ object Dedup {
       .select(rest :+ col("cluster_id") :+ col("cluster_size"): _*)
   }
 
-  def all: Seq[Q] = Seq(qDedupGroups)
+  def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup)
 }

@@ -38,8 +38,11 @@ object Graft {
   def registerTables(spark: SparkSession, dir: String): Unit = {
     functions.VectorFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    TableNames.foreach { t =>
-      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    TableNames.foreach {
+      // events goes through its loader so `ts` keeps the epoch-nanos-long
+      // contract regardless of the testdata generation's physical type
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case t        => Tables.table(spark, dir, t).createOrReplaceTempView(t)
     }
   }
 

@@ -121,6 +121,23 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // Compression-ratio quality signal via the codegen `deflate_ratio`
+  // expression — the published web-corpus curation heuristic (repetitious
+  // boilerplate compresses far below natural prose). No DuckDB twin (no
+  // DEFLATE function there); deterministic for the build JDK, spec-tested
+  // on constructed repetitive/random texts and golden-pinned at sf0.001;
+  // rows-only gate (SURVEY §7.4.7). Pure per-row map — row-parallel at
+  // 100 TB, no shuffle but the ORDER BY.
+  val qCompressRatio = Q.noOracle("q_compress_ratio") { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      trunc6(call_function("deflate_ratio", col("text"))).as("deflate_ratio"),
+      (call_function("deflate_ratio", col("text")) < 0.3).as("flag_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   // F8: lexicon keyword scoring — tokens ⋈ broadcast lexicon → per-doc
   // weighted score. Weights are halves so sums stay on the 0.5 grid.
   val qKeywordScore = Q(
@@ -812,5 +829,5 @@ object TextOps {
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
-    qLmQuality, qPackSequences, qNgramDecontam)
+    qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

@@ -200,6 +200,58 @@ object ShingleOps {
     }
     c
   }
+
+  /** Called from generated code: ascending-sorted hashed byte q-grams with
+    * duplicates KEPT — the edit-distance count filter needs MULTISET
+    * intersection (dedup would break the lemma on self-repetitive strings:
+    * "aaaa" has one distinct 3-gram but two positional ones). Empty array
+    * for inputs shorter than q bytes.
+    */
+  def charQgramHashes(s: UTF8String, q: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = math.max(0, bytes.length - q + 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = i
+      while (j < i + q) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      out(i) = fmix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  // One raw-deflate compressor per executor thread, reset per row — Deflater
+  // construction allocates native zlib state, far too heavy per-row.
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true) // level 6, nowrap (no zlib header)
+  }
+  private val deflateBufs = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
+  /** Called from generated code: DEFLATE(level 6) compressed size over the
+    * UTF-8 bytes, divided by the raw byte count. Natural text sits ~0.4–0.7;
+    * heavy repetition drives it toward 0; random/binary-ish text toward ≥1.
+    * Empty input → 1.0 by convention (nothing to compress). Deterministic
+    * for a fixed JDK (java.util.zip bundles zlib with fixed level/strategy);
+    * the sf0.001 golden pins the build JDK's output.
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = deflateBufs.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
 }
 
 /** `shingle_hashes(text, n)` → array<bigint>: distinct hashed word n-grams. */
@@ -322,4 +374,52 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `deflate_ratio(text)` → double: DEFLATE-compressed size / raw UTF-8 size
+  * in one codegen'd per-row pass (ShingleOps.deflateRatio). The
+  * compression-ratio quality signal from the published web-corpus curation
+  * recipes (repetitious boilerplate compresses far below natural prose) —
+  * a corpus-free complement to the token-level repetition signals (F14):
+  * no shuffle, no vocabulary, just bytes.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.deflateRatio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_qgram_hashes(text, q)` → array<bigint>: ascending-sorted hashed
+  * byte q-grams, duplicates kept (multiset — see ShingleOps.charQgramHashes).
+  * Candidate-generation kernel for the edit-distance count-filter join
+  * (Dedup.editDistancePairsQGram).
+  */
+case class CharQgramHashes(child: Expression, q: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_qgram_hashes requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_qgram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.charQgramHashes(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.charQgramHashes($c, $q)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -244,6 +244,12 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", (exprs: Seq[Expression]) => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_ratio", (exprs: Seq[Expression]) => DeflateRatio(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_qgram_hashes", (exprs: Seq[Expression]) =>
+        CharQgramHashes(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", (exprs: Seq[Expression]) =>
         ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: edit-distance near-dup pairs (length-banded
+  * Levenshtein join) and the `deflate_ratio` compression quality signal —
+  * plus the events-timestamp generation shim (`Tables.events` must hand
+  * every caller the same epoch-nanos-long `ts` whether the parquet file
+  * carries TIMESTAMP(NANOS) or TIMESTAMP(MICROS)).
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- editDistancePairsOf -------------------------------------------
+
+  /** Reference implementation: naive all-pairs filter. */
+  private def naivePairs(docs: org.apache.spark.sql.DataFrame, maxDist: Int) =
+    docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      .crossJoin(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+
+  test("editDistancePairsOf equals the naive all-pairs filter (planted corpus)") {
+    // planted: exact dup (0 edits), 1-edit, 3-edit, far pair, and a
+    // length-boundary pair whose lengths differ by exactly maxDist
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "the quick brown fox jumps"),         // dist 0 vs 0
+      (2L, "the quick brown fox jumped"),        // dist ≤ 2 vs 0/1
+      (3L, "the slow brown fox crawls"),
+      (4L, "completely different text here"),
+      (5L, "the quick brown fox jumps!!!"),      // +3 chars: dist 3 vs 0
+      (6L, "xx"),
+      (7L, "xxxxx")                              // len diff 3 vs doc 6
+    ).toDF("doc_id", "text")
+    for (d <- Seq(0, 1, 3)) {
+      val got = Dedup.editDistancePairsOf(docs, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = naivePairs(docs, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == want, s"maxDist=$d")
+      if (d == 0) assert(got.contains((0L, 1L, 0L)))
+    }
+  }
+
+  test("editDistancePairsOf law: banded join equals naive on seeded random corpora") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab"
+    // tiny alphabet + short strings → dense near-dup structure across
+    // band boundaries in every seeded corpus
+    for (trial <- 1 to 5) {
+      val docs = (0L until 40L).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }.toDF("doc_id", "text")
+      val d = 1 + rnd.nextInt(4)
+      val got = Dedup.editDistancePairsOf(docs, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = naivePairs(docs, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == want, s"trial=$trial maxDist=$d")
+      assert(got.nonEmpty, s"trial=$trial produced no pairs — corpus too sparse to test")
+    }
+  }
+
+  test("editDistancePairsOf emits each qualifying pair exactly once") {
+    // identical docs in the same band AND across adjacent bands
+    val docs = Seq((10L, "aaaa"), (3L, "aaaa"), (7L, "aaaab"), (1L, "aaa"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.editDistancePairsOf(docs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "duplicate pair emitted")
+    // canonical orientation regardless of which side was longer
+    assert(rows.forall { case (a, b) => a < b })
+  }
+
+  test("editDistancePairsQGram (scale path) equals the banded path on seeded corpora") {
+    val rnd = new scala.util.Random(7)
+    // adversarial mix: tiny alphabet (duplicate q-grams stress the
+    // MULTISET count/prefix lemmas), lengths straddling the short-zone
+    // boundary (q=3, D≤3 → zone ≤ 3−1+9+3 = 14 chars), plus longer strings
+    for (trial <- 1 to 4) {
+      val docs = (0L until 60L).map { i =>
+        val len = 1 + rnd.nextInt(30)
+        (i, Seq.fill(len)("ab" (rnd.nextInt(2))).mkString)
+      }.toDF("doc_id", "text")
+      val d = 1 + rnd.nextInt(3)
+      val got = Dedup.editDistancePairsQGram(spark, docs, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = Dedup.editDistancePairsOf(docs, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == want, s"trial=$trial maxDist=$d")
+      assert(got.nonEmpty, s"trial=$trial degenerate corpus")
+    }
+    // realistic planted case: titles with ≤2-edit mutations
+    val titles = Seq(
+      (0L, "distributed query optimization in shared-nothing systems"),
+      (1L, "distributed query optimisation in shared-nothing systems"), // 1 edit
+      (2L, "distributed query optimization in shared nothing systems"), // 1 edit
+      (3L, "approximate string joins in a database almost for free"),
+      (4L, "approximate string joins in a database almost for free!"),  // 1 edit
+      (5L, "an entirely different title about stream processing")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairsQGram(spark, titles, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // (1,2) transitively: optimisation→optimization (1) + "-"→" " (1) = 2
+    assert(got == Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+  }
+
+  test("char_qgram_hashes keeps duplicate grams (multiset) and sorts ascending") {
+    functions.VectorFunctions.register(spark)
+    val r = Seq(("aaaa", 1L)).toDF("text", "id")
+      .select(call_function("char_qgram_hashes", col("text"), lit(3)).as("g"))
+      .head.getSeq[Long](0)
+    assert(r.length == 2, "4-char string has 2 positional 3-grams")
+    assert(r(0) == r(1), "identical grams must BOTH survive (multiset)")
+    val s = Seq(("abcdef", 1L)).toDF("text", "id")
+      .select(call_function("char_qgram_hashes", col("text"), lit(3)).as("g"))
+      .head.getSeq[Long](0)
+    assert(s.length == 4 && s == s.sorted)
+    val empty = Seq(("ab", 1L)).toDF("text", "id")
+      .select(call_function("char_qgram_hashes", col("text"), lit(3)).as("g"))
+      .head.getSeq[Long](0)
+    assert(empty.isEmpty, "shorter than q → no grams")
+  }
+
+  // ---- deflate_ratio --------------------------------------------------
+
+  test("deflate_ratio separates repetition from high-entropy text") {
+    functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val repetitive = "spam ham " * 400
+    val natural = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders off toward the river bank looking for something new to chase"
+    val noise = Seq.fill(800)(rnd.nextPrintableChar()).mkString
+    val df = Seq((1L, repetitive), (2L, natural), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("deflate_ratio", col("text")).as("r"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) < 0.05, s"heavy repetition should compress hard, got ${m(1L)}")
+    assert(m(2L) > 0.3 && m(2L) < 1.0, s"natural prose mid-range, got ${m(2L)}")
+    assert(m(3L) > m(2L), "random text must compress worse than prose")
+    assert(m(4L) == 1.0, "empty input is 1.0 by convention")
+    // ratio is a pure function of the bytes: re-evaluation is identical
+    val again = Seq((1L, repetitive)).toDF("doc_id", "text")
+      .select(call_function("deflate_ratio", col("text"))).head.getDouble(0)
+    assert(again == m(1L))
+  }
+
+  test("deflate_ratio null propagates; type errors rejected") {
+    functions.VectorFunctions.register(spark)
+    val withNull = Seq((1L, Some("abc")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("deflate_ratio", col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(withNull(1L) != null && withNull(2L) == null)
+    val err = intercept[Exception] {
+      Seq(1L).toDF("x").select(call_function("deflate_ratio", col("x"))).head
+    }
+    assert(err.getMessage.contains("deflate_ratio"))
+  }
+
+  // ---- events timestamp generation shim ------------------------------
+
+  test("Tables.events hands back epoch-nanos longs for the current testdata generation") {
+    val ev = Tables.events(spark, sf001)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+      s"ts must be epoch-nanos long, got ${ev.schema("ts").dataType}")
+    val one = ev.select(col("ts"), Tables.tsUs.as("ts_us")).head
+    assert(one.getLong(0) == one.getLong(1) * 1000L,
+      "tsUs must be the µs truncation of the nanos-long ts")
+    // plausible epoch range (2020–2040) — catches unit mistakes (ms/us/ns)
+    val ns = one.getLong(0)
+    assert(ns > 1.5e18.toLong && ns < 2.3e18.toLong,
+      s"ts=$ns outside plausible epoch-nanos range")
+  }
+}
