@@ -147,12 +147,22 @@ object Dedup {
     * a string's positional byte q-grams, so ed(a,b) ≤ D implies multiset
     * overlap |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − q·D — and any pair meeting that
     * overlap must share at least one gram within the first q·D + 1
-    * elements of each side's ascending-sorted gram multiset (the same
-    * prefix-filter lemma the F11 Jaccard join uses, with the overlap
-    * threshold derived from edit distance instead of Jaccard). So the
-    * candidate join explodes q·D + 1 grams per doc — independent of
-    * document length and corpus size — and hot grams spread by hash
-    * order, an AQE-splittable equi-join key.
+    * elements of each side's gram multiset under ONE global total order
+    * (the same prefix-filter lemma the F11 Jaccard join uses, with the
+    * overlap threshold derived from edit distance instead of Jaccard). So
+    * the candidate join explodes q·D + 1 grams per doc — independent of
+    * document length and corpus size.
+    *
+    * The global order is (corpus frequency, gram) ASCENDING — the PPJoin
+    * ordering — not raw hash order, and at scale that choice is the whole
+    * ballgame: short natural records share ubiquitous grams ("the", "ing",
+    * "tok"), and under hash order whichever ubiquitous gram draws a small
+    * hash lands in nearly EVERY doc's prefix, collapsing the candidate
+    * join into one quadratic hot bucket. Frequency order puts each doc's
+    * RAREST grams in its prefix instead, so bucket sizes track gram
+    * rarity by construction. Costs one extra aggregate + join (the gram
+    * document-frequency table) — the standard two-pass any published
+    * prefix-filter join pays.
     *
     * Strings too short for the lemma to prune (fewer than q·D + 1 + q·D
     * grams... precisely: |G| ≤ q·D, where the overlap bound is vacuous)
@@ -177,9 +187,24 @@ object Dedup {
     // so smallness is decided on ng (gram count), zone on the char length
     val big = base.filter(col("ng") > qd)
     val shortZone = docs.filter(length(col("text")) <= (q - 1) + qd + maxDist)
-    // big×big via count+prefix filter
-    val pre = big.select(col("doc_id"), col("len"), col("ng"),
-      explode(slice(col("g"), 1, qd + 1)).as("gh"))
+    // big×big via count+prefix filter, prefixes frequency-ordered: the
+    // first qd+1 positions of each doc's gram multiset under the global
+    // (corpus freq, gram) ascending order, realized as a bounded-heap
+    // collect_top_k over the negated key (freq negated arithmetically,
+    // gram by bitwise NOT — an overflow-proof order-reversing bijection
+    // where -x breaks down at Long.MinValue). Duplicate values inside a
+    // prefix are dropped before the explode: an equi-join on value gains
+    // nothing from multiplicity.
+    val gx = big.select(col("doc_id"), col("len"), explode(col("g")).as("gh"))
+    val dfreq = gx.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
+    val pre = gx.join(dfreq, Seq("gh"))
+      .select(col("doc_id"), col("len"),
+        struct((-col("freq")).as("nf"), expr("~gh").as("ngh")).as("p"))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(call_function("collect_top_k", col("p"), lit(qd + 1), lit(false)).as("top"))
+      .select(col("doc_id"), col("len"), explode(col("top")).as("p"))
+      .select(col("doc_id"), col("len"), expr("~p.ngh").as("gh"))
+      .distinct()
     val cand = pre.select(col("doc_id").as("a_id"), col("len").as("la"), col("gh"))
       .join(pre.select(col("doc_id").as("b_id"), col("len").as("lb"), col("gh")), Seq("gh"))
       .filter(col("a_id") < col("b_id") && abs(col("la") - col("lb")) <= maxDist)

@@ -1117,6 +1117,82 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("editdist")) {
+      // Edit-distance near-dup at title scale: N short records whose
+      // lengths cluster tightly — the regime where pure length banding is
+      // quadratic-per-band and the q-gram count/prefix path must carry
+      // the load. Seeded deterministic corpus with a ZIPF-ish vocabulary
+      // (the realism that matters for prefix filtering): per token, a
+      // coin picks a 64-word "stopword" list or a 100k-word content
+      // vocabulary — so half of every title is corpus-ubiquitous grams
+      // (which frequency-ordered prefixes must avoid) and half is
+      // discriminative. Every 10th doc gets a near-dup twin at exactly
+      // 1 substituted char (planted recall denominator).
+      // content words render in base-36 (letter-diverse — numeric ids
+      // would collapse the q-gram universe to digit-triples and starve
+      // the prefix filter of rare grams, which no real title corpus does)
+      val n = sys.env.getOrElse("ADHOC_EDITDIST_N", "1000000").toLong
+      val qq = sys.env.getOrElse("ADHOC_EDITDIST_Q", "4").toInt
+      val baseT = spark.range(0, n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), (pmod(hash(col("id")), lit(5)) + lit(5)).cast("int")),
+          { i =>
+            val h = hash(col("id") * 31 + i)
+            when(pmod(h, lit(2)) === 0,
+              concat(lit("s"), pmod(h, lit(64)).cast("string")))
+              .otherwise(concat(lit("w"),
+                lower(conv(pmod(h, lit(1500000)).cast("string"), 10, 36))))
+          })).as("text"))
+      // twin of doc k (k % 10 == 0): substitute the 3rd char with 'Z'
+      val twins = baseT.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + n).as("doc_id"),
+          concat(substring(col("text"), 1, 2), lit("Z"),
+            expr("substring(text, 4)")).as("text"))
+      val corpus = baseT.unionByName(twins).localCheckpoint(eager = true)
+      val planted = n / 10
+      println(s"corpus: ${corpus.count()} titles (planted twin pairs: $planted)")
+      for (rep <- 1 to 2) {
+        time(s"editdist_qgram_${n}_q$qq") {
+          Dedup.editDistancePairsQGram(spark, corpus, maxDist = 1, q = qq).count()
+        }
+      }
+      // recall check: every planted (k, k+n) twin pair must be found
+      val found = Dedup.editDistancePairsQGram(spark, corpus, maxDist = 1, q = qq)
+        .filter(col("b_id") === col("a_id") + n).count()
+      println(s"planted twins found: $found / $planted")
+      assert(found == planted, s"missed ${planted - found} planted twin pairs")
+      // banded-path reference point at a size it can still handle
+      val small = corpus.filter(col("doc_id") < 20000 ||
+        (col("doc_id") >= n && col("doc_id") < n + 20000)).localCheckpoint(eager = true)
+      println(s"banded-reference corpus: ${small.count()}")
+      for (rep <- 1 to 2) {
+        time("editdist_banded_22k") {
+          Dedup.editDistancePairsOf(small, maxDist = 1).count()
+        }
+        time("editdist_qgram_22k") {
+          Dedup.editDistancePairsQGram(spark, small, maxDist = 1).count()
+        }
+      }
+    }
+
+    if (args.headOption.contains("deflate")) {
+      // deflate_ratio throughput: the scaled 50k-doc corpus replicated to
+      // 500k rows (~150 MB of text) — per-row zlib work with thread-local
+      // native state; the interesting number is MB/s across 32 threads.
+      val big = scaled
+        .crossJoin(spark.range(0, 10).select(col("id").as("rep")))
+        .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
+        .repartition(32) // measure the kernel across all threads, not the crossJoin's partitioning
+        .localCheckpoint(eager = true)
+      val bytes = big.select(sum(octet_length(col("text")))).head.getLong(0)
+      println(f"corpus: ${big.count()} docs, ${bytes / 1e6}%.1f MB, ${big.rdd.getNumPartitions} partitions")
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        big.select(avg(call_function("deflate_ratio", col("text")))).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"ADHOC deflate_500k secs=$secs%.2f throughput=${bytes / 1e6 / secs}%.0f MB/s")
+      }
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded
