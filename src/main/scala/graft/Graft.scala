@@ -64,6 +64,27 @@ object Graft {
       minEst: Double = 0.5): DataFrame =
     MinHash.candidatePairs(Tables.documents(spark, dir), minEst)
 
+  /** Edit-distance near-dup pairs (F24) over any (doc_id, text) frame.
+    * `atScale = false` is the length-banded graded path — right for small
+    * or length-diverse corpora; `atScale = true` swaps in the q-gram
+    * count/prefix-filter candidate join (frequency-ordered prefixes),
+    * the shape measured near-linear to 1.1M clustered-length titles
+    * (BASELINE round 11). Identical output either way.
+    */
+  def editNearDupPairs(spark: SparkSession, docs: DataFrame, maxDist: Int = 2,
+      atScale: Boolean = false, q: Int = 4): DataFrame =
+    if (atScale) Dedup.editDistancePairsQGram(spark, docs, maxDist, q)
+    else Dedup.editDistancePairsOf(docs, maxDist)
+
+  /** F25 compression-ratio signal over any (doc_id, text) frame. */
+  def compressionSignals(spark: SparkSession, docs: DataFrame): DataFrame = {
+    functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      call_function("deflate_ratio", col("text")).as("deflate_ratio"))
+  }
+
   /** Streaming near-dup suppression at ingest, state bounded by an
     * event-time TTL (see StreamOps.nearDupSuppress).
     */
@@ -239,11 +260,19 @@ object Graft {
     * (more stopword-heavy docs drop at the gate). Documented in
     * README "Behavior changes"; pass an explicit lexicon to pin output.
     */
+  /** `deflateRatioRange`: optional (lo, hi) bounds on the F25 compression
+    * ratio — the published curation heuristic that drops BOTH extremes
+    * (ratio below lo = machine-repetitive boilerplate, above hi =
+    * high-entropy gibberish/binary paste). None (the default) skips the
+    * check entirely, so existing gates and their audited counts are
+    * byte-identical to before the knob existed.
+    */
   final case class QualityGate(
       minTokens: Int = 20,
       maxTokens: Int = 80,
       stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and"),
-      maxStopwordRatio: Double = 0.2)
+      maxStopwordRatio: Double = 0.2,
+      deflateRatioRange: Option[(Double, Double)] = None)
 
   /** One curation stage's audit row: documents entering minus surviving. */
   final case class StageCount(stage: String, kept: Long, dropped: Long)
@@ -258,8 +287,14 @@ object Graft {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(quality.stopwords: _*)))
-    nTok.between(quality.minTokens, quality.maxTokens) &&
+    val baseGate = nTok.between(quality.minTokens, quality.maxTokens) &&
       nStop.cast("double") / nTok < quality.maxStopwordRatio
+    quality.deflateRatioRange match {
+      case Some((lo, hi)) =>
+        // callers register deflate_ratio (every curation entry point does)
+        baseGate && call_function("deflate_ratio", col("text")).between(lo, hi)
+      case None => baseGate
+    }
   }
 
   /** Semantic-dedup knobs for [[curateCorpus]]: an embeddings frame keyed
@@ -394,6 +429,7 @@ object Graft {
         org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
+    functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     val gated = docs
       .filter(col("text").isNotNull && qualityPredicate(quality))
       .select(col("doc_id"), col("ts"), col("text"))
@@ -467,6 +503,7 @@ object Graft {
       evalDocs: Option[DataFrame] = None,
       semantic: Option[SemanticDedup] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
+    functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
     // expensive computations) are checkpointed, so re-running the cheap
     // row-filter gates per consumer beats materializing each stage's

@@ -163,6 +163,43 @@ class Round11OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("deflate_ratio"))
   }
 
+  // ---- facade integration --------------------------------------------
+
+  test("QualityGate deflateRatioRange drops boilerplate; default None changes nothing") {
+    val docs = Seq(
+      (1L, "w1 " + (20 to 50).map(i => s"word$i").mkString(" ")),   // natural
+      (2L, ("spam ham " * 20).trim)                                  // boilerplate, 40 tokens
+    ).toDF("doc_id", "text")
+      .withColumn("ts", current_timestamp())
+    val gate = Graft.QualityGate(minTokens = 10, maxTokens = 60,
+      maxStopwordRatio = 1.0)
+    val (_, auditNone) = Graft.curateCorpusAudited(spark, docs, Nil, quality = gate)
+    val (_, auditRange) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = gate.copy(deflateRatioRange = Some((0.2, 1.5))))
+    def kept(a: Seq[Graft.StageCount]) =
+      a.find(_.stage == "quality_gate").get.kept
+    // both docs pass the token gate; only the boilerplate doc compresses
+    // below 0.2 and is dropped by the range gate
+    assert(kept(auditNone) == 2, s"default gate must keep both: $auditNone")
+    assert(kept(auditRange) == 1, s"range gate must drop the boilerplate doc: $auditRange")
+  }
+
+  test("facade editNearDupPairs: both paths, identical output") {
+    val docs = Seq((1L, "hello world"), (2L, "hello worlds"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val a = Graft.editNearDupPairs(spark, docs, maxDist = 1)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Graft.editNearDupPairs(spark, docs, maxDist = 1, atScale = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("facade compressionSignals returns a ratio per doc") {
+    val out = Graft.compressionSignals(spark,
+      Seq((1L, "abc abc abc abc abc abc abc abc")).toDF("doc_id", "text")).head
+    assert(out.getLong(1) == 31L && out.getDouble(2) > 0.0)
+  }
+
   // ---- events timestamp generation shim ------------------------------
 
   test("Tables.events hands back epoch-nanos longs for the current testdata generation") {
