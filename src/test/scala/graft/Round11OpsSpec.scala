@@ -194,6 +194,22 @@ class Round11OpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("deflateRatioRange gate resolves in the STREAMING pipeline on a fresh session") {
+    // curateStream shares qualityPredicate with the batch path; building
+    // the streaming frame forces analysis, which is where an unregistered
+    // deflate_ratio would throw (the FreshSessionSpec escape class)
+    val fresh = spark.newSession()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = fresh.sqlContext
+    import fresh.implicits._
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+    val out = Graft.curateStream(docs, Nil,
+      quality = Graft.QualityGate(minTokens = 1, maxTokens = 1000,
+        maxStopwordRatio = 1.0, deflateRatioRange = Some((0.1, 1.5))))
+    assert(out.isStreaming && out.columns.contains("doc_id"))
+  }
+
   test("facade compressionSignals returns a ratio per doc") {
     val out = Graft.compressionSignals(spark,
       Seq((1L, "abc abc abc abc abc abc abc abc")).toDF("doc_id", "text")).head
