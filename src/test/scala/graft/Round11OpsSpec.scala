@@ -163,6 +163,41 @@ class Round11OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("deflate_ratio"))
   }
 
+  test("edit-distance joins are equi-joins — no cartesian in either path's plan") {
+    val docs = Tables.documents(spark, sf001)
+    for (df <- Seq(Dedup.editDistancePairsOf(docs, 8),
+        Dedup.editDistancePairsQGram(spark, docs, 8))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian product in edit-distance plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"BNLJ in edit-distance plan:\n$plan")
+    }
+  }
+
+  test("edit-distance and compression ops on degenerate inputs (empty, null text)") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    assert(Dedup.editDistancePairsOf(empty, 2).count() == 0)
+    assert(Dedup.editDistancePairsQGram(spark, empty, 2).count() == 0)
+    assert(Graft.compressionSignals(spark, empty).count() == 0)
+    // null text: excluded from pairing by both paths (null length/grams
+    // fail every band and gram filter), null ratio propagates in signals
+    val withNull = Seq((1L, Some("aaa")), (2L, Some("aab")), (3L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val pairsA = Dedup.editDistancePairsOf(withNull, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairsB = Dedup.editDistancePairsQGram(spark, withNull, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairsA == Seq((1L, 2L)) && pairsB == Seq((1L, 2L)))
+    val sig = Graft.compressionSignals(spark, withNull)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!sig(1L) && sig(3L), "null text must yield null ratio")
+  }
+
   // ---- facade integration --------------------------------------------
 
   test("QualityGate deflateRatioRange drops boilerplate; default None changes nothing") {
