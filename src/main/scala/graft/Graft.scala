@@ -76,6 +76,20 @@ object Graft {
     if (atScale) Dedup.editDistancePairsQGram(spark, docs, maxDist, q)
     else Dedup.editDistancePairsOf(docs, maxDist)
 
+  /** Fuzzy dedup GROUPS: connected components over the F24 edit-distance
+    * edge list (duplicates chain — A≈B≈C is one group, same reason the
+    * Jaccard path clusters). doc_id → cluster_id (min doc_id in the
+    * component); singletons label themselves. Same CC machinery (and
+    * the same reliable-checkpoint option story) as [[dedupGroups]].
+    */
+  def editDedupGroups(spark: SparkSession, docs: DataFrame, maxDist: Int = 2,
+      atScale: Boolean = false, q: Int = 4): DataFrame =
+    Dedup.connectedComponents(spark,
+      docs.select(org.apache.spark.sql.functions.col("doc_id")),
+      editNearDupPairs(spark, docs, maxDist, atScale, q)
+        .select(org.apache.spark.sql.functions.col("a_id"),
+          org.apache.spark.sql.functions.col("b_id")))
+
   /** F25 compression-ratio signal over any (doc_id, text) frame. */
   def compressionSignals(spark: SparkSession, docs: DataFrame): DataFrame = {
     functions.VectorFunctions.register(spark)

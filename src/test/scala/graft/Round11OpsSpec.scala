@@ -245,6 +245,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.isStreaming && out.columns.contains("doc_id"))
   }
 
+  test("editDedupGroups clusters transitive edit chains") {
+    // A~B (1 edit), B~C (1 edit), but A~C is 2 edits > maxDist=1 —
+    // clustering must still put all three in one group (chaining),
+    // which a keep-one-of-each-pair policy would get wrong
+    val docs = Seq(
+      (10L, "abcdef"), (11L, "abcdeX"), (12L, "abcdYX"),
+      (20L, "totally unrelated")
+    ).toDF("doc_id", "text")
+    for (atScale <- Seq(false, true)) {
+      val m = Graft.editDedupGroups(spark, docs, maxDist = 1, atScale = atScale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(10L) == 10L && m(11L) == 10L && m(12L) == 10L,
+        s"chain must collapse to min id (atScale=$atScale): $m")
+      assert(m(20L) == 20L, "singleton labels itself")
+    }
+  }
+
   test("facade compressionSignals returns a ratio per doc") {
     val out = Graft.compressionSignals(spark,
       Seq((1L, "abc abc abc abc abc abc abc abc")).toDF("doc_id", "text")).head
