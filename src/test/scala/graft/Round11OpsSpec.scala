@@ -268,6 +268,22 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.getLong(1) == 31L && out.getDouble(2) > 0.0)
   }
 
+  // ---- oracle-dialect tripwire ---------------------------------------
+
+  test("graded documents corpus is pure ASCII (levenshtein byte/char divergence tripwire)") {
+    // DuckDB 1.0.0's levenshtein counts BYTES ('café'→'cafe' = 2) while
+    // Spark's counts CHARS (= 1) — identical only on ASCII. The graded
+    // corpus is ASCII today; if a testdata regeneration ever introduces
+    // multibyte text, q_edit_neardup's oracle diverges with a mysterious
+    // hash mismatch. This spec fails FIRST with the actual reason.
+    val nonAscii = Tables.documents(spark, sf001)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0,
+      s"$nonAscii non-ASCII documents: DuckDB levenshtein is byte-based, " +
+        "Spark's is char-based — q_edit_neardup's oracle is no longer valid; " +
+        "see SURVEY §7.4 round-11 note")
+  }
+
   // ---- events timestamp generation shim ------------------------------
 
   test("Tables.events hands back epoch-nanos longs for the current testdata generation") {
