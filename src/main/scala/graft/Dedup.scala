@@ -90,31 +90,42 @@ object Dedup {
   /** Edit-distance near-dup pairs: every unordered doc pair within
     * `maxDist` Levenshtein edits, id-canonicalized (a_id < b_id).
     *
+    * The metric is BYTE-level Levenshtein over UTF-8 (the codegen
+    * `byte_levenshtein` kernel) — identical to char distance on ASCII,
+    * and exactly the dialect DuckDB 1.0.0's `levenshtein` computes, so
+    * the oracle holds on ANY corpus, multibyte included. Byte semantics
+    * also make every F24 candidate filter (length, q-gram count, prefix,
+    * position) an exact lemma of the verified metric rather than an
+    * ASCII-only approximation.
+    *
     * Candidate generation is LENGTH-BANDED, not all-pairs: one edit
-    * changes a string's length by at most 1, so |len(a)−len(b)| ≤ maxDist
-    * is a necessary condition, and with band width W = maxDist+1 any
-    * qualifying pair sits in the same or adjacent band of floor(len/W).
-    * Each doc joins as the right side under its own band and as the left
-    * side under {band, band+1}; the (band<band | band=band ∧ id<id)
-    * predicate makes every qualifying pair match in EXACTLY one bucket —
-    * an equi-join with a 2× fan-out instead of a cross join, and no
-    * dedup pass afterwards. Verification is Spark's threshold-bounded
-    * `levenshtein(l, r, maxDist)` (banded O(maxDist·n) DP, codegen'd;
+    * changes a string's byte length by at most 1, so |len(a)−len(b)| ≤
+    * maxDist is a necessary condition, and with band width W = maxDist+1
+    * any qualifying pair sits in the same or adjacent band of
+    * floor(len/W). Each doc joins as the right side under its own band
+    * and as the left side under {band, band+1}; the
+    * (band<band | band=band ∧ id<id) predicate makes every qualifying
+    * pair match in EXACTLY one bucket — an equi-join with a 2× fan-out
+    * instead of a cross join, and no dedup pass afterwards. Verification
+    * is the threshold-bounded byte DP (banded O(maxDist·n), codegen'd;
     * −1 beyond the threshold), so a far pair costs O(maxDist·len), not
     * O(len²). Result set is identical to the naive all-pairs filter,
     * which is exactly what the DuckDB oracle computes.
     *
     * At 100 TB this is the fuzzy-dedup shape for SHORT records (titles,
-    * URLs, lines, OCR fragments): the band key distributes uniformly when
-    * lengths do, and a hot band is an AQE-splittable equi-join bucket.
-    * For long documents edit distance itself is the wrong metric — use
-    * [[jaccardEdgesOf]] / MinHash banding instead.
+    * URLs, lines, OCR fragments) when lengths are DIVERSE; natural
+    * corpora cluster in length, making the within-band pair space
+    * quadratic — [[editDistancePairsQGram]] is the content-filtered
+    * scale path with the same output. For long documents edit distance
+    * itself is the wrong metric — use [[jaccardEdgesOf]] / MinHash
+    * banding instead.
     */
   def editDistancePairsOf(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    VectorFunctions.registered(docs)
     val w = maxDist + 1
     val base = docs
-      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), col("text"), octet_length(col("text")).cast("long").as("len"))
       .withColumn("band", floor(col("len") / w))
     val l = base.select(col("doc_id").as("a_id"), col("text").as("a_text"),
       col("len").as("a_len"), col("band").as("a_band"),
@@ -126,32 +137,56 @@ object Dedup {
           (col("a_band") < col("b_band") ||
             (col("a_band") === col("b_band") && col("a_id") < col("b_id"))) &&
           abs(col("a_len") - col("b_len")) <= maxDist)
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+      .withColumn("dist",
+        call_function("byte_levenshtein", col("a_text"), col("b_text"), lit(maxDist)))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"), col("dist"))
   }
 
-  /** The SCALE path for [[editDistancePairsOf]]: q-gram count/prefix-filter
-    * candidate generation (the classic approximate-string-join scheme from
-    * the published set-join literature — count filtering + sorted-prefix
-    * filtering, the Ed-Join family without the location filter), then the
-    * same threshold-bounded Levenshtein verification. EXACT: returns the
-    * identical pair set (both filters are necessary-condition lemmas, not
-    * probabilistic; Round11OpsSpec proves equivalence on seeded corpora).
+  /** Gram vocabularies at or below this row count are broadcast for the
+    * frequency lookup in [[editDistancePairsQGram]] (~4M × ~48 B of
+    * hashmap ≈ 200 MB per executor — comfortable); above it the lookup
+    * falls back to a shuffle join, identical output.
+    */
+  val maxBroadcastGrams: Long = 4000000L
+
+  /** The SCALE path for [[editDistancePairsOf]]: q-gram count/prefix/
+    * position-filter candidate generation (the classic approximate-
+    * string-join scheme from the published set-join literature — count
+    * filtering, sorted-prefix filtering, and the positional-gram filter
+    * of the Gravano/Ed-Join family), then the same threshold-bounded
+    * byte-Levenshtein verification. EXACT: returns the identical pair set
+    * (every filter is a necessary-condition lemma of the BYTE metric, not
+    * probabilistic; Round11OpsSpec proves equivalence on seeded corpora,
+    * multibyte included).
     *
     * Why banding alone fails at scale: short records cluster tightly in
     * length, so a 1M-title corpus puts tens of thousands of strings in
     * every length band and the within-band pair space is quadratic. The
-    * q-gram lemmas cut by CONTENT instead: one edit disturbs at most q of
-    * a string's positional byte q-grams, so ed(a,b) ≤ D implies multiset
-    * overlap |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − q·D — and any pair meeting that
-    * overlap must share at least one gram within the first q·D + 1
-    * elements of each side's gram multiset under ONE global total order
-    * (the same prefix-filter lemma the F11 Jaccard join uses, with the
-    * overlap threshold derived from edit distance instead of Jaccard). So
-    * the candidate join explodes q·D + 1 grams per doc — independent of
-    * document length and corpus size.
+    * q-gram lemmas cut by CONTENT instead: one byte edit disturbs at most
+    * q of a string's positional byte q-grams, so ed(a,b) ≤ D implies an
+    * injective positional matching of size ≥ max(|Ga|,|Gb|) − q·D whose
+    * edges pair equal grams at byte positions within D of each other.
+    * Three consequences, each enforced here:
+    *   1. COUNT: multiset overlap |Ga ∩ Bb| ≥ max − q·D
+    *      (`sorted_intersect_count` before the DP);
+    *   2. PREFIX: under any one global total order on gram keys, the two
+    *      docs' VALUE-CLOSED (q·D+1)-prefixes must connect by a matching
+    *      edge — closure (keeping every occurrence tied with the
+    *      boundary key) is what lets the shared gram also carry the
+    *      position guarantee: take the side with the smaller boundary
+    *      key; ≥ max − q·D matching edges minus ≤ n − q·D − 1 suffix
+    *      occurrences leaves an edge anchored in its prefix, and its
+    *      partner's key is ≤ both boundaries, hence inside the other
+    *      side's CLOSED prefix by construction;
+    *   3. POSITION: that edge's byte positions differ by ≤ D, so joining
+    *      on (gram, position band of width D+1) with an adjacent-band
+    *      fan-out loses nothing — and splinters every hot gram bucket by
+    *      WHERE the gram occurs, the filter that keeps candidate volume
+    *      near-linear when corpus growth makes every doc's rarest gram
+    *      common in absolute terms (the measured 4.4M-title
+    *      superlinearity of the position-free form).
     *
     * The global order is (corpus frequency, gram) ASCENDING — the PPJoin
     * ordering — not raw hash order, and at scale that choice is the whole
@@ -164,62 +199,122 @@ object Dedup {
     * document-frequency table) — the standard two-pass any published
     * prefix-filter join pays.
     *
-    * Strings too short for the lemma to prune (fewer than q·D + 1 + q·D
-    * grams... precisely: |G| ≤ q·D, where the overlap bound is vacuous)
-    * fall back to the banded path over the SHORT ZONE (len ≤ q−1+q·D+D,
-    * every string a small one could pair with): banded pairs there are
-    * kept only when at least one side is genuinely small, and the q-gram
-    * join covers big×big — each qualifying pair lands in exactly one of
-    * the two branches. The zone is bounded by construction (≤ ~10 chars
-    * at q=3, D=2), so its quadratic-in-band cost is capped.
+    * Strings too short for the lemma to prune (|G| ≤ q·D, where the
+    * overlap bound is vacuous) fall back to the banded path over the
+    * SHORT ZONE (byte len ≤ q−1+q·D+D, every string a small one could
+    * pair with): banded pairs there are kept only when at least one side
+    * is genuinely small, and the q-gram join covers big×big — each
+    * qualifying pair lands in exactly one of the two branches. The zone
+    * is bounded by construction, so its quadratic-in-band cost is capped.
     */
   def editDistancePairsQGram(s: SparkSession, docs: DataFrame, maxDist: Int,
-      q: Int = 3): DataFrame = {
+      q: Int = 4): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
     VectorFunctions.register(s)
     val qd = q * maxDist
     val base = docs
-      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"),
+      .select(col("doc_id"), col("text"), octet_length(col("text")).cast("long").as("len"),
         call_function("char_qgram_hashes", col("text"), lit(q)).as("g"))
       .withColumn("ng", size(col("g")).cast("long"))
-    // |G| = max(0, bytelen−q+1); chars vs bytes differ on multibyte text,
-    // so smallness is decided on ng (gram count), zone on the char length
+    // |G| = max(0, bytelen−q+1); smallness decided on ng, zone on bytes
     val big = base.filter(col("ng") > qd)
-    val shortZone = docs.filter(length(col("text")) <= (q - 1) + qd + maxDist)
-    // big×big via count+prefix filter, prefixes frequency-ordered: the
-    // first qd+1 positions of each doc's gram multiset under the global
-    // (corpus freq, gram) ascending order, realized as a bounded-heap
-    // collect_top_k over the negated key (freq negated arithmetically,
-    // gram by bitwise NOT — an overflow-proof order-reversing bijection
-    // where -x breaks down at Long.MinValue). Duplicate values inside a
-    // prefix are dropped before the explode: an equi-join on value gains
-    // nothing from multiplicity.
-    val gx = big.select(col("doc_id"), col("len"), explode(col("g")).as("gh"))
+    val shortZone = docs.filter(octet_length(col("text")) <= (q - 1) + qd + maxDist)
+    val gx = big.select(col("doc_id"), explode(col("g")).as("gh"))
+    // The gram vocabulary is tiny next to the occurrence stream (q-grams
+    // of natural text plateau in the low millions), but its byte estimate
+    // routinely straddles Spark's 10 MB auto-broadcast line — and losing
+    // the broadcast silently turns the freq lookup into a sort-merge join
+    // that SORTS every gram occurrence in the corpus (measured 4× the
+    // whole pipeline's wall at 1.1M titles). Same guarded-broadcast
+    // pattern as F22: size the vocab with one eager job and broadcast it
+    // when it fits, shuffle-join fallback above the cap (identical
+    // output).
     val dfreq = gx.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
-    val pre = gx.join(dfreq, Seq("gh"))
-      .select(col("doc_id"), col("len"),
+      .localCheckpoint(eager = false) // sized once, reused by the join
+    val dfreqSide =
+      if (dfreq.count() <= maxBroadcastGrams) broadcast(dfreq) else dfreq
+    // Prefix VALUES per doc: the distinct grams among the doc's qd+1
+    // smallest (freq, gram) occurrence keys, via the bounded-heap
+    // collect_top_k over the NEGATED key (freq negated arithmetically,
+    // gram by bitwise NOT — an overflow-proof order-reversing bijection
+    // where -x breaks down at Long.MinValue) — map-side partials shrink
+    // the corpus-wide gram stream to ≤ qd+1 rows per doc BEFORE the
+    // doc_id shuffle. Occurrence ties at the boundary key all share one
+    // gram VALUE (the key embeds the gram), so the top-k's distinct
+    // values are exactly the VALUE-CLOSED prefix's values — closure is
+    // recovered value-wise here and occurrence-wise below by re-scanning
+    // each doc's short text for those values' positions, instead of
+    // carrying positions through a second full-stream shuffle (measured
+    // 5× slower at 1.1M titles). Closure matters: lemma 2's position
+    // guarantee needs the boundary value's EVERY occurrence in the
+    // prefix; an arbitrary tie truncation can strand a matching edge's
+    // partner outside it with only a position-incompatible twin inside.
+    val topVals = gx.join(dfreqSide, Seq("gh"))
+      .select(col("doc_id"),
         struct((-col("freq")).as("nf"), expr("~gh").as("ngh")).as("p"))
-      .groupBy(col("doc_id"), col("len"))
+      .groupBy(col("doc_id"))
       .agg(call_function("collect_top_k", col("p"), lit(qd + 1), lit(false)).as("top"))
-      .select(col("doc_id"), col("len"), explode(col("top")).as("p"))
-      .select(col("doc_id"), col("len"), expr("~p.ngh").as("gh"))
-      .distinct()
-    val cand = pre.select(col("doc_id").as("a_id"), col("len").as("la"), col("gh"))
-      .join(pre.select(col("doc_id").as("b_id"), col("len").as("lb"), col("gh")), Seq("gh"))
-      .filter(col("a_id") < col("b_id") && abs(col("la") - col("lb")) <= maxDist)
-      .select(col("a_id"), col("b_id"))
+      // sort_array desc on the NEGATED structs = ascending (freq, gram)
+      // key order, the order the location walk below consumes
+      .select(col("doc_id"),
+        expr("transform(sort_array(top, false), p -> ~p.ngh)").as("kvals"))
+    // LOCATION-adaptive prefix (the Ed-Join shortening): the fixed
+    // qd+1-occurrence prefix is the worst case; the kernel walks the
+    // candidate values in key order and stops once the accumulated
+    // occurrence positions already force > maxDist edits (greedy q-window
+    // cover), keeping value closure. Once corpus growth saturates the
+    // gram vocabulary every bucket's population grows linearly and the
+    // candidate join grows quadratically — prefix LENGTH is the lever
+    // that survives saturation (measured: 30M candidates at 4.4M titles
+    // with the fixed prefix).
+    val pre = big.join(topVals, Seq("doc_id"))
+      .select(col("doc_id"), col("len"), col("text"),
+        explode(call_function("adaptive_prefix_values",
+          col("text"), col("kvals"), lit(q), lit(maxDist))).as("gh"))
+      .select(col("doc_id"), col("len"), col("gh"),
+        explode(call_function("qgram_value_positions", col("text"), col("gh"), lit(q)))
+          .as("pos"))
+      .withColumn("pband", floor(col("pos") / (maxDist + 1)))
+    // Candidate join on (gram, position band): a qualifying pair's
+    // witnessing edge has |pa − pb| ≤ maxDist < band width, so its bands
+    // differ by ≤ 1; the left side fans out to {pband, pband+1} and the
+    // (pband< | pband= ∧ id<) predicate matches each witnessing
+    // occurrence pair in exactly one bucket. Pairs can still match via
+    // several occurrence pairs — the distinct() collapses them — and the
+    // canonical (a_id < b_id) orientation is restored by least/greatest
+    // since the band order, not the id order, picked the sides.
+    val l = pre.select(col("doc_id").as("a_id"), col("len").as("la"),
+      col("gh").as("a_gh"), col("pos").as("pa"), col("pband").as("a_pband"),
+      explode(array(col("pband"), col("pband") + 1)).as("jband"))
+    val r = pre.select(col("doc_id").as("b_id"), col("len").as("lb"),
+      col("gh").as("b_gh"), col("pos").as("pb"), col("pband").as("b_pband"))
+    val cand = l.join(r,
+        col("a_gh") === col("b_gh") && col("jband") === col("b_pband") &&
+          col("a_id") =!= col("b_id") &&
+          (col("a_pband") < col("b_pband") ||
+            (col("a_pband") === col("b_pband") && col("a_id") < col("b_id"))) &&
+          abs(col("pa") - col("pb")) <= maxDist &&
+          abs(col("la") - col("lb")) <= maxDist)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
     val bigPairs = cand
       .join(big.select(col("doc_id").as("a_id"), col("text").as("a_text"),
-        col("g").as("a_g"), col("ng").as("na")), Seq("a_id"))
+        col("ng").as("na")), Seq("a_id"))
       .join(big.select(col("doc_id").as("b_id"), col("text").as("b_text"),
-        col("g").as("b_g"), col("ng").as("nb")), Seq("b_id"))
+        col("ng").as("nb")), Seq("b_id"))
       // count filter before the DP: multiset overlap via the same sorted
-      // merge kernel the Jaccard join verifies with
-      .filter(call_function("sorted_intersect_count", col("a_g"), col("b_g")) >=
+      // merge kernel the Jaccard join verifies with. Gram arrays are
+      // RE-DERIVED from the text per surviving candidate — ~n rehashes +
+      // a small sort beat shuffling an n-long array through both
+      // candidate joins (the arrays are ~4× the text's bytes)
+      .filter(call_function("sorted_intersect_count",
+          call_function("char_qgram_hashes", col("a_text"), lit(q)),
+          call_function("char_qgram_hashes", col("b_text"), lit(q))) >=
         greatest(col("na"), col("nb")) - lit(qd))
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+      .withColumn("dist",
+        call_function("byte_levenshtein", col("a_text"), col("b_text"), lit(maxDist)))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
     // short-zone pairs (≥1 genuinely small side) via the banded path
@@ -236,7 +331,13 @@ object Dedup {
 
   /** F-family graded query: edit-distance near-dup pairs over `documents`
     * at maxDist = 8 (the planted near-dup mutations sit at distance 4–8;
-    * exact dups would appear as dist 0).
+    * exact dups would appear as dist 0). The graded plan is the q-gram
+    * SCALE path — the shape that holds on length-clustered corpora —
+    * result-identical to the banded path (Round11OpsSpec equivalence
+    * laws), so the naive all-pairs oracle is unchanged. Both engines
+    * compute BYTE Levenshtein (DuckDB natively, Spark via the
+    * byte_levenshtein kernel) and byte lengths (strlen/octet_length), so
+    * the oracle holds on multibyte corpora too.
     */
   val qEditNearDup = Q(
     "q_edit_neardup",
@@ -244,11 +345,43 @@ object Dedup {
       |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
       |FROM documents a JOIN documents b
       |  ON a.doc_id < b.doc_id
-      | AND abs(length(a.text) - length(b.text)) <= 8
+      | AND abs(strlen(a.text) - strlen(b.text)) <= 8
       |WHERE levenshtein(a.text, b.text) <= 8
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    editDistancePairsOf(documents(s, d), 8)
+    editDistancePairsQGram(s, documents(s, d), 8)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** F24 composed with F11's clustering, graded: fuzzy dedup GROUPS —
+    * connected components over the edit-distance edge list (duplicates
+    * chain: A≈B≈C is one group even when ed(A,C) > maxDist), every doc
+    * labeled with its component's min doc_id plus the component size.
+    * The edge generation is the q-gram scale path; the oracle recomputes
+    * the same fixpoint from naive all-pairs byte-Levenshtein edges via a
+    * recursive-CTE transitive closure (the q_f11 pattern) — independent
+    * edge generation AND independent closure, which is what makes the
+    * hash-match meaningful.
+    */
+  val qEditDedupGroups = Q(
+    "q_edit_dedup_groups",
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM documents a JOIN documents b
+      |    ON a.doc_id <> b.doc_id
+      |   AND abs(strlen(a.text) - strlen(b.text)) <= 8
+      |  WHERE levenshtein(a.text, b.text) <= 8),
+      |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+      |          UNION
+      |          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val cc = connectedComponents(s, docs.select(col("doc_id")),
+      editDistancePairsQGram(s, docs, 8).select(col("a_id"), col("b_id")))
+    withClusterSize(cc).orderBy(col("doc_id"))
   }
 
   /** doc_id → cluster_id (min doc_id in its connected component) for every
@@ -348,11 +481,15 @@ object Dedup {
     def cut(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = eager)
       else df.localCheckpoint(eager = eager)
-    var sym = cut(edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v"))),
+    // materialize the caller's edge plan ONCE and mirror from the cut —
+    // a union of plan + swapped plan would execute the (often expensive:
+    // LSH bands, prefix-filter joins) edge build twice in the same job
+    val e0 = cut(edges.select(col("a_id").as("u"), col("b_id").as("v")),
       eager = true)
+    var sym: DataFrame =
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
     // cheap: counts the blocks the eager checkpoint just materialized
-    var symBig = sym.count() >= contractAbove
+    var symBig = e0.count() * 2 >= contractAbove
 
     // one min-label propagation step; passes through any extra columns
     // (the improvement tracker rides along the k-step chain)
@@ -403,8 +540,11 @@ object Dedup {
       symBig = sym.count() >= contractAbove
     }
 
+    // lazy cut: the seed labels materialize inside the first block's (or
+    // the contraction's) job instead of costing a dedicated action — on
+    // shallow graphs (the near-dup norm) that is one fewer driver round
     var labels = cut(step(nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl"))),
-      eager = true)
+      eager = false)
     if (symBig) contract(labels)
     var converged = false
     var iter = 1
@@ -487,5 +627,5 @@ object Dedup {
       .select(rest :+ col("cluster_id") :+ col("cluster_size"): _*)
   }
 
-  def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup)
+  def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups)
 }

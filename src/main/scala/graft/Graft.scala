@@ -64,12 +64,14 @@ object Graft {
       minEst: Double = 0.5): DataFrame =
     MinHash.candidatePairs(Tables.documents(spark, dir), minEst)
 
-  /** Edit-distance near-dup pairs (F24) over any (doc_id, text) frame.
-    * `atScale = false` is the length-banded graded path — right for small
-    * or length-diverse corpora; `atScale = true` swaps in the q-gram
-    * count/prefix-filter candidate join (frequency-ordered prefixes),
-    * the shape measured near-linear to 1.1M clustered-length titles
-    * (BASELINE round 11). Identical output either way.
+  /** Edit-distance near-dup pairs (F24) over any (doc_id, text) frame —
+    * BYTE-level Levenshtein (≡ char level on ASCII; the DuckDB dialect).
+    * `atScale = false` is the length-banded path — right for small or
+    * length-diverse corpora; `atScale = true` swaps in the q-gram
+    * count/prefix/position-filter candidate join (frequency-ordered
+    * value-closed prefixes + positional banding, the Gravano/Ed-Join
+    * family), the graded q_edit_neardup plan and the shape that holds on
+    * length-clustered corpora at scale. Identical output either way.
     */
   def editNearDupPairs(spark: SparkSession, docs: DataFrame, maxDist: Int = 2,
       atScale: Boolean = false, q: Int = 4): DataFrame =

@@ -27,6 +27,10 @@ object ScalarFuncs {
       |       replace(c_name, 'Customer', 'C') AS name_short,
       |       reverse(c_mktsegment) AS seg_rev
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    // lev_seg via the byte_levenshtein kernel: DuckDB's levenshtein counts
+    // BYTES, Spark's built-in counts CHARS — byte semantics on both
+    // engines keep this row multibyte-proof (SURVEY §7.4.10)
+    functions.VectorFunctions.register(s)
     customer(s, d).select(
       col("c_custkey"),
       lower(col("c_name")).as("name_lower"),
@@ -37,7 +41,8 @@ object ScalarFuncs {
       lpad(col("c_nationkey").cast("string"), 4, "0").as("nk_pad"),
       concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
       instr(col("c_name"), "9").cast("long").as("pos_nine"),
-      levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev_seg"),
+      call_function("byte_levenshtein",
+        col("c_mktsegment"), lit("BUILDING"), lit(-1)).as("lev_seg"),
       regexp_replace(col("c_name"), "Customer", "C").as("name_short"),
       reverse(col("c_mktsegment")).as("seg_rev"))
       .orderBy(col("c_custkey"))

@@ -280,7 +280,7 @@ object Similarity {
     */
   def lshCandidates(s: SparkSession, emb: DataFrame, minCos: Double,
       nPlanes: Int = DefaultPlanes, bandBits: Int = AutoBandBits,
-      nHint: Long = 0L): DataFrame = {
+      nHint: Long = 0L, ordered: Boolean = true): DataFrame = {
     VectorFunctions.register(s)
     val bb =
       if (bandBits != AutoBandBits) bandBits
@@ -299,12 +299,16 @@ object Similarity {
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = bands.select(col("vec_id").as("b_id"), col("band"), col("bkey"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+    val verified = a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
       .distinct()
       .filter(col("cos_sim") >= minCos)
-      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+    // `ordered = false` for plan-internal consumers (the CC edge feed):
+    // the global sort is presentation-only and would otherwise be paid
+    // inside the component loop's edge materialization
+    if (ordered) verified.orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+    else verified
   }
 
   /** A fitted IVF index: the per-vector cell assignment and the centroid
@@ -731,8 +735,8 @@ object Similarity {
       useLsh: Boolean = false, nPlanes: Int = DefaultPlanes,
       bandBits: Int = AutoBandBits, nHint: Long = 0L): DataFrame = {
     val edges =
-      if (useLsh) lshCandidates(s, emb, minCos, nPlanes, bandBits, nHint)
-        .select(col("a_id"), col("b_id"))
+      if (useLsh) lshCandidates(s, emb, minCos, nPlanes, bandBits, nHint,
+        ordered = false).select(col("a_id"), col("b_id"))
       else exactCosineEdges(s, emb, minCos)
     val nodes = emb.select(col("vec_id").as("doc_id"))
     // cluster_size via groupBy+join (Dedup.withClusterSize), not a window:

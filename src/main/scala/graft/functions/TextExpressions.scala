@@ -223,6 +223,149 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Called from generated code: every byte offset where the text's
+    * q-gram hashes to `gh` (ascending, possibly empty). The positional-
+    * filter candidate join (Dedup.editDistancePairsQGram) needs each
+    * PREFIX gram's occurrence positions: a byte-edit-distance-D pair's
+    * matching grams sit within D byte positions of each other (Gravano
+    * et al.'s positional q-gram lemma), which splinters hot-gram join
+    * buckets by position band. Recomputing positions per (doc, prefix
+    * gram) row — ≤ q·D+1 values over a short record — is a handful of
+    * rehashes, far cheaper than carrying positions through the
+    * corpus-wide frequency join and a second full-stream shuffle
+    * (measured 5× slower at 1.1M titles).
+    */
+  def qgramValuePositions(s: UTF8String, gh: Long, q: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = math.max(0, bytes.length - q + 1)
+    val tmp = new Array[Int](n)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = i
+      while (j < i + q) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      if (fmix64(h) == gh) { tmp(cnt) = i; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(tmp, cnt))
+  }
+
+  /** Called from generated code: Levenshtein distance over the two
+    * strings' raw UTF-8 BYTES — the metric DuckDB 1.0.0's `levenshtein`
+    * computes (byte-based; 'café'→'cafe' is 2), unlike Spark's built-in
+    * (char-based; 1). Identical to char distance on pure-ASCII input.
+    * Byte semantics make the F24 family self-consistent: the byte q-gram
+    * count/prefix/position filters are exact lemmas of THIS metric on any
+    * input, where against char distance they can wrongly prune multibyte
+    * pairs (one char edit disturbs up to q+3 byte grams).
+    *
+    * `maxDist ≥ 0` bounds the DP to the classic Ukkonen band — O(maxDist·n)
+    * instead of O(n·m), returning −1 beyond the threshold; `maxDist < 0`
+    * runs the full unbounded DP.
+    */
+  def byteLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Long = {
+    var s = a.getBytes
+    var t = b.getBytes
+    if (s.length > t.length) { val tmp = s; s = t; t = tmp }
+    val n = s.length
+    val m = t.length
+    if (maxDist >= 0 && m - n > maxDist) return -1L
+    if (n == 0) return m.toLong // within threshold by the check above
+    val lim = if (maxDist < 0) m else maxDist
+    val INF = Int.MaxValue / 2
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    var j = 0
+    while (j <= math.min(m, lim)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1, i - lim)
+      val hi = math.min(m, i + lim)
+      var best = INF
+      if (i <= lim) { cur(0) = i; best = i }
+      var jj = lo
+      while (jj <= hi) {
+        var v = if (s(i - 1) == t(jj - 1)) prev(jj - 1) else prev(jj - 1) + 1
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = cur(jj - 1) + 1
+        if (ins < v) v = ins
+        cur(jj) = v
+        if (v < best) best = v
+        jj += 1
+      }
+      if (best > lim) return -1L // whole band over threshold: can only grow
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    val res = prev(m)
+    if (maxDist >= 0 && res > maxDist) -1L else res.toLong
+  }
+
+  /** Called from generated code: Ed-Join-style LOCATION-adaptive prefix
+    * selection. `vals` is the doc's candidate prefix gram values in
+    * ascending global (frequency, gram) key order (duplicates allowed —
+    * adjacent after the sort); the walk keeps value groups until the
+    * positions accumulated so far cannot all be destroyed by `maxDist`
+    * byte edits — one edit touches grams starting in a q-wide window, so
+    * the minimum destroying-edit count is the greedy non-overlapping
+    * q-window cover of the position set — then stops. Any string within
+    * maxDist edits must share one of the kept values (at a compatible
+    * position): fewer than the cover count of edits leaves some kept
+    * occurrence untouched. Stopping at value-group boundaries keeps the
+    * prefix VALUE-CLOSED, which the position-filter lemma requires.
+    * Worst case keeps q·maxDist+1 occurrences' values (the classic fixed
+    * prefix); position-spread prefixes stop after ~maxDist+1 values —
+    * the cut that keeps candidate volume down once corpus growth
+    * saturates the gram vocabulary.
+    */
+  def adaptivePrefixValues(s: UTF8String, vals: ArrayData, q: Int,
+      maxDist: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = math.max(0, bytes.length - q + 1)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = i
+      while (j < i + q) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      hs(i) = fmix64(h)
+      i += 1
+    }
+    val nv = vals.numElements()
+    val kept = new Array[Long](nv)
+    var nk = 0
+    val pos = new Array[Int](n)
+    var np = 0
+    var prev = 0L
+    var vi = 0
+    var done = false
+    while (vi < nv && !done) {
+      val v = vals.getLong(vi)
+      if (nk == 0 || v != prev) {
+        kept(nk) = v; nk += 1; prev = v
+        var p = 0
+        while (p < n) { if (hs(p) == v) { pos(np) = p; np += 1 }; p += 1 }
+        // positions accumulate per group in ascending value order but the
+        // greedy cover needs POSITION order — sort the small buffer
+        java.util.Arrays.sort(pos, 0, np)
+        var count = 0
+        var limit = Int.MinValue
+        var k = 0
+        while (k < np) {
+          if (pos(k) >= limit) { count += 1; limit = pos(k) + q }
+          k += 1
+        }
+        if (count > maxDist) done = true
+      }
+      vi += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(kept, nk))
+  }
+
   // One raw-deflate compressor per executor thread, reset per row — Deflater
   // construction allocates native zlib state, far too heavy per-row.
   private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
@@ -422,4 +565,95 @@ case class CharQgramHashes(child: Expression, q: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `qgram_value_positions(text, gh, q)` → array<int>: every byte offset
+  * where the text's q-gram hashes to `gh`, for the positional-filter
+  * candidate join — see ShingleOps.qgramValuePositions.
+  */
+case class QgramValuePositions(left: Expression, right: Expression, q: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"qgram_value_positions requires (string, bigint), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "qgram_value_positions"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.qgramValuePositions(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[Long], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, g) =>
+      s"graft.functions.ShingleOps.qgramValuePositions($t, $g, $q)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `adaptive_prefix_values(text, vals, q, maxDist)` → array<bigint>: the
+  * location-adaptive (Ed-Join) prefix subset of `vals` — see
+  * ShingleOps.adaptivePrefixValues.
+  */
+case class AdaptivePrefixValues(left: Expression, right: Expression,
+    q: Int, maxDist: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"adaptive_prefix_values requires (string, array<bigint>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "adaptive_prefix_values"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.adaptivePrefixValues(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData], q, maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) =>
+      s"graft.functions.ShingleOps.adaptivePrefixValues($t, $v, $q, $maxDist)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `byte_levenshtein(l, r, maxDist)` → bigint: Levenshtein distance over
+  * raw UTF-8 bytes — DuckDB 1.0.0's `levenshtein` dialect, and the metric
+  * the F24 byte q-gram filters are exact for (ShingleOps.byteLevenshtein).
+  * `maxDist ≥ 0` runs the banded O(maxDist·n) DP and returns −1 beyond the
+  * threshold (the shape Spark's 3-arg char `levenshtein` has); `maxDist <
+  * 0` is the unbounded full DP. Identical to char distance on ASCII.
+  */
+case class ByteLevenshtein(left: Expression, right: Expression, maxDist: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"byte_levenshtein requires (string, string), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.byteLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.ShingleOps.byteLevenshtein($l, $r, $maxDist)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

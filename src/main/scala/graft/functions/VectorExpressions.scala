@@ -250,6 +250,19 @@ object VectorFunctions {
         CharQgramHashes(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qgram_value_positions", (exprs: Seq[Expression]) =>
+        QgramValuePositions(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adaptive_prefix_values", (exprs: Seq[Expression]) =>
+        AdaptivePrefixValues(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_levenshtein", (exprs: Seq[Expression]) =>
+        ByteLevenshtein(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", (exprs: Seq[Expression]) =>
         ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

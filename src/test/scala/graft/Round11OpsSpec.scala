@@ -14,14 +14,19 @@ class Round11OpsSpec extends SparkSpec {
 
   // ---- editDistancePairsOf -------------------------------------------
 
-  /** Reference implementation: naive all-pairs filter. */
-  private def naivePairs(docs: org.apache.spark.sql.DataFrame, maxDist: Int) =
+  /** Reference implementation: naive all-pairs filter on the unbounded
+    * BYTE-Levenshtein kernel (the F24 metric — DuckDB's dialect).
+    */
+  private def naivePairs(docs: org.apache.spark.sql.DataFrame, maxDist: Int) = {
+    functions.VectorFunctions.register(spark)
     docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
       .crossJoin(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .withColumn("dist",
+        call_function("byte_levenshtein", col("a_text"), col("b_text"), lit(-1)))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
+  }
 
   test("editDistancePairsOf equals the naive all-pairs filter (planted corpus)") {
     // planted: exact dup (0 edits), 1-edit, 3-edit, far pair, and a
@@ -48,10 +53,11 @@ class Round11OpsSpec extends SparkSpec {
 
   test("editDistancePairsOf law: banded join equals naive on seeded random corpora") {
     val rnd = new scala.util.Random(11)
-    val alphabet = "ab"
-    // tiny alphabet + short strings → dense near-dup structure across
-    // band boundaries in every seeded corpus
-    for (trial <- 1 to 5) {
+    // tiny alphabets + short strings → dense near-dup structure across
+    // band boundaries in every seeded corpus; the second alphabet mixes
+    // 1-, 2-, and 3-byte UTF-8 chars so the byte-length banding and byte
+    // DP are exercised on genuinely multibyte text
+    for (alphabet <- Seq("ab", "aé日"); trial <- 1 to 5) {
       val docs = (0L until 40L).map { i =>
         val len = 1 + rnd.nextInt(12)
         (i, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
@@ -61,7 +67,7 @@ class Round11OpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
       val want = naivePairs(docs, d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-      assert(got == want, s"trial=$trial maxDist=$d")
+      assert(got == want, s"alphabet=$alphabet trial=$trial maxDist=$d")
       assert(got.nonEmpty, s"trial=$trial produced no pairs — corpus too sparse to test")
     }
   }
@@ -79,20 +85,23 @@ class Round11OpsSpec extends SparkSpec {
 
   test("editDistancePairsQGram (scale path) equals the banded path on seeded corpora") {
     val rnd = new scala.util.Random(7)
-    // adversarial mix: tiny alphabet (duplicate q-grams stress the
-    // MULTISET count/prefix lemmas), lengths straddling the short-zone
-    // boundary (q=3, D≤3 → zone ≤ 3−1+9+3 = 14 chars), plus longer strings
-    for (trial <- 1 to 4) {
+    // adversarial mix: tiny alphabets (duplicate q-grams stress the
+    // MULTISET count/prefix lemmas AND the value-closed prefix boundary —
+    // massive key ties are the exact case arbitrary tie truncation gets
+    // wrong), lengths straddling the short-zone boundary, plus longer
+    // strings; the multibyte alphabet exercises the byte-gram/byte-DP
+    // consistency that makes the filters exact off ASCII
+    for (alphabet <- Seq("ab", "aé日"); trial <- 1 to 4) {
       val docs = (0L until 60L).map { i =>
         val len = 1 + rnd.nextInt(30)
-        (i, Seq.fill(len)("ab" (rnd.nextInt(2))).mkString)
+        (i, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
       }.toDF("doc_id", "text")
       val d = 1 + rnd.nextInt(3)
       val got = Dedup.editDistancePairsQGram(spark, docs, d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
       val want = Dedup.editDistancePairsOf(docs, d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-      assert(got == want, s"trial=$trial maxDist=$d")
+      assert(got == want, s"alphabet=$alphabet trial=$trial maxDist=$d")
       assert(got.nonEmpty, s"trial=$trial degenerate corpus")
     }
     // realistic planted case: titles with ≤2-edit mutations
@@ -268,20 +277,64 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.getLong(1) == 31L && out.getDouble(2) > 0.0)
   }
 
-  // ---- oracle-dialect tripwire ---------------------------------------
+  // ---- byte_levenshtein: the oracle's dialect, byte-proof -------------
+  // Round 11 tripwired the byte/char divergence (DuckDB counts BYTES,
+  // Spark's built-in counts CHARS) by asserting the corpus was ASCII;
+  // round 12 ELIMINATES it: every graded levenshtein column now runs the
+  // byte_levenshtein kernel on the Spark side, so the oracle holds on any
+  // corpus and no tripwire is needed. These laws pin the kernel.
 
-  test("graded documents corpus is pure ASCII (levenshtein byte/char divergence tripwire)") {
-    // DuckDB 1.0.0's levenshtein counts BYTES ('café'→'cafe' = 2) while
-    // Spark's counts CHARS (= 1) — identical only on ASCII. The graded
-    // corpus is ASCII today; if a testdata regeneration ever introduces
-    // multibyte text, q_edit_neardup's oracle diverges with a mysterious
-    // hash mismatch. This spec fails FIRST with the actual reason.
-    val nonAscii = Tables.documents(spark, sf001)
-      .filter(octet_length(col("text")) =!= length(col("text"))).count()
-    assert(nonAscii == 0,
-      s"$nonAscii non-ASCII documents: DuckDB levenshtein is byte-based, " +
-        "Spark's is char-based — q_edit_neardup's oracle is no longer valid; " +
-        "see SURVEY §7.4 round-11 note")
+  test("byte_levenshtein matches DuckDB 1.0.0's byte dialect on multibyte text") {
+    functions.VectorFunctions.register(spark)
+    // values verified against DuckDB 1.0.0 this round:
+    //   levenshtein('café','cafe') = 2, levenshtein('日本語','日本') = 3
+    val rows = Seq(("café", "cafe"), ("日本語", "日本"), ("abc", "abc"),
+      ("", "日本"), ("kitten", "sitting"))
+      .toDF("a", "b")
+      .select(call_function("byte_levenshtein", col("a"), col("b"), lit(-1)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(2L, 3L, 0L, 6L, 3L))
+    // Spark's built-in disagrees on the multibyte rows — the divergence
+    // that forced the kernel (char view: café→cafe = 1, 日本語→日本 = 1)
+    val charDists = Seq(("café", "cafe"), ("日本語", "日本")).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
+    assert(charDists == Seq(1, 1))
+  }
+
+  test("byte_levenshtein law: equals char levenshtein on ASCII; threshold DP equals full DP") {
+    functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(12)
+    val docs = (0L until 30L).map { i =>
+      val len = rnd.nextInt(15)
+      (i, Seq.fill(len)("abcd"(rnd.nextInt(4))).mkString)
+    }.toDF("doc_id", "text")
+    val pairs = docs.select(col("doc_id").as("a_id"), col("text").as("a"))
+      .crossJoin(docs.select(col("doc_id").as("b_id"), col("text").as("b")))
+      .filter(col("a_id") < col("b_id"))
+    val diverged = pairs.select(
+        call_function("byte_levenshtein", col("a"), col("b"), lit(-1)).as("bl"),
+        levenshtein(col("a"), col("b")).cast("long").as("cl"))
+      .filter(col("bl") =!= col("cl")).count()
+    assert(diverged == 0, "byte and char levenshtein must agree on ASCII")
+    // banded: −1 iff the full distance exceeds the threshold, else equal
+    for (t <- Seq(0, 1, 3, 7)) {
+      val bad = pairs.select(
+          call_function("byte_levenshtein", col("a"), col("b"), lit(t)).as("bt"),
+          call_function("byte_levenshtein", col("a"), col("b"), lit(-1)).as("bf"))
+        .filter(!((col("bf") <= t && col("bt") === col("bf")) ||
+          (col("bf") > t && col("bt") === -1L))).count()
+      assert(bad == 0, s"threshold=$t banded DP diverged from full DP")
+    }
+  }
+
+  test("byte_levenshtein null propagation and unicode threshold behavior") {
+    functions.VectorFunctions.register(spark)
+    val r = Seq((Some("café"), Some("cafe")), (None, Some("x")), (Some("x"), None))
+      .toDF("a", "b")
+      .select(call_function("byte_levenshtein", col("a"), col("b"), lit(1)).as("d"))
+      .collect().map(x => if (x.isNullAt(0)) null else x.getLong(0)).toSeq
+    // byte distance 2 > threshold 1 → −1; nulls propagate
+    assert(r == Seq(-1L, null, null))
   }
 
   // ---- events timestamp generation shim ------------------------------
