@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
@@ -240,6 +241,89 @@ object TextOps {
         .when(cnt("ta") >= cnt("qu"), "es")
         .otherwise("fr").as("predicted"))
       .orderBy(col("doc_id"))
+  }
+
+  /** F26 core: CORPUS-LEARNED language identification (the Cavnar–Trenkle
+    * n-gram-profile method, the published heuristic behind every
+    * pre-neural langid tool): per-language character-trigram profiles are
+    * LEARNED from a labeled seed split, then every document is scored by
+    * profile overlap and classified by argmax. Unlike [[qLangId]]'s fixed
+    * marker bigrams, nothing about the languages is hardcoded — the
+    * profiles fall out of the data, which is what a training-data
+    * pipeline needs when the incoming language mix is open-ended.
+    *
+    * Scale shape: the profile build runs on the SEED only (a bounded
+    * sample by contract) and its per-language ranking window is over the
+    * char-trigram vocabulary — bounded by the alphabet, independent of
+    * corpus size, so the window partition cannot grow with the data (the
+    * one case where a ranking window is scale-safe). Scoring is a
+    * broadcast join of the tiny profile table against the corpus's
+    * distinct (doc, trigram) stream plus one per-doc argmax aggregate
+    * (`max_by`, map-side partials) — no corpus-sized shuffle anywhere but
+    * the distinct. Ties: profile rank breaks (count DESC, trigram ASC);
+    * prediction breaks (score DESC, lang DESC) — total orders, mirrored
+    * in the oracle.
+    */
+  def langIdProfileOf(docs: org.apache.spark.sql.DataFrame, topN: Int = 20,
+      seedPred: Column = pmod(col("doc_id"), lit(4)) === 0): org.apache.spark.sql.DataFrame = {
+    val d = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+    val tri = d.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")).as("tg"))
+    val seedCounts = tri.filter(seedPred)
+      .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("c"))
+    val prof = seedCounts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tg"))))
+      .filter(col("rn") <= topN)
+      .select(col("lang").as("p_lang"), col("tg"))
+    val docTri = tri.select(col("doc_id"), col("tg")).distinct()
+    val scores = docTri.join(broadcast(prof), Seq("tg"))
+      .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("score"))
+    val best = scores.groupBy(col("doc_id"))
+      .agg(max_by(struct(col("p_lang"), col("score")),
+        struct(col("score"), col("p_lang"))).as("b"))
+      .select(col("doc_id"), col("b.p_lang").as("predicted"), col("b.score").as("score"))
+    d.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("predicted"), lit("")).as("predicted"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (col("lang") === coalesce(col("predicted"), lit(""))).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  // F26 graded query: learned trigram-profile language ID, seed = every
+  // 4th doc, top-20 trigrams per language.
+  val qLangIdProfile = Q(
+    "q_langid_profile",
+    """WITH d AS (SELECT doc_id, lang, lower(text) AS t
+      |           FROM documents WHERE length(text) >= 3),
+      |tri AS (SELECT doc_id, lang, unnest(list_transform(
+      |          generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS tg
+      |        FROM d),
+      |seedc AS (SELECT lang, tg, count(*) AS c FROM tri
+      |          WHERE doc_id % 4 = 0 GROUP BY lang, tg),
+      |prof AS (SELECT lang AS p_lang, tg FROM (
+      |           SELECT lang, tg,
+      |                  row_number() OVER (PARTITION BY lang
+      |                    ORDER BY c DESC, tg) AS rn
+      |           FROM seedc) WHERE rn <= 20),
+      |dt AS (SELECT DISTINCT doc_id, tg FROM tri),
+      |sc AS (SELECT dt.doc_id, p_lang, count(*) AS score
+      |       FROM dt JOIN prof USING (tg) GROUP BY dt.doc_id, p_lang),
+      |best AS (SELECT doc_id, p_lang, score FROM (
+      |           SELECT doc_id, p_lang, score,
+      |                  row_number() OVER (PARTITION BY doc_id
+      |                    ORDER BY score DESC, p_lang DESC) AS rn
+      |           FROM sc) WHERE rn = 1)
+      |SELECT d.doc_id, d.lang,
+      |       coalesce(b.p_lang, '') AS predicted,
+      |       CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+      |       d.lang = coalesce(b.p_lang, '') AS correct
+      |FROM d LEFT JOIN best b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    langIdProfileOf(documents(s, d))
   }
 
   // Quality scoring: token stats + stopword ratio → composite score.
@@ -825,7 +909,8 @@ object TextOps {
 
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
-    qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qQualityScore,
+    qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qLangIdProfile,
+    qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
