@@ -513,7 +513,14 @@ object Dedup {
     // it once or twice, while a 300-node mutation CHAIN (real in
     // adversarial corpora) still converges in 13 steps where plain
     // propagation needs 299 and would exhaust maxIters (simulated; spec
-    // asserts the 300-chain).
+    // asserts the 300-chain). Round-12 negative results, measured on the
+    // deep case (q_f21b's moderate-threshold LSH graph, 17 rounds at 2k
+    // vectors): shortcutting EVERY step cut rounds only to 15 (the min
+    // label still flows along graph paths; jumps compress label chains,
+    // not graph distance) while adding a join per step — net slower; and
+    // checkEvery=4 made blocks 6–12× slower (5→30 s cc wall) because a
+    // 16-join block plan pays superlinear planning/AQE cost — deep
+    // blocks are the thing to avoid, not the convergence counts.
     def shortcut(lbls: DataFrame): DataFrame = {
       val rest = lbls.columns.filter(c => c != "u" && c != "lbl").toSeq.map(col)
       val ptr = lbls.select(col("u").as("ju"), col("lbl").as("jlbl"))

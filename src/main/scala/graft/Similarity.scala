@@ -44,6 +44,21 @@ object Similarity {
   private def normed(s: SparkSession, d: String): DataFrame =
     normedOf(s, embeddings(s, d))
 
+  /** Spread a small scan across the session's shuffle parallelism before
+    * an n² pair join: a tiny parquet corpus arrives as ONE input split,
+    * and a nested-loop join streams its non-broadcast side with the
+    * input's parallelism — one thread grinding n²/2 dot products (the
+    * round-12 KnnProf finding: q_f4's 2.0 s wall and worst-in-suite
+    * spread were mostly this starvation). The partition count must be
+    * EXPLICIT: AQE coalesces a bare repartition(col) of a tiny input
+    * right back to one partition — its cost model sees bytes, not the n²
+    * work each row fans into downstream. At real corpus sizes the scan
+    * already has splits and this one extra tiny shuffle is noise.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("vec_id"))
+
   private def normedOf(s: SparkSession, emb: DataFrame): DataFrame = {
     VectorFunctions.register(s)
     emb.select(
@@ -71,7 +86,7 @@ object Similarity {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, a_id, b_id
       |LIMIT 20""".stripMargin) { (s, d) =>
-    val n = normed(s, d)
+    val n = spread(s, normed(s, d))
     side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         trunc4(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
@@ -89,7 +104,7 @@ object Similarity {
       |WHERE list_inner_product(a.emb, b.emb)/(a.nrm*b.nrm) >= 0.35
       |ORDER BY cos_sim DESC, a_id, b_id
       |LIMIT 100""".stripMargin) { (s, d) =>
-    val n = normed(s, d)
+    val n = spread(s, normed(s, d))
     side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
       .withColumn("raw", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("raw") >= 0.35)
@@ -112,7 +127,10 @@ object Similarity {
       |      FROM p)
       |SELECT q_id, n_id, cos_sim, rn FROM r WHERE rn <= 3
       |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
-    val n = normed(s, d)
+    // [[spread]]: the previous 2.0 s wall (and its 0.8 s spread, the
+    // suite's worst) was mostly the 1-split scan starving the pair join
+    // — KnnProf measured every mirror variant at ~0.6 s warm once spread.
+    val n = spread(s, normed(s, d))
     // each unordered pair's dot product is computed once (a < b), then
     // mirrored — cosine is symmetric, so this halves the expensive half
     // of the plan before the rank.
@@ -127,16 +145,19 @@ object Similarity {
     // retains the k LARGEST under struct ordering, so (cos, -n_id) ≡
     // (cos DESC, n_id ASC) = the oracle's row_number ordering; the final
     // sort_array(desc) puts the 3 survivors in rank order.
-    // mirror via union: each branch re-runs the pair join, but both
-    // branches stay inside whole-stage codegen straight into the partial
-    // top-k aggregate — measured FASTER than a single-pass
-    // explode(array(struct,struct)) mirror, whose Generate breaks the
-    // codegen pipeline (2.0 s vs 2.7 s at sf0.1), AND faster than one
-    // full a≠b join feeding the agg directly (2.0–2.9 s vs 3.2–3.9 s,
-    // round 3) — the half-join's smaller per-branch output wins
-    // despite evaluating the n² condition twice
-    half.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cos_sim"))
-      .unionByName(half.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))
+    // mirror via a single-pass explode(array(struct,struct)): the pair
+    // join runs ONCE. Round 3 measured the two-branch union faster and
+    // blamed the Generate for breaking codegen — that comparison was
+    // confounded by the same 1-partition starvation; re-measured with the
+    // scan parallelized (KnnProf, round 12), the single-pass mirror wins
+    // at 2k (0.55 vs 0.60 s warm) and clearly at 10k vectors (8–11 s vs
+    // 10–19 s for union / 9–16 s for a persisted half-join), because not
+    // recomputing the n² join dominates the Generate's interpreted row.
+    half.select(explode(array(
+        struct(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cos_sim")),
+        struct(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cos_sim")))).as("m"))
+      .select(col("m.q_id").as("q_id"), col("m.n_id").as("n_id"),
+        col("m.cos_sim").as("cos_sim"))
       .select(col("q_id"),
         struct(col("cos_sim"), (-col("n_id")).as("negid"), col("n_id")).as("p"))
       .groupBy(col("q_id"))
@@ -696,6 +717,11 @@ object Similarity {
     * minCos) — the correctness-baseline edge source for [[semanticClusters]].
     */
   def exactCosineEdges(s: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
+    // deliberately NOT [[spread]]: this plan is materialized by the CC
+    // loop's eager checkpoint, and the A/B (round 12) measured spread
+    // 2× SLOWER there (7.5 vs 3.3 s at sf0.1) — the repartition ahead of
+    // the non-equi join flips/fragments the join inside the checkpoint
+    // materialization instead of widening useful parallelism
     val n = normedOf(s, emb)
     side(n, "a").join(side(n, "b"), col("a_id") < col("b_id"))
       .filter(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= minCos)

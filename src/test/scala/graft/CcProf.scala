@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only profiler for the q_f21b wall: lsh candidates vs CC loop vs
+  * decoration, with per-phase walls and the CC round count.
+  * Usage: sbt "Test/runMain graft.CcProf"
+  */
+object CcProf {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+    val d = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"CCPROF $label secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
+
+    for (rep <- 1 to 3) {
+      val edges = t(s"lsh_edges_plan_build_$rep") {
+        Similarity.lshCandidates(spark, emb, 0.35, ordered = false)
+          .select(col("a_id"), col("b_id"))
+      }
+      val ne = t(s"lsh_edges_count_$rep") { edges.count() }
+      val nodes = emb.select(col("vec_id").as("doc_id"))
+      val (cc, rounds) = t(s"cc_$rep") {
+        val r = Dedup.connectedComponentsWithRounds(spark, nodes, edges)
+        (r._1.localCheckpoint(eager = true), r._2)
+      }
+      println(s"CCPROF rounds=$rounds edges=$ne")
+      t(s"decorate_$rep") {
+        Dedup.withClusterSize(cc)
+          .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy(col("vec_id")).count()
+      }
+      t(s"full_query_$rep") {
+        Similarity.semanticClusters(spark, emb, 0.35, useLsh = true).count()
+      }
+    }
+    spark.stop()
+  }
+}

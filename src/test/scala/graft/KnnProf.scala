@@ -70,12 +70,17 @@ object KnnProf {
       }
     }
 
+    // repartition to core count: the parquet scan / crossJoin output
+    // otherwise carries 1–4 partitions and the pair join runs on as many
+    // threads (the deflate-stress lesson)
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .repartition(32)
       .localCheckpoint(eager = true)
     println(s"sf0.1 vectors: ${emb.count()}")
     run(emb, "sf01_2k")
     val emb10k = emb.crossJoin(spark.range(0, 5).select(col("id").as("copy")))
       .select((col("vec_id") * 5 + col("copy")).as("vec_id"), col("embedding"))
+      .repartition(32)
       .localCheckpoint(eager = true)
     println(s"stress vectors: ${emb10k.count()}")
     run(emb10k, "stress_10k")
