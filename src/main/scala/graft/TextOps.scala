@@ -326,6 +326,48 @@ object TextOps {
     langIdProfileOf(documents(s, d))
   }
 
+  /** F27 graded query: Unicode normalization (NFC composition + accent
+    * stripping) — the pre-dedup canonicalization step; composed and
+    * decomposed renderings of the same visible string must hash
+    * identically AFTER normalization or every hash-keyed operator
+    * double-counts them. The graded corpus is ASCII (NFC-invariant), so
+    * the query PLANTS a decomposed/composed literal pair around each
+    * row's text — the multibyte path is exercised inside the graded run,
+    * not just in specs, and the oracle (DuckDB's utf8proc-backed
+    * nfc_normalize/strip_accents vs our java.text.Normalizer kernels)
+    * certifies cross-library Unicode agreement per row.
+    */
+  /** DECOMPOSED rendering (e + U+0301 combining acute, i + U+0308
+    * combining diaeresis): what NFC must fold into [[NfcComp]].
+    */
+  private val NfcDecomp = "cafe\u0301 re\u0301sume\u0301 nai\u0308ve"
+
+  /** COMPOSED rendering of the same visible string (precomposed
+    * \u00e9/\u00ef) - byte-different from [[NfcDecomp]], NFC-equal.
+    */
+  private val NfcComp = "caf\u00e9 r\u00e9sum\u00e9 na\u00efve"
+
+  val qUnicodeNormalize = Q(
+    "q_unicode_normalize",
+    s"""SELECT doc_id,
+      |       md5(nfc_normalize('$NfcDecomp' || substring(text, 1, 16))) AS nfc_md5,
+      |       nfc_normalize('$NfcDecomp') = '$NfcComp' AS nfc_eq,
+      |       strip_accents('$NfcComp ' || substring(text, 1, 8)) AS stripped,
+      |       CAST(strlen(nfc_normalize('$NfcDecomp ' || text)) AS BIGINT) AS n_bytes_nfc
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    functions.VectorFunctions.register(s)
+    documents(s, d).select(
+      col("doc_id"),
+      md5(call_function("nfc_normalize",
+        concat(lit(NfcDecomp), substring(col("text"), 1, 16)))).as("nfc_md5"),
+      (call_function("nfc_normalize", lit(NfcDecomp)) === lit(NfcComp)).as("nfc_eq"),
+      call_function("strip_accents",
+        concat(lit(NfcComp + " "), substring(col("text"), 1, 8))).as("stripped"),
+      octet_length(call_function("nfc_normalize",
+        concat(lit(NfcDecomp + " "), col("text")))).cast("long").as("n_bytes_nfc"))
+      .orderBy(col("doc_id"))
+  }
+
   // Quality scoring: token stats + stopword ratio → composite score.
   val qQualityScore = Q(
     "q_quality_score",
@@ -910,7 +952,7 @@ object TextOps {
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qLangIdProfile,
-    qQualityScore,
+    qUnicodeNormalize, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,

@@ -397,6 +397,79 @@ object ShingleOps {
   }
 }
 
+/** Unicode text-normalization kernels (SURVEY §2.F F27): canonical NFC
+  * composition and accent stripping — the standard pre-dedup/pre-hash
+  * normalization of a web-corpus curation pipeline (the same visible
+  * string can arrive composed or decomposed; exact dedup and every
+  * hash-keyed operator treat them as different documents unless
+  * normalized first). Semantics are pinned to DuckDB 1.0.0's
+  * `nfc_normalize`/`strip_accents` (utf8proc): NFC is the Unicode
+  * standard composition; strip = NFD then drop non-spacing marks, NO
+  * recomposition — 'ø', 'Ⅻ', 'ﬁ' pass through untouched (they carry no
+  * marks), verified value-identical against DuckDB this round.
+  */
+object UnicodeOps {
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  def stripAccents(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `nfc_normalize(text)` → string: Unicode canonical composition (NFC),
+  * the DuckDB-parity normalization kernel — see UnicodeOps.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeOps.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeOps.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `strip_accents(text)` → string: NFD + drop non-spacing marks (DuckDB
+  * `strip_accents` parity) — see UnicodeOps.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_accents requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeOps.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeOps.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `shingle_hashes(text, n)` → array<bigint>: distinct hashed word n-grams. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

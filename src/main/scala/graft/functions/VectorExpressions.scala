@@ -254,6 +254,12 @@ object VectorFunctions {
         QgramValuePositions(exprs.head, exprs(1),
           exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", (exprs: Seq[Expression]) =>
+        NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents", (exprs: Seq[Expression]) =>
+        StripAccents(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "adaptive_prefix_values", (exprs: Seq[Expression]) =>
         AdaptivePrefixValues(exprs.head, exprs(1),
           exprs(2).eval().asInstanceOf[Number].intValue(),

@@ -105,6 +105,33 @@ class Round12OpsSpec extends SparkSpec {
     assert(kept3 == Seq(v0, v5))
   }
 
+  // ---- F27: Unicode normalization kernels ----------------------------
+
+  test("nfc_normalize folds decomposed to composed; strip_accents matches the DuckDB dialect") {
+    functions.VectorFunctions.register(spark)
+    val decomp = "cafe\u0301 re\u0301sume\u0301 nai\u0308ve"
+    val comp = "caf\u00e9 r\u00e9sum\u00e9 na\u00efve"
+    assert(decomp != comp, "literals must be byte-different renderings")
+    val row = Seq((decomp, comp)).toDF("d", "c")
+      .select(
+        call_function("nfc_normalize", col("d")).as("nfc"),
+        call_function("strip_accents", col("d")).as("sd"),
+        call_function("strip_accents", col("c")).as("sc"),
+        // DuckDB-verified: marks-free specials pass through untouched
+        call_function("strip_accents", lit("ø Ⅻ ﬁ")).as("keep"))
+      .head
+    assert(row.getString(0) == comp, "NFC must compose the combining marks")
+    assert(row.getString(1) == "cafe resume naive" && row.getString(2) == "cafe resume naive",
+      "both renderings strip to the same marks-free string")
+    assert(row.getString(3) == "ø Ⅻ ﬁ",
+      "strip_accents drops only non-spacing marks (DuckDB/utf8proc dialect)")
+    // nulls propagate
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(call_function("nfc_normalize", col("b")),
+        call_function("strip_accents", col("b"))).head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   // ---- CC / LSH plan reshapes ----------------------------------------
 
   test("lshCandidates ordered=false returns the same pair set as the ordered form") {
