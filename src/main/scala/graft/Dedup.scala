@@ -550,6 +550,8 @@ object Dedup {
     // lazy cut: the seed labels materialize inside the first block's (or
     // the contraction's) job instead of costing a dedicated action — on
     // shallow graphs (the near-dup norm) that is one fewer driver round
+    // (the A/B against an eager seed sits inside ambient noise; lazy is
+    // kept for the job-count argument)
     var labels = cut(step(nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl"))),
       eager = false)
     if (symBig) contract(labels)
