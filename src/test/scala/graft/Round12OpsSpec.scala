@@ -105,6 +105,46 @@ class Round12OpsSpec extends SparkSpec {
     assert(kept3 == Seq(v0, v5))
   }
 
+  // ---- byte_levenshtein reference laws -------------------------------
+
+  test("byte_levenshtein law: matches a textbook full DP on random multibyte strings") {
+    functions.VectorFunctions.register(spark)
+    // independent reference: the classic O(n·m) Wagner–Fischer over the
+    // UTF-8 bytes, no banding, no early exit
+    def ref(a: String, b: String): Long = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prevDiag = dp(0)
+        dp(0) = j
+        for (i <- 1 to x.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prevDiag + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prevDiag = t
+        }
+      }
+      dp(x.length).toLong
+    }
+    val rnd = new scala.util.Random(1212)
+    val alphabet = "abé日́ "
+    val strs = (0 until 60).map { _ =>
+      Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val pairs = for (a <- strs; b <- strs if a.hashCode <= b.hashCode) yield (a, b)
+    val sample = rnd.shuffle(pairs).take(300)
+    val got = sample.toDF("a", "b")
+      .select(col("a"), col("b"),
+        call_function("byte_levenshtein", col("a"), col("b"), lit(-1)).as("d"),
+        call_function("byte_levenshtein", col("b"), col("a"), lit(-1)).as("dr"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, d, dr) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(d == ref(a, b), s"('$a','$b'): got $d want ${ref(a, b)}")
+      assert(d == dr, "symmetry")
+    }
+  }
+
   // ---- F27: Unicode normalization kernels ----------------------------
 
   test("nfc_normalize folds decomposed to composed; strip_accents matches the DuckDB dialect") {
@@ -141,6 +181,25 @@ class Round12OpsSpec extends SparkSpec {
     val b = Similarity.lshCandidates(spark, emb, minCos = 0.35, ordered = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b && a.nonEmpty)
+  }
+
+  test("q_langid_profile plan: broadcast profile join, no corpus-keyed window") {
+    val plan = TextOps.qLangIdProfile.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"profile scoring join must broadcast the tiny profile table:\n$plan")
+    // the only Window ranks trigrams within a language (alphabet-bounded);
+    // prediction must be the max_by aggregate, not a doc-keyed window
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(w => !w.contains("doc_id")),
+      s"doc-keyed window in the scoring path:\n$plan")
+  }
+
+  test("q_unicode_normalize plan: per-row map, no shuffle but the output sort") {
+    val plan = TextOps.qUnicodeNormalize.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"normalization must stay a scan -> project pipeline:\n$plan")
   }
 
   test("connectedComponents labels unchanged by the single-execution edge cut") {
