@@ -276,6 +276,53 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** C13b: frequency sketching — the Count-Min companion to C13's HLL
+    * (cardinality ↔ frequency, the two classic streaming sketches).
+    * Builds a CMS over `keyCol` via Spark's `stat.countMinSketch`
+    * (distributed treeAggregate; the driver holds only the KB-sized
+    * counter matrix — the 100 TB shape: fixed memory per key-universe vs
+    * a full groupBy's per-key state), then reports the sketch estimate
+    * next to the exact count for the exact top-`k` keys, exposing the
+    * one-sided overcount (CMS never undercounts; overcount ≤ ε·N w.p.
+    * the confidence). The estimate lookup runs as one `mapPartitions`
+    * over the k-row top frame with the serialized sketch broadcast — the
+    * sanctioned last-resort: sketch probing has no expression form, and
+    * the frame it maps is k rows, not data.
+    */
+  def cmsHeavyHitters(s: SparkSession, df: DataFrame, keyCol: String,
+      k: Int = 20, eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 12): DataFrame = {
+    val cms = df.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    val bc = s.sparkContext.broadcast(bytes)
+    import s.implicits._
+    val top = df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col(keyCol))
+      .limit(k)
+    top.select(col(keyCol).cast("long"), col("exact_cnt"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        it.map { case (key, cnt) => (key, cnt, sk.estimateCount(key)) }
+      }
+      .toDF(keyCol, "exact_cnt", "cms_est")
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col(keyCol))
+  }
+
+  // C13b graded query: heavy hitters over the events stream's user_id.
+  // Deterministic (fixed seed, cell-wise-additive merge is partitioning-
+  // independent) but hash-based — no DuckDB twin (§7.4.7): rows-only gate
+  // + golden + the error-bound spec.
+  val qCmsHeavyHitters = Q.noOracle("q_cms_heavy_hitters") { (s, d) =>
+    cmsHeavyHitters(s, events(s, d), "user_id")
+  }
+
   // C14: rollup + grouping_id. NULLS FIRST pinned on both engines (Spark
   // default ASC is nulls-first, DuckDB's is nulls-last).
   val qRollup = Q(
@@ -719,7 +766,8 @@ object Relational {
   def all: Seq[Q] = Seq(
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
     qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
-    qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qRollup, qCube,
+    qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qCmsHeavyHitters,
+    qRollup, qCube,
     qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,
     qWindowAnalytic, qWindowRange, qTopk, qGroupTopk, qSetOps, qSetOpsAll, qSample,
     qPivot, qExplode, qScalarSubquery, qCorrelatedSubquery, qSessionize,

@@ -105,6 +105,34 @@ class Round12OpsSpec extends SparkSpec {
     assert(kept3 == Seq(v0, v5))
   }
 
+  // ---- C13b: Count-Min heavy hitters ---------------------------------
+
+  test("cmsHeavyHitters: one-sided error within the sketch bound on a planted skew") {
+    // planted zipf-ish skew: key 1 dominates, long uniform tail
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val key = if (i % 4 == 0) 1L else (i % 997).toLong + 10L
+      (i.toLong, key)
+    }.toDF("event_id", "user_id")
+    val eps = 0.005
+    val out = Relational.cmsHeavyHitters(spark, rows, "user_id",
+      k = 10, eps = eps, confidence = 0.99, seed = 7).collect()
+    assert(out.length == 10)
+    // the planted heavy hitter ranks first with its exact count
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == n / 4)
+    out.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS must never undercount: $r")
+      assert(over <= (3 * eps * n).toLong,
+        s"overcount beyond the sketch bound: $r")
+    }
+    // determinism: same seed → identical frame across runs/partitionings
+    val again = Relational.cmsHeavyHitters(spark, rows.repartition(7), "user_id",
+      k = 10, eps = eps, confidence = 0.99, seed = 7).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "cell-wise-additive merge must be partitioning-independent")
+  }
+
   // ---- byte_levenshtein reference laws -------------------------------
 
   test("byte_levenshtein law: matches a textbook full DP on random multibyte strings") {
