@@ -266,10 +266,21 @@ object TextOps {
     */
   def langIdProfileOf(docs: org.apache.spark.sql.DataFrame, topN: Int = 20,
       seedPred: Column = pmod(col("doc_id"), lit(4)) === 0): org.apache.spark.sql.DataFrame = {
+    functions.VectorFunctions.register(docs.sparkSession)
     val d = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-    val tri = d.select(col("doc_id"), col("lang"), explode(expr(
-      "transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")).as("tg"))
+    // codegen char_ngrams kernel, not transform(sequence(...), substring)
+    // (per-gram interpreted lambda); the kernel's grams are the identical
+    // strings DuckDB's substr-over-generate_series oracle produces. The
+    // 500k-doc stress wall (~29 s) is NOT this explode: it is the
+    // (doc, lang, trigram) distinct's shuffle — top-20 profile trigrams
+    // are by construction ubiquitous, so ~40% of the 125M-row gram stream
+    // survives the broadcast filter. Linear in the corpus, and every
+    // shuffle is partial-agg/broadcast-shaped; a future cut would score
+    // against hashed trigrams in a per-row kernel with the (tiny,
+    // driver-held) profile as a model object, the pqFit pattern.
+    val tri = d.select(col("doc_id"), col("lang"),
+      explode(call_function("char_ngrams", col("t"), lit(3))).as("tg"))
     val seedCounts = tri.filter(seedPred)
       .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("c"))
     val prof = seedCounts
@@ -277,8 +288,14 @@ object TextOps {
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tg"))))
       .filter(col("rn") <= topN)
       .select(col("lang").as("p_lang"), col("tg"))
-    val docTri = tri.select(col("doc_id"), col("tg")).distinct()
-    val scores = docTri.join(broadcast(prof), Seq("tg"))
+    // broadcast-filter BEFORE the distinct: joining the tiny profile
+    // first means only profile-matching trigrams reach the shuffle, and
+    // distinct-after-join over (doc, lang, trigram) counts exactly what
+    // distinct-before-join did (a trigram in k profiles contributes one
+    // row per matching language either way)
+    val scores = tri.select(col("doc_id"), col("tg"))
+      .join(broadcast(prof), Seq("tg"))
+      .select(col("doc_id"), col("p_lang"), col("tg")).distinct()
       .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("score"))
     val best = scores.groupBy(col("doc_id"))
       .agg(max_by(struct(col("p_lang"), col("score")),

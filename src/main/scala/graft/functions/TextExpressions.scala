@@ -366,6 +366,40 @@ object ShingleOps {
     new GenericArrayData(java.util.Arrays.copyOf(kept, nk))
   }
 
+  /** Called from generated code: all CHARACTER n-grams of the string, as
+    * strings, in document order — exactly the triples DuckDB's
+    * `substr(t, i, n)` over `generate_series` produces, so a profile
+    * built from them is oracle-identical. One pass computes the byte
+    * offset of every code point, then each gram is a byte slice —
+    * replacing the declarative `transform(sequence(...), substring)`
+    * formulation, whose lambda runs interpreted per gram (at the 500k-doc
+    * langid stress the end-to-end wall is shuffle-bound either way; the
+    * kernel removes the per-gram interpretation cost and keeps the hot
+    * explode inside codegen).
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // offsets(i) = byte offset of char i; offsets(nc) = total bytes
+    val nc = s.numChars()
+    val offsets = new Array[Int](nc + 1)
+    var i = 0
+    var off = 0
+    while (off < bytes.length) {
+      offsets(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    offsets(nc) = bytes.length
+    val cnt = math.max(0, nc - n + 1)
+    val out = new Array[AnyRef](cnt)
+    var g = 0
+    while (g < cnt) {
+      out(g) = UTF8String.fromBytes(bytes, offsets(g), offsets(g + n) - offsets(g))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // One raw-deflate compressor per executor thread, reset per row — Deflater
   // construction allocates native zlib state, far too heavy per-row.
   private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
@@ -697,6 +731,27 @@ case class AdaptivePrefixValues(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `char_ngrams(text, n)` → array<string>: all character n-grams in
+  * document order — see ShingleOps.charNgrams.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `byte_levenshtein(l, r, maxDist)` → bigint: Levenshtein distance over

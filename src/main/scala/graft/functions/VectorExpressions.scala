@@ -254,6 +254,10 @@ object VectorFunctions {
         QgramValuePositions(exprs.head, exprs(1),
           exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", (exprs: Seq[Expression]) =>
+        CharNgrams(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", (exprs: Seq[Expression]) =>
         NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1174,6 +1174,54 @@ object Adhoc {
       }
     }
 
+    if (args.headOption.contains("round12ops")) {
+      // Scale evidence for the round-12 operators: learned language ID
+      // over a 500k-doc corpus (profile build stays seed-sized, scoring
+      // is a broadcast join — the wall should track the corpus linearly),
+      // Unicode-normalization kernel throughput (per-row map, MB/s), and
+      // the Count-Min build over 10M rows (treeAggregate, KB driver
+      // state).
+      val langBase = Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val big = langBase
+        .crossJoin(spark.range(0, 100).select(col("id").as("rep")))
+        .select((col("doc_id") * 100 + col("rep")).as("doc_id"),
+          col("lang"), col("text"))
+        .repartition(32)
+        .localCheckpoint(eager = true)
+      println(s"round12 corpus: ${big.count()} docs")
+      for (rep <- 1 to 2) {
+        // aggregate over right-side columns: a bare count() of the final
+        // left join would let Catalyst elide the entire scoring plan
+        val t0 = System.nanoTime()
+        val acc = TextOps.langIdProfileOf(big)
+          .select(sum(col("score")).as("s"),
+            sum(when(col("correct"), 1L).otherwise(0L)).as("ok"))
+          .head
+        println(f"ADHOC langid_profile_500k_$rep score_sum=${acc.getLong(0)} correct=${acc.getLong(1)} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      val bytes = big.select(sum(octet_length(col("text")))).head.getLong(0)
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        big.select(avg(octet_length(call_function("nfc_normalize", col("text")))),
+          avg(octet_length(call_function("strip_accents", col("text"))))).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"ADHOC unicode_norm_500k secs=$secs%.2f throughput=${2 * bytes / 1e6 / secs}%.0f MB/s (both kernels)")
+      }
+      val evBig = spark.range(0, 10000000L)
+        .select(col("id").as("event_id"),
+          when(pmod(col("id"), lit(5)) === 0, lit(42L))
+            .otherwise(pmod(col("id") * 2654435761L, lit(100000L))).as("user_id"))
+        .repartition(32)
+        .localCheckpoint(eager = true)
+      println(s"cms rows: ${evBig.count()}")
+      for (rep <- 1 to 2) {
+        time(s"cms_heavy_hitters_10m_$rep") {
+          Relational.cmsHeavyHitters(spark, evBig, "user_id").count()
+        }
+      }
+    }
+
     if (args.headOption.contains("deflate")) {
       // deflate_ratio throughput: the scaled 50k-doc corpus replicated to
       // 500k rows (~150 MB of text) — per-row zlib work with thread-local
