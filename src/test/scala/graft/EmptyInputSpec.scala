@@ -16,6 +16,10 @@ class EmptyInputSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Tables.embeddings(spark, sf001).limit(0)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events written post-normalization (ts already the epoch-nanos long
+    // contract), which Tables.events passes through unchanged on re-read
+    Tables.events(spark, sf001).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -30,7 +34,10 @@ class EmptyInputSpec extends SparkSpec {
       "q_f10_multimodal", "q22_explode", "q_f13b_contamination_ac", "q_f21_semantic_dedup",
       "q_f16_dup_substrings", "q_f17_chunking", "q_f18_stratified_sample",
       "q_f19_lm_quality", "q_f20_pack_sequences", "q_f21b_semantic_dedup_lsh",
-      "q_f22_ngram_decontam")
+      "q_f22_ngram_decontam",
+      // round 12
+      "q_edit_neardup", "q_edit_dedup_groups", "q_langid_profile",
+      "q_unicode_normalize", "q_compress_ratio", "q_cms_heavy_hitters")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")
