@@ -292,6 +292,21 @@ object Relational {
   def cmsHeavyHitters(s: SparkSession, df: DataFrame, keyCol: String,
       k: Int = 20, eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types._
+    // Probe with the column's NATIVE type: CountMinSketch hashes strings
+    // and integrals through different paths (addString vs addLong), so a
+    // blind cast-to-long would probe a different hash than the sketch was
+    // built with (string keys → null cast → NPE in the Long encoder).
+    // Round-13 guard per ADVICE: integral and string keys supported;
+    // anything else fails fast with the supported set named.
+    val keyType = df.schema(keyCol).dataType
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"cmsHeavyHitters($keyCol): unsupported key type ${other.catalogString}; " +
+          "CountMinSketch hashes integral (byte/short/int/long) and string keys only")
+    }
     val cms = df.stat.countMinSketch(keyCol, eps, confidence, seed)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -303,14 +318,30 @@ object Relational {
     val top = df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col(keyCol))
       .limit(k)
-    top.select(col(keyCol).cast("long"), col("exact_cnt"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(bc.value))
-        it.map { case (key, cnt) => (key, cnt, sk.estimateCount(key)) }
-      }
-      .toDF(keyCol, "exact_cnt", "cms_est")
+    val probed =
+      if (integral)
+        top.select(col(keyCol).cast("long"), col("exact_cnt"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+              new java.io.ByteArrayInputStream(bc.value))
+            it.map { case (key, cnt) => (key.toString, cnt, sk.estimateCount(key)) }
+          }
+      else
+        top.select(col(keyCol), col("exact_cnt"))
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+              new java.io.ByteArrayInputStream(bc.value))
+            // estimateCount(Object) on a String routes through the same
+            // addString hash the builder used — native-type probe
+            it.map { case (key, cnt) => (key, cnt, sk.estimateCount(key)) }
+          }
+    probed
+      .toDF("key_str", "exact_cnt", "cms_est")
+      .withColumn(keyCol,
+        if (integral) col("key_str").cast("long") else col("key_str"))
+      .select(keyCol, "exact_cnt", "cms_est")
       .withColumn("overcount", col("cms_est") - col("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col(keyCol))
   }

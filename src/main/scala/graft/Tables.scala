@@ -19,23 +19,31 @@ object Tables {
     * as TIMESTAMP_NTZ). Every reader of `events` goes through here and
     * gets the same contract regardless of generation: `ts` is a LongType
     * of epoch-NANOSECONDS (DuckDB parity: `epoch_ns(ts)`; `tsUs` below
-    * gives the µs view both engines agree on). All graded sessions run
-    * with spark.sql.session.timeZone=UTC, so the NTZ wall clock is the
-    * UTC epoch DuckDB's `epoch_us` reports. See SURVEY.md §1.2.
+    * gives the µs view both engines agree on). The NTZ→epoch cast is
+    * session-timezone-FREE (wall-clock `timestampdiff` vs the NTZ epoch
+    * literal — round 13; earlier rounds pinned the session tz to UTC
+    * here, a session-wide side effect of a read). The one remaining
+    * session conf this loader sets is `legacy.parquet.nanosAsLong`, the
+    * only way Spark 4.1.2 reads the rounds-1–9 NANOS physical type at
+    * all. See SURVEY.md §1.2.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→epoch cast below interprets the wall clock in the SESSION
-    // timezone; the epoch-nanos contract is UTC. Graded harness sessions
-    // already pin UTC, but this is a public entry point — pin it here too
-    // so a caller's non-UTC session can't silently shift ts by its zone
-    // offset (same single-chokepoint policy as nanosAsLong above).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df // nanos-as-long already
-      case _ => // TIMESTAMP or TIMESTAMP_NTZ (µs) → epoch-nanos long
-        df.withColumn("ts", (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall clock → UTC epoch via pure wall-clock arithmetic
+        // (µs since the NTZ epoch literal) — NO session-timezone
+        // dependency, so this read never mutates (or reads) the caller's
+        // spark.sql.session.timeZone. A session-tz cast here would shift
+        // ts by the caller's zone offset; timestampdiff over two NTZ
+        // values is zone-free by construction.
+        df.withColumn("ts",
+          (expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            * 1000L).as("ts"))
+      case _ => // TIMESTAMP (an instant): unix_micros is zone-free
+        df.withColumn("ts", (unix_micros(col("ts")) * 1000L).as("ts"))
     }
   }
 

@@ -454,7 +454,15 @@ object UnicodeOps {
     var i = 0
     while (i < nfd.length) {
       val cp = nfd.codePointAt(i)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+      // utf8proc's STRIPMARK drops ALL mark categories — Mn (é's acute),
+      // Mc (Devanagari/Tamil spacing vowel signs like U+093E), Me
+      // (enclosing marks like U+20DD) — DuckDB-verified on 'का'→'क',
+      // 'a⃝'→'a', 'bः'→'b'. Mn-only would keep Mc/Me and diverge from
+      // the oracle on Indic scripts.
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK)
         sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }

@@ -186,13 +186,19 @@ class Round12OpsSpec extends SparkSpec {
         call_function("strip_accents", col("d")).as("sd"),
         call_function("strip_accents", col("c")).as("sc"),
         // DuckDB-verified: marks-free specials pass through untouched
-        call_function("strip_accents", lit("ø Ⅻ ﬁ")).as("keep"))
+        call_function("strip_accents", lit("ø Ⅻ ﬁ")).as("keep"),
+        // DuckDB-verified round 13: Mc (U+093E, U+0903) and Me (U+20DD)
+        // marks are stripped too, not just Mn — utf8proc STRIPMARK drops
+        // every mark category ('का'→'क', 'a⃝'→'a', 'bः'→'b')
+        call_function("strip_accents", lit("का a⃝ bः")).as("mcme"))
       .head
     assert(row.getString(0) == comp, "NFC must compose the combining marks")
     assert(row.getString(1) == "cafe resume naive" && row.getString(2) == "cafe resume naive",
       "both renderings strip to the same marks-free string")
     assert(row.getString(3) == "ø Ⅻ ﬁ",
-      "strip_accents drops only non-spacing marks (DuckDB/utf8proc dialect)")
+      "strip_accents keeps marks-free specials (DuckDB/utf8proc dialect)")
+    assert(row.getString(4) == "क a b",
+      "strip_accents drops Mc and Me marks like utf8proc STRIPMARK, not only Mn")
     // nulls propagate
     val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
       .select(call_function("nfc_normalize", col("b")),
