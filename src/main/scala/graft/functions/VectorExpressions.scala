@@ -290,6 +290,25 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    // F26 scale scorer: the learned profile arrives as foldable literals
+    // (langs, trigrams, per-trigram lang-index lists), folded once here
+    // into a driver-held LangIdModel the generated code references — the
+    // pq_encode codebook pattern, so the corpus-side scoring is a pure
+    // per-row map with zero shuffle
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "langid_score", (exprs: Seq[Expression]) => {
+        val langs = exprs(1).eval().asInstanceOf[ArrayData]
+          .toObjectArray(StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        val tgs = exprs(2).eval().asInstanceOf[ArrayData]
+          .toObjectArray(StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        val tgLangs = exprs(3).eval().asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(IntegerType, containsNull = false))
+          .map(_.asInstanceOf[ArrayData].toIntArray())
+        LangIdScore(exprs.head, new LangIdModel(langs, tgs, tgLangs),
+          exprs(4).eval().asInstanceOf[Number].intValue())
+      }, "built-in")
     // PQ kernels: codebook/m/ksub are foldable literals, evaluated once
     // here (the minhash_sig pattern) so the expression holds a plain
     // float[] that codegen references instead of re-evaluating per row

@@ -1174,6 +1174,37 @@ object Adhoc {
       }
     }
 
+    if (args.headOption.contains("langid13")) {
+      // Round-13 A/B at 500k docs: the driver-held-model kernel scorer
+      // (graded path) vs the round-12 broadcast-join + distinct form,
+      // same corpus — aggregates must MATCH (the spec proves row-level
+      // equivalence at small scale; this proves it at stress scale and
+      // records the wall-clock delta).
+      val langBase = Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val big = langBase
+        .crossJoin(spark.range(0, 100).select(col("id").as("rep")))
+        .select((col("doc_id") * 100 + col("rep")).as("doc_id"),
+          col("lang"), col("text"))
+        .repartition(32)
+        .localCheckpoint(eager = true)
+      println(s"langid13 corpus: ${big.count()} docs")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.select(sum(col("score")).as("s"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("ok")).head
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val a = agg(TextOps.langIdProfileOf(big))
+        println(f"ADHOC langid13_kernel_$rep score_sum=${a.getLong(0)} correct=${a.getLong(1)} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val a = agg(TextOps.langIdProfileJoinOf(big))
+        println(f"ADHOC langid13_join_$rep score_sum=${a.getLong(0)} correct=${a.getLong(1)} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("round12ops")) {
       // Scale evidence for the round-12 operators: learned language ID
       // over a 500k-doc corpus (profile build stays seed-sized, scoring

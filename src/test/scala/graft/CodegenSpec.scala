@@ -78,9 +78,16 @@ class CodegenSpec extends SparkSpec {
       call_function("rolling_hash", col("text")).as("rh"),
       call_function("window_md5s", col("text"), lit(5)).as("wm"),
       call_function("shingle_hashes", col("text"), lit(3)).as("shg"),
-      call_function("kinesis_shard", col("text"), lit(8)).as("ks"))
+      call_function("kinesis_shard", col("text"), lit(8)).as("ks"),
+      // langid_score carries its profile as a reference object (the
+      // pq_encode pattern); " w1" is a real trigram of every generated row
+      call_function("langid_score", col("text"),
+        typedLit(Seq("xx", "yy")), typedLit(Seq(" w1", "qqq")),
+        typedLit(Seq(Seq(0, 1), Seq(1))), lit(3)).as("lid"))
       .collect()
     assert(out.length == 32)
+    assert(out.forall(_.getStruct(6).getString(0) == "yy"),
+      "shared trigram must credit both profiles and break the tie lang-DESC")
     // the array-input pair: sorted_intersect_count + sign_lsh_bits over
     // range-derived (non-nullable) arrays
     val arr = strict.range(0, 16).select($"id",

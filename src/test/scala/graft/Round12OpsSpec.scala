@@ -217,16 +217,18 @@ class Round12OpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
-  test("q_langid_profile plan: broadcast profile join, no corpus-keyed window") {
+  test("q_langid_profile plan: per-row kernel scoring, zero corpus shuffle") {
+    // round 13: the profile is frozen into a driver-held model at
+    // construction time (the bounded fit step), so the RETURNED plan is
+    // scan → project(langid_score) → output sort — no join, no aggregate,
+    // no window, no corpus-sized exchange of any kind
     val plan = TextOps.qLangIdProfile.fn(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"profile scoring join must broadcast the tiny profile table:\n$plan")
-    // the only Window ranks trigrams within a language (alphabet-bounded);
-    // prediction must be the max_by aggregate, not a doc-keyed window
-    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.forall(w => !w.contains("doc_id")),
-      s"doc-keyed window in the scoring path:\n$plan")
+    assert(plan.contains("langid_score"),
+      s"scoring must run the codegen kernel:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+      !plan.contains("Window"),
+      s"kernel scoring path must be a pure per-row map + sort:\n$plan")
   }
 
   test("q_unicode_normalize plan: per-row map, no shuffle but the output sort") {

@@ -58,6 +58,32 @@ class Round13OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  // ---- F26: kernel scoring ≡ join formulation ------------------------
+
+  test("langid kernel scoring ≡ the join formulation on a messy seeded corpus") {
+    // adversarial corpus for the equivalence: word inventories OVERLAP
+    // across languages (shared trigrams must credit every profile that
+    // contains them), multibyte words exercise the char-offset walk,
+    // repeated words force the per-doc distinct, zero-length and <3-char
+    // docs hit the eligibility filter, and an out-of-inventory doc gets
+    // the ("", 0) empty prediction
+    val rnd = new scala.util.Random(13)
+    val langsV = Seq("aa", "bb", "cc")
+    val vocab = Map(
+      "aa" -> Seq("the", "thé", "que", "quiet", "日本語"),
+      "bb" -> Seq("que", "quo", "thé", "boub", "zz"),
+      "cc" -> Seq("xyz", "zyx", "the", "日本語", "ab"))
+    val docs = ((0 until 240).map { i =>
+      val lang = langsV(i % 3)
+      val words = Seq.fill(rnd.nextInt(10))(vocab(lang)(rnd.nextInt(5)))
+      (i.toLong, lang, words.mkString(" "))
+    } :+ ((240L, "aa", "PPP QQQ RRR PPP"))).toDF("doc_id", "lang", "text")
+    val kernel = TextOps.langIdProfileOf(docs, topN = 6).collect().map(_.toString)
+    val join = TextOps.langIdProfileJoinOf(docs, topN = 6).collect().map(_.toString)
+    assert(kernel.nonEmpty && kernel.sameElements(join),
+      s"kernel/join divergence:\n${kernel.zip(join).filter(p => p._1 != p._2).take(5).mkString("\n")}")
+  }
+
   test("cmsHeavyHitters rejects non-hashable key types up front") {
     val df = Seq(1.5, 2.5, 1.5).toDF("k")
     val e = intercept[IllegalArgumentException] {
