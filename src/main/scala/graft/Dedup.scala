@@ -59,6 +59,10 @@ object Dedup {
     * form behind both [[jaccardEdgesOf]] and MinHash.qNgramJaccard.
     */
   def jaccardPairsOf(s: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
+    // out-of-range thresholds otherwise surface as a cryptic negative
+    // slice length deep inside the codegen prefix filter (round 13)
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
     VectorFunctions.register(s)
     val t = minJaccard
     val base = docs

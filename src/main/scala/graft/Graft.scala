@@ -293,6 +293,48 @@ object Graft {
   /** One curation stage's audit row: documents entering minus surviving. */
   final case class StageCount(stage: String, kept: Long, dropped: Long)
 
+  /** Unicode-normalization knobs for the curation pipeline (F27 wired in,
+    * round 13): when given, `text` is canonicalized BEFORE the md5
+    * exact-dedup rep-set — composed and decomposed renderings of the same
+    * visible string (NFC vs NFD) hash differently and would defeat EVERY
+    * hash-keyed stage (exact dedup, MinHash shingles, window md5s) unless
+    * folded first. `nfc` applies the codegen `nfc_normalize` kernel
+    * (DuckDB `nfc_normalize` parity); `stripAccents` additionally drops
+    * all combining marks (utf8proc STRIPMARK dialect) — the aggressive
+    * fold for corpora where accent variants of one word should dedup
+    * together. When both are on, NFC runs first (strip re-decomposes
+    * internally, so strip dominates; the order only matters for
+    * downstream consumers of the normalized text). Downstream stages —
+    * near-dup shingles, quality gate, contamination, packing — all see
+    * the normalized text, which is the point: one canonical rendering
+    * end-to-end.
+    */
+  final case class Normalize(nfc: Boolean = true, stripAccents: Boolean = false) {
+    require(nfc || stripAccents, "Normalize with both knobs off is a no-op; omit it instead")
+    private[Graft] def apply(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.call_function
+      var c = t
+      if (nfc) c = call_function("nfc_normalize", c)
+      if (stripAccents) c = call_function("strip_accents", c)
+      c
+    }
+  }
+
+  /** Language-gate knobs for the curation pipeline (round 13): fit an F26
+    * trigram profile on `seed` (a labeled `(lang, text)` frame — labels
+    * come from a small hand-labeled or trusted-source sample, never from
+    * the corpus being gated) and keep only documents whose PREDICTED
+    * language is in `allow`. The fitted model is driver-held KBs and the
+    * per-doc prediction is the codegen `langid_score` kernel — a
+    * stateless row filter with zero shuffle, which is why the same gate
+    * composes into both the batch and streaming pipelines.
+    */
+  final case class LangGate(seed: DataFrame, allow: Set[String], topN: Int = 20) {
+    require(allow.nonEmpty, "LangGate with an empty allow set drops everything")
+    private[Graft] lazy val profile: TextOps.LangIdProfile =
+      TextOps.langIdFit(seed, topN)
+  }
+
   /** The quality gate as a row predicate over `text` — one definition
     * shared by the batch pipeline ([[curateCorpus]]) and the streaming
     * entry point ([[curateStream]]) so the two gates can never drift.
@@ -342,6 +384,10 @@ object Graft {
     * count per round) at CALL time — budget for it when constructing the
     * pipeline, not only when acting on the result:
     *
+    *  0. unicode normalization (when `normalize` is given) — NFC
+    *     composition (+ optional accent stripping) so composed/decomposed
+    *     renderings of one visible string hash identically in every
+    *     later stage (F27)
     *  1. exact dedup  — min-doc_id representative per md5(text)
     *  2. near-dup dedup — connected components over the prefix-filtered
     *     Jaccard edge list; keep each cluster's min-id representative
@@ -349,10 +395,12 @@ object Graft {
     *     over the embedding-cosine near-dup graph ([[SemanticDedup]]);
     *     keep each cluster's min-id representative (F21)
     *  4. quality gate — token-count bounds + stopword ratio ([[QualityGate]])
-    *  5. contamination screen — broadcast Aho–Corasick, drop any hit
-    *  6. eval decontamination (when `evalDocs` is given) — drop any doc
+    *  5. language gate (when `langGate` is given) — keep only docs whose
+    *     F26-predicted language is in the allow set ([[LangGate]])
+    *  6. contamination screen — broadcast Aho–Corasick, drop any hit
+    *  7. eval decontamination (when `evalDocs` is given) — drop any doc
     *     sharing a 10-token window with the held-out eval corpus (F22)
-    *  7. sequence packing — survivors mapped to 1024-token training
+    *  8. sequence packing — survivors mapped to 1024-token training
     *     sequences in the concat-and-chunk layout
     *
     * Returns (doc_id, n_toks, seq_first, seq_last, n_seqs) for the
@@ -363,10 +411,13 @@ object Graft {
       screenPhrases: Seq[String], minJaccard: Double = 0.6,
       quality: QualityGate = QualityGate(),
       evalDocs: Option[DataFrame] = None,
-      semantic: Option[SemanticDedup] = None): DataFrame =
+      semantic: Option[SemanticDedup] = None,
+      normalize: Option[Normalize] = None,
+      langGate: Option[LangGate] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
-        evalDocs = evalDocs, semantic = semantic).last._2)
+        evalDocs = evalDocs, semantic = semantic,
+        normalize = normalize, langGate = langGate).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -392,9 +443,12 @@ object Graft {
       screenPhrases: Seq[String], minJaccard: Double = 0.6,
       quality: QualityGate = QualityGate(),
       evalDocs: Option[DataFrame] = None,
-      semantic: Option[SemanticDedup] = None): (DataFrame, Seq[StageCount]) = {
+      semantic: Option[SemanticDedup] = None,
+      normalize: Option[Normalize] = None,
+      langGate: Option[LangGate] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
-      evalDocs = evalDocs, semantic = semantic)
+      evalDocs = evalDocs, semantic = semantic,
+      normalize = normalize, langGate = langGate)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -406,8 +460,14 @@ object Graft {
     * (S3-in → curated → Kinesis-out) as ONE streaming DataFrame over
     * (doc_id: Long, ts: Timestamp, text: String) rows:
     *
+    *  0. unicode normalization (when `normalize` is given) — the F27
+    *     canonical fold, per-row kernels, stateless (same stage-0 spot
+    *     as the batch pipeline)
     *  1. quality gate — token-count bounds + stopword ratio
     *     ([[QualityGate]]); stateless row filter, no shuffle
+    *  1b. language gate (when `langGate` is given) — keep docs whose
+    *     F26-predicted language is allowed; the profile is driver-held
+    *     KBs fit once on the labeled seed, so this too is stateless
     *  2. contamination screen — broadcast Aho–Corasick, one O(|text|)
     *     pass per doc regardless of phrase count; stateless
     *  3. near-dup suppression — MinHash signatures in
@@ -442,13 +502,25 @@ object Graft {
       watermarkDelay: String = "0 seconds",
       useTws: Boolean = false,
       twsTtl: org.apache.spark.sql.streaming.TTLConfig =
-        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+        org.apache.spark.sql.streaming.TTLConfig.NONE,
+      normalize: Option[Normalize] = None,
+      langGate: Option[LangGate] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
-    val gated = docs
+    // F27 first, exactly like the batch order: downstream gates, the
+    // suppressor's MinHash state, and the sink payload all see ONE
+    // canonical rendering (per-row kernels — stateless, stream-safe)
+    val normed = normalize.fold(docs)(nz => docs.withColumn("text", nz(col("text"))))
+    val qualGated = normed
       .filter(col("text").isNotNull && qualityPredicate(quality))
       .select(col("doc_id"), col("ts"), col("text"))
+    // language gate: the profile is fit ONCE on the driver (lazy val on
+    // the LangGate) against its labeled seed — a stateless row filter on
+    // the stream, the same gate semantics as the batch pipeline
+    val gated = langGate.fold(qualGated) { lg =>
+      qualGated.filter(lg.profile.predictCol(col("text")).isin(lg.allow.toSeq: _*))
+    }
     val screened =
       if (screenPhrases.isEmpty) gated
       else {
@@ -495,10 +567,12 @@ object Graft {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       useTws: Boolean = false,
       twsTtl: org.apache.spark.sql.streaming.TTLConfig =
-        org.apache.spark.sql.streaming.TTLConfig.NONE): org.apache.spark.sql.streaming.StreamingQuery = {
+        org.apache.spark.sql.streaming.TTLConfig.NONE,
+      normalize: Option[Normalize] = None,
+      langGate: Option[LangGate] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
-      watermarkDelay, useTws, twsTtl)
+      watermarkDelay, useTws, twsTtl, normalize, langGate)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)
@@ -510,21 +584,30 @@ object Graft {
   }
 
   /** The named intermediate frames of the curation pipeline, in order:
-    * input → exact_dedup → neardup_dedup → [semantic_dedup] → quality_gate
-    * → contamination → [eval_decontam].
+    * input → [unicode_normalize] → exact_dedup → neardup_dedup →
+    * [semantic_dedup] → quality_gate → [lang_gate] → contamination →
+    * [eval_decontam].
     */
   private def curationStages(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double,
       quality: QualityGate,
       evalDocs: Option[DataFrame] = None,
-      semantic: Option[SemanticDedup] = None): Seq[(String, DataFrame)] = {
+      semantic: Option[SemanticDedup] = None,
+      normalize: Option[Normalize] = None,
+      langGate: Option[LangGate] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
     // expensive computations) are checkpointed, so re-running the cheap
     // row-filter gates per consumer beats materializing each stage's
     // full-width text rows — measured ~60% faster at the 50k stress
-    val base = docs.filter(col("text").isNotNull)
+    val raw = docs.filter(col("text").isNotNull)
+    // F27 stage: canonicalize BEFORE the md5 rep-set — a decomposed and a
+    // composed rendering of the same visible string are different byte
+    // strings, so without this fold every hash-keyed stage double-counts
+    // them. Per-row codegen kernels, zero shuffle, no rows dropped (its
+    // effect shows up as extra drops in exact_dedup's audit row).
+    val base = normalize.fold(raw)(nz => raw.withColumn("text", nz(col("text"))))
     val reps1 = base.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     // consumed by CC's node list, CC's edge list, AND the later semi-joins
@@ -562,12 +645,23 @@ object Graft {
       d2.join(dropped, Seq("doc_id"), "left_anti")
     }
     val d3 = dSem.filter(qualityPredicate(quality))
-    val clean = TextOps.contaminationScanAC(d3, screenPhrases)
+    // round-13 language gate: stateless row filter against the
+    // driver-held profile (fit once, lazily, on the LABELED seed frame —
+    // not this corpus); runs after the quality gate so scoring is only
+    // paid for docs still alive
+    val d3b = langGate.fold(d3) { lg =>
+      d3.filter(lg.profile.predictCol(col("text")).isin(lg.allow.toSeq: _*))
+    }
+    val clean = TextOps.contaminationScanAC(d3b, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
-    val d4 = d3.join(clean, Seq("doc_id"), "left_semi")
-    val core = Seq("input" -> base, "exact_dedup" -> d1, "neardup_dedup" -> d2) ++
+    val d4 = d3b.join(clean, Seq("doc_id"), "left_semi")
+    val core = Seq("input" -> raw) ++
+      normalize.map(_ => "unicode_normalize" -> base).toSeq ++
+      Seq("exact_dedup" -> d1, "neardup_dedup" -> d2) ++
       semantic.map(_ => "semantic_dedup" -> dSem).toSeq ++
-      Seq("quality_gate" -> d3, "contamination" -> d4)
+      Seq("quality_gate" -> d3) ++
+      langGate.map(_ => "lang_gate" -> d3b).toSeq ++
+      Seq("contamination" -> d4)
     evalDocs match {
       case None => core
       case Some(ev) =>

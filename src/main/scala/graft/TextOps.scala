@@ -271,28 +271,57 @@ object TextOps {
     */
   def langIdProfileOf(docs: org.apache.spark.sql.DataFrame, topN: Int = 20,
       seedPred: Column = pmod(col("doc_id"), lit(4)) === 0): org.apache.spark.sql.DataFrame = {
-    functions.VectorFunctions.register(docs.sparkSession)
-    val d = langIdDocs(docs)
-    // model-fit boundary: the profile frame is ≤ langs × topN rows by
-    // construction (the window keeps rn ≤ topN per language), so this
-    // collect lands a KB-sized model on the driver — the same bounded
-    // fit→freeze step pqFit performs, NOT a corpus-sized driver pull
-    val profRows = langIdProfileFrame(d, topN, seedPred).collect()
+    val prof = langIdFit(docs, topN, seedPred)
+    langIdDocs(docs)
+      .withColumn("b", prof.scoreCol(col("t")))
+      .select(col("doc_id"), col("lang"),
+        col("b.predicted").as("predicted"),
+        col("b.score").as("score"),
+        (col("lang") === col("b.predicted")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A FROZEN learned trigram profile: the driver-held model the codegen
+    * `langid_score` kernel scores against. Construct via [[langIdFit]];
+    * KB-sized by construction (≤ langs × topN trigrams), serializable,
+    * reusable across frames and sessions — fit once on a labeled seed,
+    * gate any number of corpora (the [[Graft.LangGate]] composition).
+    */
+  final case class LangIdProfile(langs: Seq[String], tgs: Seq[String],
+      tgLangs: Seq[Seq[Int]]) {
+    /** Score column over PRE-LOWERED text: struct(predicted, score) with
+      * the (score DESC, lang DESC) tie-break; ("", 0) on zero overlap. */
+    def scoreCol(loweredText: Column): Column =
+      call_function("langid_score", loweredText,
+        typedLit[Seq[String]](langs), typedLit[Seq[String]](tgs),
+        typedLit[Seq[Seq[Int]]](tgLangs), lit(3))
+    /** Predicted-language column over RAW text (lowers first). */
+    def predictCol(textCol: Column): Column =
+      scoreCol(lower(textCol)).getField("predicted")
+  }
+
+  /** Fit a [[LangIdProfile]] on a labeled frame (`lang`, `text` columns;
+    * `doc_id` optional — only `seedPred` reads it). The profile build is
+    * the Cavnar–Trenkle top-`topN`-per-language trigram ranking over the
+    * `seedPred` split; the collect is the model-fit boundary — the frame
+    * is ≤ langs × topN rows by construction (the window keeps rn ≤ topN
+    * per language), a KB-sized driver pull (the pqFit pattern), NOT a
+    * corpus-sized one.
+    */
+  def langIdFit(labeled: org.apache.spark.sql.DataFrame, topN: Int = 20,
+      seedPred: Column = lit(true)): LangIdProfile = {
+    functions.VectorFunctions.register(labeled.sparkSession)
+    val base =
+      if (labeled.columns.contains("doc_id")) labeled
+      else labeled.withColumn("doc_id", lit(0L))
+    val profRows = langIdProfileFrame(langIdDocs(base), topN, seedPred).collect()
     val langs = profRows.map(_.getString(0)).distinct.sorted
     val tgs = profRows.map(_.getString(1)).distinct.sorted
     val langIdx = langs.zipWithIndex.toMap
     val tgIdx = tgs.zipWithIndex.toMap
     val tgLangSets = Array.fill(tgs.length)(scala.collection.mutable.SortedSet.empty[Int])
     profRows.foreach(r => tgLangSets(tgIdx(r.getString(1))) += langIdx(r.getString(0)))
-    val tgLangs: Seq[Seq[Int]] = tgLangSets.map(_.toSeq).toSeq
-    d.withColumn("b", call_function("langid_score", col("t"),
-        typedLit[Seq[String]](langs.toSeq), typedLit[Seq[String]](tgs.toSeq),
-        typedLit[Seq[Seq[Int]]](tgLangs), lit(3)))
-      .select(col("doc_id"), col("lang"),
-        col("b.predicted").as("predicted"),
-        col("b.score").as("score"),
-        (col("lang") === col("b.predicted")).as("correct"))
-      .orderBy(col("doc_id"))
+    LangIdProfile(langs.toSeq, tgs.toSeq, tgLangSets.map(_.toSeq).toSeq)
   }
 
   /** The eligible-docs frame both F26 formulations share: ≥3 chars,

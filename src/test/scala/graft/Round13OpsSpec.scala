@@ -58,6 +58,93 @@ class Round13OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  // ---- curation facade: F27 normalize + F26 language gate ------------
+
+  private val langVocab = Map(
+    "aa" -> Seq("aiea", "eiae", "aeia", "iaea"),
+    "bb" -> Seq("boub", "obub", "bubo", "oubo"))
+  /** Language-marked doc text: language words interleaved with doc-UNIQUE
+    * tokens, so every word 3-gram shingle contains a unique token — docs
+    * share zero shingles and the near-dup stage provably keeps all of
+    * them, while the trigram profiles still separate the languages. */
+  private val uniqCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def langText(lang: String, rnd: scala.util.Random): String = {
+    val u = uniqCtr.incrementAndGet()
+    Seq.tabulate(24)(j =>
+      if (j % 2 == 0) langVocab(lang)(rnd.nextInt(4)) else s"u${u}x$j").mkString(" ")
+  }
+
+  test("curation normalize stage folds composed/decomposed duplicates before exact dedup") {
+    val tail = (1 to 30).map(i => s"w$i").mkString(" ")
+    val comp = s"caf\u00e9 $tail"    // NFC rendering
+    val decomp = s"cafe\u0301 $tail" // NFD rendering of the SAME visible string
+    assert(comp != decomp)
+    val docs = Seq((1L, comp), (2L, decomp)).toDF("doc_id", "text")
+    // stage off: different byte strings → md5 keeps both, no stage row
+    val (_, a0) = Graft.curateCorpusAudited(spark, docs, Nil)
+    assert(!a0.exists(_.stage == "unicode_normalize"))
+    assert(a0.find(_.stage == "exact_dedup").get.kept == 2,
+      "without normalization the renderings must NOT dedup (that's the bug being guarded)")
+    // stage on: renderings fold to one canonical string → exact dedup
+    // drops the higher doc_id; the stage itself drops nothing
+    val (out, a1) = Graft.curateCorpusAudited(spark, docs, Nil,
+      normalize = Some(Graft.Normalize()))
+    assert(a1.find(_.stage == "unicode_normalize").get ==
+      Graft.StageCount("unicode_normalize", 2, 0))
+    assert(a1.find(_.stage == "exact_dedup").get.kept == 1)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("curation language gate keeps only allow-listed predicted languages, audited") {
+    val rnd = new scala.util.Random(7)
+    val seed = Seq.tabulate(40) { i =>
+      val l = if (i % 2 == 0) "aa" else "bb"; (l, langText(l, rnd))
+    }.toDF("lang", "text")
+    val corpus = Seq.tabulate(12) { i =>
+      val l = if (i % 2 == 0) "aa" else "bb"; (i.toLong, langText(l, rnd))
+    }.toDF("doc_id", "text")
+    val lg = Graft.LangGate(seed, Set("aa"))
+    val (out, audit) = Graft.curateCorpusAudited(spark, corpus, Nil,
+      langGate = Some(lg))
+    assert(audit.find(_.stage == "lang_gate").get ==
+      Graft.StageCount("lang_gate", 6, 6),
+      s"gate must drop exactly the bb docs; audit was $audit")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    // gate off: nothing dropped at that spot, no stage row
+    val (_, a0) = Graft.curateCorpusAudited(spark, corpus, Nil)
+    assert(!a0.exists(_.stage == "lang_gate"))
+    assert(a0.find(_.stage == "contamination").get.kept == 12)
+  }
+
+  test("curateStream applies normalize + language gate (batch-frame pinning)") {
+    val rnd = new scala.util.Random(11)
+    val seed = Seq.tabulate(40) { i =>
+      val l = if (i % 2 == 0) "aa" else "bb"; (l, langText(l, rnd))
+    }.toDF("lang", "text")
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    // doc 3 is an allowed-language doc in the DECOMPOSED rendering: it
+    // must survive the gate AND come out with composed text in the frame
+    // and the sink payload
+    val docs = Seq(
+      (1L, t0, langText("aa", rnd)),
+      (2L, t0, langText("bb", rnd)),
+      (3L, t0, s"cafe\u0301 ${langText("aa", rnd)}")
+    ).toDF("doc_id", "ts", "text")
+    val out = Graft.curateStream(docs, Nil,
+      quality = Graft.QualityGate(minTokens = 1, maxTokens = 1000, maxStopwordRatio = 1.0),
+      minEst = 0.99,
+      normalize = Some(Graft.Normalize()),
+      langGate = Some(Graft.LangGate(seed, Set("aa"))))
+    val rows = out.select(col("doc_id"), col("text"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L), s"bb doc must be gated out: $rows")
+    val (_, text3, data3) = rows(1)
+    assert(text3.startsWith("caf\u00e9 "), "stream text must be the NFC fold")
+    assert(data3.contains("caf\u00e9 ") && !data3.contains("\u0301"),
+      "sink payload must carry the normalized rendering")
+  }
+
   // ---- F26: kernel scoring ≡ join formulation ------------------------
 
   test("langid kernel scoring ≡ the join formulation on a messy seeded corpus") {
