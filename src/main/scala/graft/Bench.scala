@@ -40,7 +40,7 @@ object Bench {
     "q1_pricing_summary", "q3_join_topk", "q4_broadcast_agg", "q8_range_join",
     "q9_asof_join", "q14_rollup", "q15_window_rank", "q18_group_topk",
     "q21_pivot", "q22_explode", "q23_correlated_subquery", "q24_sessionize",
-    "q26_funnel", "q_skew_salted_agg",
+    "q26_funnel", "q_skew_salted_agg", "q_cms_heavy_hitters",
     // scalar function layers
     "qd2_datetime", "qd6_json",
     // text / LLM-pipeline
@@ -51,7 +51,10 @@ object Bench {
     "q_f5_lsh_neardup", "q_f12_quantize", "q_f23_pq_adc",
     // near-dup
     "q_f2_minhash_sig", "q_f2_minhash_pairs", "q_f2_simhash",
-    "q_ngram_jaccard", "q_f11_dedup_groups")
+    "q_ngram_jaccard", "q_f11_dedup_groups",
+    // round-13 additions (verdict item 7): the CC-loop heavy tail and
+    // the sketch path, tracked round-over-round
+    "q_edit_dedup_groups")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

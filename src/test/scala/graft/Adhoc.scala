@@ -112,6 +112,67 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("ccgraded")) {
+      // Round-13: min-label vs two-phase CC on the GRADED edge sets —
+      // the shallow near-dup graphs where min-label converges in a few
+      // rounds and the heavier per-round edge rewrite might lose.
+      import spark.implicits._
+      val docs = Tables.documents(spark, d)
+      val shapes: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+        ("f11_jaccard", docs.select(col("doc_id")),
+          Dedup.jaccardEdges(spark, d, 0.6).localCheckpoint(eager = true)),
+        ("edit_qgram", docs.select(col("doc_id")),
+          Dedup.editDistancePairsQGram(spark, docs, 8)
+            .select(col("a_id"), col("b_id")).localCheckpoint(eager = true)))
+      for ((name, nodes, edges) <- shapes; rep <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val (ccA, rA) = Dedup.connectedComponentsWithRounds(spark, nodes, edges)
+        ccA.count()
+        val tA = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val (ccB, rB) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+        ccB.count()
+        val tB = (System.nanoTime() - t0) / 1e9
+        val diff = ccB.exceptAll(ccA).count()
+        println(f"ADHOC ccgraded $name rep=$rep minlabel r=$rA secs=$tA%.2f star r=$rB secs=$tB%.2f diff=$diff")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("megaccstar")) {
+      // Round-13 A/B: the two-phase (large-star/small-star) CC on the
+      // megacc graph (10k-clique 50M edges + 300-chain) vs the shipped
+      // min-label + contraction loop — same label/size assertions.
+      import spark.implicits._
+      val n = 10000
+      val nodes = spark.range(0, n + 300).select(col("id").as("doc_id"))
+      val clique = spark.range(0, n).select(col("id").as("a_id"))
+        .crossJoin(spark.range(0, n).select(col("id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
+      val chain = spark.range(n, n + 299)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      val edges = clique.unionByName(chain).localCheckpoint(eager = true)
+      println(s"edges: ${edges.count()}")
+      for (rep <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val (ccA, rA) = Dedup.connectedComponentsWithRounds(spark, nodes, edges)
+        val szA = Dedup.withClusterSize(ccA).groupBy(col("cluster_size")).count()
+          .orderBy(col("cluster_size")).as[(Long, Long)].collect().toSeq
+        val tA = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val (ccB, rB) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+        val szB = Dedup.withClusterSize(ccB).groupBy(col("cluster_size")).count()
+          .orderBy(col("cluster_size")).as[(Long, Long)].collect().toSeq
+        val tB = (System.nanoTime() - t0) / 1e9
+        println(f"ADHOC megaccstar rep=$rep minlabel rounds=$rA secs=$tA%.2f star rounds=$rB secs=$tB%.2f")
+        assert(szA == Seq((300L, 300L), (n.toLong, n.toLong)) && szB == szA,
+          s"mis-clustered: $szA vs $szB")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ann100k")) {
       // ANN crossover pinning: 100k vectors (sf0.1 embeddings ×50, planted
       // 50-cliques at cosine ≥ ~0.999). Brute force here is the 5G-pair
@@ -1172,6 +1233,39 @@ object Adhoc {
           Dedup.editDistancePairsQGram(spark, small, maxDist = 1).count()
         }
       }
+    }
+
+    if (args.headOption.contains("q3ab")) {
+      // Round-13 drift investigation: the shipped q3 lets Catalyst pick
+      // the build side and at sf0.1 it broadcasts the FILTERED LINEITEM
+      // (~300k rows) — A/B against pinning the broadcast to the far
+      // smaller c⋈o side. Same result rows required.
+      import Tables._
+      def q3(hintSmall: Boolean) = {
+        val co = customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(orders(spark, d).filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+            col("c_custkey") === col("o_custkey"))
+        val coH = if (hintSmall) broadcast(co) else co
+        coH.join(lineitem(spark, d).filter(col("l_shipdate") > to_timestamp(lit("1995-06-15"))),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }
+      val a = q3(false).collect().map(_.toString).toSeq
+      val b = q3(true).collect().map(_.toString).toSeq
+      println(s"q3ab same_rows=${a == b}")
+      for (rep <- 1 to 6) {
+        var t0 = System.nanoTime()
+        q3(false).collect()
+        val tAuto = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        q3(true).collect()
+        val tHint = (System.nanoTime() - t0) / 1e9
+        println(f"ADHOC q3ab_$rep auto=$tAuto%.3f hint_co=$tHint%.3f")
+      }
+      spark.stop(); return
     }
 
     if (args.headOption.contains("langid13")) {

@@ -46,6 +46,39 @@ object CcProf {
       t(s"full_query_$rep") {
         Similarity.semanticClusters(spark, emb, 0.35, useLsh = true).count()
       }
+      // round-13 A/B: the Kiveris two-phase (large-star/small-star)
+      // formulation on the SAME graph
+      val (ccStar, starRounds) = t(s"cc_star_$rep") {
+        val r = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+        (r._1.localCheckpoint(eager = true), r._2)
+      }
+      println(s"CCPROF star_rounds=$starRounds")
+      val diff = ccStar.select(col("doc_id"), col("cluster_id"))
+        .exceptAll(cc.select(col("doc_id"), col("cluster_id"))).count()
+      println(s"CCPROF star_label_diff=$diff")
+    }
+    // deep-graph A/B: a 100k-node chain forest (1k chains × 100 nodes) +
+    // one 3k-node chain — the diameter shape where round count dominates
+    val deepEdges = spark.range(0, 100000)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      .filter(col("b_id") % 100 =!= 0)
+      .unionByName(spark.range(200000, 203000)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id")))
+      .localCheckpoint(eager = true)
+    val deepNodes = spark.range(0, 100001).select(col("id").as("doc_id"))
+      .unionByName(spark.range(200000, 203001).select(col("id").as("doc_id")))
+      .localCheckpoint(eager = true)
+    for (rep <- 1 to 2) {
+      val (ccA, rA) = t(s"deep_minlabel_$rep") {
+        val r = Dedup.connectedComponentsWithRounds(spark, deepNodes, deepEdges, maxIters = 200)
+        (r._1.localCheckpoint(eager = true), r._2)
+      }
+      val (ccB, rB) = t(s"deep_star_$rep") {
+        val r = Dedup.connectedComponentsStarWithRounds(spark, deepNodes, deepEdges)
+        (r._1.localCheckpoint(eager = true), r._2)
+      }
+      val dd = ccB.exceptAll(ccA).count()
+      println(s"CCPROF deep minlabel_rounds=$rA star_rounds=$rB label_diff=$dd")
     }
     spark.stop()
   }

@@ -145,6 +145,53 @@ class Round13OpsSpec extends SparkSpec {
       "sink payload must carry the normalized rendering")
   }
 
+  // ---- two-phase (large-star/small-star) CC --------------------------
+
+  test("two-phase CC labels ≡ min-label CC on chain, clique, singletons, and random graphs") {
+    val rnd = new scala.util.Random(1313)
+    // chain (deep diameter) + clique (dense) + singletons + random blobs
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (a <- 400L until 410L; b <- (a + 1) until 410L) yield (a, b)
+    val random = Seq.fill(500)((500L + rnd.nextInt(200), 500L + rnd.nextInt(200)))
+      .filter(p => p._1 != p._2)
+    val edges = (chain ++ clique ++ random).toDF("a_id", "b_id")
+    val nodes = ((0L until 300L) ++ (400L until 412L) ++ (500L until 700L))
+      .toDF("doc_id")
+    val a = Dedup.connectedComponents(spark, nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val (starDf, rounds) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+    val b = starDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b, s"label divergence (two-phase rounds=$rounds)")
+    assert(rounds > 0 && rounds < 15, s"unexpected round count $rounds")
+    // edge-less input: everyone labels themselves
+    val (solo, r0) = Dedup.connectedComponentsStarWithRounds(spark,
+      Seq(1L, 2L).toDF("doc_id"), spark.emptyDataFrame
+        .sparkSession.range(0).select(col("id").as("a_id"), col("id").as("b_id")))
+    assert(r0 == 0 && solo.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("two-phase CC with a reliable checkpointDir survives total block loss") {
+    // same executor-loss simulation as the min-label loop's Round9 spec:
+    // drop EVERY persisted block at the top of each round — the reliable
+    // loop re-reads from checkpoint files and must still label correctly
+    val chain = (0L until 150L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val star = (151L until 200L).map(i => (150L, i))
+    val edges = (chain ++ star).toDF("a_id", "b_id")
+    val nodes = (0L until 200L).toDF("doc_id")
+    Dedup.testBlockLossHook = Some { s =>
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    try {
+      val dir = tmpDir("ccstar_loss_ckpt")
+      val (df, _) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges,
+        checkpointDir = Some(dir))
+      val labels = df.as[(Long, Long)].collect().toMap
+      assert(labels.size == 200 && labels(149L) == 0L && labels(199L) == 150L,
+        "reliable-checkpoint star CC must label correctly despite block loss")
+    } finally Dedup.testBlockLossHook = None
+  }
+
   // ---- F26: kernel scoring ≡ join formulation ------------------------
 
   test("langid kernel scoring ≡ the join formulation on a messy seeded corpus") {
