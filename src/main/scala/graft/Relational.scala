@@ -168,6 +168,53 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** C6b (round 13): BLOOM-PRUNED semi join — the explicit form of the
+    * pre-shuffle fact-side pruning that makes selective semi joins
+    * viable at 100 TB: the build side's keys are folded into a
+    * driver-held Bloom filter (`df.stat.bloomFilter`, KB–MB for bounded
+    * key sets) and the fact scan drops non-members BEFORE the shuffle
+    * via Spark's own `BloomFilterMightContain` probe expression (exposed
+    * as `bloom_might_contain`; the filter binary rides as a literal, the
+    * probe is codegen). The exact left-semi join then removes the
+    * bloom's false positives — no false negatives exist, so the result
+    * is IDENTICAL to the plain semi join, which is exactly what the
+    * oracle grades. Spark's runtime row-level filtering does this
+    * automatically inside eligible join plans; the library form is for
+    * key sets that arrive OUTSIDE a join (allowlists, contamination
+    * keys, prior-stage survivors), and for pinning the pruning in plans
+    * AQE would not rewrite. For unbounded build sides use the native
+    * runtime filters instead — a driver-held sketch must stay bounded.
+    */
+  val qBloomSemi = Q(
+    "q_bloom_semi",
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |       round(sum(l_extendedprice), 2) AS gross
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderdate >= TIMESTAMP '1997-07-01')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    functions.VectorFunctions.register(s)
+    val keys = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01")))
+      .select(col("o_orderkey"))
+    // size the filter to the ACTUAL key count (one cheap count on the
+    // filtered dimension): a fixed expectedNumItems would make the
+    // serialized literal ~1.2 MB at every scale factor, bloating plans
+    // and broadcasts for nothing at small sf
+    val bf = keys.stat.bloomFilter("o_orderkey", math.max(1000L, keys.count()), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    lineitem(s, d)
+      .filter(call_function("bloom_might_contain", lit(bytes), col("l_orderkey")))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), r2(sum(col("l_extendedprice"))).as("gross"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // C6: left anti join — NOT EXISTS.
   val qAntiJoin = Q(
     "q6_anti_join",
@@ -796,7 +843,7 @@ object Relational {
 
   def all: Seq[Q] = Seq(
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
-    qLeftOuter, qFullOuter, qSemiJoin, qAntiJoin, qCrossJoin, qRangeJoin,
+    qLeftOuter, qFullOuter, qSemiJoin, qBloomSemi, qAntiJoin, qCrossJoin, qRangeJoin,
     qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qCmsHeavyHitters,
     qRollup, qCube,
     qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,

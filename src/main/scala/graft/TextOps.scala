@@ -864,6 +864,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** F18b (round 13): WEIGHTED Bernoulli (Poisson) sampling — the other
+    * half of training-mix construction next to [[qStratifiedSample]]'s
+    * per-stratum rates: each document is kept with probability
+    * proportional to its weight (here `n_chars`, the stand-in for any
+    * quality/importance score), so a mix can oversample long/high-value
+    * docs without materializing per-stratum buckets. Determinism and
+    * oracle parity come from the q25 trick taken one step further: the
+    * uniform draw is the first 8 md5 hex digits of the row key as an
+    * INTEGER, and the inclusion test `u32 · 1000 < w · 2^32` (i.e.
+    * u < w/1000) is pure 64-bit integer arithmetic — bit-identical on
+    * every engine, partitioning, and cluster size, with no float
+    * threshold to disagree about in the last ulp. `p_millionths` is the
+    * exact inclusion probability (×10⁶), the Horvitz–Thompson
+    * reweighting factor a downstream consumer divides by. Per-row
+    * filter, zero shuffle but the graded output sort — the 100 TB shape.
+    */
+  val qWeightedSample = Q(
+    "q_weighted_sample",
+    """SELECT doc_id, n_chars,
+      |       least(1000000, n_chars * 1000) AS p_millionths
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 1000
+      |      < n_chars * 4294967296
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") * 1000L < col("n_chars") * 4294967296L)
+      .select(col("doc_id"), col("n_chars"),
+        least(lit(1000000L), col("n_chars") * 1000L).as("p_millionths"))
+      .orderBy(col("doc_id"))
+  }
+
   // F19: language-model quality scoring — per-doc average negative log
   // likelihood under an add-one-smoothed corpus unigram LM (the CCNet-
   // style "LM perplexity" quality filter of an LLM data pipeline), plus a
@@ -1049,5 +1081,6 @@ object TextOps {
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
+    qWeightedSample,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

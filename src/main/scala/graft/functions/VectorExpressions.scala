@@ -290,6 +290,16 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    // bloom_might_contain(filterBytes, longCol): Spark's own runtime-
+    // filter probe expression (BloomFilterMightContain) exposed as a
+    // callable — the bloom binary arrives as a foldable literal (the
+    // serialized org.apache.spark.util.sketch.BloomFilter built by
+    // df.stat.bloomFilter), the value child is the raw long key column
+    // (stat.bloomFilter putLongs raw values, so the probe must too)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1)), "built-in")
     // F26 scale scorer: the learned profile arrives as foldable literals
     // (langs, trigrams, per-trigram lang-index lists), folded once here
     // into a driver-held LangIdModel the generated code references — the

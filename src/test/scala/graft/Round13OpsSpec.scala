@@ -145,6 +145,56 @@ class Round13OpsSpec extends SparkSpec {
       "sink payload must carry the normalized rendering")
   }
 
+  // ---- C6b bloom-pruned semi join / F18b weighted sampling -----------
+
+  test("q_bloom_semi: bloom probe in the fact scan, result identical to the plain semi join") {
+    val df = Relational.qBloomSemi.fn(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "fact side must be bloom-pruned before the shuffle " +
+        s"(BloomFilterMightContain prettyName is might_contain):\n${plan.take(4000)}")
+    val plain = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01")))
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Tables.r2(sum(col("l_extendedprice"))).as("gross"))
+      .orderBy(col("l_returnflag"))
+    assert(df.collect().map(_.toString).toSeq ==
+      plain.collect().map(_.toString).toSeq,
+      "bloom pruning must not change the semi-join result (no false negatives)")
+  }
+
+  test("q_weighted_sample inclusion matches an independent JVM recomputation") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def u32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = docs.filter { case (id, w) => u32(id) * 1000L < w * 4294967296L }
+      .map(_._1).sorted.toSeq
+    val got = TextOps.qWeightedSample.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == expected,
+      "sampled set must equal the md5-threshold recomputation")
+    assert(got.nonEmpty && got.length < docs.length,
+      "weighted Bernoulli must select a strict, non-empty subset here")
+    got.foreach { case (_, w, p) =>
+      assert(p == math.min(1000000L, w * 1000L), "p_millionths must be exact")
+    }
+    // weight monotonicity at the distribution level: mean chars of the
+    // sample must exceed the corpus mean (long docs oversampled)
+    val mAll = docs.map(_._2).sum.toDouble / docs.length
+    val mSel = got.map(_._2).sum.toDouble / got.length
+    assert(mSel > mAll, f"sample mean $mSel%.1f must exceed corpus mean $mAll%.1f")
+  }
+
   // ---- two-phase (large-star/small-star) CC --------------------------
 
   test("two-phase CC labels ≡ min-label CC on chain, clique, singletons, and random graphs") {
