@@ -112,6 +112,45 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("editdup")) {
+      // Round-13 duplicate hunt: at 16M the planted-twin recall count
+      // came back planted+1 — under the planted-id predicate that is
+      // only possible if some (a_id, b_id) row is emitted twice. Find it.
+      val n = sys.env.getOrElse("ADHOC_EDITDIST_N", "14545454").toLong
+      val baseT = spark.range(0, n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), (pmod(hash(col("id")), lit(5)) + lit(5)).cast("int")),
+          { i =>
+            val h = hash(col("id") * 31 + i)
+            when(pmod(h, lit(2)) === 0,
+              concat(lit("s"), pmod(h, lit(64)).cast("string")))
+              .otherwise(concat(lit("w"),
+                lower(conv(pmod(h, lit(1500000)).cast("string"), 10, 36))))
+          })).as("text"))
+      val twins = baseT.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + n).as("doc_id"),
+          concat(substring(col("text"), 1, 2), lit("Z"),
+            expr("substring(text, 4)")).as("text"))
+      val corpus = baseT.unionByName(twins).localCheckpoint(eager = true)
+      println(s"corpus: ${corpus.count()} titles")
+      val pairs = Dedup.editDistancePairsQGram(spark, corpus, maxDist = 1, q = 4)
+        .localCheckpoint(eager = true)
+      val total = pairs.count()
+      val dups = pairs.groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("c"), collect_list(col("dist")).as("dists"))
+        .filter(col("c") > 1)
+        .localCheckpoint(eager = true)
+      println(s"EDITDUP total=$total dup_keys=${dups.count()}")
+      dups.limit(10).collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val rows = corpus.filter(col("doc_id").isin(a, b))
+          .select(col("doc_id"), col("text"), octet_length(col("text")))
+          .collect()
+        println(s"EDITDUP pair ($a, $b) c=${r.getLong(2)} dists=${r.getSeq[Long](3)}")
+        rows.foreach(x => println(s"EDITDUP   doc ${x.getLong(0)} bytes=${x.getInt(2)} text='${x.getString(1)}'"))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("ccgraded")) {
       // Round-13: min-label vs two-phase CC on the GRADED edge sets —
       // the shallow near-dup graphs where min-label converges in a few
@@ -1209,14 +1248,20 @@ object Adhoc {
           concat(substring(col("text"), 1, 2), lit("Z"),
             expr("substring(text, 4)")).as("text"))
       val corpus = baseT.unionByName(twins).localCheckpoint(eager = true)
-      val planted = n / 10
+      // twins exist for every k % 10 == 0 in [0, n): that is ceil(n/10)
+      // ids — integer n/10 UNDERCOUNTS when 10 ∤ n (the round-13 16M run
+      // used n = 14545454 and chased a phantom "extra" pair for a while)
+      val planted = (n + 9) / 10
       println(s"corpus: ${corpus.count()} titles (planted twin pairs: $planted)")
       for (rep <- 1 to 2) {
         time(s"editdist_qgram_${n}_q$qq") {
           Dedup.editDistancePairsQGram(spark, corpus, maxDist = 1, q = qq).count()
         }
       }
-      // recall check: every planted (k, k+n) twin pair must be found
+      // recall check: every planted (k, k+n) twin pair must be found.
+      // The id-gap filter is exact: b = a + n only exists as a doc id
+      // when a % 10 == 0 (twin ids are precisely {k + n : k % 10 == 0}),
+      // so every matching row IS a planted pair.
       val found = Dedup.editDistancePairsQGram(spark, corpus, maxDist = 1, q = qq)
         .filter(col("b_id") === col("a_id") + n).count()
       println(s"planted twins found: $found / $planted")
