@@ -618,14 +618,24 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    // canonical undirected edge set: (u < v), self-loops dropped, distinct
+    // canonical undirected edges: (u < v), self-loops dropped. NO initial
+    // distinct: duplicate input edges cannot change a groupBy-min and the
+    // first large-star's own distinct dedups the set — at 250M edges the
+    // skipped distinct is a full extra shuffle whose in-flight blocks
+    // plus the checkpoint put the 64 GB heap over the edge (round 13;
+    // the one corner effect is an already-star-forest input costing one
+    // extra confirmation round, since the raw multiset's signature
+    // differs from its deduped rewrite)
     var e = cut(edges
       .select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+      .filter(col("u") =!= col("v")))
     def signature(df: DataFrame): (Long, Long) = {
       // bit_xor: overflow-free, order-independent, exact over a DISTINCT
-      // edge set (duplicates would cancel, but e is distinct by build)
+      // edge set. Every per-round state (eS) is distinct by build; the
+      // INITIAL multiset may carry duplicates, but its count then exceeds
+      // the deduped rewrite's, so the (count, xor) pair still cannot
+      // falsely report convergence at round 1
       val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }

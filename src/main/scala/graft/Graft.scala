@@ -331,8 +331,17 @@ object Graft {
     */
   final case class LangGate(seed: DataFrame, allow: Set[String], topN: Int = 20) {
     require(allow.nonEmpty, "LangGate with an empty allow set drops everything")
-    private[Graft] lazy val profile: TextOps.LangIdProfile =
-      TextOps.langIdFit(seed, topN)
+    private[Graft] lazy val profile: TextOps.LangIdProfile = {
+      val p = TextOps.langIdFit(seed, topN)
+      // an empty/too-short seed fits an empty profile, which predicts ""
+      // for every document and would SILENTLY drop the whole corpus —
+      // fail loudly at fit time instead (the gate is a misconfiguration
+      // without at least one learnable language)
+      require(p.langs.nonEmpty,
+        "LangGate seed produced an empty profile (no lang with a >=3-char text); " +
+          "the gate would drop every document")
+      p
+    }
   }
 
   /** The quality gate as a row predicate over `text` — one definition

@@ -1217,6 +1217,43 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("megacc5star")) {
+      // Round-13: the two-phase star CC at the 250M-edge decade (the
+      // megacc5 graph: 5 × (10k-clique + 300-chain)) — extends the 50M
+      // A/B one decade; same size assertions as megacc5.
+      import spark.implicits._
+      val n = 10000
+      val span = 20000L
+      val groups = spark.range(0, 5).select(col("id").as("g"))
+      val nodes = groups.crossJoin(
+          spark.range(0, n + 300).select(col("id").as("i")))
+        .select((col("g") * span + col("i")).as("doc_id"))
+      val clique = spark.range(0, n).select(col("id").as("ai"))
+        .crossJoin(spark.range(0, n).select(col("id").as("bi")))
+        .filter(col("ai") < col("bi"))
+        .crossJoin(groups)
+        .select((col("g") * span + col("ai")).as("a_id"),
+          (col("g") * span + col("bi")).as("b_id"))
+      val chain = groups.crossJoin(
+          spark.range(n, n + 299).select(col("id").as("i")))
+        .select((col("g") * span + col("i")).as("a_id"),
+          (col("g") * span + col("i") + 1).as("b_id"))
+      val edges = clique.unionByName(chain).localCheckpoint(eager = true)
+      println(s"edges: ${edges.count()}")
+      val t0 = System.nanoTime()
+      val (cc, rounds) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+      val sizes = Dedup.withClusterSize(cc)
+        .groupBy(col("cluster_size")).count()
+        .orderBy(col("cluster_size"))
+        .as[(Long, Long)].collect().toSeq
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"ADHOC megacc5star rounds=$rounds secs=$secs%.2f sizes=$sizes")
+      assert(sizes == Seq((300L, 1500L), (n.toLong, 50000L)),
+        s"replicated mega-components mis-clustered: $sizes")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("editdist")) {
       // Edit-distance near-dup at title scale: N short records whose
       // lengths cluster tightly — the regime where pure length banding is

@@ -37,7 +37,9 @@ class EmptyInputSpec extends SparkSpec {
       "q_f22_ngram_decontam",
       // round 12
       "q_edit_neardup", "q_edit_dedup_groups", "q_langid_profile",
-      "q_unicode_normalize", "q_compress_ratio", "q_cms_heavy_hitters")
+      "q_unicode_normalize", "q_compress_ratio", "q_cms_heavy_hitters",
+      // round 13
+      "q_weighted_sample")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")
@@ -52,5 +54,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(audit.map(_.stage) == Seq("input", "exact_dedup", "neardup_dedup",
       "quality_gate", "contamination"))
     assert(audit.forall(a => a.kept == 0 && a.dropped == 0), s"audit was $audit")
+    // round 13: the optional normalize + language-gate stages also
+    // survive the empty corpus (the gate's profile fits on its own
+    // non-empty labeled seed, independent of the corpus)
+    import spark.implicits._
+    val seed = Seq(("aa", "aiea eiae aeia iaea aiea eiae")).toDF("lang", "text")
+    val (out2, audit2) = Graft.curateCorpusAudited(spark, docs,
+      screenPhrases = Seq("anything"),
+      normalize = Some(Graft.Normalize()),
+      langGate = Some(Graft.LangGate(seed, Set("aa"))))
+    assert(out2.count() == 0)
+    assert(audit2.map(_.stage) == Seq("input", "unicode_normalize",
+      "exact_dedup", "neardup_dedup", "quality_gate", "lang_gate",
+      "contamination"))
+    assert(audit2.forall(a => a.kept == 0 && a.dropped == 0), s"audit2 was $audit2")
+  }
+
+  test("LangGate fails fast on a seed that yields an empty profile") {
+    import spark.implicits._
+    val emptySeed = Seq.empty[(String, String)].toDF("lang", "text")
+    val docs = Seq((1L, "some doc text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.curateCorpusAudited(spark, docs, Nil,
+        langGate = Some(Graft.LangGate(emptySeed, Set("aa"))))
+    }
+    assert(e.getMessage.contains("empty profile"))
   }
 }
