@@ -173,6 +173,59 @@ object MinHash {
       .orderBy(col("doc_id"))
   }
 
+  /** F2c (round 13): SimHash near-dup PAIRS — the banded hamming-distance
+    * join that turns [[qSimhash]]'s signatures into an actual dedup
+    * operator (Manku, Jain & Sarma, WWW 2007: the Google web-crawl
+    * near-dup detector). Pigeonhole: split the 64-bit signature into
+    * `maxHamming + 1` contiguous bit bands — any two signatures within
+    * `maxHamming` hamming distance agree EXACTLY on at least one band —
+    * so candidates come from an equi-join on (band index, band bits) and
+    * each survivor is verified by one codegen `bit_count(a XOR b)`.
+    * Recall is exact (the pigeonhole is a theorem, not a probability);
+    * precision is the verify step. The only shuffle is the band-key
+    * equi-join — the same 100 TB shape as the MinHash and sign-LSH
+    * joins, skew-bounded because a band key holds only docs that agree
+    * on `64/(maxHamming+1)` signature bits.
+    */
+  def simhashPairsOf(docs: org.apache.spark.sql.DataFrame,
+      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (band width >= 4 bits), got $maxHamming")
+    VectorFunctions.register(docs.sparkSession)
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    // band b: width base (+1 for the first `rem` bands), cumulative offset
+    val widths = Seq.tabulate(nBands)(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val sigs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array(Seq.tabulate(nBands) { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+        col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // F2c graded query: SimHash pair join at hamming ≤ 3 (no oracle —
+  // hash-based like the other F2 entries; golden + the brute-force
+  // equivalence spec + cross-parallelism determinism cover it).
+  val qSimhashPairs = Q.noOracle("q_f2_simhash_pairs") { (s, d) =>
+    simhashPairsOf(documents(s, d), 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // Exact n-gram Jaccard — oracle-graded near-dup scoring as a THRESHOLDED
   // similarity join (j ≥ 0.5, top 50). The threshold is what makes the
   // operator scale-sane: it admits the AllPairs/PPJoin prefix-filter lemma
@@ -211,5 +264,5 @@ object MinHash {
       .limit(50)
   }
 
-  def all: Seq[Q] = Seq(qMinhashSig, qMinhashPairs, qSimhash, qNgramJaccard)
+  def all: Seq[Q] = Seq(qMinhashSig, qMinhashPairs, qSimhash, qSimhashPairs, qNgramJaccard)
 }

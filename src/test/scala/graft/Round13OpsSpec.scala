@@ -195,6 +195,46 @@ class Round13OpsSpec extends SparkSpec {
     assert(mSel > mAll, f"sample mean $mSel%.1f must exceed corpus mean $mAll%.1f")
   }
 
+  // ---- F2c: SimHash banded hamming pair join -------------------------
+
+  test("simhashPairsOf ≡ brute-force hamming join (pigeonhole recall is exact)") {
+    val docs = Tables.documents(spark, sf001)
+    for (maxH <- Seq(0, 3, 5)) {
+      val banded = MinHash.simhashPairsOf(docs, maxH).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val sigs = docs.select(col("doc_id"),
+        call_function("simhash64", col("text")).as("sig"))
+      val brute = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+        .crossJoin(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("h"))
+        .filter(col("h") <= maxH).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(banded == brute,
+        s"maxH=$maxH: banded ${banded.length} pairs != brute ${brute.length}")
+      assert(maxH == 0 || banded.nonEmpty, s"maxH=$maxH found no pairs on sf0.001")
+    }
+  }
+
+  test("simhashPairsOf finds planted twins and rejects distant docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                        // exact copy: hamming 0
+      (3L, base.replace("tok7", "zzz")), // one-token mutation: small hamming
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = MinHash.simhashPairsOf(docs, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L,
+      s"exact copies must pair at hamming 0: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"one-token mutation must pair within hamming 3: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc must not pair: $pairs")
+  }
+
   // ---- two-phase (large-star/small-star) CC --------------------------
 
   test("two-phase CC labels ≡ min-label CC on chain, clique, singletons, and random graphs") {
