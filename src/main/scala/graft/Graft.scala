@@ -92,6 +92,29 @@ object Graft {
         .select(org.apache.spark.sql.functions.col("a_id"),
           org.apache.spark.sql.functions.col("b_id")))
 
+  /** C6b: bloom-pruned semi join — keep `big`'s rows whose `bigKey` is in
+    * `keys.keysKey`, with the non-members dropped by a driver-built Bloom
+    * probe BEFORE the join shuffle (result identical to a plain semi
+    * join). For key sets that arrive outside a join: allowlists,
+    * contamination keys, prior-stage survivors. */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
+      keysKey: String, fpp: Double = 0.01): DataFrame =
+    Relational.bloomSemiJoin(big, bigKey, keys, keysKey, fpp)
+
+  /** F18b: weighted Bernoulli sampling — keep each row w.p. min(1,
+    * weight/scale), deterministic (md5-integer draw, pure integer test)
+    * and engine/partitioning-exact; appends the exact `p_millionths`
+    * Horvitz–Thompson factor. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      scale: Long): DataFrame =
+    TextOps.weightedBernoulli(df, idCol, weightCol, scale)
+
+  /** F2c: SimHash near-dup pairs at ≤ `maxHamming` bit flips — exact
+    * recall via Manku pigeonhole banding; one codegen popcount verify
+    * per band collision. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    MinHash.simhashPairsOf(docs, maxHamming)
+
   /** F25 compression-ratio signal over any (doc_id, text) frame. */
   def compressionSignals(spark: SparkSession, docs: DataFrame): DataFrame = {
     functions.VectorFunctions.register(spark)

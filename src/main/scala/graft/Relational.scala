@@ -185,6 +185,40 @@ object Relational {
     * AQE would not rewrite. For unbounded build sides use the native
     * runtime filters instead — a driver-held sketch must stay bounded.
     */
+  /** The generic C6b operator over any (big frame, integral key) ×
+    * (keys frame, integral key): bloom-prune, then exact semi join.
+    * Result ≡ `big SEMI JOIN keys` always (no false negatives); the
+    * pruning only changes WHERE non-members die — before the shuffle
+    * instead of inside the join. Integral keys only:
+    * `BloomFilterMightContain` probes longs, and `stat.bloomFilter`
+    * hashes strings through a different path than the probe expression
+    * accepts. The filter is sized to the ACTUAL key count (one cheap
+    * count on the keys frame): a fixed expectedNumItems would make the
+    * serialized literal ~1.2 MB at every scale, bloating plans and
+    * broadcasts for nothing at small volume.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
+      keysKey: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    functions.VectorFunctions.register(big.sparkSession)
+    keys.schema(keysKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bloomSemiJoin($keysKey): integral key required, got ${other.catalogString}")
+    }
+    val k = keys.select(col(keysKey))
+    val bf = k.stat.bloomFilter(keysKey, math.max(1000L, k.count()), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = k.select(col(keysKey).as(s"__bsj_$keysKey"))
+    big
+      .filter(call_function("bloom_might_contain", lit(bytes), col(bigKey)))
+      .join(probe, col(bigKey) === col(s"__bsj_$keysKey"), "left_semi")
+  }
+
   val qBloomSemi = Q(
     "q_bloom_semi",
     """SELECT l_returnflag, count(*) AS n_rows,
@@ -193,23 +227,9 @@ object Relational {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
       |                     WHERE o_orderdate >= TIMESTAMP '1997-07-01')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    functions.VectorFunctions.register(s)
-    val keys = orders(s, d)
-      .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01")))
-      .select(col("o_orderkey"))
-    // size the filter to the ACTUAL key count (one cheap count on the
-    // filtered dimension): a fixed expectedNumItems would make the
-    // serialized literal ~1.2 MB at every scale factor, bloating plans
-    // and broadcasts for nothing at small sf
-    val bf = keys.stat.bloomFilter("o_orderkey", math.max(1000L, keys.count()), 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    lineitem(s, d)
-      .filter(call_function("bloom_might_contain", lit(bytes), col("l_orderkey")))
-      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    bloomSemiJoin(lineitem(s, d), "l_orderkey",
+        orders(s, d).filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01"))),
+        "o_orderkey")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"), r2(sum(col("l_extendedprice"))).as("gross"))
       .orderBy(col("l_returnflag"))

@@ -880,6 +880,26 @@ object TextOps {
     * reweighting factor a downstream consumer divides by. Per-row
     * filter, zero shuffle but the graded output sort — the 100 TB shape.
     */
+  /** The generic F18b operator over any frame with an id and an integer
+    * weight column: keep each row with probability min(1, w/scale). The
+    * uniform draw is the first 8 md5 hex digits of the id as a 32-bit
+    * integer and the inclusion test `u·scale < w·2^32` is pure 64-bit
+    * integer arithmetic — bit-identical across engines/partitionings.
+    * Appends `p_millionths` = ⌊min(10⁶, w·10⁶/scale)⌋, the exact
+    * inclusion probability a Horvitz–Thompson consumer divides by.
+    * `scale` must satisfy u32·scale < 2⁶³ (scale ≤ ~2·10⁹) — every
+    * practical rate denominator.
+    */
+  def weightedBernoulli(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, scale: Long): org.apache.spark.sql.DataFrame = {
+    require(scale > 0 && scale <= 2000000000L,
+      s"scale must be in [1, 2e9] for overflow-free integer math, got $scale")
+    df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") * scale < col(weightCol) * 4294967296L)
+      .withColumn("p_millionths",
+        least(lit(1000000L), col(weightCol) * 1000000L / scale).cast("long"))
+  }
+
   val qWeightedSample = Q(
     "q_weighted_sample",
     """SELECT doc_id, n_chars,
@@ -888,11 +908,8 @@ object TextOps {
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 1000
       |      < n_chars * 4294967296
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    documents(s, d)
-      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") * 1000L < col("n_chars") * 4294967296L)
-      .select(col("doc_id"), col("n_chars"),
-        least(lit(1000000L), col("n_chars") * 1000L).as("p_millionths"))
+    weightedBernoulli(documents(s, d), "doc_id", "n_chars", 1000L)
+      .select(col("doc_id"), col("n_chars"), col("p_millionths"))
       .orderBy(col("doc_id"))
   }
 
