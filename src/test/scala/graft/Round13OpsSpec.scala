@@ -2,10 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-13 additions, part 1 — the three ADVICE items: strip_accents
-  * mark-category parity (asserted in Round12OpsSpec's parity test),
-  * Tables.events' session-timezone independence, and cmsHeavyHitters'
-  * native-type probing for non-integral keys.
+/** Round-13 additions: the three ADVICE items (strip_accents
+  * mark-category parity — asserted in Round12OpsSpec's parity test —
+  * Tables.events' session-timezone independence, cmsHeavyHitters'
+  * native-type probing), the curation facade's F27 normalize + F26
+  * language-gate stages, the F26 kernel≡join scoring equivalence, the
+  * two-phase (large-star/small-star) CC vs min-label label identity +
+  * its reliable-checkpoint block-loss tolerance, the C6b bloom-pruned
+  * semi join, the F18b weighted Bernoulli sample, and the F2c SimHash
+  * banded hamming pair join.
   */
 class Round13OpsSpec extends SparkSpec {
 
