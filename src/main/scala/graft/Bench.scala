@@ -54,7 +54,11 @@ object Bench {
     "q_ngram_jaccard", "q_f11_dedup_groups",
     // round-13 additions (verdict item 7): the CC-loop heavy tail and
     // the sketch path, tracked round-over-round
-    "q_edit_dedup_groups")
+    "q_edit_dedup_groups",
+    // round-14 additions (verdict item 7): the three round-13 operators
+    // plus the new SimHash groups composition, tracked round-over-round
+    "q_bloom_semi", "q_weighted_sample", "q_f2_simhash_pairs",
+    "q_simhash_dedup_groups")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

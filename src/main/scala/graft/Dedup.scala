@@ -389,7 +389,12 @@ object Dedup {
   }
 
   /** doc_id → cluster_id (min doc_id in its connected component) for every
-    * document; singletons label themselves.
+    * document; singletons label themselves. This facade is the
+    * AUTO-SELECTING engine (round 14): min-label propagation first, with
+    * a hand-off to the two-phase star rewrite if the graph is still
+    * unconverged after [[connectedComponentsHybridWithRounds]]'
+    * `starSwitchAfter` rounds — shallow graphs (the near-dup norm) run
+    * pure min-label, deep ones get the star win without per-site tuning.
     *
     * Driver-side job count is the real cost at small scale (BENCH r2:
     * job-submission overhead dominated), so the loop (a) folds the first
@@ -406,7 +411,7 @@ object Dedup {
       maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,
       checkpointDir: Option[String] = None): DataFrame =
-    connectedComponentsWithRounds(s, nodes, edges, maxIters, checkEvery,
+    connectedComponentsHybridWithRounds(s, nodes, edges, maxIters, checkEvery,
       contractAbove, checkpointDir)._1
 
   /** Edge lists at or above this size get label-contracted between
@@ -481,6 +486,32 @@ object Dedup {
       edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val (lbls, iter, converged, _) = minLabelCore(s, nodes, edges, maxIters,
+      checkEvery, contractAbove, checkpointDir)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "a component's diameter exceeds the budget; raise maxIters")
+    (lbls.select(col("u").as("doc_id"), col("lbl").as("cluster_id")), iter)
+  }
+
+  /** The min-label propagation loop, exit-able before convergence: runs up
+    * to `maxIters` rounds and returns (labels as (u, lbl), rounds run,
+    * converged?, the eagerly-checkpointed CANONICAL (u, v) edge frame).
+    * Shared by [[connectedComponentsWithRounds]] (which throws on
+    * non-convergence) and [[connectedComponentsHybridWithRounds]] (which
+    * hands the partially-collapsed graph to the star rewrite instead).
+    * The ORIGINAL edges — not the loop's internal, possibly
+    * intermediate-label-contracted `sym` — are what the hybrid needs: an
+    * early-exit label state carries STALE pointers (node → x while x
+    * itself moved on to lbl(x) < x), and the contracted graph may no
+    * longer mention x at all, so only a fresh final-label contraction of
+    * the original edges plus the pointer edges is component-faithful.
+    */
+  private def minLabelCore(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, maxIters: Int, checkEvery: Int,
+      contractAbove: Long,
+      checkpointDir: Option[String]): (DataFrame, Int, Boolean, DataFrame) = {
     checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     def cut(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = eager)
@@ -578,11 +609,69 @@ object Dedup {
       iter += k
       if (!converged && symBig) contract(labels)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIters rounds — " +
-          "a component's diameter exceeds the budget; raise maxIters")
-    (labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id")), iter)
+    (labels, iter, converged, e0)
+  }
+
+  /** AUTO-SELECTING connected components (round 14, per the round-13
+    * verdict): start with min-label propagation — the cheap loop (one
+    * slim label join per round) that wins on the SHALLOW graphs near-dup
+    * corpora overwhelmingly produce (3–5 rounds) — and, if the graph has
+    * not converged after `starSwitchAfter` rounds, switch to the
+    * two-phase large-star/small-star rewrite for the remainder: diameter
+    * has revealed itself, and that is exactly the regime round 13's
+    * measurements showed star winning (q_f21b's 17-round LSH graph:
+    * 3.55 s propagation vs 1.4–2.0 s star) and min-label losing.
+    *
+    * The switch is a HAND-OFF, not a restart: the star phase runs over
+    * the ORIGINAL edge list contracted by the FINAL labels — every edge
+    * rewritten to (lbl(u), lbl(v)), self-loops dropped, so all collapse
+    * the first rounds achieved carries over (a component that converged
+    * early contributes zero edges) — UNIONED with the pointer edges
+    * (u, lbl(u)) for every relabeled node. The pointer union is what
+    * makes the hand-off sound: an early-exit label state carries STALE
+    * pointer chains (node u holds x while x itself has moved on to
+    * lbl(x) < x — the shortcut flattens chains only every other step),
+    * and the contracted graph alone may not mention x anywhere, leaving
+    * u's cluster unrecoverable (the round-14 forced-contraction bug,
+    * caught by DedupSpec). With the union: every original edge (x, y)
+    * is witnessed by x — lbl(x) — lbl(y) — y, every union edge stays
+    * inside its component (labels only ever name in-component nodes),
+    * so the union graph's components over the original node set are
+    * EXACTLY the original components, and star labels every node with
+    * the component min directly — no composition join. DedupSpec /
+    * Round14OpsSpec assert bit-identical labels on chains, cliques,
+    * random graphs, singletons, and forced-contraction runs.
+    *
+    * The star phase gets the full `maxIters` budget (it converges in
+    * O(log n) rounds, so it is also the safety net for diameters that
+    * would exhaust any propagation budget) and throws if even that fails.
+    */
+  def connectedComponentsHybridWithRounds(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
+      contractAbove: Long = DefaultContractAbove,
+      checkpointDir: Option[String] = None,
+      starSwitchAfter: Int = 6): (DataFrame, Int) = {
+    require(starSwitchAfter >= 1, s"starSwitchAfter must be >= 1, got $starSwitchAfter")
+    val (lbls, iter, converged, e0) = minLabelCore(s, nodes, edges,
+      math.min(starSwitchAfter, maxIters), checkEvery, contractAbove,
+      checkpointDir)
+    if (converged)
+      (lbls.select(col("u").as("doc_id"), col("lbl").as("cluster_id")), iter)
+    else {
+      val e2 = e0
+        .join(lbls.select(col("u").as("hu"), col("lbl").as("la")),
+          col("u") === col("hu"))
+        .join(lbls.select(col("u").as("hv"), col("lbl").as("lb")),
+          col("v") === col("hv"))
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("a_id"), col("lb").as("b_id"))
+      val ptr = lbls.filter(col("u") =!= col("lbl"))
+        .select(col("u").as("a_id"), col("lbl").as("b_id"))
+      connectedComponentsStarWithRounds(s, nodes,
+        e2.unionByName(ptr), maxIters, checkpointDir) match {
+        case (starLbls, starRounds) => (starLbls, iter + starRounds)
+      }
+    }
   }
 
   /** Two-phase connected components — the alternating large-star /
@@ -636,7 +725,7 @@ object Dedup {
       // INITIAL multiset may carry duplicates, but its count then exceeds
       // the deduped rewrite's, so the (count, xor) pair still cannot
       // falsely report convergence at round 1
-      val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var sig = signature(e)

@@ -115,6 +115,15 @@ object Graft {
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     MinHash.simhashPairsOf(docs, maxHamming)
 
+  /** F2c GROUPS (round 14): SimHash dedup clusters — connected components
+    * over the banded hamming pair list, because near-dup pairs CHAIN
+    * (same lesson as [[dedupGroups]]/[[editDedupGroups]]); doc_id →
+    * cluster_id (min doc_id in the component), singletons label
+    * themselves. */
+  def simhashDedupGroups(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    MinHash.simhashDedupGroups(spark, docs, maxHamming)
+
   /** F25 compression-ratio signal over any (doc_id, text) frame. */
   def compressionSignals(spark: SparkSession, docs: DataFrame): DataFrame = {
     functions.VectorFunctions.register(spark)
@@ -367,6 +376,25 @@ object Graft {
     }
   }
 
+  /** Weighted-sampling knobs for [[curateCorpus]] (F18b wired in, round
+    * 14): after every gate has run, keep each surviving document with
+    * probability min(1, weight/scale) — the mix-construction step a
+    * training pipeline runs LAST, over the clean pool (sampling before
+    * the gates would waste budget on docs a later stage drops anyway).
+    * `weight` is any integer-valued Column over the document row — a
+    * quality scorer's output is the intended use (`octet_length(text)`,
+    * an F19/F25 signal joined in upstream, a popularity count). The draw
+    * is [[TextOps.weightedBernoulli]]'s exact integer md5 test, so the
+    * kept set is bit-identical across engines, partitionings, and reruns
+    * — and identical to running the operator standalone on the gate
+    * survivors, which is exactly what the spec asserts. The sampling
+    * helper columns are dropped so downstream packing sees the same
+    * schema with or without the stage.
+    */
+  final case class WeightedKeep(weight: org.apache.spark.sql.Column, scale: Long) {
+    require(scale > 0, s"scale must be positive, got $scale")
+  }
+
   /** The quality gate as a row predicate over `text` — one definition
     * shared by the batch pipeline ([[curateCorpus]]) and the streaming
     * entry point ([[curateStream]]) so the two gates can never drift.
@@ -432,7 +460,10 @@ object Graft {
     *  6. contamination screen — broadcast Aho–Corasick, drop any hit
     *  7. eval decontamination (when `evalDocs` is given) — drop any doc
     *     sharing a 10-token window with the held-out eval corpus (F22)
-    *  8. sequence packing — survivors mapped to 1024-token training
+    *  8. weighted sampling (when `weighted` is given) — keep each
+    *     survivor w.p. min(1, weight/scale), the F18b mix-construction
+    *     draw over the clean pool ([[WeightedKeep]])
+    *  9. sequence packing — survivors mapped to 1024-token training
     *     sequences in the concat-and-chunk layout
     *
     * Returns (doc_id, n_toks, seq_first, seq_last, n_seqs) for the
@@ -445,11 +476,13 @@ object Graft {
       evalDocs: Option[DataFrame] = None,
       semantic: Option[SemanticDedup] = None,
       normalize: Option[Normalize] = None,
-      langGate: Option[LangGate] = None): DataFrame =
+      langGate: Option[LangGate] = None,
+      weighted: Option[WeightedKeep] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
-        normalize = normalize, langGate = langGate).last._2)
+        normalize = normalize, langGate = langGate,
+        weighted = weighted).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -477,10 +510,11 @@ object Graft {
       evalDocs: Option[DataFrame] = None,
       semantic: Option[SemanticDedup] = None,
       normalize: Option[Normalize] = None,
-      langGate: Option[LangGate] = None): (DataFrame, Seq[StageCount]) = {
+      langGate: Option[LangGate] = None,
+      weighted: Option[WeightedKeep] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
-      normalize = normalize, langGate = langGate)
+      normalize = normalize, langGate = langGate, weighted = weighted)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -618,7 +652,7 @@ object Graft {
   /** The named intermediate frames of the curation pipeline, in order:
     * input → [unicode_normalize] → exact_dedup → neardup_dedup →
     * [semantic_dedup] → quality_gate → [lang_gate] → contamination →
-    * [eval_decontam].
+    * [eval_decontam] → [weighted_sample].
     */
   private def curationStages(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double,
@@ -626,7 +660,8 @@ object Graft {
       evalDocs: Option[DataFrame] = None,
       semantic: Option[SemanticDedup] = None,
       normalize: Option[Normalize] = None,
-      langGate: Option[LangGate] = None): Seq[(String, DataFrame)] = {
+      langGate: Option[LangGate] = None,
+      weighted: Option[WeightedKeep] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
@@ -694,7 +729,7 @@ object Graft {
       Seq("quality_gate" -> d3) ++
       langGate.map(_ => "lang_gate" -> d3b).toSeq ++
       Seq("contamination" -> d4)
-    evalDocs match {
+    val withDecontam = evalDocs match {
       case None => core
       case Some(ev) =>
         // F22 as a curation gate: drop any doc sharing a 10-token window
@@ -704,6 +739,20 @@ object Graft {
         val hit = TextOps.ngramDecontamOf(d4, ev)
           .filter(col("contaminated")).select("doc_id")
         core :+ ("eval_decontam" -> d4.join(hit, Seq("doc_id"), "left_anti"))
+    }
+    weighted match {
+      case None => withDecontam
+      case Some(wk) =>
+        // F18b as the LAST gate: sample the clean pool (docs every other
+        // stage admitted) with the exact integer md5 draw — a stateless
+        // row filter, no shuffle, bit-identical to the operator run
+        // standalone on the same survivors. Helper columns are dropped so
+        // packing sees the unchanged document schema.
+        val sampled = TextOps.weightedBernoulli(
+            withDecontam.last._2.withColumn("__keep_w", wk.weight),
+            "doc_id", "__keep_w", wk.scale)
+          .drop("__keep_w", "p_millionths")
+        withDecontam :+ ("weighted_sample" -> sampled)
     }
   }
 }

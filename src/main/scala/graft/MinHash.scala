@@ -185,12 +185,61 @@ object MinHash {
     * precision is the verify step. The only shuffle is the band-key
     * equi-join — the same 100 TB shape as the MinHash and sign-LSH
     * joins, skew-bounded because a band key holds only docs that agree
-    * on `64/(maxHamming+1)` signature bits.
+    * on `64/(maxHamming+1)` signature bits. The `maxHamming ≤ 7` bound
+    * (round 14, per ADVICE) is what MAKES that claim true: 8 bands of
+    * ≥ 8 bits give ≥ 256 distinct keys per band, while the previously
+    * permitted 15 shrank bands to 4 bits (16 keys) and degenerated the
+    * equi-join toward a quadratic self-join on any large corpus.
+    * Manku's production setting is 3–4 bits of distance on 64-bit
+    * signatures; for looser matching use MinHash banding instead.
+    *
+    * Duplicate-heavy-corpus guard (round 14): an md5 exact-dup rep-set
+    * collapses identical texts to ONE banding representative (identical
+    * text ⇒ identical signature ⇒ identical key in EVERY band, so k
+    * copies of a page would otherwise put k² rows into each band join —
+    * the [[candidatePairs]] hazard, same cure). Group pairs expand back
+    * to doc pairs by tkey equi-joins; within-group pairs are hamming 0
+    * by construction. Result set identical to the naive band self-join.
     */
   def simhashPairsOf(docs: org.apache.spark.sql.DataFrame,
       maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (band width >= 4 bits), got $maxHamming")
+    val (members, repPairs) = simhashRepPairs(docs, maxHamming)
+    // expansion back to doc pairs, exactly the [[candidatePairs]] scheme:
+    // cross-group pairs inherit their reps' hamming (signatures depend
+    // only on text); within-group pairs are exact text duplicates,
+    // hamming 0 by construction. Quadratic only in the OUTPUT (the
+    // all-pairs contract itself), never in a band bucket's task heap.
+    val cross = repPairs
+      .join(members.select(col("tkey").as("a_key"), col("doc_id").as("ma")), Seq("a_key"))
+      .join(members.select(col("tkey").as("b_key"), col("doc_id").as("mb")), Seq("b_key"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    val within = members
+      .join(members.select(col("tkey"), col("doc_id").as("b_id")), Seq("tkey"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"), lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** The dup-collapsed core of the SimHash family: distinct-text
+    * representatives banded and self-joined. Returns (members: every
+    * (tkey = md5(text), doc_id); repPairs: qualifying DISTINCT-TEXT pairs
+    * as (a_key, b_key, hamming)). The md5 rep-set pre-pass (round 14) is
+    * the same duplicate-heavy-corpus guard [[candidatePairs]] carries:
+    * identical texts have identical signatures, hence identical keys in
+    * EVERY band — k copies of one page would contribute k rows to each of
+    * their band buckets and k² rows to every band join, the exact
+    * quadratic degeneration the banding exists to avoid. One
+    * representative per distinct text enters banding instead, so a dup
+    * blob costs ONE banded row however many copies exist; consumers
+    * expand back to doc granularity (all pairs in [[simhashPairsOf]],
+    * linear star edges in [[simhashDedupGroups]]).
+    */
+  private def simhashRepPairs(docs: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (band width >= 8 bits keeps the band " +
+        s"join skew-bounded), got $maxHamming")
     VectorFunctions.register(docs.sparkSession)
     val nBands = maxHamming + 1
     val base = 64 / nBands
@@ -198,24 +247,35 @@ object MinHash {
     // band b: width base (+1 for the first `rem` bands), cumulative offset
     val widths = Seq.tabulate(nBands)(b => base + (if (b < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
+    // localCheckpoint: the scan + md5 + simhash kernel feed the band join
+    // AND the expansion joins — lazy cut so Spark does not re-execute the
+    // subtree per consumer (the candidatePairs precedent)
     val sigs = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), md5(col("text")).as("tkey"),
+        call_function("simhash64", col("text")).as("sig"))
+      .localCheckpoint(eager = false)
+    // sig is a pure function of text, so first() within a tkey group is
+    // deterministic
+    val groups = sigs.groupBy(col("tkey")).agg(first(col("sig")).as("sig"))
+    val banded = groups.select(col("tkey"), col("sig"),
       explode(array(Seq.tabulate(nBands) { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+      .select(col("tkey"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val repPairs = banded.select(col("tkey").as("a_key"), col("sig").as("sa"),
         col("band"), col("key"))
-      .join(banded.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+      .join(banded.select(col("tkey").as("b_key"), col("sig").as("sb"),
         col("band"), col("key")), Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      // a pair colliding in several bands appears once per band — same
+      // hamming each time; the groupBy is the dedup
+      .groupBy(col("a_key"), col("b_key")).agg(min(col("hamming")).as("hamming"))
+    (sigs.select(col("tkey"), col("doc_id")), repPairs)
   }
 
   // F2c graded query: SimHash pair join at hamming ≤ 3 (no oracle —
@@ -224,6 +284,54 @@ object MinHash {
   val qSimhashPairs = Q.noOracle("q_f2_simhash_pairs") { (s, d) =>
     simhashPairsOf(documents(s, d), 3)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** F2c composed with F11's clustering (round 14): SimHash dedup GROUPS —
+    * connected components over the banded hamming pair list, every doc
+    * labeled with its component's min doc_id. Pairs CHAIN (A within 3
+    * bits of B, B of C — hamming obeys the triangle inequality only up
+    * to 2·maxHamming, so {A,B,C} is one dedup group even when
+    * hamming(A,C) > maxHamming), which is the same reason the Jaccard
+    * (F11) and edit-distance (F24) families both ship a groups
+    * composition: keeping "one of each pair" over-keeps on any chained
+    * duplicate cluster. Docs with NULL text (no signature, never paired)
+    * still label themselves — every input doc gets a cluster row. The
+    * CC loop is the shared hybrid engine ([[Dedup.connectedComponents]]):
+    * min-label with contraction on the shallow graphs near-dup corpora
+    * produce, auto-switching to the two-phase star rewrite if a deep
+    * component reveals itself.
+    *
+    * Edge volume is LINEAR in the corpus, not pair-quadratic: instead of
+    * CC over [[simhashPairsOf]]'s all-pairs expansion (k²/2 edges for a
+    * k-copy dup blob), the components run over the distinct-text rep
+    * graph plus one member→representative STAR edge per duplicate doc —
+    * connectivity-identical (within a text group the star and the clique
+    * connect the same node set; a cross-group doc pair and its rep pair
+    * link the same two groups), and the spec asserts label equality
+    * against the all-pairs formulation.
+    */
+  def simhashDedupGroups(s: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val (members, repPairs) = simhashRepPairs(docs, maxHamming)
+    // rep doc id per text group — min is the canonical choice
+    val reps = members.groupBy(col("tkey")).agg(min(col("doc_id")).as("rep"))
+    val repEdges = repPairs
+      .join(reps.select(col("tkey").as("a_key"), col("rep").as("a_id")), Seq("a_key"))
+      .join(reps.select(col("tkey").as("b_key"), col("rep").as("b_id")), Seq("b_key"))
+      .select(col("a_id"), col("b_id"))
+    val starEdges = members.join(reps, Seq("tkey"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a_id"), col("rep").as("b_id"))
+    Dedup.connectedComponents(s, docs.select(col("doc_id")),
+      repEdges.unionByName(starEdges))
+  }
+
+  // F2c groups graded query (no oracle — hash-based like its F2 siblings;
+  // golden + planted-chain spec + cross-parallelism determinism cover it,
+  // and the spec proves labels identical across both CC formulations).
+  val qSimhashDedupGroups = Q.noOracle("q_simhash_dedup_groups") { (s, d) =>
+    Dedup.withClusterSize(simhashDedupGroups(s, documents(s, d), 3))
+      .orderBy(col("doc_id"))
   }
 
   // Exact n-gram Jaccard — oracle-graded near-dup scoring as a THRESHOLDED
@@ -264,5 +372,6 @@ object MinHash {
       .limit(50)
   }
 
-  def all: Seq[Q] = Seq(qMinhashSig, qMinhashPairs, qSimhash, qSimhashPairs, qNgramJaccard)
+  def all: Seq[Q] = Seq(qMinhashSig, qMinhashPairs, qSimhash, qSimhashPairs,
+    qSimhashDedupGroups, qNgramJaccard)
 }

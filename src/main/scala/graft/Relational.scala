@@ -185,38 +185,89 @@ object Relational {
     * AQE would not rewrite. For unbounded build sides use the native
     * runtime filters instead — a driver-held sketch must stay bounded.
     */
-  /** The generic C6b operator over any (big frame, integral key) ×
-    * (keys frame, integral key): bloom-prune, then exact semi join.
-    * Result ≡ `big SEMI JOIN keys` always (no false negatives); the
-    * pruning only changes WHERE non-members die — before the shuffle
-    * instead of inside the join. Integral keys only:
-    * `BloomFilterMightContain` probes longs, and `stat.bloomFilter`
-    * hashes strings through a different path than the probe expression
-    * accepts. The filter is sized to the ACTUAL key count (one cheap
-    * count on the keys frame): a fixed expectedNumItems would make the
-    * serialized literal ~1.2 MB at every scale, bloating plans and
-    * broadcasts for nothing at small volume.
+  /** Driver-held Bloom filters above this bitmap size skip the pruning
+    * and run the plain semi join instead (identical result — the bloom
+    * only ever changes WHERE non-members die). The bitmap is embedded as
+    * a `lit(bytes)` literal in the probe expression, so it ships inside
+    * the serialized plan of EVERY task: at 16 MB that is already at the
+    * edge of useful (Spark's own broadcast-hint default is 10 MB); an
+    * unguarded 10⁹-key frame would build a ~1.2 GB bitmap on the driver
+    * and OOM or bloat every task binary. Same guarded pattern as the
+    * [[Dedup.maxBroadcastGrams]] / ngramDecontam broadcast caps: bounded
+    * structure → prune; unbounded → loud, documented fallback.
+    */
+  val maxBloomBytes: Long = 16L << 20
+
+  /** Expected bitmap bytes for n keys at fpp — the standard Bloom sizing
+    * formula (`m = -n·ln(p)/ln²2` bits), the same one `stat.bloomFilter`
+    * uses, so the guard prices the literal BEFORE building it.
+    */
+  def bloomBitmapBytes(n: Long, fpp: Double): Long =
+    (math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))) / 8.0).toLong + 16
+
+  /** The generic C6b operator over any (big frame, key) × (keys frame,
+    * key): bloom-prune, then exact semi join. Result ≡ `big SEMI JOIN
+    * keys` always (no false negatives); the pruning only changes WHERE
+    * non-members die — before the shuffle instead of inside the join.
+    *
+    * Key typing (round 14, per ADVICE): `BloomFilterMightContain`
+    * accepts exactly (binary, long), and `stat.bloomFilter` widens
+    * integral keys through putLong — so INTEGRAL keys on both sides are
+    * cast to long for build and probe (exact widening; the byte/short/
+    * int cases previously passed the guard but exploded at the probe).
+    * NON-integral keys (strings — URLs, doc ids — the common case for
+    * external allowlists) are hashed to long with `xxhash64` on BOTH
+    * sides; equal values hash equal, so no false negatives, and a
+    * 64-bit collision adds ~n/2⁶⁴ to the effective fpp — negligible
+    * against any practical `fpp`, and the exact semi join scrubs either
+    * kind of false positive anyway. Mixed non-integral types are
+    * rejected up front: xxhash64 hashes by PHYSICAL type, so an
+    * int-vs-string key pair would silently never match.
+    *
+    * Sizing/guard: the filter is sized to the ACTUAL key count (one
+    * cheap count on the keys frame — a fixed expectedNumItems would
+    * embed a ~1.2 MB literal at every scale); when the projected bitmap
+    * exceeds `maxBytes` ([[maxBloomBytes]] default) the operator
+    * returns the plain semi join instead — identical rows, no
+    * driver-side bitmap, no bloated task binaries.
     */
   def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
-      keysKey: String, fpp: Double = 0.01): DataFrame = {
+      keysKey: String, fpp: Double = 0.01,
+      maxBytes: Long = maxBloomBytes): DataFrame = {
     import org.apache.spark.sql.types._
     functions.VectorFunctions.register(big.sparkSession)
-    keys.schema(keysKey).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"bloomSemiJoin($keysKey): integral key required, got ${other.catalogString}")
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
     }
+    val (kt, bt) = (keys.schema(keysKey).dataType, big.schema(bigKey).dataType)
+    val bothIntegral = integral(kt) && integral(bt)
+    if (!bothIntegral && kt != bt)
+      throw new IllegalArgumentException(
+        s"bloomSemiJoin: non-integral keys must have the SAME type on both " +
+          s"sides (xxhash64 hashes by physical type) — got $keysKey: " +
+          s"${kt.catalogString} vs $bigKey: ${bt.catalogString}")
+    // the probe column on each side: exact long widening for integrals,
+    // xxhash64 for everything else (strings, dates, decimals, ...)
+    def probeCol(c: org.apache.spark.sql.Column) =
+      if (bothIntegral) c.cast("long") else xxhash64(c)
     val k = keys.select(col(keysKey))
-    val bf = k.stat.bloomFilter(keysKey, math.max(1000L, k.count()), fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val probe = k.select(col(keysKey).as(s"__bsj_$keysKey"))
-    big
-      .filter(call_function("bloom_might_contain", lit(bytes), col(bigKey)))
-      .join(probe, col(bigKey) === col(s"__bsj_$keysKey"), "left_semi")
+    val n = math.max(1000L, k.count())
+    val pruned =
+      if (bloomBitmapBytes(n, fpp) > maxBytes) big // guarded fallback
+      else {
+        val bf = k.select(probeCol(col(keysKey)).as("__h"))
+          .stat.bloomFilter("__h", n, fpp)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        big.filter(call_function("bloom_might_contain", lit(bytes),
+          probeCol(col(bigKey))))
+      }
+    pruned.join(k.select(col(keysKey).as(s"__bsj_$keysKey")),
+      col(bigKey) === col(s"__bsj_$keysKey"), "left_semi")
   }
 
   val qBloomSemi = Q(

@@ -765,15 +765,16 @@ object Similarity {
         ordered = false).select(col("a_id"), col("b_id"))
       else exactCosineEdges(s, emb, minCos)
     val nodes = emb.select(col("vec_id").as("doc_id"))
-    // CC algorithm per graph shape (round-13 A/B, BASELINE.md): banded
-    // LSH at moderate thresholds yields DEEP graphs of borderline pairs
-    // (17 propagation rounds measured on the graded q_f21b graph) where
-    // the two-phase large-star/small-star loop converges in ~5 rounds
-    // and halves the wall; exact-edge graphs are complete within
-    // clusters (shallow), where min-label's slim label join stays ahead.
-    val cc =
-      if (useLsh) Dedup.connectedComponentsStarWithRounds(s, nodes, edges)._1
-      else Dedup.connectedComponents(s, nodes, edges)
+    // CC engine: the round-14 auto-selecting hybrid for BOTH edge builds
+    // (replacing round 13's hard-coded per-site picks). Banded LSH at
+    // moderate thresholds yields DEEP graphs of borderline pairs (17
+    // propagation rounds measured on the graded q_f21b graph), where the
+    // hybrid's hand-off to the two-phase star rewrite lands the same win
+    // the explicit star call did; exact-edge graphs are complete within
+    // clusters (shallow), where the hybrid never leaves min-label's slim
+    // label join. One engine, the diameter decides — measured on the
+    // graded shapes in BASELINE.md round 14.
+    val cc = Dedup.connectedComponents(s, nodes, edges)
     // cluster_size via groupBy+join (Dedup.withClusterSize), not a window:
     // one mega-cluster would pin a whole WindowExec partition otherwise.
     Dedup.withClusterSize(cc)

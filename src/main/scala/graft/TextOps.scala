@@ -883,21 +883,34 @@ object TextOps {
   /** The generic F18b operator over any frame with an id and an integer
     * weight column: keep each row with probability min(1, w/scale). The
     * uniform draw is the first 8 md5 hex digits of the id as a 32-bit
-    * integer and the inclusion test `u·scale < w·2^32` is pure 64-bit
+    * integer and the inclusion test `u·scale < wc·2^32` is pure 64-bit
     * integer arithmetic — bit-identical across engines/partitionings.
     * Appends `p_millionths` = ⌊min(10⁶, w·10⁶/scale)⌋, the exact
     * inclusion probability a Horvitz–Thompson consumer divides by.
     * `scale` must satisfy u32·scale < 2⁶³ (scale ≤ ~2·10⁹) — every
     * practical rate denominator.
+    *
+    * Overflow/exactness (round 14, per ADVICE): the weight is CLAMPED to
+    * [0, scale] before either product — exact for min(1, w/scale)
+    * semantics (w ≥ scale is certain inclusion with p = 10⁶; w ≤ 0 is
+    * certain exclusion), and it bounds wc·2³² ≤ 8.6·10¹⁸ < 2⁶³ where a
+    * raw w ≥ 2³¹ silently overflowed and FLIPPED the comparison under
+    * non-ANSI Long arithmetic. `p_millionths` uses integer floor
+    * division (`div`), not Spark's double `/` — wc·10⁶ ≤ 2·10¹⁵ fits a
+    * Long exactly and the quotient never rounds through a double, so the
+    * documented floor formula is exact for every in-range weight.
     */
   def weightedBernoulli(df: org.apache.spark.sql.DataFrame, idCol: String,
       weightCol: String, scale: Long): org.apache.spark.sql.DataFrame = {
     require(scale > 0 && scale <= 2000000000L,
       s"scale must be in [1, 2e9] for overflow-free integer math, got $scale")
+    val wc = greatest(lit(0L), least(col(weightCol).cast("long"), lit(scale)))
     df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") * scale < col(weightCol) * 4294967296L)
+        .cast("long") * scale < wc * 4294967296L)
+      .withColumn("__bern_wc", wc)
       .withColumn("p_millionths",
-        least(lit(1000000L), col(weightCol) * 1000000L / scale).cast("long"))
+        expr(s"(__bern_wc * 1000000L) div ${scale}L").cast("long"))
+      .drop("__bern_wc")
   }
 
   val qWeightedSample = Q(

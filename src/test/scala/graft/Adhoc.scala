@@ -24,6 +24,81 @@ object Adhoc {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.register(spark)
 
+    if (args.headOption.contains("simhash1m")) {
+      // F2c decade certification (round 14): 1M synthetic titles + 100k
+      // one-token-mutated twins + a 5000-copy EXACT-dup blob (the skew
+      // probe: identical texts share every band key, the quadratic hazard
+      // the round-14 md5 rep-set collapses to one banding row). Recall
+      // ground truth is computed from the signatures themselves — the
+      // pigeonhole makes banding recall EXACT, so every (base, twin) pair
+      // whose signatures sit within hamming 3 MUST be found, and every
+      // blob pair must surface at hamming 0 through the expansion.
+      val n = sys.env.getOrElse("ADHOC_SIMHASH_N", "1000000").toLong
+      def textOf(mutPos: Int) = concat_ws(" ",
+        transform(sequence(lit(0), (pmod(hash(col("id")), lit(8)) + lit(11)).cast("int")),
+          { i =>
+            val h = hash(col("id") * 31 + i)
+            val tok = concat(lit("w"),
+              lower(conv(pmod(h, lit(50000)).cast("string"), 10, 36)))
+            if (mutPos >= 0) when(i === mutPos, lit("ZMUTX")).otherwise(tok) else tok
+          }))
+      val baseT = spark.range(0, n).select(col("id").as("doc_id"), textOf(-1).as("text"))
+      val twins = spark.range(0, n).filter(pmod(col("id"), lit(10)) === 0)
+        .select((col("id") + 10000000L).as("doc_id"), textOf(2).as("text"))
+      val blobN = 5000L
+      val blob = spark.range(0, blobN)
+        .select((col("id") + 20000000L).as("doc_id"),
+          lit("copy of the one hot boilerplate page body").as("text"))
+      val corpus = baseT.unionByName(twins).unionByName(blob)
+        .localCheckpoint(eager = true)
+      println(s"corpus: ${corpus.count()} docs")
+      // band-bucket skew over DISTINCT texts (what actually enters the
+      // join): top bucket size per the 4×16-bit banding at maxHamming 3
+      val dsig = corpus.select(md5(col("text")).as("tkey"),
+          call_function("simhash64", col("text")).as("sig"))
+        .groupBy("tkey").agg(first(col("sig")).as("sig"))
+      val hot = dsig.select(explode(array(Seq.tabulate(4) { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+        }: _*)).as("bk"))
+        .groupBy("bk").count().agg(max("count")).head().getLong(0)
+      println(s"ADHOC simhash1m distinct_texts=${dsig.count()} max_band_bucket=$hot")
+      var pairs: org.apache.spark.sql.DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"simhash1m_pairs rep=$rep") {
+          pairs = MinHash.simhashPairsOf(corpus, 3).localCheckpoint(eager = true)
+          pairs.count()
+        }
+      }
+      val sigs = corpus.select(col("doc_id"),
+        call_function("simhash64", col("text")).as("sig"))
+      val expected = sigs.filter(col("doc_id") < 10000000L)
+        .join(sigs.filter(col("doc_id") >= 10000000L && col("doc_id") < 20000000L)
+          .select((col("doc_id") - 10000000L).as("bid"), col("sig").as("tsig")),
+          col("doc_id") === col("bid"))
+        .filter(bit_count(col("sig").bitwiseXOR(col("tsig"))) <= 3).count()
+      val foundTwins = pairs.filter(col("b_id") === col("a_id") + 10000000L).count()
+      val blobPairs = pairs.filter(col("a_id") >= 20000000L && col("b_id") >= 20000000L).count()
+      println(s"ADHOC simhash1m twins_within3=$expected twins_found=$foundTwins " +
+        s"blob_pairs=$blobPairs expected_blob=${blobN * (blobN - 1) / 2}")
+      assert(foundTwins == expected,
+        s"banding must find EXACTLY the sig-near twins: $foundTwins vs $expected")
+      assert(blobPairs == blobN * (blobN - 1) / 2,
+        "exact-dup blob pairs must all surface through the rep-set expansion")
+      // groups at the same scale: the star-edge composition must collapse
+      // the blob to ONE cluster without materializing its 12.5M pairs
+      time("simhash1m_groups") {
+        val g = MinHash.simhashDedupGroups(spark, corpus, 3)
+        g.filter(col("cluster_id") === 20000000L).count()
+      }
+      val g = MinHash.simhashDedupGroups(spark, corpus, 3)
+      val blobCluster = g.filter(col("doc_id") >= 20000000L)
+        .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
+      assert(blobCluster == Seq(20000000L), s"blob must be one cluster: $blobCluster")
+      spark.stop()
+      return
+    }
+
     // 10 mutated copies of each sf0.1 doc: copy 0 is verbatim (a planted
     // exact/near dup of the original), copies 1..9 prepend a distinct
     // token (near-dup of the original at high jaccard)
@@ -172,8 +247,13 @@ object Adhoc {
         val (ccB, rB) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
         ccB.count()
         val tB = (System.nanoTime() - t0) / 1e9
-        val diff = ccB.exceptAll(ccA).count()
-        println(f"ADHOC ccgraded $name rep=$rep minlabel r=$rA secs=$tA%.2f star r=$rB secs=$tB%.2f diff=$diff")
+        t0 = System.nanoTime()
+        val (ccH, rH) = Dedup.connectedComponentsHybridWithRounds(spark, nodes, edges)
+        ccH.count()
+        val tH = (System.nanoTime() - t0) / 1e9
+        val diff = ccB.exceptAll(ccA).count() + ccH.exceptAll(ccA).count()
+        println(f"ADHOC ccgraded $name rep=$rep minlabel r=$rA secs=$tA%.2f " +
+          f"star r=$rB secs=$tB%.2f hybrid r=$rH secs=$tH%.2f diff=$diff")
       }
       spark.stop()
       return
@@ -204,9 +284,15 @@ object Adhoc {
         val szB = Dedup.withClusterSize(ccB).groupBy(col("cluster_size")).count()
           .orderBy(col("cluster_size")).as[(Long, Long)].collect().toSeq
         val tB = (System.nanoTime() - t0) / 1e9
-        println(f"ADHOC megaccstar rep=$rep minlabel rounds=$rA secs=$tA%.2f star rounds=$rB secs=$tB%.2f")
-        assert(szA == Seq((300L, 300L), (n.toLong, n.toLong)) && szB == szA,
-          s"mis-clustered: $szA vs $szB")
+        t0 = System.nanoTime()
+        val (ccH, rH) = Dedup.connectedComponentsHybridWithRounds(spark, nodes, edges)
+        val szH = Dedup.withClusterSize(ccH).groupBy(col("cluster_size")).count()
+          .orderBy(col("cluster_size")).as[(Long, Long)].collect().toSeq
+        val tH = (System.nanoTime() - t0) / 1e9
+        println(f"ADHOC megaccstar rep=$rep minlabel rounds=$rA secs=$tA%.2f " +
+          f"star rounds=$rB secs=$tB%.2f hybrid rounds=$rH secs=$tH%.2f")
+        assert(szA == Seq((300L, 300L), (n.toLong, n.toLong)) && szB == szA && szH == szA,
+          s"mis-clustered: $szA vs $szB vs $szH")
       }
       spark.stop()
       return

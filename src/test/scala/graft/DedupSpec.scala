@@ -137,8 +137,22 @@ class DedupSpec extends SparkSpec {
     val n = 12
     val nodes = (1L to n.toLong).toDF("doc_id")
     val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    // diameter 11 path cannot converge in 3 rounds
+    // diameter 11 path cannot converge in 3 min-label rounds — the pure
+    // propagation loop must throw, never return wrong labels
     assertThrows[IllegalStateException](
-      Dedup.connectedComponents(spark, nodes, edges, maxIters = 3).collect())
+      Dedup.connectedComponentsWithRounds(spark, nodes, edges, maxIters = 3)
+        ._1.collect())
+    // the round-14 hybrid facade SOLVES the same budget instead: the star
+    // hand-off converges the path inside the 3-round star budget, with
+    // correct labels (strictly better, never wrong)
+    val labels = Dedup.connectedComponents(spark, nodes, edges, maxIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.toSet == Set(1L))
+    // and when even the star budget is too small, the hybrid still throws
+    // rather than returning a non-fixpoint
+    val big = (1L to 300L).toDF("doc_id")
+    val bigEdges = (1L until 300L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(spark, big, bigEdges, maxIters = 2).collect())
   }
 }

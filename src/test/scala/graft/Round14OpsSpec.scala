@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: the four ADVICE items (bloomSemiJoin key typing,
+  * weightedBernoulli's >=2^31 overflow + exact integer-div HT factor,
+  * simhashPairsOf's tightened banding bound), the bloom size guard with
+  * its plain-semi-join fallback, the SimHash dedup GROUPS composition
+  * (F2c + F11), the hybrid auto-selecting CC engine, and the F18b
+  * weighted-sampling curation stage.
+  */
+class Round14OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- C6b: bloomSemiJoin key typing + guard -------------------------
+
+  test("bloomSemiJoin on STRING keys ≡ plain semi join") {
+    val big = (0 until 500).map(i => (i.toLong, s"url_${i % 97}")).toDF("id", "k")
+    val keys = (0 until 97 by 3).map(i => s"url_$i").toDF("k")
+    val got = Relational.bloomSemiJoin(big, "k", keys, "k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = big.join(keys.select(col("k").as("kk")),
+        col("k") === col("kk"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloomSemiJoin on INT (non-long) keys works and matches the semi join") {
+    // the round-13 guard admitted int keys but the probe exploded at
+    // analysis (BloomFilterMightContain accepts exactly (binary, long));
+    // round 14 casts both sides to long — assert the whole path RUNS
+    val big = (0 until 300).map(i => (i, s"r$i")).toDF("k", "v")
+    val keys = (0 until 300 by 7).map(i => i).toDF("k")
+    val got = Relational.bloomSemiJoin(big, "k", keys, "k")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (0 until 300 by 7).toSeq)
+    // mixed integral widths (long big side, int keys) also fine
+    val bigL = (0L until 300L).map(i => (i, i * 2)).toDF("k", "v")
+    val gotL = Relational.bloomSemiJoin(bigL, "k", keys, "k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotL == (0 until 300 by 7).map(_.toLong).toSeq)
+  }
+
+  test("bloomSemiJoin rejects mismatched non-integral key types up front") {
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val keys = Seq(1).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Relational.bloomSemiJoin(big, "v", keys, "k")
+    }
+    assert(e.getMessage.contains("SAME type"))
+  }
+
+  test("bloomSemiJoin size guard falls back to the identical plain semi join") {
+    // spark.range, not toDF: ConvertToLocalRelation would evaluate the
+    // bloom probe over a LocalRelation at OPTIMIZATION time and the plan
+    // asserts below would see no filter either way
+    val big = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 13).as("m"))
+    val keys = (0L until 1000L by 11L).toDF("k")
+    // maxBytes = 0 forces the guard for ANY key count
+    val guarded = Relational.bloomSemiJoin(big, "k", keys, "k", maxBytes = 0L)
+    assert(!guarded.queryExecution.executedPlan.toString.contains("might_contain"),
+      "guard tripped but a bloom probe survived in the plan")
+    val got = guarded.collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0L until 1000L by 11L).toSeq
+    assert(got == want)
+    // un-guarded run on the same inputs: same rows, probe present
+    val pruned = Relational.bloomSemiJoin(big, "k", keys, "k")
+    assert(pruned.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == want)
+  }
+
+  test("bloomBitmapBytes prices the guard sanely") {
+    // ~9.6 bits/key at fpp 0.01 → 1e9 keys ≈ 1.2 GB (the verdict's
+    // hazard case) must trip the default guard; the graded query's
+    // ~100-key frame must not
+    assert(Relational.bloomBitmapBytes(1000000000L, 0.01) > Relational.maxBloomBytes)
+    assert(Relational.bloomBitmapBytes(1000L, 0.01) < 4096L)
+  }
+
+  // ---- F18b: weightedBernoulli overflow + exact HT factor ------------
+
+  test("weightedBernoulli survives weights >= 2^31 (clamped, not overflowed)") {
+    // w >= scale is CERTAIN inclusion; pre-fix, w*2^32 overflowed Long
+    // and flipped the comparison, silently dropping rows
+    val big = Seq((1L, 3000000000L), (2L, Long.MaxValue / 2), (3L, 5L),
+      (4L, -7L), (5L, Long.MinValue)).toDF("id", "w")
+    val out = TextOps.weightedBernoulli(big, "id", "w", 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.contains(1L) && out(1L) == 1000000L,
+      s"w=3e9 must be certain inclusion with p=1e6: $out")
+    assert(out.contains(2L) && out(2L) == 1000000L)
+    assert(!out.contains(4L) && !out.contains(5L),
+      s"non-positive weights are certain exclusion: $out")
+  }
+
+  test("weightedBernoulli p_millionths is the exact floor for adversarial weights") {
+    // weights chosen so w*1e6/scale lands JUST below an integer — where
+    // double division rounds up and floor() then overstates by 1
+    val scale = 999999937L // large prime scale
+    val rows = (1L to 400L).map(i => (i, i * 2499999 % scale))
+    val out = TextOps.weightedBernoulli(rows.toDF("id", "w"), "id", "w", scale)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, w, p) =>
+      val exact = (BigInt(w.min(scale).max(0L)) * 1000000 / scale).toLong
+      assert(p == exact, s"w=$w: p_millionths=$p, exact floor=$exact")
+    }
+  }
+
+  test("weightedBernoulli inclusion is unchanged for in-range weights (clamp is semantics-free)") {
+    val docs = Tables.documents(spark, sf001)
+    val got = TextOps.weightedBernoulli(docs, "doc_id", "n_chars", 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the pre-clamp formulation, inlined (safe here: n_chars < 2^31)
+    val want = docs.filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") * 1000L < col("n_chars") * 4294967296L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  // ---- F2c: tightened banding bound ----------------------------------
+
+  test("simhashPairsOf rejects maxHamming > 7 (degenerate 4-bit bands)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      MinHash.simhashPairsOf(docs, 8)
+    }
+    assert(e.getMessage.contains("[0, 7]"))
+  }
+
+  // ---- F2c groups: SimHash dedup clusters ----------------------------
+
+  test("simhashDedupGroups chains pairs into one cluster (A≈B≈C, A far from C)") {
+    // planted CHAIN M1 — base — M2 with hamming(M1, M2) > maxHamming:
+    // exactly the case where keep-one-per-PAIR over-keeps and groups are
+    // required. A one-token mutation flips a DATA-DEPENDENT number of
+    // signature bits (every token votes ±1 on every bit), so the chain is
+    // constructed from MEASURED signatures: generate single-token mutants
+    // of one base text and pick two within 3 bits of the base but > 3
+    // bits apart — deterministic under the fixed seed.
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(t: String): Long =
+      graft.functions.ShingleOps.simhash64(UTF8String.fromString(t))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = (1 to 48).map(i => s"tok$i").mkString(" ")
+    val mutants = (0 until 300).map { j =>
+      (1 to 48).map(i => if (i == j % 48 + 1) s"mut${j}_z" else s"tok$i").mkString(" ")
+    }
+    val near = mutants.filter(m => ham(sig(base), sig(m)) <= 3)
+    val chainOpt = (for {
+      m1 <- near; m2 <- near
+      if ham(sig(m1), sig(m2)) > 3
+    } yield (m1, m2)).headOption
+    assert(chainOpt.isDefined,
+      s"no chain triple among ${near.size} near mutants — widen the pool")
+    val (m1, m2) = chainOpt.get
+    val df = Seq((0L, base), (1L, m1), (2L, m2),
+      (100L, (1 to 48).map(i => s"other$i").mkString(" ")),
+      (101L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pairs = MinHash.simhashPairsOf(df, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) &&
+      !pairs.contains((1L, 2L)),
+      s"chain construction broke: $pairs")
+    val groups = MinHash.simhashDedupGroups(spark, df, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 2L).foreach(k => assert(groups(k) == 0L,
+      s"chained doc $k must label 0, got ${groups(k)}"))
+    assert(groups(100L) == 100L, "unrelated doc must be a singleton")
+    assert(groups(101L) == 101L, "null-text doc must still get a singleton row")
+  }
+
+  test("simhashPairsOf emits every dup-blob pair through the rep-set expansion") {
+    // 40 identical copies + 2 distinct docs: the md5 rep-set must band ONE
+    // representative yet still emit all 40·39/2 within-group pairs at
+    // hamming 0, plus nothing across unrelated texts
+    val blob = (0L until 40L).map(i => (i, "copy copy copy of the same page"))
+    val docs = (blob ++ Seq((100L, (1 to 30).map(i => s"uniq$i").mkString(" ")),
+      (101L, (1 to 30).map(i => s"alia$i").mkString(" ")))).toDF("doc_id", "text")
+    val pairs = MinHash.simhashPairsOf(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val withinBlob = pairs.filter(p => p._1 < 40L && p._2 < 40L)
+    assert(withinBlob.length == 40 * 39 / 2, s"got ${withinBlob.length} blob pairs")
+    assert(withinBlob.forall(_._3 == 0L), "blob pairs must report hamming 0")
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L && p._1 < 40L),
+      s"unrelated docs must not pair with the blob")
+    // and the groups composition collapses the blob to one cluster with
+    // LINEAR star edges, labels ≡ CC over the all-pairs expansion
+    val groups = MinHash.simhashDedupGroups(spark, docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 40L).foreach(i => assert(groups(i) == 0L))
+    assert(groups(100L) == 100L && groups(101L) == 101L)
+  }
+
+  test("simhashDedupGroups labels ≡ both pure CC formulations on the graded corpus") {
+    val docs = Tables.documents(spark, sf001)
+    val edges = MinHash.simhashPairsOf(docs, 3).select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = true)
+    val nodes = docs.select(col("doc_id"))
+    val hybrid = MinHash.simhashDedupGroups(spark, docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val minLabel = Dedup.connectedComponentsWithRounds(spark, nodes, edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val star = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hybrid == minLabel && hybrid == star)
+    assert(hybrid.nonEmpty)
+  }
+
+  // ---- hybrid CC: auto-select correctness ----------------------------
+
+  test("hybrid CC labels ≡ min-label on a DEEP chain (forces the star hand-off)") {
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (a <- 400L until 410L; b <- (a + 1) until 410L) yield (a, b)
+    val edges = (chain ++ clique).toDF("a_id", "b_id")
+    val nodes = ((0L until 300L) ++ (400L until 412L)).toDF("doc_id")
+    val (hyb, hybRounds) = Dedup.connectedComponentsHybridWithRounds(
+      spark, nodes, edges, starSwitchAfter = 4)
+    val got = hyb.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = Dedup.connectedComponentsWithRounds(spark, nodes, edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"hybrid labels diverged (rounds=$hybRounds)")
+    // the 300-chain cannot converge in 4 min-label rounds, so the star
+    // phase must actually have run
+    assert(hybRounds > 4, s"expected a star phase after 4 rounds, got $hybRounds")
+  }
+
+  test("hybrid CC on a shallow graph never leaves min-label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val nodes = (1L to 12L).toDF("doc_id")
+    val (df, rounds) = Dedup.connectedComponentsHybridWithRounds(
+      spark, nodes, edges)
+    assert(rounds <= 6, s"shallow graph must converge inside the switch budget: $rounds")
+    val labels = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels(3L) == 1L && labels(11L) == 10L && labels(5L) == 5L)
+  }
+
+  test("hybrid CC with a reliable checkpointDir survives total block loss across the hand-off") {
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val edges = chain.toDF("a_id", "b_id")
+    val nodes = (0L until 200L).toDF("doc_id")
+    Dedup.testBlockLossHook = Some { s =>
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    try {
+      val dir = tmpDir("cchybrid_loss_ckpt")
+      val (df, rounds) = Dedup.connectedComponentsHybridWithRounds(
+        spark, nodes, edges, checkpointDir = Some(dir), starSwitchAfter = 4)
+      val labels = df.as[(Long, Long)].collect().toMap
+      assert(rounds > 4 && labels.size == 200 && labels(199L) == 0L,
+        s"hybrid reliable-checkpoint run mislabeled (rounds=$rounds)")
+    } finally Dedup.testBlockLossHook = None
+  }
+
+  // ---- F18b curation stage -------------------------------------------
+
+  test("weighted_sample curation stage ≡ the standalone operator on the gate survivors") {
+    val rnd = new scala.util.Random(14)
+    val docs = (0 until 300).map { i =>
+      val n = 20 + rnd.nextInt(40)
+      (i.toLong, (1 to n).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val gate = Graft.QualityGate(minTokens = 1, maxTokens = 100,
+      stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+    val wk = Graft.WeightedKeep(octet_length(col("text")).cast("long"), 400L)
+    val (packed, audit) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = gate, weighted = Some(wk))
+    val stages = audit.map(_.stage)
+    assert(stages.last == "weighted_sample", s"stage order: $stages")
+    val row = audit.last
+    assert(row.kept > 0 && row.dropped > 0,
+      s"the 400-byte scale over 20-60-token docs must both keep and drop: $row")
+    // kept set ≡ standalone weightedBernoulli over the pre-sample pool:
+    // replay the pipeline WITHOUT the stage, sample its output directly
+    val (noSample, _) = Graft.curateCorpusAudited(spark, docs, Nil, quality = gate)
+    val poolIds = noSample.select("doc_id")
+    val survivors = docs.join(poolIds, Seq("doc_id"), "left_semi")
+    val standalone = TextOps.weightedBernoulli(
+        survivors.withColumn("w", octet_length(col("text")).cast("long")),
+        "doc_id", "w", 400L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaStage = packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaStage == standalone,
+      s"stage kept ${viaStage.size} ids, standalone kept ${standalone.size}")
+  }
+}
