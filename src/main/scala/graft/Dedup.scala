@@ -650,7 +650,7 @@ object Dedup {
       edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,
       checkpointDir: Option[String] = None,
-      starSwitchAfter: Int = 6): (DataFrame, Int) = {
+      starSwitchAfter: Int = 3): (DataFrame, Int) = {
     require(starSwitchAfter >= 1, s"starSwitchAfter must be >= 1, got $starSwitchAfter")
     val (lbls, iter, converged, e0) = minLabelCore(s, nodes, edges,
       math.min(starSwitchAfter, maxIters), checkEvery, contractAbove,

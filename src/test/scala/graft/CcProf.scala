@@ -26,6 +26,50 @@ object CcProf {
       r
     }
 
+    if (args.headOption.contains("shapes")) {
+      // round-14: the three loops on every OTHER graded CC edge shape —
+      // exact cosine (clique-heavy), simhash rep+star, f11 jaccard —
+      // with round counts, to calibrate the hybrid switch point
+      val docs = Tables.documents(spark, d)
+      val exactEdges = Similarity.exactCosineEdges(spark, emb, 0.35)
+        .localCheckpoint(eager = true)
+      MinHash.simhashDedupGroups(spark, docs, 3).count() // warm kernels
+      val shapes = Seq(
+        ("f21_exact", emb.select(col("vec_id").as("doc_id")), exactEdges))
+      for ((name, nodes, edges) <- shapes; rep <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val (a, rA) = Dedup.connectedComponentsWithRounds(spark, nodes, edges)
+        a.count(); val tA = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val (b, rB) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+        b.count(); val tB = (System.nanoTime() - t0) / 1e9
+        for (sw <- Seq(2, 4, 8)) {
+          t0 = System.nanoTime()
+          val (h, rH) = Dedup.connectedComponentsHybridWithRounds(spark, nodes,
+            edges, starSwitchAfter = sw)
+          h.count(); val tH = (System.nanoTime() - t0) / 1e9
+          val diff = h.exceptAll(a).count() + b.exceptAll(a).count()
+          println(f"CCPROF shape=$name rep=$rep minlabel r=$rA $tA%.2f star r=$rB $tB%.2f hybrid_sw$sw r=$rH $tH%.2f diff=$diff")
+        }
+      }
+      // simhash groups breakdown: pairs wall vs CC wall
+      for (rep <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val pairs = MinHash.simhashPairsOf(docs, 3).localCheckpoint(eager = true)
+        val np = pairs.count()
+        val tP = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val g = MinHash.simhashDedupGroups(spark, docs, 3)
+        g.count()
+        val tG = (System.nanoTime() - t0) / 1e9
+        val (_, rS) = Dedup.connectedComponentsHybridWithRounds(spark,
+          docs.select(col("doc_id")), pairs.select(col("a_id"), col("b_id")))
+        println(f"CCPROF simhash rep=$rep pairs=$np pairs_s=$tP%.2f groups_s=$tG%.2f cc_rounds=$rS")
+      }
+      spark.stop()
+      return
+    }
+
     for (rep <- 1 to 3) {
       val edges = t(s"lsh_edges_plan_build_$rep") {
         Similarity.lshCandidates(spark, emb, 0.35, ordered = false)
@@ -56,6 +100,17 @@ object CcProf {
       val diff = ccStar.select(col("doc_id"), col("cluster_id"))
         .exceptAll(cc.select(col("doc_id"), col("cluster_id"))).count()
       println(s"CCPROF star_label_diff=$diff")
+      // round-14: the hybrid at several switch points on the same graph
+      for (sw <- Seq(2, 4, 6)) {
+        val (ccH, hRounds) = t(s"cc_hybrid_sw${sw}_$rep") {
+          val r = Dedup.connectedComponentsHybridWithRounds(spark, nodes, edges,
+            starSwitchAfter = sw)
+          (r._1.localCheckpoint(eager = true), r._2)
+        }
+        val hDiff = ccH.select(col("doc_id"), col("cluster_id"))
+          .exceptAll(cc.select(col("doc_id"), col("cluster_id"))).count()
+        println(s"CCPROF hybrid_sw$sw rounds=$hRounds diff=$hDiff")
+      }
     }
     // deep-graph A/B: a 100k-node chain forest (1k chains × 100 nodes) +
     // one 3k-node chain — the diameter shape where round count dominates

@@ -228,13 +228,22 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   test("hybrid CC on a shallow graph never leaves min-label") {
-    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    // near-clique components (the near-dup norm: every member adjacent to
+    // the min) finish in the seed round and the first convergence check
+    // (round 3) certifies it — the hybrid must exit there, star untouched
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val nodes = (1L to 12L).toDF("doc_id")
     val (df, rounds) = Dedup.connectedComponentsHybridWithRounds(
       spark, nodes, edges)
-    assert(rounds <= 6, s"shallow graph must converge inside the switch budget: $rounds")
+    assert(rounds <= 3, s"shallow graph must converge at the first check: $rounds")
     val labels = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels(3L) == 1L && labels(11L) == 10L && labels(5L) == 5L)
+    // a diameter-3 chain legitimately hands off at the first check and
+    // star closes it in one round — correct labels, tiny budget
+    val (df2, rounds2) = Dedup.connectedComponentsHybridWithRounds(
+      spark, nodes, Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id"))
+    val l2 = df2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(l2(4L) == 1L && rounds2 <= 5, s"chain hand-off: rounds=$rounds2")
   }
 
   test("hybrid CC with a reliable checkpointDir survives total block loss across the hand-off") {
