@@ -58,7 +58,11 @@ object Bench {
     // round-14 additions (verdict item 7): the three round-13 operators
     // plus the new SimHash groups composition, tracked round-over-round
     "q_bloom_semi", "q_weighted_sample", "q_f2_simhash_pairs",
-    "q_simhash_dedup_groups")
+    "q_simhash_dedup_groups",
+    // round-14 new operators: bloom-accelerated anti join, the
+    // incremental (delta) dedup screen, A-ES weighted top-k, BM25
+    "q_bloom_anti", "q_incremental_dedup", "q_weighted_topk",
+    "q_bm25_topk")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

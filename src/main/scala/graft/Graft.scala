@@ -101,6 +101,25 @@ object Graft {
       keysKey: String, fpp: Double = 0.01): DataFrame =
     Relational.bloomSemiJoin(big, bigKey, keys, keysKey, fpp)
 
+  /** C6c: bloom-accelerated ANTI join — keep `big`'s rows whose `bigKey`
+    * is NOT in `keys.keysKey`; `NOT might_contain` proves absence for
+    * the typical majority straight off the scan, and only the
+    * might-contain minority enters the exact anti join (result identical
+    * to a plain left-anti join). The decontamination / delta-dedup
+    * screen shape. */
+  def bloomAntiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
+      keysKey: String, fpp: Double = 0.01): DataFrame =
+    Relational.bloomAntiJoin(big, bigKey, keys, keysKey, fpp)
+
+  /** Incremental (delta) dedup: admit only the increment docs that are
+    * neither exact nor near duplicates of the standing corpus or of a
+    * smaller-id increment doc — the daily-ingest screen, at |Δ| probe +
+    * bipartite Δ×C prefix-join cost instead of a corpus-wide re-dedup.
+    * [[Dedup.incrementalDedupVerdicts]] is the labeled-reasons form. */
+  def dedupIncrement(spark: SparkSession, corpus: DataFrame,
+      increment: DataFrame, minJaccard: Double = 0.6): DataFrame =
+    Dedup.dedupIncrement(spark, corpus, increment, minJaccard)
+
   /** F18b: weighted Bernoulli sampling — keep each row w.p. min(1,
     * weight/scale), deterministic (md5-integer draw, pure integer test)
     * and engine/partitioning-exact; appends the exact `p_millionths`
@@ -108,6 +127,21 @@ object Graft {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       scale: Long): DataFrame =
     TextOps.weightedBernoulli(df, idCol, weightCol, scale)
+
+  /** F18c: weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis A-ES scheme over the same deterministic md5
+    * draw; per-group top-k on the bounded-heap `collect_top_k`
+    * aggregate, never a window sort. */
+  def weightedTopK(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame =
+    TextOps.weightedTopKPerGroup(df, groupCol, idCol, weightCol, k)
+
+  /** F29: BM25 relevance scores for `docs` against a query-term frame —
+    * micro-quantized long scores (engine- and order-exact); broadcast
+    * term restriction before the tf shuffle. */
+  def bm25(docs: DataFrame, terms: DataFrame, k1: Double = 1.25,
+      b: Double = 0.75): DataFrame =
+    TextOps.bm25Scores(docs, terms, k1, b)
 
   /** F2c: SimHash near-dup pairs at ≤ `maxHamming` bit flips — exact
     * recall via Manku pigeonhole banding; one codegen popcount verify

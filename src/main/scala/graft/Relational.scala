@@ -231,9 +231,17 @@ object Relational {
     * returns the plain semi join instead — identical rows, no
     * driver-side bitmap, no bloated task binaries.
     */
-  def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
-      keysKey: String, fpp: Double = 0.01,
-      maxBytes: Long = maxBloomBytes): DataFrame = {
+  /** Shared C6b/C6c plumbing: validate the key typing (see
+    * [[bloomSemiJoin]]'s scaladoc), size and build the driver-held Bloom
+    * filter over the keys frame, and return the keys projection plus —
+    * when the guard admitted a build — the `might_contain` probe Column
+    * over `big`'s key. `None` when the keys frame is empty (Spark's
+    * `stat.bloomFilter` NPEs on a zero-row frame) or the projected bitmap
+    * exceeds `maxBytes`; callers fall back to the plain join either way.
+    */
+  private def bloomProbe(big: DataFrame, bigKey: String, keys: DataFrame,
+      keysKey: String, fpp: Double, maxBytes: Long,
+      op: String): (DataFrame, Option[org.apache.spark.sql.Column]) = {
     import org.apache.spark.sql.types._
     functions.VectorFunctions.register(big.sparkSession)
     def integral(t: DataType): Boolean = t match {
@@ -244,7 +252,7 @@ object Relational {
     val bothIntegral = integral(kt) && integral(bt)
     if (!bothIntegral && kt != bt)
       throw new IllegalArgumentException(
-        s"bloomSemiJoin: non-integral keys must have the SAME type on both " +
+        s"$op: non-integral keys must have the SAME type on both " +
           s"sides (xxhash64 hashes by physical type) — got $keysKey: " +
           s"${kt.catalogString} vs $bigKey: ${bt.catalogString}")
     // the probe column on each side: exact long widening for integrals,
@@ -252,9 +260,10 @@ object Relational {
     def probeCol(c: org.apache.spark.sql.Column) =
       if (bothIntegral) c.cast("long") else xxhash64(c)
     val k = keys.select(col(keysKey))
-    val n = math.max(1000L, k.count())
-    val pruned =
-      if (bloomBitmapBytes(n, fpp) > maxBytes) big // guarded fallback
+    val nKeys = k.count()
+    val n = math.max(1000L, nKeys)
+    val probe =
+      if (nKeys == 0L || bloomBitmapBytes(n, fpp) > maxBytes) None
       else {
         val bf = k.select(probeCol(col(keysKey)).as("__h"))
           .stat.bloomFilter("__h", n, fpp)
@@ -263,11 +272,75 @@ object Relational {
           bf.writeTo(bos)
           bos.toByteArray
         }
-        big.filter(call_function("bloom_might_contain", lit(bytes),
+        Some(call_function("bloom_might_contain", lit(bytes),
           probeCol(col(bigKey))))
       }
+    (k, probe)
+  }
+
+  def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
+      keysKey: String, fpp: Double = 0.01,
+      maxBytes: Long = maxBloomBytes): DataFrame = {
+    val (k, probe) = bloomProbe(big, bigKey, keys, keysKey, fpp, maxBytes,
+      "bloomSemiJoin")
+    val pruned = probe.fold(big)(big.filter)
     pruned.join(k.select(col(keysKey).as(s"__bsj_$keysKey")),
       col(bigKey) === col(s"__bsj_$keysKey"), "left_semi")
+  }
+
+  /** C6c (round 14): BLOOM-ACCELERATED anti join — `big`'s rows whose
+    * `bigKey` does NOT appear in `keys.keysKey`, computed with most of
+    * the fact stream never entering the anti-join shuffle. The insight
+    * is the mirror of [[bloomSemiJoin]]'s: a Bloom filter has no false
+    * negatives, so `NOT might_contain(key)` is PROOF of absence — those
+    * rows are verdict-final survivors straight off the scan; only the
+    * might-contain minority (true members + the fpp sliver) needs the
+    * exact anti join to separate real members from false positives.
+    * Result ≡ the plain left-anti join always (NOT-EXISTS semantics: a
+    * NULL big key never matches, so it SURVIVES — it is routed with the
+    * definite-absent branch, which is also where `might_contain(null)`'s
+    * NULL verdict would otherwise silently drop it). The survivors union
+    * is the 100 TB decontamination/delta-dedup shape: screening a corpus
+    * against a bounded blockset (eval n-grams, known-bad URLs, an
+    * already-ingested md5 set) touches every corpus row but only
+    * blockset-sized state. Same key typing and bitmap-size guard as the
+    * semi form; above the guard it runs the plain anti join — identical
+    * rows, no driver bitmap.
+    */
+  def bloomAntiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
+      keysKey: String, fpp: Double = 0.01,
+      maxBytes: Long = maxBloomBytes): DataFrame = {
+    val (k, probe) = bloomProbe(big, bigKey, keys, keysKey, fpp, maxBytes,
+      "bloomAntiJoin")
+    val rhs = k.select(col(keysKey).as(s"__baj_$keysKey"))
+    def anti(df: DataFrame) =
+      df.join(rhs, col(bigKey) === col(s"__baj_$keysKey"), "left_anti")
+    probe match {
+      case None => anti(big)
+      case Some(mc) =>
+        // coalesce: might_contain(NULL) is NULL — null-keyed rows are
+        // definite non-members under anti-join semantics and must land
+        // in the survivor branch, not vanish from both
+        big.filter(!coalesce(mc, lit(false)))
+          .unionByName(anti(big.filter(coalesce(mc, lit(false)))))
+    }
+  }
+
+  val qBloomAnti = Q(
+    "q_bloom_anti",
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |       round(sum(l_extendedprice), 2) AS gross
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_orderkey = l.l_orderkey
+      |                    AND o_orderdate >= TIMESTAMP '1997-07-01')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    bloomAntiJoin(lineitem(s, d), "l_orderkey",
+        orders(s, d).filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01"))),
+        "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), r2(sum(col("l_extendedprice"))).as("gross"))
+      .orderBy(col("l_returnflag"))
   }
 
   val qBloomSemi = Q(
@@ -914,7 +987,7 @@ object Relational {
 
   def all: Seq[Q] = Seq(
     qProjection, qPricingSummary, qFilterRevenue, qJoinTopk, qBroadcastAgg,
-    qLeftOuter, qFullOuter, qSemiJoin, qBloomSemi, qAntiJoin, qCrossJoin, qRangeJoin,
+    qLeftOuter, qFullOuter, qSemiJoin, qBloomSemi, qBloomAnti, qAntiJoin, qCrossJoin, qRangeJoin,
     qAsofJoin, qCollectSorted, qDistinct, qApproxDistinct, qCmsHeavyHitters,
     qRollup, qCube,
     qGroupingSets, qSaltedAgg, qStatsAgg, qWeightedAvg, qWindowRank,

@@ -926,6 +926,171 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** F18c (round 14): weighted sampling WITHOUT replacement, k per
+    * stratum — the Efraimidis–Spirakis A-ES scheme (IPL 2006): draw
+    * u ~ U(0,1) per row, rank by u^(1/w), keep the k largest per group;
+    * the kept set is distributed exactly as sequential weighted draws
+    * without replacement. Ranking by ln(u)/w is monotone-equivalent
+    * (u < 1 so ln u < 0; larger w pulls the key toward 0) and avoids the
+    * pow. The draw is the same deterministic 32-bit md5 integer as
+    * F18b's, u = (h+1)/2³², so the kept set is engine- and
+    * partitioning-exact; the key is floored to integer micros so the
+    * cross-engine comparison never rides a raw double.
+    *
+    * Scale: the key is a per-row map; per-group top-k runs on the
+    * bounded-heap `collect_top_k` aggregate — k rows retained per group
+    * through a map-side partial, never a WindowExec sort of a
+    * million-row stratum. Zero shuffle beyond the group agg. This is the
+    * "pick the k best-weighted examples per language/source,
+    * reproducibly" pipeline op; rows with weight ≤ 0 (or NULL) are
+    * never drawn, matching the sequential scheme's zero-probability
+    * convention.
+    */
+  def weightedTopKPerGroup(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String, weightCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val keyed = df.filter(col(weightCol) > 0)
+      .withColumn("key_micros",
+        floor(log((h + lit(1L)) / lit(4294967296.0)) /
+          col(weightCol) * lit(1000000.0)).cast("long"))
+    keyed.groupBy(col(groupCol))
+      .agg(call_function("collect_top_k",
+        struct(col("key_micros"), negate(col(idCol)), col(idCol),
+          col(weightCol)),
+        lit(k), lit(false)).as("top"))
+      .select(col(groupCol), explode(col("top")).as("t"))
+      .select(col(groupCol), col(s"t.$idCol").as(idCol),
+        col(s"t.$weightCol").as(weightCol), col("t.key_micros"))
+  }
+
+  /** Graded F18c query: top-3 docs per language by A-ES key with
+    * n_chars as the weight. The oracle recomputes the keys from the
+    * same md5 draw and ranks with a row_number window — an independent
+    * top-k formulation, so the hash match grades both the key
+    * arithmetic and the (key DESC, doc_id ASC) tie ordering of the
+    * bounded heap. */
+  val qWeightedTopK = Q(
+    "q_weighted_topk",
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM documents WHERE n_chars > 0 AND lang IS NOT NULL),
+      |k AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         CAST(floor(ln((h + 1) / 4294967296.0) / n_chars * 1000000) AS BIGINT)
+      |           AS key_micros
+      |  FROM d),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |                               ORDER BY key_micros DESC, doc_id) AS rn
+      |  FROM k)
+      |SELECT lang, doc_id, n_chars, key_micros FROM r WHERE rn <= 3
+      |ORDER BY lang, key_micros DESC, doc_id""".stripMargin) { (s, d) =>
+    weightedTopKPerGroup(
+      documents(s, d).filter(col("lang").isNotNull)
+        .select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", "n_chars", 3)
+      .orderBy(col("lang"), col("key_micros").desc, col("doc_id"))
+  }
+
+  /** F29 (round 14): BM25 relevance scoring — the retrieval primitive
+    * behind search-based decontamination and example mining over a
+    * training corpus. Per doc: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    * b + b·dl/avgdl)) over the query terms, with the Lucene-style
+    * never-negative idf = ln((N − df + ½)/(df + ½) + 1).
+    *
+    * Cross-engine determinism: every double step is an identically-
+    * associated IEEE op on both engines (k1 = 1.25 and b = 0.75 are
+    * exactly representable, so no literal-vs-computed rounding split),
+    * the one libm call (ln) is truncated to the 1e-6 grid, and each
+    * (doc, term) contribution is floored to integer MICROS so the
+    * per-doc score is an exact LONG sum — order-independent, immune to
+    * the double-summation nondeterminism a float agg would have.
+    *
+    * Scale: the corpus token stream is restricted to the query terms by
+    * a BROADCAST join BEFORE the tf aggregation (the only corpus-sized
+    * shuffle is the (doc, term) partial-agg, post-restriction ≤
+    * |terms|·|docs| rows); df and the N/avgdl stats are term-count- and
+    * scalar-sized; the final per-doc sum is a long agg with map-side
+    * partials. No window, no driver loop.
+    */
+  def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+      terms: org.apache.spark.sql.DataFrame, k1: Double = 1.25,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms.select(col("term"))), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf6 = trunc6(log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf6 * tfNorm * lit(1000000.0)).cast("long").as("c_micros"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_micros")).as("score_micros"))
+  }
+
+  /** Graded F29 query: the query terms are DERIVED from the corpus (top
+    * 5 by document frequency, ties by term — deterministic and
+    * SF-robust), then every doc is scored and the top 50 returned. The
+    * oracle recomputes BM25 from scratch in SQL with the identical
+    * association, so the hash grades the idf/tf-norm arithmetic, the
+    * micro-quantized long sum, and the (score DESC, doc_id) ranking. */
+  val qBm25TopK = Q(
+    "q_bm25_topk",
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, len(t) AS dl, t FROM base),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 sum(len(t)) * 1.0 / count(*) AS avgdl
+      |          FROM base),
+      |toks AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+      |qt AS (SELECT term FROM (
+      |         SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+      |       ORDER BY df DESC, term LIMIT 5),
+      |tf AS (SELECT t.doc_id, t.term, t.dl, count(*) AS tf
+      |       FROM toks t JOIN qt ON t.term = qt.term
+      |       GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id,
+      |         CAST(floor(
+      |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000) / 1000000)
+      |           * ((tf * 2.25) / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      |           * 1000000.0) AS BIGINT) AS c
+      |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micros
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score_micros DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val qt = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(5)
+      .select(col("term"))
+    bm25Scores(docs, qt)
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(50)
+  }
+
   // F19: language-model quality scoring — per-doc average negative log
   // likelihood under an add-one-smoothed corpus unigram LM (the CCNet-
   // style "LM perplexity" quality filter of an LLM data pipeline), plus a
@@ -1111,6 +1276,6 @@ object TextOps {
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
-    qWeightedSample,
+    qWeightedSample, qWeightedTopK, qBm25TopK,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, octet_length}
+
 /** Degenerate-input robustness: every document/embedding operator must
   * return an EMPTY result (not throw) on an empty corpus — the shape an
   * executor sees constantly at 100 TB, where file splits and filtered
@@ -39,7 +41,11 @@ class EmptyInputSpec extends SparkSpec {
       "q_edit_neardup", "q_edit_dedup_groups", "q_langid_profile",
       "q_unicode_normalize", "q_compress_ratio", "q_cms_heavy_hitters",
       // round 13
-      "q_weighted_sample")
+      "q_weighted_sample",
+      // round 14 (groups over an empty pair set: CC seeds from zero nodes)
+      "q_f2_simhash_pairs", "q_simhash_dedup_groups",
+      // round 14: delta dedup of an empty split; A-ES/BM25 over no docs
+      "q_incremental_dedup", "q_weighted_topk", "q_bm25_topk")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")
@@ -68,6 +74,35 @@ class EmptyInputSpec extends SparkSpec {
       "exact_dedup", "neardup_dedup", "quality_gate", "lang_gate",
       "contamination"))
     assert(audit2.forall(a => a.kept == 0 && a.dropped == 0), s"audit2 was $audit2")
+  }
+
+  test("round-14 operators survive empty/degenerate frames") {
+    import spark.implicits._
+    // bloomSemiJoin with an EMPTY keys frame: count() = 0 → sized at the
+    // 1000 floor, bloom admits nothing, semi join over zero keys = empty
+    val big = spark.range(0, 50).select(col("id").as("k"))
+    val noKeys = Seq.empty[Long].toDF("k")
+    assert(Relational.bloomSemiJoin(big, "k", noKeys, "k").count() == 0)
+    // and an empty BIG side stays empty without building anything odd
+    val noBig = Seq.empty[Long].toDF("k")
+    val keys = Seq(1L, 2L).toDF("k")
+    assert(Relational.bloomSemiJoin(noBig, "k", keys, "k").count() == 0)
+    // weightedBernoulli on an empty frame keeps the schema contract
+    val out = TextOps.weightedBernoulli(
+      Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", "w", 100L)
+    assert(out.columns.contains("p_millionths") && out.count() == 0)
+    // the weighted_sample curation stage composes over the empty corpus
+    val docs = Tables.documents(spark, emptyDir)
+    val (out3, audit3) = Graft.curateCorpusAudited(spark, docs, Nil,
+      weighted = Some(Graft.WeightedKeep(octet_length(col("text")).cast("long"), 100L)))
+    assert(out3.count() == 0 && audit3.last.stage == "weighted_sample" &&
+      audit3.last.kept == 0 && audit3.last.dropped == 0)
+    // simhash groups over an all-NULL-text corpus: every doc a singleton
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val g = MinHash.simhashDedupGroups(spark, nulls, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g == Map(1L -> 1L, 2L -> 2L))
   }
 
   test("LangGate fails fast on a seed that yields an empty profile") {

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
   * weightedBernoulli's >=2^31 overflow + exact integer-div HT factor,
   * simhashPairsOf's tightened banding bound), the bloom size guard with
   * its plain-semi-join fallback, the SimHash dedup GROUPS composition
-  * (F2c + F11), the hybrid auto-selecting CC engine, and the F18b
-  * weighted-sampling curation stage.
+  * (F2c + F11), the hybrid auto-selecting CC engine, the F18b
+  * weighted-sampling curation stage, the C6c bloom-accelerated anti
+  * join, the bipartite Jaccard join + F28 incremental (delta) dedup,
+  * the F18c A-ES weighted per-stratum top-k, and F29 BM25 scoring.
   */
 class Round14OpsSpec extends SparkSpec {
 
@@ -76,6 +78,95 @@ class Round14OpsSpec extends SparkSpec {
     // ~100-key frame must not
     assert(Relational.bloomBitmapBytes(1000000000L, 0.01) > Relational.maxBloomBytes)
     assert(Relational.bloomBitmapBytes(1000L, 0.01) < 4096L)
+  }
+
+  // ---- C6c: bloomAntiJoin --------------------------------------------
+
+  test("bloomAntiJoin ≡ plain anti join, including NULL big keys") {
+    val big = ((0 until 400).map(i => (i.toLong, s"k${i % 50}")) :+
+      ((999L, null.asInstanceOf[String]))).toDF("id", "k")
+    val keys = (0 until 50 by 3).map(i => s"k$i").toDF("k")
+    val got = Relational.bloomAntiJoin(big, "k", keys, "k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = big.join(keys.select(col("k").as("kk")),
+        col("k") === col("kk"), "left_anti")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.contains(999L),
+      s"NULL-keyed row must survive the anti join: ${got.take(5)}...")
+    // guard fallback: identical rows with no bloom built
+    val guarded = Relational.bloomAntiJoin(big, "k", keys, "k", maxBytes = 0L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(guarded == want)
+    // empty keys: everything survives
+    val all = Relational.bloomAntiJoin(big, "k",
+        Seq.empty[String].toDF("k"), "k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == big.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("bloomAntiJoin survivor split: definite-absent rows bypass the join") {
+    val big = spark.range(0, 1000).select(col("id").as("k"))
+    val keys = (0L until 1000L by 17L).toDF("k")
+    val out = Relational.bloomAntiJoin(big, "k", keys, "k")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("Union"),
+      s"expected the not-might-contain ∪ anti-join split, got:\n$plan")
+    val got = out.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 1000L).filter(_ % 17L != 0L).toSeq)
+  }
+
+  // ---- bipartite Jaccard join + incremental dedup --------------------
+
+  test("jaccardPairsBetween ≡ the self-join restricted to cross-frame pairs") {
+    val rnd = new scala.util.Random(41)
+    val pool = (1 to 26).map(i => s"w$i")
+    def text() = rnd.shuffle(pool).take(12 + rnd.nextInt(8)).mkString(" ")
+    val docs = (0L until 60L).map { i =>
+      if (i % 5 == 4) (i, null.asInstanceOf[String]) else (i, text())
+    } ++ (0L until 60L by 6L).map(i => (i + 100L, text())) // extra rights
+    val all = docs.toDF("doc_id", "text")
+    val left = all.filter(col("doc_id") < 50)
+    val right = all.filter(col("doc_id") >= 50)
+    val got = Dedup.jaccardPairsBetween(spark, left, right, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // reference: canonical self-join over the union, keep cross pairs only
+    val self = Dedup.jaccardPairsOf(spark, all, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 < 50 && p._2 >= 50).sorted.toSeq
+    assert(got == self)
+  }
+
+  test("incrementalDedupVerdicts labels by priority; dedupIncrement ≡ the kept set") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    def mut(k: Int) = (1 to 30).map(i => if (i == k) "zzz" else s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (2L, base),                                  // exact twin of inc 7
+      (3L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      (7L, base),          // exact_corpus (also near-dup of corpus — priority)
+      (14L, base),         // exact_corpus wins over exact_increment(7)
+      (21L, mut(5)),       // neardup_corpus (jaccard vs base high)
+      (28L, mut(5)),       // exact_increment (same text as 21)
+      (35L, mut(9)),       // neardup_increment? near 21/28 AND near corpus base
+      (42L, (1 to 30).map(i => s"uniq$i").mkString(" ")), // kept
+      (49L, null.asInstanceOf[String]))                   // kept (null)
+      .toDF("doc_id", "text")
+    val v = Dedup.incrementalDedupVerdicts(spark, corpus, increment, 0.6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(v(7L) == "exact_corpus" && v(14L) == "exact_corpus", v.toString)
+    assert(v(21L) == "neardup_corpus", v.toString)
+    assert(v(28L) == "exact_increment", v.toString)
+    assert(v(35L) == "neardup_corpus", // corpus reason outranks increment
+      v.toString)
+    assert(v(42L) == "kept" && v(49L) == "kept", v.toString)
+    val kept = v.filter(_._2 == "kept").keys.toSeq.sorted
+    val surv = Dedup.dedupIncrement(spark, corpus, increment, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == kept, s"facade $surv vs verdict-kept $kept")
+    // survivor schema is the increment's schema (helper column dropped)
+    assert(Dedup.dedupIncrement(spark, corpus, increment, 0.6).columns.toSeq
+      == Seq("doc_id", "text"))
   }
 
   // ---- F18b: weightedBernoulli overflow + exact HT factor ------------
@@ -293,5 +384,80 @@ class Round14OpsSpec extends SparkSpec {
     val viaStage = packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(viaStage == standalone,
       s"stage kept ${viaStage.size} ids, standalone kept ${standalone.size}")
+  }
+
+  // ---- F18c: A-ES weighted top-k per stratum -------------------------
+
+  test("weightedTopKPerGroup ≡ independent A-ES recomputation; heap, not window") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 5}", i.toLong + 1000L, 1L + rnd.nextInt(500).toLong)
+    } :+ (("g0", 9999L, 0L)) :+ (("g1", 9998L, -3L)) // never drawn
+    val df = rows.toDF("grp", "id", "w")
+    val got = TextOps.weightedTopKPerGroup(df, "grp", "id", "w", 3)
+    // independent recomputation of the A-ES key in plain Scala
+    def key(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.floor(math.log((h + 1L) / 4294967296.0) / w * 1000000.0).toLong
+    }
+    val want = rows.filter(_._3 > 0)
+      .map { case (g, id, w) => (g, id, w, key(id, w)) }
+      .groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._4, r._2)).take(3)
+      }.toSeq.sorted
+    val gotRows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(gotRows == want, s"got $gotRows\nwant $want")
+    // zero/negative weights never appear
+    assert(!gotRows.exists(r => r._2 == 9999L || r._2 == 9998L))
+    // scale shape: bounded-heap aggregate, no WindowExec sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("collect_top_k"), plan)
+  }
+
+  // ---- F29: BM25 scoring ---------------------------------------------
+
+  test("bm25Scores ≡ brute-force BM25 recomputation on a hand corpus") {
+    val docs = Seq(
+      (1L, "spark query engine spark spark"),
+      (2L, "query plan for the engine"),
+      (3L, "a b c d e f g h i j k l"),
+      (4L, "spark spark spark spark spark spark spark spark"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val terms = Seq("spark", "query", "missing").toDF("term")
+    val got = TextOps.bm25Scores(docs, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute force in plain Scala, same association + micro-quantization
+    val corpus = Map(
+      1L -> "spark query engine spark spark",
+      2L -> "query plan for the engine",
+      3L -> "a b c d e f g h i j k l",
+      4L -> "spark spark spark spark spark spark spark spark")
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = toks.size.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    def idf6(df: Long): Double =
+      math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) / 1e6
+    val want = toks.flatMap { case (id, ts) =>
+      val dl = ts.size.toLong
+      val cs = Seq("spark", "query", "missing").flatMap { term =>
+        val tf = ts.count(_ == term).toLong
+        val df = toks.values.count(_.contains(term)).toLong
+        if (tf == 0) None else Some(math.floor(
+          idf6(df) * ((tf * 2.25) /
+            (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl))) * 1e6).toLong)
+      }
+      if (cs.isEmpty) None else Some(id -> cs.sum)
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // doc 3 has no query term → absent, as is the null-text doc
+    assert(!got.contains(3L) && !got.contains(5L))
+    // tf SATURATION is the point of BM25: the 2-distinct-term doc 1
+    // outranks doc 4's 8× single-term repetition (raw tf would invert)
+    assert(got(1L) > got(4L))
   }
 }
