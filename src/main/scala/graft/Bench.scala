@@ -60,9 +60,10 @@ object Bench {
     "q_bloom_semi", "q_weighted_sample", "q_f2_simhash_pairs",
     "q_simhash_dedup_groups",
     // round-14 new operators: bloom-accelerated anti join, the
-    // incremental (delta) dedup screen, A-ES weighted top-k, BM25
+    // incremental (delta) dedup screen, A-ES weighted top-k, BM25,
+    // duplicated-span removal, keep-best-representative dedup
     "q_bloom_anti", "q_incremental_dedup", "q_weighted_topk",
-    "q_bm25_topk")
+    "q_bm25_topk", "q_strip_spans", "q_dedup_keep_best")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

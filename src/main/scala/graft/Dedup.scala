@@ -856,6 +856,82 @@ object Dedup {
       .select(rest :+ col("cluster_id") :+ col("cluster_size"): _*)
   }
 
+  /** F31 (round 14): near-dup dedup keeping the BEST-quality
+    * representative per cluster — production pipelines keep the highest-
+    * scoring member (longest, cleanest, best LM-perplexity), not the
+    * smallest doc_id, because a cluster's members differ in exactly the
+    * boilerplate/truncation noise the quality signal measures. Clusters
+    * are the F11 connected components over Jaccard ≥ minJaccard edges;
+    * the representative maximizes (`weight` DESC, doc_id ASC) — the tie
+    * order makes the pick total, so the result is engine- and
+    * partitioning-exact for any deterministic weight column.
+    *
+    * Scale: the argmax is ONE partial+final aggregate on the slim
+    * cluster_id key (a lexicographic max of a 3-field struct — map-side
+    * combine keeps one candidate per cluster per task, the same
+    * mega-cluster-safe shape as [[withClusterSize]], never a window
+    * sort), plus a broadcast-friendly join back to the winners' rows.
+    */
+  def dedupKeepBest(s: SparkSession, docs: DataFrame, minJaccard: Double,
+      weight: org.apache.spark.sql.Column): DataFrame = {
+    val cc = connectedComponents(s, docs, jaccardEdgesOf(s, docs, minJaccard))
+    val scored = cc.join(docs.select(col("doc_id"), weight.as("__w")), Seq("doc_id"))
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__w").as("w"), (-col("doc_id")).as("nid"),
+          col("doc_id").as("doc_id"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("b.doc_id").as("doc_id"),
+        col("cluster_size"))
+    docs.join(best, Seq("doc_id"))
+  }
+
+  /** Graded F31 query: one row per near-dup cluster (Jaccard ≥ 0.6),
+    * carrying the representative that maximizes (n_chars DESC, doc_id
+    * ASC). The oracle recomputes the clusters with the recursive-CTE
+    * closure and picks the representative with an independent QUALIFY
+    * row_number window — different CC formulation AND different argmax
+    * formulation, so the hash grades both. */
+  val qDedupKeepBest = Q(
+    "q_dedup_keep_best",
+    """WITH RECURSIVE
+      |sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         generate_series(1, len(t) - 2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM sp),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT a_id AS u, b_id AS v
+      |          FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      |                     JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+      |          UNION ALL
+      |          SELECT b_id, a_id
+      |          FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      |                     JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6),
+      |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+      |          UNION
+      |          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+      |sized AS (SELECT doc_id, cluster_id,
+      |                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |          FROM cc)
+      |SELECT s.doc_id, d.n_chars, s.cluster_id, CAST(s.cluster_size AS BIGINT)
+      |         AS cluster_size
+      |FROM sized s JOIN documents d USING (doc_id)
+      |QUALIFY row_number() OVER (PARTITION BY s.cluster_id
+      |                           ORDER BY d.n_chars DESC, s.doc_id) = 1
+      |ORDER BY s.cluster_id""".stripMargin) { (s, d) =>
+    dedupKeepBest(s, documents(s, d).select(col("doc_id"), col("text"),
+        col("n_chars")), 0.6, col("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** INCREMENTAL dedup verdicts (round 14): label every increment doc
     * with why it would be dropped against a standing corpus — the
     * daily-ingest operation a 100 TB pipeline actually runs, since
@@ -986,5 +1062,5 @@ object Dedup {
   }
 
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
-    qIncrementalDedup)
+    qIncrementalDedup, qDedupKeepBest)
 }

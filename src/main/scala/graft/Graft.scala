@@ -111,6 +111,18 @@ object Graft {
       keysKey: String, fpp: Double = 0.01): DataFrame =
     Relational.bloomAntiJoin(big, bigKey, keys, keysKey, fpp)
 
+  /** The standing-corpus fingerprint frame the F28 streaming screen
+    * joins against: one `fp` column, md5 of each distinct text. Write
+    * this (partitioned/appended) from the delivered corpus and hand it
+    * to [[curateStream]]'s `corpusFp` — the stream-static anti join
+    * re-resolves it per micro-batch, so an external appender keeps the
+    * screen current without a stream restart. */
+  def corpusFingerprints(corpus: DataFrame): DataFrame =
+    corpus.filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .distinct()
+
   /** Incremental (delta) dedup: admit only the increment docs that are
     * neither exact nor near duplicates of the standing corpus or of a
     * smaller-id increment doc — the daily-ingest screen, at |Δ| probe +
@@ -127,6 +139,22 @@ object Graft {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       scale: Long): DataFrame =
     TextOps.weightedBernoulli(df, idCol, weightCol, scale)
+
+  /** F30: duplicated-span removal (Lee et al. ExactSubstr dedup at
+    * token-window granularity) — every token inside a corpus-duplicated
+    * `windowTokens`-gram is removed; returns (doc_id, clean_text,
+    * n_removed). Span-level boilerplate stripping, complementing F1's
+    * whole-doc dedup. */
+  def stripDuplicatedSpans(docs: DataFrame, windowTokens: Int = 8): DataFrame =
+    TextOps.stripDuplicatedSpans(docs, windowTokens)
+
+  /** F31: near-dup dedup keeping the BEST-quality representative per
+    * cluster — (weight DESC, doc_id ASC) argmax over the F11 Jaccard
+    * connected components; one partial+final struct-max agg, never a
+    * window sort. */
+  def dedupKeepBest(spark: SparkSession, docs: DataFrame, minJaccard: Double,
+      weight: org.apache.spark.sql.Column): DataFrame =
+    Dedup.dedupKeepBest(spark, docs, minJaccard, weight)
 
   /** F18c: weighted sampling WITHOUT replacement, k per stratum — the
     * Efraimidis–Spirakis A-ES scheme over the same deterministic md5
@@ -568,6 +596,11 @@ object Graft {
     *  1b. language gate (when `langGate` is given) — keep docs whose
     *     F26-predicted language is allowed; the profile is driver-held
     *     KBs fit once on the labeled seed, so this too is stateless
+    *  1c. standing-corpus screen (when `corpusFp` is given, round 14) —
+    *     drop arrivals already fingerprinted in the delivered corpus
+    *     (stream-static md5 anti join; static side re-resolved per
+    *     micro-batch, see [[corpusFingerprints]]); the streaming sibling
+    *     of F28's exact path
     *  2. contamination screen — broadcast Aho–Corasick, one O(|text|)
     *     pass per doc regardless of phrase count; stateless
     *  3. near-dup suppression — MinHash signatures in
@@ -604,7 +637,8 @@ object Graft {
       twsTtl: org.apache.spark.sql.streaming.TTLConfig =
         org.apache.spark.sql.streaming.TTLConfig.NONE,
       normalize: Option[Normalize] = None,
-      langGate: Option[LangGate] = None): DataFrame = {
+      langGate: Option[LangGate] = None,
+      corpusFp: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
@@ -621,14 +655,31 @@ object Graft {
     val gated = langGate.fold(qualGated) { lg =>
       qualGated.filter(lg.profile.predictCol(col("text")).isin(lg.allow.toSeq: _*))
     }
+    // standing-corpus screen (round 14, the streaming sibling of F28's
+    // exact path): drop arrivals whose md5 fingerprint is already in the
+    // DELIVERED corpus — a stream-STATIC left-anti join, stateless from
+    // the stream's perspective (the static side is re-resolved per
+    // micro-batch, so pointing `corpusFp` at the accumulating
+    // fingerprint parquet keeps the screen current without restarts).
+    // Runs BEFORE the suppressor so already-ingested docs never occupy
+    // dedup state; the near-dup (Jaccard) half of F28 stays batch-side
+    // by design — it needs the bipartite prefix join's whole-increment
+    // candidate structure ([[dedupIncrement]] over each delivered batch).
+    // Contract: one string column `fp` = md5 of the CANONICAL text (the
+    // caller fingerprints normalized text when `normalize` is on) —
+    // [[corpusFingerprints]] builds exactly that frame.
+    val fpScreened = corpusFp.fold(gated) { cf =>
+      gated.join(cf.select(col("fp")),
+        md5(col("text")) === col("fp"), "left_anti")
+    }
     val screened =
-      if (screenPhrases.isEmpty) gated
+      if (screenPhrases.isEmpty) fpScreened
       else {
         import spark.implicits._
         // the sanctioned AC mapPartitions path (TextOps.contaminationScanAC
         // minus its batch-only orderBy): gate guarantees non-null text
         val ac = spark.sparkContext.broadcast(functions.AhoCorasick(screenPhrases))
-        gated.as[streaming.StreamOps.Doc]
+        fpScreened.as[streaming.StreamOps.Doc]
           .mapPartitions { it =>
             val a = ac.value
             it.filter(d => !a.presence(d.text).exists(identity))
@@ -669,10 +720,11 @@ object Graft {
       twsTtl: org.apache.spark.sql.streaming.TTLConfig =
         org.apache.spark.sql.streaming.TTLConfig.NONE,
       normalize: Option[Normalize] = None,
-      langGate: Option[LangGate] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      langGate: Option[LangGate] = None,
+      corpusFp: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
-      watermarkDelay, useTws, twsTtl, normalize, langGate)
+      watermarkDelay, useTws, twsTtl, normalize, langGate, corpusFp)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)

@@ -1091,6 +1091,101 @@ object TextOps {
       .limit(50)
   }
 
+  /** F30 (round 14): duplicated-span REMOVAL — the curation step behind
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022) ExactSubstr dedup, at token-window granularity:
+    * F16 only DETECTS duplicated windows; this op rewrites each doc with
+    * every token that lies inside a corpus-duplicated `windowTokens`-gram
+    * REMOVED (boilerplate headers/footers/navigation chrome repeat
+    * across pages, so span-level removal keeps the prose F1's whole-doc
+    * dedup would throw away with the page, and strips the chrome
+    * whole-doc dedup would keep).
+    *
+    * Semantics (removal is symmetric, not first-wins, so the contract is
+    * plain SQL and partition-order-free): a window is duplicated iff its
+    * exact text occurs > 1 time corpus-wide (within- OR cross-doc — the
+    * F16 notion); every token covered by ANY duplicated occurrence is
+    * dropped; `clean_text` re-joins the survivors in position order and
+    * `n_removed` counts the drops. Docs shorter than one window pass
+    * through verbatim.
+    *
+    * Scale: one codegen `window_md5s` pass per doc feeds the only
+    * corpus-sized shuffle (the window-hash partial-count agg); the
+    * duplicated-hash frame is dup-density-sized and the coverage
+    * explode is `windowTokens`× the dup OCCURRENCES, not the corpus;
+    * the rebuild is a per-doc collect bounded by doc length (the F11/F12
+    * per-doc-window bound, not a corpus window). No driver loop.
+    */
+  def stripDuplicatedSpans(docs: org.apache.spark.sql.DataFrame,
+      windowTokens: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // (doc_id, pos, wh): window g of the kernel array (0-based) starts at
+    // token g+1 (1-based) — the kernel splits on every single space byte,
+    // exactly split(text, ' ') with empty tokens preserved
+    val wins = base.select(col("doc_id"),
+        posexplode(call_function("window_md5s",
+          concat_ws(" ", col("toks")), lit(windowTokens))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+    val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select(col("wh"))
+    val covered = wins.join(dup, Seq("wh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(windowTokens - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Graded F30 query: every doc rewritten with duplicated-8-gram spans
+    * removed (the sf corpora carry ~1k naturally duplicated windows
+    * across ~45 docs, so the removal path does real work in the graded
+    * run); clean_text pinned by md5 (long strings don't survive the
+    * driver comparator). The oracle recomputes removal from scratch —
+    * windows, the >1 occurrence set, coverage, and the ordered rebuild —
+    * so the hash grades position alignment, coverage arithmetic, and the
+    * rebuild order. */
+  val qStripSpans = Q(
+    "q_strip_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE text IS NOT NULL),
+      |w AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS wh
+      |      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+      |d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+      |cov AS (SELECT DISTINCT w.doc_id, c AS pos
+      |        FROM w JOIN d USING (wh),
+      |             unnest(generate_series(w.pos, w.pos + 7)) AS s(c)),
+      |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+      |        FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      |kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+      |                count(*) AS n_kept
+      |         FROM tok
+      |         WHERE NOT EXISTS (SELECT 1 FROM cov
+      |                           WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+      |         GROUP BY doc_id)
+      |SELECT t.doc_id, md5(coalesce(k.clean_text, '')) AS clean_md5,
+      |       CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN kept k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    stripDuplicatedSpans(documents(s, d), 8)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   // F19: language-model quality scoring — per-doc average negative log
   // likelihood under an add-one-smoothed corpus unigram LM (the CCNet-
   // style "LM perplexity" quality filter of an LLM data pipeline), plus a
@@ -1276,6 +1371,6 @@ object TextOps {
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
-    qWeightedSample, qWeightedTopK, qBm25TopK,
+    qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

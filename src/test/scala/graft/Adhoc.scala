@@ -170,6 +170,45 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("stripspans1m")) {
+      // F30 decade certification (round 14): 1M docs, 10% carrying an
+      // identical 8-token boilerplate HEADER (the hot-window skew probe:
+      // one window hash with 100k occurrences) plus their unique body.
+      // Planted truth: every header doc loses exactly its 8 header
+      // tokens (the 7 bridge windows header→body contain unique body
+      // tokens, so they never duplicate); clean docs lose nothing.
+      val n = sys.env.getOrElse("ADHOC_STRIP_N", "1000000").toLong
+      val header = "the site nav bar about contact login search"
+      def bodyOf = concat_ws(" ",
+        transform(sequence(lit(0), lit(11)),
+          i => concat(lit("b"), col("id").cast("string"), lit("_"), i.cast("string"))))
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(10)) === 0,
+            concat(lit(header + " "), bodyOf)).otherwise(bodyOf).as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC stripspans1m corpus=${docs.count()} docs")
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"stripspans1m rep=$rep") {
+          out = TextOps.stripDuplicatedSpans(docs, 8).localCheckpoint(eager = true)
+          out.count()
+        }
+      }
+      val byRemoved = out.groupBy("n_removed").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"ADHOC stripspans1m n_removed_hist=$byRemoved")
+      val nHeader = (n + 9) / 10
+      assert(byRemoved == Map(0L -> (n - nHeader), 8L -> nHeader),
+        s"every header doc must lose exactly its 8 header tokens: $byRemoved")
+      // the cleaned header docs must all retain their full unique body
+      val bad = out.filter(col("n_removed") === 8 &&
+        !col("clean_text").startsWith(
+          concat(lit("b"), col("doc_id").cast("string"), lit("_0")))).count()
+      assert(bad == 0, s"$bad header docs lost body tokens")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bm25big")) {
       // F29 decade certification (round 14): BM25 over a 1M-doc corpus
       // (same synthetic namespace as simhash1m — ~50k-token vocabulary,

@@ -45,7 +45,9 @@ class EmptyInputSpec extends SparkSpec {
       // round 14 (groups over an empty pair set: CC seeds from zero nodes)
       "q_f2_simhash_pairs", "q_simhash_dedup_groups",
       // round 14: delta dedup of an empty split; A-ES/BM25 over no docs
-      "q_incremental_dedup", "q_weighted_topk", "q_bm25_topk")
+      "q_incremental_dedup", "q_weighted_topk", "q_bm25_topk",
+      // round 14: span removal / keep-best dedup over no docs
+      "q_strip_spans", "q_dedup_keep_best")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

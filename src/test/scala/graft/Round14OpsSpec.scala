@@ -419,6 +419,69 @@ class Round14OpsSpec extends SparkSpec {
     assert(!plan.contains("Window") && plan.contains("collect_top_k"), plan)
   }
 
+  // ---- F30: duplicated-span removal ----------------------------------
+
+  test("stripDuplicatedSpans removes exactly the covered tokens, in order") {
+    val docs = Seq(
+      (1L, "A B C D E F G H x1 x2"),            // span at pos 1-8 (shared with 2, 6)
+      (2L, "y1 A B C D E F G H y2"),            // span at pos 2-9
+      (3L, "P Q R S T U V W P Q R S T U V W"),  // within-doc repeat covers all 16
+      (4L, "s1 s2 s3"),                         // shorter than one window: verbatim
+      (5L, null.asInstanceOf[String]),          // excluded (null text)
+      (6L, "A B C D E F G H I"),                // covered 1-8, survivor "I"
+      (7L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))       // all windows unique: verbatim
+      .toDF("doc_id", "text")
+    val got = TextOps.stripDuplicatedSpans(docs, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("x1 x2", 8L)),
+      2L -> (("y1 y2", 8L)),
+      3L -> (("", 16L)),
+      4L -> (("s1 s2 s3", 0L)),
+      6L -> (("I", 8L)),
+      7L -> (("u1 u2 u3 u4 u5 u6 u7 u8 u9", 0L))), got.toString)
+    // scale shape: the rebuild is a per-doc aggregate, never a WindowExec
+    val plan = TextOps.stripDuplicatedSpans(docs, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("stripDuplicatedSpans position alignment survives empty tokens (double space)") {
+    // the codegen window kernel splits on EVERY space byte (empty tokens
+    // preserved) — exactly split(text, ' '); a double space must not
+    // shift coverage positions
+    val docs = Seq(
+      (1L, "A  B C D E F G tail1"),  // tokens: A,'',B,C,D,E,F,G,tail1 → window pos1 = A..G (8 tokens incl. '')
+      (2L, "A  B C D E F G tail2"))  // same 8-token prefix window → duplicated
+      .toDF("doc_id", "text")
+    val got = TextOps.stripDuplicatedSpans(docs, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> (("tail1", 8L)), 2L -> (("tail2", 8L))), got.toString)
+  }
+
+  // ---- F31: keep-best-representative dedup ---------------------------
+
+  test("dedupKeepBest picks (weight DESC, doc_id ASC) per cluster") {
+    val t = (1 to 30).map(i => s"tok$i").mkString(" ")
+    def mut(k: Int) = (1 to 30).map(i => if (i == k) "zzz" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, t, 10L),          // cluster {1,2,3}: 3 has max weight
+      (2L, mut(4), 50L),
+      (3L, mut(9), 50L),     // ties 2 on weight → smaller id 2 wins
+      (7L, (1 to 30).map(i => s"solo$i").mkString(" "), 1L)) // singleton
+      .toDF("doc_id", "text", "w")
+    val got = Dedup.dedupKeepBest(spark, docs, 0.6, col("w"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 1L, 3L), (7L, 7L, 1L)), got.toString)
+    // representative rows carry the input schema plus cluster columns
+    val best = Dedup.dedupKeepBest(spark, docs, 0.6, col("w"))
+    assert(best.columns.toSet ==
+      Set("doc_id", "text", "w", "cluster_id", "cluster_size"))
+    // scale shape: the argmax is a struct-max aggregate, never a WindowExec
+    assert(!best.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   // ---- F29: BM25 scoring ---------------------------------------------
 
   test("bm25Scores ≡ brute-force BM25 recomputation on a hand corpus") {

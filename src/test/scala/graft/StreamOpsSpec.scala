@@ -502,6 +502,49 @@ class StreamOpsSpec extends SparkSpec {
       s"after restart: ${delivered().sorted}")
   }
 
+  test("curateStream corpusFp screen: stream-static anti join, re-resolved per micro-batch") {
+    import graft.streaming.StreamOps.Doc
+    // the streaming sibling of F28's exact path: arrivals already
+    // fingerprinted in the DELIVERED corpus are dropped before they can
+    // occupy suppressor state. The static side is a file-based frame, so
+    // a fingerprint appended between micro-batches screens WITHOUT a
+    // stream restart — the property that lets an external appender keep
+    // the screen current at ingest cadence.
+    def words(tag: String): String = (1 to 25).map(k => s"${tag}w$k").mkString(" ")
+    val fpDir = tmpDir("corpus_fp")
+    val standing = Seq((100L, words("corp"))).toDF("doc_id", "text")
+    Graft.corpusFingerprints(standing).write.mode("overwrite").parquet(fpDir)
+    val corpusFp = spark.read.parquet(fpDir) // file-based: re-planned per batch
+    val in = MemoryStream[Doc]
+    val out = in.toDF()
+    val q = Graft.curateStream(out, Nil, corpusFp = Some(corpusFp))
+      .writeStream.format("memory").queryName("fp_screen")
+      .outputMode("append").start()
+    in.addData(
+      Doc(1L, ts(1), words("corp")),   // exact copy of the standing doc → screened
+      Doc(2L, ts(2), words("fresh")))  // admitted
+    q.processAllAvailable()
+    def admitted(): Seq[Long] = spark.table("fp_screen")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(admitted() == Seq(2L), s"batch 1 admitted ${admitted()}")
+    // append doc 2's OWN fingerprint to the static side mid-stream (the
+    // delivered-corpus appender): a later exact copy must now be screened
+    // by the refreshed static frame, not by suppressor state — prove it
+    // with a DIFFERENT doc carrying the same text
+    Graft.corpusFingerprints(Seq((2L, words("fresh"))).toDF("doc_id", "text"))
+      .write.mode("append").parquet(fpDir)
+    in.addData(
+      Doc(3L, ts(3), words("fresh")),  // fp added between batches → screened
+      Doc(4L, ts(4), words("newer")))  // admitted
+    q.processAllAvailable(); q.stop()
+    assert(admitted() == Seq(2L, 4L), s"batch 2 admitted ${admitted()}")
+    // batch-frame pinning: same operator semantics on a plain DataFrame
+    val batch = Seq(Doc(11L, ts(5), words("corp")), Doc(12L, ts(6), words("solo"))).toDF()
+    val kept = Graft.curateStream(batch, Nil, corpusFp = Some(corpusFp))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(12L), s"batch-mode kept $kept")
+  }
+
   test("gram-less docs bypass near-dup state and always pass") {
     import graft.streaming.StreamOps.Doc
     // < 3 tokens → NULL signature; the old sentinel signature made all of
