@@ -864,7 +864,9 @@ object Dedup {
     * are the F11 connected components over Jaccard ≥ minJaccard edges;
     * the representative maximizes (`weight` DESC, doc_id ASC) — the tie
     * order makes the pick total, so the result is engine- and
-    * partitioning-exact for any deterministic weight column.
+    * partitioning-exact for any deterministic NON-NULL weight column
+    * (a NULL weight makes the struct comparison engine-specific —
+    * coalesce the weight to a sentinel before calling).
     *
     * Scale: the argmax is ONE partial+final aggregate on the slim
     * cluster_id key (a lexicographic max of a 3-field struct — map-side

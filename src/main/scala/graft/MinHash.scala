@@ -23,6 +23,43 @@ object MinHash {
   val BandRows = 4 // 8 bands × 4 rows
   val GramLen = 3
 
+  /** LSH banding auto-tuner (round 14; Leskovec–Rajaraman–Ullman, Mining
+    * of Massive Datasets §3.4): among the (bands b, rows r) factorizations
+    * of `sigLen`, pick the one minimizing total error mass around the
+    * target Jaccard `threshold` — FP area ∫₀ᵗ p(s) ds + FN area
+    * ∫ₜ¹ (1 − p(s)) ds under the S-curve p(s) = 1 − (1 − sʳ)ᵇ, evaluated
+    * by a fixed 1000-step midpoint rule (deterministic — no float-order
+    * dependence; the integrand is smooth so midpoint error ≪ the gaps
+    * between candidate factorizations). Ties (possible only if two
+    * factorizations produce equal error to the last ulp) break toward
+    * more bands = higher recall. Driver-side arithmetic on O(divisors ×
+    * 1000) doubles — nanoseconds; nothing touches the cluster.
+    *
+    * Returns (bands, rowsPerBand) with bands × rowsPerBand == sigLen.
+    * The default 8×4 banding of this module sits at S-curve midpoint
+    * (1/8)^(1/4) ≈ 0.595 — `tuneBands(32, 0.6)` recovers it.
+    */
+  def tuneBands(sigLen: Int, threshold: Double): (Int, Int) = {
+    require(sigLen >= 2, s"sigLen must be >= 2, got $sigLen")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    val candidates = (1 to sigLen).filter(sigLen % _ == 0)
+      .map(b => (b, sigLen / b))
+    def errorMass(b: Int, r: Int): Double = {
+      val n = 1000
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fp + fn) / n
+    }
+    candidates.minBy { case (b, r) => (errorMass(b, r), -b) }
+  }
+
   /** doc_id, sh (string) — distinct word-3-gram shingles. Reference
     * string-level form (used by the ScalaTest cross-checks); production
     * paths use [[hashedShingles]], which never materializes gram strings.

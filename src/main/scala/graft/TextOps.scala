@@ -1029,7 +1029,10 @@ object TextOps {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = base
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(terms.select(col("term"))), Seq("term"))
+      // distinct: a duplicated query term would fan out the equi-join and
+      // double-count tf (and idf would then sum the term twice); BM25 is
+      // defined over the term SET, so dedup is semantics, not hygiene
+      .join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * (F2c + F11), the hybrid auto-selecting CC engine, the F18b
   * weighted-sampling curation stage, the C6c bloom-accelerated anti
   * join, the bipartite Jaccard join + F28 incremental (delta) dedup,
-  * the F18c A-ES weighted per-stratum top-k, and F29 BM25 scoring.
+  * the F18c A-ES weighted per-stratum top-k, F29 BM25 scoring, F30
+  * duplicated-span removal, and F31 keep-best-representative dedup.
   */
 class Round14OpsSpec extends SparkSpec {
 
@@ -482,6 +483,37 @@ class Round14OpsSpec extends SparkSpec {
     assert(!best.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  // ---- LSH band auto-tuner -------------------------------------------
+
+  test("tuneBands minimizes S-curve error mass and tracks the threshold") {
+    // pinned outputs (independent midpoint-rule recomputation, MMDS §3.4)
+    assert(MinHash.tuneBands(32, 0.6) == ((8, 4)))   // the module default
+    assert(MinHash.tuneBands(32, 0.4) == ((8, 4)))
+    assert(MinHash.tuneBands(32, 0.2) == ((16, 2)))  // low t → more bands
+    assert(MinHash.tuneBands(32, 0.8) == ((4, 8)))   // high t → more rows
+    assert(MinHash.tuneBands(32, 0.9) == ((2, 16)))
+    assert(MinHash.tuneBands(64, 0.5) == ((16, 4)))
+    assert(MinHash.tuneBands(128, 0.5) == ((32, 4)))
+    // law: the winner's error mass is <= every other factorization's
+    def mass(b: Int, r: Int, t: Double): Double = {
+      val n = 1000
+      (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < t) p else 1.0 - p
+      }.sum / n
+    }
+    for (t <- Seq(0.3, 0.5, 0.7); sig <- Seq(24, 32, 48)) {
+      val (b, r) = MinHash.tuneBands(sig, t)
+      assert(b * r == sig)
+      val others = (1 to sig).filter(sig % _ == 0).map(bb => (bb, sig / bb))
+      assert(others.forall { case (ob, or_) => mass(b, r, t) <= mass(ob, or_, t) },
+        s"t=$t sig=$sig picked ($b,$r)")
+    }
+    intercept[IllegalArgumentException](MinHash.tuneBands(32, 0.0))
+    intercept[IllegalArgumentException](MinHash.tuneBands(1, 0.5))
+  }
+
   // ---- F29: BM25 scoring ---------------------------------------------
 
   test("bm25Scores ≡ brute-force BM25 recomputation on a hand corpus") {
@@ -519,6 +551,12 @@ class Round14OpsSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     // doc 3 has no query term → absent, as is the null-text doc
     assert(!got.contains(3L) && !got.contains(5L))
+    // duplicated query terms must not double-count tf/idf — BM25 is
+    // defined over the term SET (the operator dedups internally)
+    val dupTerms = Seq("spark", "spark", "query", "missing").toDF("term")
+    val got2 = TextOps.bm25Scores(docs, dupTerms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == got, s"dup terms changed scores: $got2 vs $got")
     // tf SATURATION is the point of BM25: the 2-distinct-term doc 1
     // outranks doc 4's 8× single-term repetition (raw tf would invert)
     assert(got(1L) > got(4L))
