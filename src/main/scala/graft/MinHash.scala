@@ -115,7 +115,28 @@ object MinHash {
     * pairs by tkey equi-joins afterwards (the dup-heavy-corpus guard on
     * top of the standard LSH trade).
     */
-  def candidatePairs(docs: DataFrame, minEst: Double): DataFrame = {
+  def candidatePairs(docs: DataFrame, minEst: Double): DataFrame =
+    candidatePairs(docs, minEst, BandRows)
+
+  /** [[candidatePairs]] with banding tuned to the threshold by
+    * [[tuneBands]] — at the module default minEst ≈ 0.6 this IS the
+    * default 8×4 banding (identity, spec-pinned); at lower thresholds it
+    * widens to more/shorter bands for recall (e.g. 0.2 → 16×2), at
+    * higher ones to fewer/longer bands so off-target pairs never reach
+    * the band join. Narrower bands are a strict recall superset: every
+    * aligned 4-run of matching perms contains aligned 2-runs, so any
+    * default-banding candidate also collides under 16×2 (law-tested). */
+  def candidatePairsTuned(docs: DataFrame, minEst: Double): DataFrame = {
+    val (_, rows) = tuneBands(NumPerms,
+      // the S-curve target is the estimate cut itself, clamped inside
+      // (0,1) so minEst 1.0 (exact dups only) still tunes
+      math.min(math.max(minEst, 0.01), 0.99))
+    candidatePairs(docs, minEst, rows)
+  }
+
+  def candidatePairs(docs: DataFrame, minEst: Double, bandRows: Int): DataFrame = {
+    require(bandRows >= 1 && NumPerms % bandRows == 0,
+      s"bandRows must divide NumPerms=$NumPerms, got $bandRows")
     VectorFunctions.registered(docs)
     // gram-less docs have NULL signatures — they can never near-dup, and
     // banding them would put every short doc in the same bucket.
@@ -140,9 +161,9 @@ object MinHash {
     val groups = sigs.groupBy(col("tkey"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("sig")).as("sig"))
     val bands = groups.select(col("tkey"), col("sig"),
-      posexplode(array((0 until NumPerms / BandRows).map(b =>
-        xxhash64(lit(b) +: (0 until BandRows).map(r =>
-          col("sig").getItem(b * BandRows + r)): _*)): _*)).as(Seq("band", "bkey")))
+      posexplode(array((0 until NumPerms / bandRows).map(b =>
+        xxhash64(lit(b) +: (0 until bandRows).map(r =>
+          col("sig").getItem(b * bandRows + r)): _*)): _*)).as(Seq("band", "bkey")))
     val a = bands.select(col("tkey").as("a_key"), col("band"), col("bkey"),
       col("sig").as("a_sig"))
     val b = bands.select(col("tkey").as("b_key"), col("band"), col("bkey"),

@@ -514,6 +514,30 @@ class Round14OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](MinHash.tuneBands(1, 0.5))
   }
 
+  test("candidatePairsTuned: default-identity at 0.6; narrower bands are a recall superset") {
+    val rnd = new scala.util.Random(19)
+    val pool = (1 to 40).map(i => s"t$i")
+    def text() = rnd.shuffle(pool).take(20).mkString(" ")
+    val docs = ((0L until 40L).map(i => (i, text())) ++
+      (0L until 40L by 4L).map { i =>  // moderate-overlap twins
+        (i + 100L, rnd.shuffle(pool).take(8).mkString(" ") + " " +
+          pool.take(12).mkString(" "))
+      }).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tuneBands(32, 0.6) = (8, 4) = the module default → identical rows
+    assert(pairs(MinHash.candidatePairsTuned(docs, 0.6)) ==
+      pairs(MinHash.candidatePairs(docs, 0.6)))
+    // at 0.2 the tuner picks 16×2; every aligned 4-run contains aligned
+    // 2-runs, so the default banding's candidates are a subset
+    assert(MinHash.tuneBands(32, 0.2) == ((16, 2)))
+    val wide = pairs(MinHash.candidatePairsTuned(docs, 0.2))
+    val deflt = pairs(MinHash.candidatePairs(docs, 0.2))
+    assert(deflt.subsetOf(wide), s"default \\ tuned = ${deflt.diff(wide)}")
+    intercept[IllegalArgumentException](MinHash.candidatePairs(docs, 0.5, 5))
+  }
+
   // ---- F29: BM25 scoring ---------------------------------------------
 
   test("bm25Scores ≡ brute-force BM25 recomputation on a hand corpus") {
