@@ -164,6 +164,15 @@ object Graft {
       weightCol: String, k: Int): DataFrame =
     TextOps.weightedTopKPerGroup(df, groupCol, idCol, weightCol, k)
 
+  /** F32: fit a reusable multinomial-NB text classifier on a labeled
+    * `(label, text)` frame — the seed-trained quality filter of the
+    * published curation pipelines (GPT-3 curated-vs-crawl, CCNet /
+    * fastText). The model is driver-held KBs; score any corpus with
+    * `model.scoreCol` / `model.predictCol` (zero-shuffle codegen
+    * kernel), or gate the curation pipeline with [[ClassifierGate]]. */
+  def nbFit(labeled: DataFrame, vocabN: Int = 200): TextOps.NbTextModel =
+    TextOps.nbFit(labeled, vocabN)
+
   /** F29: BM25 relevance scores for `docs` against a query-term frame —
     * micro-quantized long scores (engine- and order-exact); broadcast
     * term restriction before the tf shuffle. */
@@ -438,6 +447,34 @@ object Graft {
     }
   }
 
+  /** Learned-classifier gate for the curation pipeline (F32, round 14):
+    * fit a multinomial-NB text classifier on `seed` (a labeled `(label,
+    * text)` frame — the published GPT-3 / CCNet / fastText setup, where
+    * labels come from a curated-vs-crawl split or a small editorial
+    * sample, never from the corpus being gated) and keep only documents
+    * whose PREDICTED label is in `keep`. The fitted model is driver-held
+    * KBs and the per-doc prediction is the codegen `nb_score` kernel — a
+    * stateless zero-shuffle row filter, so the same gate composes into
+    * both the batch and streaming pipelines (the [[LangGate]] shape,
+    * with a learned quality model instead of a trigram profile).
+    */
+  final case class ClassifierGate(seed: DataFrame, keep: Set[String],
+      vocabN: Int = 200) {
+    require(keep.nonEmpty, "ClassifierGate with an empty keep set drops everything")
+    /** The fitted model (lazy — first forced by the pipeline, or here):
+      * public so a caller can score other frames with the same fit. */
+    lazy val model: TextOps.NbTextModel = {
+      val m = TextOps.nbFit(seed, vocabN)
+      // a keep set disjoint from the learnable labels would SILENTLY
+      // drop the whole corpus — fail loudly at fit time instead (the
+      // gate is a misconfiguration, not an empty result)
+      require(m.labels.exists(keep), s"ClassifierGate keep=$keep matches " +
+        s"none of the fitted labels ${m.labels.mkString(",")}; " +
+          "the gate would drop every document")
+      m
+    }
+  }
+
   /** Weighted-sampling knobs for [[curateCorpus]] (F18b wired in, round
     * 14): after every gate has run, keep each surviving document with
     * probability min(1, weight/scale) — the mix-construction step a
@@ -519,6 +556,9 @@ object Graft {
     *  4. quality gate — token-count bounds + stopword ratio ([[QualityGate]])
     *  5. language gate (when `langGate` is given) — keep only docs whose
     *     F26-predicted language is in the allow set ([[LangGate]])
+    *  5b. learned-classifier gate (when `classifier` is given) — keep
+    *     only docs whose F32 NB-predicted label is in the keep set
+    *     ([[ClassifierGate]]): the published seed-trained quality filter
     *  6. contamination screen — broadcast Aho–Corasick, drop any hit
     *  7. eval decontamination (when `evalDocs` is given) — drop any doc
     *     sharing a 10-token window with the held-out eval corpus (F22)
@@ -539,12 +579,13 @@ object Graft {
       semantic: Option[SemanticDedup] = None,
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
+      classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
         normalize = normalize, langGate = langGate,
-        weighted = weighted).last._2)
+        classifier = classifier, weighted = weighted).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -573,10 +614,12 @@ object Graft {
       semantic: Option[SemanticDedup] = None,
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
+      classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
-      normalize = normalize, langGate = langGate, weighted = weighted)
+      normalize = normalize, langGate = langGate,
+      classifier = classifier, weighted = weighted)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -596,6 +639,9 @@ object Graft {
     *  1b. language gate (when `langGate` is given) — keep docs whose
     *     F26-predicted language is allowed; the profile is driver-held
     *     KBs fit once on the labeled seed, so this too is stateless
+    *  1b'. learned-classifier gate (when `classifier` is given, round
+    *     14) — keep docs whose F32 NB-predicted label is in the keep
+    *     set; same driver-held-model, zero-shuffle shape as 1b
     *  1c. standing-corpus screen (when `corpusFp` is given, round 14) —
     *     drop arrivals already fingerprinted in the delivered corpus
     *     (stream-static md5 anti join; static side re-resolved per
@@ -638,6 +684,7 @@ object Graft {
         org.apache.spark.sql.streaming.TTLConfig.NONE,
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
+      classifier: Option[ClassifierGate] = None,
       corpusFp: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
@@ -652,8 +699,15 @@ object Graft {
     // language gate: the profile is fit ONCE on the driver (lazy val on
     // the LangGate) against its labeled seed — a stateless row filter on
     // the stream, the same gate semantics as the batch pipeline
-    val gated = langGate.fold(qualGated) { lg =>
+    val lGated = langGate.fold(qualGated) { lg =>
       qualGated.filter(lg.profile.predictCol(col("text")).isin(lg.allow.toSeq: _*))
+    }
+    // learned-classifier gate (F32, round 14): the NB model is fit ONCE
+    // on the driver (lazy val on the ClassifierGate) against its labeled
+    // seed — a stateless per-row kernel filter, identical semantics to
+    // the batch pipeline's classifier_gate stage
+    val gated = classifier.fold(lGated) { cg =>
+      lGated.filter(cg.model.predictCol(col("text")).isin(cg.keep.toSeq: _*))
     }
     // standing-corpus screen (round 14, the streaming sibling of F28's
     // exact path): drop arrivals whose md5 fingerprint is already in the
@@ -721,10 +775,12 @@ object Graft {
         org.apache.spark.sql.streaming.TTLConfig.NONE,
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
+      classifier: Option[ClassifierGate] = None,
       corpusFp: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
-      watermarkDelay, useTws, twsTtl, normalize, langGate, corpusFp)
+      watermarkDelay, useTws, twsTtl, normalize, langGate, classifier,
+      corpusFp)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)
@@ -737,8 +793,8 @@ object Graft {
 
   /** The named intermediate frames of the curation pipeline, in order:
     * input → [unicode_normalize] → exact_dedup → neardup_dedup →
-    * [semantic_dedup] → quality_gate → [lang_gate] → contamination →
-    * [eval_decontam] → [weighted_sample].
+    * [semantic_dedup] → quality_gate → [lang_gate] → [classifier_gate] →
+    * contamination → [eval_decontam] → [weighted_sample].
     */
   private def curationStages(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double,
@@ -747,6 +803,7 @@ object Graft {
       semantic: Option[SemanticDedup] = None,
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
+      classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
@@ -805,15 +862,23 @@ object Graft {
     val d3b = langGate.fold(d3) { lg =>
       d3.filter(lg.profile.predictCol(col("text")).isin(lg.allow.toSeq: _*))
     }
-    val clean = TextOps.contaminationScanAC(d3b, screenPhrases)
+    // round-14 learned-classifier gate (F32): stateless row filter
+    // against the driver-held NB model (fit once, lazily, on the LABELED
+    // seed — not this corpus); after the lang gate so the kernel scores
+    // only docs still alive
+    val d3c = classifier.fold(d3b) { cg =>
+      d3b.filter(cg.model.predictCol(col("text")).isin(cg.keep.toSeq: _*))
+    }
+    val clean = TextOps.contaminationScanAC(d3c, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
-    val d4 = d3b.join(clean, Seq("doc_id"), "left_semi")
+    val d4 = d3c.join(clean, Seq("doc_id"), "left_semi")
     val core = Seq("input" -> raw) ++
       normalize.map(_ => "unicode_normalize" -> base).toSeq ++
       Seq("exact_dedup" -> d1, "neardup_dedup" -> d2) ++
       semantic.map(_ => "semantic_dedup" -> dSem).toSeq ++
       Seq("quality_gate" -> d3) ++
       langGate.map(_ => "lang_gate" -> d3b).toSeq ++
+      classifier.map(_ => "classifier_gate" -> d3c).toSeq ++
       Seq("contamination" -> d4)
     val withDecontam = evalDocs match {
       case None => core

@@ -1367,6 +1367,153 @@ object TextOps {
     ngramDecontamOf(docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
   }
 
+  /** A FROZEN multinomial Naive Bayes text classifier: the driver-held
+    * model the codegen `nb_score` kernel scores against (the
+    * [[LangIdProfile]] fit→freeze pattern). KB-sized by construction
+    * (≤ vocabN × labels conditionals), serializable, reusable across
+    * frames and sessions — fit once on a labeled seed, classify any
+    * number of corpora as a scan-speed column. Every stored
+    * log-probability is floor(ln(p)·10⁶) (the F29 integer-micros grid),
+    * so a doc's per-label score is an exact LONG sum and the whole
+    * classifier is reproducible verbatim in ANSI SQL.
+    */
+  final case class NbTextModel(labels: Seq[String], priorMicros: Seq[Long],
+      vocab: Seq[String], condMicros: Seq[Seq[Long]], oovMicros: Seq[Long]) {
+    /** struct(predicted, score_micros) — argmax label by (score DESC,
+      * label ASC) with the exact integer sum as the score. */
+    def scoreCol(textCol: Column): Column =
+      call_function("nb_score", textCol, typedLit[Seq[String]](labels),
+        typedLit[Seq[Long]](priorMicros), typedLit[Seq[String]](vocab),
+        typedLit[Seq[Seq[Long]]](condMicros), typedLit[Seq[Long]](oovMicros))
+    /** Predicted-label column. */
+    def predictCol(textCol: Column): Column =
+      scoreCol(textCol).getField("predicted")
+  }
+
+  /** F32 (round 14): fit a [[NbTextModel]] on a labeled frame (`label`,
+    * `text` columns; `doc_id` optional — only `seedPred` reads it) — the
+    * seed-trained quality classifier of the published curation pipelines
+    * (GPT-3 Appendix A's curated-vs-crawl LR filter, CCNet / fastText:
+    * fit on a small editorial seed, score the whole crawl). Multinomial
+    * NB with add-one smoothing (McCallum & Nigam, AAAI-98) over a
+    * `vocabN`-token vocabulary (top by total seed count, ties by token
+    * ASC — the bounded-alphabet ranking, same case as F26's profile);
+    * out-of-vocabulary tokens share the smoothed zero-count bucket.
+    * Tokenization is `split(text, ' ')` — empty segments included — so
+    * the kernel, the spec's join twin, and the SQL oracle all walk the
+    * identical token multiset.
+    *
+    * Scale: the ONLY corpus-sized work is one (label, token) count agg
+    * over the SEED (small by contract — it's hand-labeled); the driver
+    * pulls are the label table, the vocabN-row vocabulary, and the ≤
+    * vocab × labels conditional counts — the pqFit/langIdFit model-fit
+    * boundary, KBs at any corpus size. Scoring is the zero-shuffle
+    * per-row `nb_score` kernel.
+    */
+  def nbFit(labeled: org.apache.spark.sql.DataFrame, vocabN: Int = 200,
+      seedPred: Column = lit(true)): NbTextModel = {
+    require(vocabN > 0, s"vocabN must be positive, got $vocabN")
+    functions.VectorFunctions.register(labeled.sparkSession)
+    val base =
+      if (labeled.columns.contains("doc_id")) labeled
+      else labeled.withColumn("doc_id", lit(0L))
+    val seed = base.filter(seedPred && col("text").isNotNull)
+      .select(col("label"), col("text"))
+    val priorRows = seed.groupBy(col("label")).count().collect()
+    require(priorRows.nonEmpty, "nbFit: empty seed — nothing to fit on")
+    val labels = priorRows.map(_.getString(0)).sorted.toSeq
+    val nd = priorRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ndTot = nd.values.sum
+    val priorMicros = labels.map(l =>
+      math.floor(math.log(nd(l) * 1.0 / ndTot) * 1e6).toLong)
+    val counts = seed
+      .select(col("label"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("label"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // vocab rank + in-vocab pull share it
+    val vocab = counts.groupBy(col("term")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("term"))
+      .limit(vocabN)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val inVocab = counts.filter(col("term").isin(vocab: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val v = vocab.length
+    val tl = labels.map(l =>
+      l -> vocab.map(t => inVocab.getOrElse((l, t), 0L)).sum).toMap
+    val condMicros = vocab.map(t => labels.map(l =>
+      math.floor(math.log(
+        (inVocab.getOrElse((l, t), 0L) + 1.0) / (tl(l) + v + 1)) * 1e6).toLong))
+    val oovMicros = labels.map(l =>
+      math.floor(math.log(1.0 / (tl(l) + v + 1)) * 1e6).toLong)
+    NbTextModel(labels, priorMicros, vocab, condMicros, oovMicros)
+  }
+
+  /** Graded F32 query: labels are a deterministic editorial stand-in
+    * (n_chars ≥ 300 → good — any hand-labeling would slot in here), the
+    * seed is the doc_id % 7 < 3 split (the F28 convention), vocabN = 20
+    * of the corpus' 31 distinct tokens so the OOV bucket genuinely
+    * exercises, and EVERY doc (seed and held-out) is classified by the
+    * kernel. The oracle recomputes the entire classifier from scratch in
+    * SQL — seed counts, vocabulary ranking, 1e-6-floored lns, exact
+    * integer score sums, (score DESC, label ASC) argmax — so the hash
+    * grades fit arithmetic, quantization, OOV handling, and prediction
+    * ordering end to end.
+    */
+  val qNbQuality = Q(
+    "q_nb_quality",
+    """WITH docs0 AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS label
+      |  FROM documents WHERE text IS NOT NULL),
+      |seed AS (SELECT * FROM docs0 WHERE doc_id % 7 < 3),
+      |prior0 AS (SELECT label, count(*) AS nd FROM seed GROUP BY label),
+      |ptot AS (SELECT sum(nd) AS ndt FROM prior0),
+      |priors AS (SELECT label,
+      |             CAST(floor(ln(nd * 1.0 / ndt) * 1000000) AS BIGINT) AS pm
+      |           FROM prior0 CROSS JOIN ptot),
+      |stoks AS (SELECT label, unnest(string_split(text, ' ')) AS term FROM seed),
+      |cnt AS (SELECT label, term, count(*) AS c FROM stoks GROUP BY 1, 2),
+      |vocab AS (SELECT term FROM (
+      |            SELECT term, sum(c) AS tc FROM cnt GROUP BY term)
+      |          ORDER BY tc DESC, term LIMIT 20),
+      |vsz AS (SELECT count(*) AS v FROM vocab),
+      |tl AS (SELECT p.label, coalesce(s.t, 0) AS t
+      |       FROM prior0 p LEFT JOIN (
+      |         SELECT label, sum(c) AS t FROM cnt JOIN vocab USING (term)
+      |         GROUP BY label) s USING (label)),
+      |cond AS (SELECT l.label, vo.term,
+      |           CAST(floor(ln((coalesce(c.c, 0) + 1.0) / (l.t + z.v + 1))
+      |                * 1000000) AS BIGINT) AS m
+      |         FROM tl l CROSS JOIN vocab vo CROSS JOIN vsz z
+      |         LEFT JOIN cnt c ON c.label = l.label AND c.term = vo.term),
+      |oov AS (SELECT l.label,
+      |          CAST(floor(ln(1.0 / (l.t + z.v + 1)) * 1000000) AS BIGINT) AS m
+      |        FROM tl l CROSS JOIN vsz z),
+      |dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs0),
+      |contrib AS (SELECT d.doc_id, o.label, sum(coalesce(cd.m, o.m)) AS s
+      |            FROM dtoks d CROSS JOIN oov o
+      |            LEFT JOIN cond cd ON cd.label = o.label AND cd.term = d.term
+      |            GROUP BY 1, 2),
+      |tot AS (SELECT c.doc_id, c.label, CAST(c.s + p.pm AS BIGINT) AS score
+      |        FROM contrib c JOIN priors p USING (label)),
+      |best AS (SELECT doc_id, label, score,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY score DESC, label) AS rn
+      |         FROM tot)
+      |SELECT doc_id, label AS predicted, score AS score_micros
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    functions.VectorFunctions.register(s)
+    val docs = documents(s, d).filter(col("text").isNotNull)
+    val labeled = docs.select(col("doc_id"),
+      when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad"))
+        .as("label"),
+      col("text"))
+    val model = nbFit(labeled, 20, col("doc_id") % 7 < 3)
+    docs.select(col("doc_id"), model.scoreCol(col("text")).as("p"))
+      .select(col("doc_id"), col("p.predicted").as("predicted"),
+        col("p.score_micros").as("score_micros"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qLangIdProfile,
@@ -1374,6 +1521,6 @@ object TextOps {
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
-    qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans,
+    qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

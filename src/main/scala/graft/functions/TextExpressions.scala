@@ -907,3 +907,110 @@ case class LangIdScore(child: Expression, model: LangIdModel, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Driver-held multinomial Naive Bayes text classifier (SURVEY §2.F F32's
+  * scale scoring path): per-label token log-likelihoods learned on a
+  * labeled seed split and frozen into plain arrays the scoring kernel
+  * references from generated code — the LangIdModel/pqFit codebook
+  * pattern (McCallum & Nigam, AAAI-98: the standard multinomial NB for
+  * text; the seed-trained quality-filter role is the published GPT-3 /
+  * CCNet / fastText curation setup — fit on a curated-vs-crawl seed,
+  * score the whole corpus). Size is bounded by vocab × labels (KBs), so
+  * the model rides to executors inside the serialized expression; the
+  * token hash index and UTF8 label array are @transient lazy, rebuilt
+  * once per deserialized instance.
+  *
+  * All log-probabilities arrive pre-quantized to integer MICROS
+  * (floor(ln(p)·10⁶), the F29 grid), so a document's per-label score —
+  * prior + Σ per-token conditional — is an exact LONG sum: order- and
+  * partitioning-independent, and reproducible verbatim by the SQL oracle
+  * that recomputes the same counts, the same 1e-6-floored lns, and the
+  * same sum. `score` tokenizes exactly like `split(text, ' ')` /
+  * DuckDB's `string_split`: segments between single 0x20 bytes, empty
+  * segments included (an empty text is ONE empty token), so the kernel's
+  * token stream is the identical multiset the declarative explode
+  * formulation feeds the join.
+  */
+final class NbModel(
+    val labels: Array[String],
+    val priorMicros: Array[Long],
+    val vocab: Array[String],
+    val condMicros: Array[Array[Long]], // vocab-major: condMicros(v)(l)
+    val oovMicros: Array[Long]) extends Serializable {
+  require(labels.nonEmpty, "nb_score: model has no labels (empty seed?)")
+  require(condMicros.length == vocab.length,
+    "nb_score: condMicros must be vocab-major")
+
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Long]](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) {
+      m.put(UTF8String.fromString(vocab(i)), condMicros(i)); i += 1
+    }
+    m
+  }
+  @transient private lazy val labelU: Array[UTF8String] =
+    labels.map(UTF8String.fromString)
+
+  /** (predicted, score_micros) for one document: per-label exact long
+    * sums over the token stream, argmax broken by (score DESC, label
+    * ASC) — a single allocation-light walk over the UTF-8 bytes. */
+  def score(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = t.getBytes
+    val sums = java.util.Arrays.copyOf(priorMicros, priorMicros.length)
+    var start = 0
+    var off = 0
+    // one extra iteration at off == bytes.length closes the last token —
+    // this is what makes "" score exactly one empty token, like split
+    while (off <= bytes.length) {
+      if (off == bytes.length || bytes(off) == ' '.toByte) {
+        val tok = UTF8String.fromBytes(bytes, start, off - start)
+        val m = idx.get(tok)
+        val contrib = if (m != null) m else oovMicros
+        var l = 0
+        while (l < sums.length) { sums(l) += contrib(l); l += 1 }
+        start = off + 1
+      }
+      off += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < sums.length) {
+      if (sums(l) > sums(best)) best = l
+      l += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](labelU(best), sums(best)))
+  }
+}
+
+/** `nb_score(text, labels, priors, vocab, cond, oov)` → struct<
+  * predicted:string, score_micros:bigint>: per-row Naive Bayes scoring
+  * against a driver-held [[NbModel]] (the literal args are folded once
+  * at registration-call time, the langid_score pattern). The corpus side
+  * is a pure per-row map with zero shuffle — the F32 100 TB shape: fit
+  * on the (small) labeled seed, then classify any number of corpora as a
+  * scan-speed column.
+  */
+case class NbScore(child: Expression, model: NbModel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nb_score requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("predicted", StringType, nullable = false),
+    StructField("score_micros", LongType, nullable = false)))
+  override def prettyName: String = "nb_score"
+
+  override def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("nbModel", model, classOf[NbModel].getName)
+    defineCodeGen(ctx, ev, c => s"$mRef.score($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

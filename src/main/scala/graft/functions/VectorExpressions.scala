@@ -319,6 +319,24 @@ object VectorFunctions {
         LangIdScore(exprs.head, new LangIdModel(langs, tgs, tgLangs),
           exprs(4).eval().asInstanceOf[Number].intValue())
       }, "built-in")
+    // F32 scale scorer: the learned NB parameters arrive as foldable
+    // literals (labels, priors, vocab, vocab-major conditionals, OOV
+    // row), folded once here into a driver-held NbModel the generated
+    // code references — the langid_score pattern, so classifying a
+    // corpus is a pure per-row map with zero shuffle
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nb_score", (exprs: Seq[Expression]) => {
+        def strs(e: Expression): Array[String] =
+          e.eval().asInstanceOf[ArrayData].toObjectArray(StringType)
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        def longs(e: Expression): Array[Long] =
+          e.eval().asInstanceOf[ArrayData].toLongArray()
+        val cond = exprs(4).eval().asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(LongType, containsNull = false))
+          .map(_.asInstanceOf[ArrayData].toLongArray())
+        NbScore(exprs.head, new NbModel(strs(exprs(1)), longs(exprs(2)),
+          strs(exprs(3)), cond, longs(exprs(5))))
+      }, "built-in")
     // PQ kernels: codebook/m/ksub are foldable literals, evaluated once
     // here (the minhash_sig pattern) so the expression holds a plain
     // float[] that codegen references instead of re-evaluating per row

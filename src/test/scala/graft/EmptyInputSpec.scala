@@ -99,6 +99,18 @@ class EmptyInputSpec extends SparkSpec {
       weighted = Some(Graft.WeightedKeep(octet_length(col("text")).cast("long"), 100L)))
     assert(out3.count() == 0 && audit3.last.stage == "weighted_sample" &&
       audit3.last.kept == 0 && audit3.last.dropped == 0)
+    // F32: a valid model scores an EMPTY corpus to zero rows, and the
+    // classifier_gate stage composes over the empty corpus with zero
+    // counts (the seed is external, so the fit still succeeds; an empty
+    // SEED is the loud-failure case, specced in Round14OpsSpec)
+    val nbSeed = Seq(("keep", "alpha beta"), ("drop", "zeta")).toDF("label", "text")
+    val nbModel = TextOps.nbFit(nbSeed)
+    assert(docs.filter(col("text").isNotNull)
+      .select(nbModel.scoreCol(col("text"))).count() == 0)
+    val (out4, audit4) = Graft.curateCorpusAudited(spark, docs, Nil,
+      classifier = Some(Graft.ClassifierGate(nbSeed, keep = Set("keep"))))
+    assert(out4.count() == 0 &&
+      audit4.exists(s => s.stage == "classifier_gate" && s.kept == 0 && s.dropped == 0))
     // simhash groups over an all-NULL-text corpus: every doc a singleton
     val nulls = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -585,4 +585,142 @@ class Round14OpsSpec extends SparkSpec {
     // outranks doc 4's 8× single-term repetition (raw tf would invert)
     assert(got(1L) > got(4L))
   }
+  // ---- F32: seed-trained NB quality classifier -----------------------
+
+  test("nbFit + nb_score ≡ independent NB recomputation on a hand corpus") {
+    val seed = Seq(
+      (0L, "good", "alpha beta alpha"), (1L, "good", "beta gamma"),
+      (2L, "bad", "zeta zeta beta"), (3L, "bad", "zeta"))
+      .toDF("doc_id", "label", "text")
+    val m = TextOps.nbFit(seed, vocabN = 3)
+    // vocabulary: totals beta 3, zeta 3, alpha 2, gamma 1 → (tc DESC,
+    // term ASC) top-3 = beta, zeta, alpha (gamma falls to OOV)
+    assert(m.labels == Seq("bad", "good"))
+    assert(m.vocab.sorted == Seq("alpha", "beta", "zeta"))
+    // independent recomputation, straight from the formulas: T_l = 4
+    // both labels, V = 3, priors ln(2/4)
+    def mic(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
+    val pm = mic(2 * 1.0 / 4)
+    assert(m.priorMicros == Seq(pm, pm))
+    val condWant = Map( // (term, label) → micros, c from the seed counts
+      ("alpha", "bad") -> mic(1.0 / 8), ("alpha", "good") -> mic(3.0 / 8),
+      ("beta", "bad") -> mic(2.0 / 8), ("beta", "good") -> mic(3.0 / 8),
+      ("zeta", "bad") -> mic(4.0 / 8), ("zeta", "good") -> mic(1.0 / 8))
+    m.vocab.zip(m.condMicros).foreach { case (t, ms) =>
+      assert(ms == m.labels.map(l => condWant((t, l))), s"cond for $t")
+    }
+    assert(m.oovMicros == Seq(mic(1.0 / 8), mic(1.0 / 8)))
+    // kernel scoring: "alpha beta delta" (delta is OOV) — expected sums
+    // computed independently; multibyte text walks fine (no 0x20 bytes
+    // inside UTF-8 continuation sequences)
+    val scored = Seq((10L, "alpha beta delta"), (11L, "héllo wörld zeta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), m.scoreCol(col("text")).as("p"))
+      .select(col("doc_id"), col("p.predicted"), col("p.score_micros"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val goodScore = pm + mic(3.0 / 8) + mic(3.0 / 8) + mic(1.0 / 8)
+    val badScore = pm + mic(1.0 / 8) + mic(2.0 / 8) + mic(1.0 / 8)
+    assert(goodScore > badScore)
+    assert(scored(10L) == ("good", goodScore))
+    // héllo/wörld are OOV both labels; zeta splits bad over good
+    val badScore11 = pm + mic(1.0 / 8) * 2 + mic(4.0 / 8)
+    assert(scored(11L) == ("bad", badScore11))
+  }
+
+  test("nb_score: empty text is ONE empty token; exact ties break label ASC") {
+    val seed = Seq((0L, "good", "x y"), (1L, "bad", "z w"))
+      .toDF("doc_id", "label", "text")
+    val m = TextOps.nbFit(seed, vocabN = 10)
+    // "" is not in the vocabulary, so the empty doc scores prior + one
+    // OOV contribution under BOTH labels — symmetric seed ⇒ an exact
+    // tie, broken by label ASC ("bad"), exactly like the oracle's
+    // row_number() ORDER BY score DESC, label
+    val got = Seq((0L, ""), (1L, "a  b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), m.scoreCol(col("text")).as("p"))
+      .select(col("doc_id"), col("p.predicted"), col("p.score_micros"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    def mic(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
+    val oneOov = mic(1.0 / 2) + mic(1.0 / 7) // prior + OOV (T=2, V=4)
+    assert(got(0L) == ("bad", oneOov))
+    // "a  b" splits to [a, "", b] — THREE tokens (empty middle kept),
+    // the split(text, ' ') / string_split contract
+    assert(got(1L) == ("bad", mic(1.0 / 2) + 3 * mic(1.0 / 7)))
+  }
+
+  test("nb_score kernel ≡ declarative explode+join scoring on the graded corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val labeled = docs.select(col("doc_id"),
+      when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad")).as("label"),
+      col("text"))
+    val m = TextOps.nbFit(labeled, vocabN = 20, seedPred = col("doc_id") % 7 < 3)
+    // declarative twin: the SAME frozen micros, but scored by explode →
+    // left-join against the cond table → exact long sums → argmax window
+    // — the formulation the kernel replaced; equality proves the kernel's
+    // byte-walk tokenization and argmax against the join semantics
+    val cond = m.vocab.zip(m.condMicros).flatMap { case (t, ms) =>
+      m.labels.zip(ms).map { case (l, v) => (t, l, v) }
+    }.toDF("term", "label", "m")
+    val lab = m.labels.zip(m.priorMicros).zip(m.oovMicros)
+      .map { case ((l, p), o) => (l, p, o) }.toDF("label", "pm", "oov")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val joinScores = toks.crossJoin(broadcast(lab))
+      .join(broadcast(cond), Seq("term", "label"), "left")
+      .groupBy(col("doc_id"), col("label"), col("pm"))
+      .agg(sum(coalesce(col("m"), col("oov"))).as("s"))
+      .select(col("doc_id"), col("label"), (col("s") + col("pm")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    val viaJoin = joinScores
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("score"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val viaKernel = docs
+      .select(col("doc_id"), m.scoreCol(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getString(0), r.getStruct(1).getLong(1))).toMap
+    assert(viaKernel == viaJoin)
+    assert(viaKernel.nonEmpty)
+  }
+
+  test("nbFit fails loudly on an empty seed; ClassifierGate on a disjoint keep set") {
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nbFit(Seq.empty[(String, String)].toDF("label", "text"))
+    }
+    assert(e.getMessage.contains("empty seed"))
+    val seed = Seq(("good", "x"), ("bad", "y")).toDF("label", "text")
+    val g = intercept[IllegalArgumentException] {
+      Graft.ClassifierGate(seed, keep = Set("pristine")).model
+    }
+    assert(g.getMessage.contains("matches none"))
+  }
+
+  test("classifier_gate curation stage ≡ the standalone kernel filter on survivors") {
+    val rnd = new scala.util.Random(32)
+    val docs = (0 until 200).map { i =>
+      val good = i % 3 != 0
+      val words = if (good) Seq("alpha", "beta", "gamma") else Seq("zeta", "eta")
+      val n = 5 + rnd.nextInt(10)
+      (i.toLong, (1 to n).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val seed = Seq(("keep", "alpha beta gamma alpha beta"),
+      ("drop", "zeta eta zeta eta")).toDF("label", "text")
+    val gate = Graft.QualityGate(minTokens = 1, maxTokens = 100,
+      stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+    val cg = Graft.ClassifierGate(seed, keep = Set("keep"))
+    val (packed, audit) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = gate, classifier = Some(cg))
+    val row = audit.find(_.stage == "classifier_gate").get
+    assert(row.kept > 0 && row.dropped > 0, s"gate must both keep and drop: $row")
+    // stage survivors ≡ standalone kernel filter over the pre-gate pool
+    val (noGate, _) = Graft.curateCorpusAudited(spark, docs, Nil, quality = gate)
+    val pool = docs.join(noGate.select("doc_id"), Seq("doc_id"), "left_semi")
+    val standalone = pool
+      .filter(cg.model.predictCol(col("text")) === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaStage = packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaStage == standalone)
+  }
 }
