@@ -164,6 +164,14 @@ object Graft {
       weightCol: String, k: Int): DataFrame =
     TextOps.weightedTopKPerGroup(df, groupCol, idCol, weightCol, k)
 
+  /** F33: token-budget mix construction — subsample each source to a
+    * token budget in the deterministic md5 fill order (mixtures are
+    * specified in tokens, not docs); distributed prefix sum, never a
+    * single-partition window. */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    TextOps.tokenBudgetMix(docs, budgets, sourceCol, idCol)
+
   /** F32: fit a reusable multinomial-NB text classifier on a labeled
     * `(label, text)` frame — the seed-trained quality filter of the
     * published curation pipelines (GPT-3 curated-vs-crawl, CCNet /

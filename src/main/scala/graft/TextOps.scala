@@ -1367,6 +1367,98 @@ object TextOps {
     ngramDecontamOf(docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
   }
 
+  /** F33 (round 14): token-budget mix construction — materialize a
+    * training mixture by subsampling each source down to a TOKEN budget
+    * (the published mixture-weight step: The Pile's per-source epoch
+    * weights, DoReMi's reweighted domains — mixtures are specified in
+    * tokens, not documents, because documents have wildly different
+    * lengths). Per source: order docs by the deterministic md5 draw
+    * (the F18b/F18c integer draw, so the "random" fill order is engine-
+    * and rerun-exact), then greedily keep docs while the cumulative
+    * token count BEFORE the doc is under the source's budget — the
+    * first doc crossing the line is kept (standard greedy fill, ≤ one
+    * doc of overshoot), docs after it are dropped. Sources absent from
+    * `budgets` are dropped entirely; a 0 budget keeps nothing.
+    *
+    * Scale: the cumulative sum is the F20 distributed prefix sum — the
+    * draw space [0, 2³²) is RANGE-bucketed (buckets are contiguous
+    * slices of the per-source fill order, uniformly loaded because the
+    * draw is uniform), cumsum runs inside each (source, bucket) window
+    * partition, and the only global window is the per-source offset
+    * cascade over the buckets×sources totals table (KBs at any corpus
+    * size). Never a single-partition window over a source's full doc
+    * list. Output is (id, source, n_toks, cum_before) — `cum_before` is
+    * the doc's token offset within its source's fill, handy for exact
+    * budget audits downstream.
+    */
+  def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame,
+      budgets: Map[String, Long], sourceCol: String = "source",
+      idCol: String = "doc_id", buckets: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val bucketWidth = (4294967296L + buckets - 1) / buckets
+    val base = docs.filter(col("text").isNotNull)
+      .select(col(idCol), col(sourceCol),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("budget",
+        element_at(typedLit(budgets), col(sourceCol)))
+      .filter(col("budget").isNotNull)
+      .withColumn("b", floor(col("h") / bucketWidth).cast("long"))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(sourceCol), col("b"))
+      .agg(sum(col("n_toks")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+      .select(col(sourceCol), col("b"), col("boff"))
+    val wIn = Window.partitionBy(col(sourceCol), col("b"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(offsets, Seq(sourceCol, "b"))
+      .withColumn("cum", col("boff") + sum(col("n_toks")).over(wIn))
+      .filter(col("cum") - col("n_toks") < col("budget"))
+      .select(col(idCol), col(sourceCol), col("n_toks"),
+        (col("cum") - col("n_toks")).as("cum_before"))
+  }
+
+  /** Graded F33 query: budgets are DERIVED from the corpus — half of
+    * each source's total token count (the driver pull is one row per
+    * source, the bounded-alphabet fit boundary) — then the mix keeps
+    * roughly half the tokens of every source, deterministically. The
+    * oracle recomputes the fill with ONE plain cumsum window per source
+    * over the same md5 draw order, so the hash match grades the
+    * bucketed prefix sum against the single-window definition, the
+    * strict `cum_before < budget` cutoff, and the (draw, id) tie order.
+    */
+  val qTokenBudgetMix = Q(
+    "q_token_budget_mix",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM documents WHERE text IS NOT NULL),
+      |tot AS (SELECT source, CAST(floor(sum(n_toks) * 0.5) AS BIGINT) AS budget
+      |        FROM d GROUP BY source),
+      |c AS (SELECT d.*, sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+      |                                    ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM d)
+      |SELECT c.doc_id, c.source, c.n_toks,
+      |       CAST(c.cum - c.n_toks AS BIGINT) AS cum_before
+      |FROM c JOIN tot USING (source)
+      |WHERE c.cum - c.n_toks < budget
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val totals = docs.filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tot"))
+      .collect() // one row per source — the bounded-alphabet pull
+      .map(r => r.getString(0) -> math.floor(r.getLong(1) * 0.5).toLong)
+      .toMap
+    tokenBudgetMix(docs, totals).orderBy(col("doc_id"))
+  }
+
   /** A FROZEN multinomial Naive Bayes text classifier: the driver-held
     * model the codegen `nb_score` kernel scores against (the
     * [[LangIdProfile]] fit→freeze pattern). KB-sized by construction
@@ -1522,5 +1614,6 @@ object TextOps {
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
+    qTokenBudgetMix,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

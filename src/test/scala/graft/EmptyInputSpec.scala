@@ -46,8 +46,10 @@ class EmptyInputSpec extends SparkSpec {
       "q_f2_simhash_pairs", "q_simhash_dedup_groups",
       // round 14: delta dedup of an empty split; A-ES/BM25 over no docs
       "q_incremental_dedup", "q_weighted_topk", "q_bm25_topk",
-      // round 14: span removal / keep-best dedup over no docs
-      "q_strip_spans", "q_dedup_keep_best")
+      // round 14: span removal / keep-best dedup / token-budget mix
+      // over no docs (q_nb_quality is absent by design: its fit fails
+      // LOUDLY on an empty seed — the LangGate convention)
+      "q_strip_spans", "q_dedup_keep_best", "q_token_budget_mix")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -723,4 +723,63 @@ class Round14OpsSpec extends SparkSpec {
     val viaStage = packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(viaStage == standalone)
   }
+
+  // ---- F33: token-budget mix construction ----------------------------
+
+  test("tokenBudgetMix ≡ brute-force greedy fill on a hand corpus") {
+    val docs = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e"), (3L, "web", "f g h i"),
+      (4L, "web", "j"), (5L, "wiki", "k l m n o p"), (6L, "wiki", "q r"),
+      (7L, "books", "s t u"), (8L, "web", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val budgets = Map("web" -> 6L, "wiki" -> 0L) // books absent → dropped
+    val got = TextOps.tokenBudgetMix(docs, budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // independent recomputation: same draw, one sequential fold
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val want = Seq(1L -> 3L, 2L -> 2L, 3L -> 4L, 4L -> 1L)
+      .map { case (id, n) => (id, n, h(id)) }
+      .sortBy { case (id, _, hh) => (hh, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, n, _)) =>
+        (id, n, cum, cum + n)
+      }.drop(1)
+      .filter { case (_, _, before, _) => before < 6L }
+      .map { case (id, n, before, _) => (id, "web", n, before) }
+      .sortBy(_._1)
+    assert(got == want, s"got $got, want $want")
+    // wiki budget 0 keeps nothing, absent books keeps nothing
+    assert(!got.exists(r => r._2 == "wiki" || r._2 == "books"))
+    // the greedy fill must actually CUT (6 < 10 web tokens) yet keep the
+    // boundary-crossing doc (cum_before < 6 admits overshoot)
+    val kept = got.map(_._3).sum
+    assert(kept >= 6L && kept < 10L, s"kept $kept of 10 web tokens")
+  }
+
+  test("tokenBudgetMix is bucket-count invariant and respects total budgets") {
+    val rnd = new scala.util.Random(33)
+    val docs = (0 until 500).map { i =>
+      (i.toLong, s"src${i % 5}", (1 to 3 + rnd.nextInt(12)).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budgets = (0 until 5).map(k => s"src$k" -> (k * 120L)).toMap
+    def run(b: Int) = TextOps.tokenBudgetMix(docs, budgets, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val one = run(1) // single bucket ≡ the plain one-window definition
+    assert(run(7) == one && run(256) == one)
+    // src0 has budget 0 → absent; every source stays within budget + one doc
+    assert(!one.exists(_._2 == "src0"))
+    (1 until 5).foreach { k =>
+      val rows = one.filter(_._2 == s"src$k")
+      val toks = rows.map(_._3).sum
+      assert(rows.last._4 < k * 120L, s"src$k last cum_before")
+      assert(toks < k * 120L + 15L, s"src$k kept $toks vs budget ${k * 120}")
+    }
+    // budget >= total keeps every doc of that source
+    val all = TextOps.tokenBudgetMix(docs, Map("src2" -> 1000000L))
+    assert(all.count() == docs.filter(col("source") === "src2").count())
+  }
 }
