@@ -63,7 +63,11 @@ object Bench {
     // incremental (delta) dedup screen, A-ES weighted top-k, BM25,
     // duplicated-span removal, keep-best-representative dedup
     "q_bloom_anti", "q_incremental_dedup", "q_weighted_topk",
-    "q_bm25_topk", "q_strip_spans", "q_dedup_keep_best")
+    "q_bm25_topk", "q_strip_spans", "q_dedup_keep_best",
+    // round-14 late additions: the seed-trained NB quality classifier,
+    // the token-budget mix constructor, and the mix-materialization pair
+    // (epoch upsampling + deterministic order shuffle)
+    "q_nb_quality", "q_token_budget_mix", "q_epoch_mix", "q_shuffle_shards")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

@@ -172,6 +172,64 @@ object Graft {
       sourceCol: String = "source", idCol: String = "doc_id"): DataFrame =
     TextOps.tokenBudgetMix(docs, budgets, sourceCol, idCol)
 
+  /** F34: epoch-weighted mix materialization — the UPSAMPLING half of
+    * mixture construction (F33 subsamples down; this replicates up).
+    * Per-source epoch weights in integer MICROS (1_500_000 = 1.5
+    * epochs): every doc appears `e div 10⁶` times plus one more on a
+    * deterministic md5 draw. Zero shuffles — a per-row map + explode. */
+  def epochMix(docs: DataFrame, epochsMicros: Map[String, Long],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    TextOps.epochMix(docs, epochsMicros, sourceCol, idCol)
+
+  /** F35: deterministic training-order shuffle — every doc gets a shard
+    * and an exact intra-shard position as a pure function of (corpus,
+    * seed); bucketed two-level rank, never a shard-sized single-window
+    * sort. Feed the output order into [[TextOps.packSequencesOf]] for
+    * final training batches. */
+  def shuffleShards(docs: DataFrame, nShards: Int, seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame =
+    TextOps.shuffleShards(docs, nShards, seed, idCol)
+
+  /** Composed mixture materialization: F33 budget subsample (when
+    * `budgets` is non-empty) → F34 epoch upsample (when `epochsMicros`
+    * is non-empty; sources absent from a non-empty map are dropped,
+    * per F34's contract) → F35 order shuffle over the COPIES. Returns
+    * the training manifest (doc_id, source, n_toks, epoch, shard, pos)
+    * — the exact read order a trainer consumes, a pure function of
+    * (corpus, budgets, epochs, seed).
+    *
+    * The shuffle draw is salted with the copy's epoch index
+    * (`doc_id:epoch`), so the 2nd/3rd copies of an upsampled doc land
+    * in INDEPENDENT shards and positions — shuffling on the bare
+    * doc_id would place every copy back-to-back, exactly the
+    * repeated-context pathology epoch weights must avoid. Same
+    * zero-/bounded-shuffle plans as the three operators it composes.
+    */
+  def mixManifest(docs: DataFrame, budgets: Map[String, Long],
+      epochsMicros: Map[String, Long], nShards: Int, seed: Long = 0L)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit, size, split}
+    val kept =
+      if (budgets.isEmpty) docs
+      else docs.join(
+        TextOps.tokenBudgetMix(docs, budgets).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val copies =
+      if (epochsMicros.isEmpty)
+        kept.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"),
+            lit(1L).as("epoch"))
+      else TextOps.epochMix(kept, epochsMicros)
+    val salted = copies.withColumn("copy_id",
+      concat(col("doc_id").cast("string"), lit(":"), col("epoch")))
+    salted.join(
+        TextOps.shuffleShards(salted, nShards, seed, idCol = "copy_id"),
+        Seq("copy_id"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("epoch"),
+        col("shard"), col("pos"))
+  }
+
   /** F32: fit a reusable multinomial-NB text classifier on a labeled
     * `(label, text)` frame — the seed-trained quality filter of the
     * published curation pipelines (GPT-3 curated-vs-crawl, CCNet /

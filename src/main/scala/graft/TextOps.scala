@@ -1459,6 +1459,155 @@ object TextOps {
     tokenBudgetMix(docs, totals).orderBy(col("doc_id"))
   }
 
+  /** F34 (round 14): epoch-weighted mix materialization — the UPSAMPLING
+    * half of mixture construction (F33 subsamples down to a budget; this
+    * replicates up to a weight). Published mixtures specify per-source
+    * epoch counts > 1 (The Pile's per-source epochs, LLaMA's reported
+    * per-corpus epoch table, DoReMi's reweighted domains): a source with
+    * weight 1.5 contributes every doc once and a deterministic half of
+    * its docs twice. Weights are INTEGER MICROS (1_500_000 = 1.5 epochs)
+    * so every row's copy count is exact integer arithmetic: a doc with
+    * draw h ∈ [0, 2³²) (first 8 md5 hex digits of its id — the F18b/F33
+    * draw) gets `e div 10⁶` copies plus one more iff
+    * `h·10⁶ < (e mod 10⁶)·2³²` (both sides ≤ 2⁵² — exact in a LONG), so
+    * the expected token count is tokens·e/10⁶ to within one doc per
+    * source and reruns/engines agree bit-for-bit. Sources absent from
+    * `epochsMicros` are dropped (weight 0); output is one row per COPY
+    * (id, source, n_toks, epoch ∈ [1, copies]) ready for the F35 order
+    * shuffle + F20 packing.
+    *
+    * Scale: a pure per-row map + explode — ZERO shuffles at any corpus
+    * size; output rows are bounded by Σ_s ceil(e_s)·|s|. The per-source
+    * weight table rides into the plan as a literal map (KBs — same
+    * contract as F33's budgets).
+    */
+  def epochMix(docs: org.apache.spark.sql.DataFrame,
+      epochsMicros: Map[String, Long], sourceCol: String = "source",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(epochsMicros.values.forall(_ >= 0),
+      "epoch weights must be non-negative micros")
+    docs.filter(col("text").isNotNull)
+      .select(col(idCol), col(sourceCol),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("e", element_at(typedLit(epochsMicros), col(sourceCol)))
+      .filter(col("e").isNotNull)
+      .withColumn("copies",
+        expr("e div 1000000L") +
+          when(col("h") * lit(1000000L) <
+            (col("e") % lit(1000000L)) * lit(4294967296L), 1L).otherwise(0L))
+      .filter(col("copies") >= 1)
+      .select(col(idCol), col(sourceCol), col("n_toks"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+  }
+
+  /** Graded F34 query: weights are DERIVED from the corpus — equalize
+    * every source up to the largest source's token count, capped at 3
+    * epochs (`least(3·10⁶, floor(maxTot·10⁶ / tot_s))`, the bounded
+    * per-source pull) — so the smaller sources genuinely exercise the
+    * fractional-copy draw. The oracle recomputes the weight table, the
+    * integer copy count, and the unnest in SQL, so the hash grades the
+    * draw arithmetic, the `div`/`mod` split, and the 1-based epoch
+    * numbering.
+    */
+  val qEpochMix = Q(
+    "q_epoch_mix",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM documents WHERE text IS NOT NULL),
+      |tot AS (SELECT source, sum(n_toks) AS t FROM d GROUP BY source),
+      |mx AS (SELECT max(t) AS mt FROM tot),
+      |w AS (SELECT source,
+      |        least(3000000, CAST(floor(mt * 1000000.0 / t) AS BIGINT)) AS e
+      |      FROM tot CROSS JOIN mx),
+      |k AS (SELECT d.doc_id, d.source, d.n_toks,
+      |        CAST(e // 1000000 AS BIGINT) +
+      |        CASE WHEN d.h * 1000000 < (e % 1000000) * 4294967296
+      |             THEN 1 ELSE 0 END AS copies
+      |      FROM d JOIN w USING (source))
+      |SELECT doc_id, source, n_toks,
+      |       CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+      |FROM k WHERE copies >= 1
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val tots = docs.filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect() // one row per source — the bounded-alphabet pull
+    val maxTot = if (tots.isEmpty) 0L else tots.map(_.getLong(1)).max
+    val weights = tots.map(r => r.getString(0) ->
+      math.min(3000000L, maxTot * 1000000L / r.getLong(1))).toMap
+    epochMix(docs, weights).orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** F35 (round 14): deterministic training-order shuffle — assign every
+    * doc a shard and an exact position within it, so the materialized
+    * training order is a pure function of (corpus, seed): reproducible
+    * across reruns, engines, and partitionings (the property data-order
+    * ablations and checkpoint-resume both need). Shard and rank draws
+    * are independent bit ranges of one md5 (digits 9–16 → shard via mod,
+    * digits 1–8 → intra-shard order), seeded by prefixing the id, so
+    * changing `seed` is a fresh permutation.
+    *
+    * Scale: the intra-shard rank is the F33/F20 bucketed prefix pattern
+    * re-aimed at COUNTS — the [0, 2³²) order-draw space is RANGE-
+    * bucketed, row_number runs inside each (shard, bucket) window
+    * partition (~|corpus|/(shards·buckets) rows), and the only global
+    * window is the offset cascade over the shards×buckets counts table
+    * (KBs at any corpus size). A naive `row_number() OVER (PARTITION BY
+    * shard ORDER BY draw)` would sort each shard — corpus/nShards rows —
+    * in ONE window partition; at 100 TB that single-task sort is the
+    * bottleneck this operator exists to avoid.
+    */
+  def shuffleShards(docs: org.apache.spark.sql.DataFrame, nShards: Int,
+      seed: Long = 0L, idCol: String = "doc_id", buckets: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bucketWidth = (4294967296L + buckets - 1) / buckets
+    val m = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val base = docs
+      .select(col(idCol),
+        conv(substring(m, 1, 8), 16, 10).cast("long").as("h"),
+        (conv(substring(m, 9, 8), 16, 10).cast("long") % nShards).as("shard"))
+      .withColumn("b", floor(col("h") / bucketWidth).cast("long"))
+    val wOff = Window.partitionBy(col("shard")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("shard"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("shard"), col("b"), col("boff"))
+    val wIn = Window.partitionBy(col("shard"), col("b"))
+      .orderBy(col("h"), col(idCol))
+    base.join(offsets, Seq("shard", "b"))
+      .select(col(idCol), col("shard"),
+        (col("boff") + row_number().over(wIn) - 1).as("pos"))
+  }
+
+  /** Graded F35 query: 8 shards, seed 42, every document placed. The
+    * oracle is the single-window definition — `row_number() OVER
+    * (PARTITION BY shard ORDER BY h, doc_id) - 1` — so the hash match
+    * proves the bucketed two-level rank ≡ the plain rank, plus the
+    * seeded md5 bit-range split and the (draw, id) tie order.
+    */
+  val qShuffleShards = Q(
+    "q_shuffle_shards",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 8 AS shard
+      |  FROM documents)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+      |            - 1 AS BIGINT) AS pos
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    shuffleShards(documents(s, d), nShards = 8, seed = 42L)
+      .orderBy(col("doc_id"))
+  }
+
   /** A FROZEN multinomial Naive Bayes text classifier: the driver-held
     * model the codegen `nb_score` kernel scores against (the
     * [[LangIdProfile]] fit→freeze pattern). KB-sized by construction
@@ -1614,6 +1763,6 @@ object TextOps {
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
-    qTokenBudgetMix,
+    qTokenBudgetMix, qEpochMix, qShuffleShards,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

@@ -1622,6 +1622,68 @@ object Adhoc {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("nbmix14")) {
+      // Round-14 scale evidence for F32 (NB classifier) and F33 (token-
+      // budget mix). F32: fit stays seed-sized (the sf0.1 corpus), the
+      // kernel scores a 1M-doc corpus as a per-row map — the wall should
+      // be scan-bound. F33: a 10M-doc 10-source fill — the bucketed
+      // prefix sum must hold (2,560 window partitions of ~4k rows, never
+      // a source-sized sort), and two bucket widths must agree exactly.
+      val seedDocs = Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad"))
+            .as("label"),
+          col("text"))
+      val model = TextOps.nbFit(seedDocs, vocabN = 20)
+      val big = Tables.documents(spark, d).filter(col("text").isNotNull)
+        .crossJoin(spark.range(0, 200).select(col("id").as("rep")))
+        .select((col("doc_id") * 200 + col("rep")).as("doc_id"), col("text"))
+        .repartition(32)
+        .localCheckpoint(eager = true)
+      println(s"nbmix14 F32 corpus: ${big.count()} docs")
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val a = big.select(model.scoreCol(col("text")).as("p"))
+          .agg(sum(col("p.score_micros")).as("s"),
+            sum(when(col("p.predicted") === "good", 1L).otherwise(0L)).as("g"))
+          .head
+        println(f"ADHOC nb_score_1m_$rep score_sum=${a.getLong(0)} good=${a.getLong(1)} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      // F33: 10M docs, 8-18 tokens each, 10 sources, 30% token budgets
+      val n33 = sys.env.getOrElse("ADHOC_MIX_N", "10000000").toLong
+      val docs33 = spark.range(0, n33).select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(10))).as("source"),
+          concat_ws(" ", transform(
+            sequence(lit(0), (pmod(hash(col("id")), lit(11)) + lit(7)).cast("int")),
+            i => concat(lit("t"), pmod(hash(col("id") * 13 + i), lit(1000)))))
+            .as("text"))
+        .repartition(32)
+        .localCheckpoint(eager = true)
+      println(s"nbmix14 F33 corpus: ${docs33.count()} docs")
+      val totals = docs33.groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tot"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1) * 3 / 10)).toMap
+      var kept256: Long = -1L
+      var sum256: Long = -1L
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val m = TextOps.tokenBudgetMix(docs33, totals)
+          .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("t"),
+            sum(col("cum_before")).as("cb"))
+          .head
+        kept256 = m.getLong(0); sum256 = m.getLong(2)
+        println(f"ADHOC mix_fill_10m_$rep kept=${m.getLong(0)} toks=${m.getLong(1)} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      // bucket-width invariance at scale: 64 buckets ≡ 256 (counts and
+      // the cum_before checksum — offsets identical means the fill is)
+      val m64 = TextOps.tokenBudgetMix(docs33, totals, buckets = 64)
+        .agg(count(lit(1)).as("n"), sum(col("cum_before")).as("cb")).head
+      println(s"ADHOC mix_bucket_invariance kept64=${m64.getLong(0)} kept256=$kept256 " +
+        s"cb64=${m64.getLong(1)} cb256=$sum256 equal=${m64.getLong(0) == kept256 && m64.getLong(1) == sum256}")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("round12ops")) {
       // Scale evidence for the round-12 operators: learned language ID
       // over a 500k-doc corpus (profile build stays seed-sized, scoring

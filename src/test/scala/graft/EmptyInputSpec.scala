@@ -49,7 +49,9 @@ class EmptyInputSpec extends SparkSpec {
       // round 14: span removal / keep-best dedup / token-budget mix
       // over no docs (q_nb_quality is absent by design: its fit fails
       // LOUDLY on an empty seed — the LangGate convention)
-      "q_strip_spans", "q_dedup_keep_best", "q_token_budget_mix")
+      "q_strip_spans", "q_dedup_keep_best", "q_token_budget_mix",
+      // round 14 late: upsampling mix + order shuffle of an empty corpus
+      "q_epoch_mix", "q_shuffle_shards")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -782,4 +782,109 @@ class Round14OpsSpec extends SparkSpec {
     val all = TextOps.tokenBudgetMix(docs, Map("src2" -> 1000000L))
     assert(all.count() == docs.filter(col("source") === "src2").count())
   }
+
+  private def drawH(id: Long): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString, 16)
+
+  test("epochMix ≡ brute-force integer copy counts on a hand corpus") {
+    val docs = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e"), (3L, "web", "f g"),
+      (4L, "wiki", "h i j k"), (5L, "wiki", "l"), (6L, "code", "m n"),
+      (7L, "drop", "o"), (8L, "web", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    // web 2.5 epochs, wiki exactly 1, code 0 — drop absent
+    val w = Map("web" -> 2500000L, "wiki" -> 1000000L, "code" -> 0L)
+    val got = TextOps.epochMix(docs, w)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4)).toSeq
+    val want = Seq((1L, "web", 3L), (2L, "web", 2L), (3L, "web", 2L),
+      (4L, "wiki", 4L), (5L, "wiki", 1L))
+      .flatMap { case (id, src, n) =>
+        val e = w(src)
+        val copies = e / 1000000L +
+          (if (drawH(id) * 1000000L < (e % 1000000L) * 4294967296L) 1L else 0L)
+        (1L to copies).map(k => (id, src, n, k))
+      }
+    assert(got == want, s"got $got, want $want")
+    // exactly-1.0-epoch source is the identity: one copy per doc
+    assert(got.filter(_._2 == "wiki").map(_._1) == Seq(4L, 5L))
+    // weight-0 and absent sources vanish; null text never multiplies
+    assert(!got.exists(r => r._2 == "code" || r._2 == "drop" || r._1 == 8L))
+    // the fractional half of 2.5 kept SOME web docs twice, not all thrice
+    val webCopies = got.filter(_._2 == "web").groupBy(_._1).view.mapValues(_.size)
+    assert(webCopies.values.forall(c => c == 2 || c == 3))
+  }
+
+  test("epochMix expected-copy law on a uniform corpus (1.5 epochs ≈ ×1.5)") {
+    val docs = (0 until 2000).map(i => (i.toLong, "s", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.epochMix(docs, Map("s" -> 1500000L))
+    val n = out.count()
+    // every doc ≥ 1 copy; the fractional extra hits ≈ half (md5-uniform)
+    assert(out.select(col("doc_id")).distinct().count() == 2000)
+    assert(n > 2000 + 800 && n < 2000 + 1200, s"got $n copies for 1.5 epochs")
+    // rerun is bit-identical (pure function of the corpus)
+    val again = TextOps.epochMix(docs, Map("s" -> 1500000L))
+    assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
+  }
+
+  test("shuffleShards ≡ the one-window rank; bucket-count invariant; permutation per shard") {
+    val docs = (0 until 700).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    def run(b: Int) = TextOps.shuffleShards(docs, nShards = 4, seed = 7L, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val one = run(1) // single bucket ≡ the plain one-window definition
+    assert(run(5) == one && run(256) == one)
+    // every doc placed exactly once; positions are 0..n-1 within a shard
+    assert(one.size == 700 && one.map(_._1).distinct.size == 700)
+    one.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size.toLong),
+        s"shard $shard positions not a dense permutation")
+    }
+    // a different seed is a genuinely different permutation
+    val reseeded = TextOps.shuffleShards(docs, nShards = 4, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(reseeded != one)
+  }
+
+  test("mixManifest composes budget → epochs → copy-salted shuffle") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, if (i % 3 == 0) "big" else "small",
+        (1 to 2 + i % 5).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // budget halves `big`; epochs double `small` exactly
+    val budgets = Map(
+      "big" -> 200L,
+      "small" -> Long.MaxValue / 4)
+    val epochs = Map("big" -> 1000000L, "small" -> 2000000L)
+    val m = Graft.mixManifest(docs, budgets, epochs, nShards = 3, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // the kept set ≡ the standalone budget fill; copies ≡ standalone epochMix
+    val keptIds = TextOps.tokenBudgetMix(docs, budgets)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(m.map(_._1).toSet == keptIds)
+    val wantCopies = TextOps.epochMix(
+      docs.filter(col("doc_id").isin(keptIds.toSeq: _*)), epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(m.map(r => (r._1, r._4)).sorted == wantCopies)
+    // every small doc appears exactly twice — and its two copies got
+    // INDEPENDENT draws: across the corpus they cannot all share a shard
+    val smallPairs = m.filter(_._2 == "small").groupBy(_._1)
+    assert(smallPairs.values.forall(_.size == 2))
+    assert(smallPairs.values.exists(c => c.map(_._5).distinct.size == 2))
+    // per-shard positions are a dense 0..n-1 permutation over COPIES
+    m.groupBy(_._5).foreach { case (shard, rows) =>
+      assert(rows.map(_._6).sorted == (0L until rows.size.toLong),
+        s"shard $shard positions not dense")
+    }
+    // pure function: rerun is row-identical
+    val again = Graft.mixManifest(docs, budgets, epochs, nShards = 3, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(again.sorted == m.sorted)
+  }
 }
