@@ -67,7 +67,10 @@ object Bench {
     // round-14 late additions: the seed-trained NB quality classifier,
     // the token-budget mix constructor, and the mix-materialization pair
     // (epoch upsampling + deterministic order shuffle)
-    "q_nb_quality", "q_token_budget_mix", "q_epoch_mix", "q_shuffle_shards")
+    "q_nb_quality", "q_token_budget_mix", "q_epoch_mix", "q_shuffle_shards",
+    // round-14 late additions: the exact frozen k-means fit and the
+    // SemDeDup cluster-then-dedup composition built on it
+    "q_f36_kmeans", "q_f36b_semdedup_clustered")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

@@ -868,6 +868,268 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** F36 (round 14): a FROZEN deterministic k-means model — the cluster
+    * step of the published cluster-then-dedup pipelines (SemDeDup, Abbas
+    * et al. 2023: k-means the embedding space, then dedup WITHIN each
+    * cluster). Unlike the MLlib fit behind [[ivfFit]] (sampled k-means||
+    * init — fine for ANN recall, useless for an oracle), every number
+    * here is exact integer arithmetic: components are quantized to
+    * `floor((clamp(x, ±1) + 1)·10⁶)` — the +1 shift keeps them
+    * NON-NEGATIVE, so Spark's truncating `div` and ANSI floor-division
+    * agree and centroid means are exact — distances are exact LONG sums
+    * (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴), and the whole fit is a pure function of
+    * the corpus: bit-identical across engines, reruns, partitionings.
+    * KB-sized (k × dim longs), serializable, reusable.
+    *
+    * Scale boundary: [[KmeansModel.bestCol]] inlines the centroids as a
+    * plan literal (k × dim longs inside the generated code) — the zero-
+    * shuffle fast path up to k ≈ 10³, chosen for the graded contract's
+    * small k because it keeps the whole assignment inside one codegen
+    * stage. [[KmeansModel.assignBroadcast]] is the k = 10⁴–10⁵ variant:
+    * the centroid table rides in a broadcast frame and a partial+final
+    * struct-min agg picks the winner — same arithmetic and tie order,
+    * spec-proven row-identical.
+    */
+  final case class KmeansModel(centroidsMicros: Seq[Seq[Long]]) {
+    def k: Int = centroidsMicros.length
+    /** Quantized vector — the exact integer form the model computes in. */
+    def quantCol(vecCol: Column): Column =
+      transform(vecCol, x =>
+        floor((greatest(lit(-1.0), least(lit(1.0), x.cast("double"))) + lit(1.0))
+          * lit(1000000.0)).cast("long"))
+    /** struct(d, i): exact squared L2 distance to the nearest centroid
+      * and its index (ties → lowest index — array_min's lexicographic
+      * struct order). A pure per-row map over plan-literal centroids —
+      * ZERO shuffle, no join: assignment scales to any corpus as a scan.
+      * (The struct is cast to named fields: aliases inside
+      * higher-order-function lambdas don't survive analysis.)
+      */
+    def bestCol(vecCol: Column): Column = bestOnQuant(quantCol(vecCol))
+    /** Same, over an ALREADY-quantized (long-micros) vector. */
+    def bestOnQuant(q: Column): Column =
+      array_min(zip_with(typedLit(centroidsMicros),
+        sequence(lit(0L), lit((k - 1).toLong)),
+        (c, i) => struct(
+          aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x),
+          i).cast("struct<d:bigint,i:bigint>")))
+    /** Nearest-centroid index alone. */
+    def assignCol(vecCol: Column): Column = bestCol(vecCol).getField("i")
+
+    /** Large-k assignment: identical arithmetic and tie order to
+      * [[bestCol]], but the centroid table rides in a BROADCAST frame
+      * instead of a plan literal — the k = 10⁴–10⁵ regime where inlining
+      * k × dim longs into generated code would bloat every task binary.
+      * The n × k (vector, centroid) fan-out is the same O(n·k) distance
+      * work the literal path does, materialized as rows and collapsed by
+      * a partial+final struct-min agg on the id — map-side combine keeps
+      * one candidate per vector per task, so the only shuffle is
+      * id-keyed rows (corpus-sized, never n × k). Returns (idCol,
+      * cluster, dist_sq); proven row-identical to the literal path in
+      * Round14OpsSpec.
+      */
+    def assignBroadcast(emb: DataFrame, vecCol: String = "embedding",
+        idCol: String = "vec_id"): DataFrame = {
+      val s = emb.sparkSession
+      import s.implicits._
+      val cents = centroidsMicros.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("c_i", "c_q")
+      emb.filter(col(vecCol).isNotNull)
+        .select(col(idCol), quantCol(col(vecCol)).as("q"))
+        .join(broadcast(cents))
+        .select(col(idCol), struct(
+          aggregate(zip_with(col("q"), col("c_q"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          col("c_i").as("i")).as("di"))
+        .groupBy(col(idCol))
+        .agg(min(col("di")).as("best"))
+        .select(col(idCol), col("best.i").as("cluster"),
+          col("best.d").as("dist_sq"))
+    }
+  }
+
+  /** F36 fit: Lloyd iterations with every step deterministic — init is
+    * the k lowest (md5 draw, id) vectors (the F33/F35 seeded order, a
+    * pseudo-random-but-exact sample), assignment is
+    * [[KmeansModel.assignCol]], and the update is the exact integer mean
+    * `sum div count` per component (non-negative by the +1 shift, so
+    * div ≡ floor on every engine). An empty cluster keeps its previous
+    * centroid.
+    *
+    * Scale: per iteration, ONE corpus pass — the zero-shuffle assignment
+    * plus a (cluster, component) partial+final agg whose output is
+    * k × dim rows (KBs; the pqFit/nbFit bounded-pull boundary). The
+    * vector frame is checkpointed once and reused across iterations.
+    */
+  def kmeansFitExact(embs: DataFrame, k: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): KmeansModel = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    val probe = KmeansModel(Seq.empty)
+    val q = embs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), probe.quantCol(col(vecCol)).as("q"))
+      .localCheckpoint(eager = false) // reused iters + 1 times
+    val init = q
+      .withColumn("h",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    require(init.length == k,
+      s"kmeansFitExact: corpus has only ${init.length} vectors for k = $k")
+    var cents = init
+    for (_ <- 1 to iters) {
+      val model = KmeansModel(cents)
+      val sums = q
+        .select(model.bestOnQuant(col("q")).getField("i").as("c"),
+          posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("c"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect() // ≤ k × dim rows — the bounded model-fit pull
+        .groupBy(_.getLong(0))
+      cents = (0 until k).map { c =>
+        sums.get(c.toLong) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / r.getLong(3)).toSeq
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    KmeansModel(cents)
+  }
+
+  /** Graded F36 query: k = 8, 2 Lloyd iterations over the embeddings
+    * table; every vector reports its final cluster and exact integer
+    * distance. The oracle unrolls BOTH iterations from scratch in SQL —
+    * seeded init, argmin assignment, integer-mean update, re-assignment
+    * — so the hash grades the quantization shift, the div/floor
+    * agreement, the (dist, index) tie order, and the bounded-pull fit
+    * loop end to end. Assignment quality is graded implicitly: any
+    * drifted centroid reassigns some vector.
+    */
+  /** The F36 fit unrolled in SQL (k = 8, 2 Lloyd iterations): shared by
+    * q_f36_kmeans and q_f36b's SemDeDup oracle. `a3` is the final
+    * assignment with the exact dist and the (dist, c) tie order.
+    */
+  private val kmeansOracleCtes =
+    """e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |         list_transform(embedding, x ->
+      |           CAST(floor((least(1.0, greatest(-1.0, CAST(x AS DOUBLE))) + 1.0)
+      |                * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |c0 AS (SELECT q AS cq,
+      |         row_number() OVER (
+      |           ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+      |                    vec_id) - 1 AS c
+      |       FROM e QUALIFY c < 8),
+      |a1 AS (SELECT vec_id, q, c, row_number() OVER (
+      |           PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |       FROM (SELECT e.vec_id, e.q, c0.c,
+      |               CAST(list_sum(list_transform(list_zip(e.q, c0.cq),
+      |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+      |             FROM e CROSS JOIN c0)),
+      |s1 AS (SELECT c, i, sum(q[i]) AS s, count(*) AS n
+      |       FROM a1, unnest(generate_series(1, len(q))) AS u(i)
+      |       WHERE rn = 1 GROUP BY c, i),
+      |c1 AS (SELECT c0.c, coalesce(nc.cq, c0.cq) AS cq
+      |       FROM c0 LEFT JOIN (
+      |         SELECT c, list(s // n ORDER BY i) AS cq FROM s1 GROUP BY c) nc
+      |       USING (c)),
+      |a2 AS (SELECT vec_id, q, c, row_number() OVER (
+      |           PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |       FROM (SELECT e.vec_id, e.q, c1.c,
+      |               CAST(list_sum(list_transform(list_zip(e.q, c1.cq),
+      |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+      |             FROM e CROSS JOIN c1)),
+      |s2 AS (SELECT c, i, sum(q[i]) AS s, count(*) AS n
+      |       FROM a2, unnest(generate_series(1, len(q))) AS u(i)
+      |       WHERE rn = 1 GROUP BY c, i),
+      |c2 AS (SELECT c1.c, coalesce(nc.cq, c1.cq) AS cq
+      |       FROM c1 LEFT JOIN (
+      |         SELECT c, list(s // n ORDER BY i) AS cq FROM s2 GROUP BY c) nc
+      |       USING (c)),
+      |a3 AS (SELECT vec_id, c, dist, row_number() OVER (
+      |           PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |       FROM (SELECT e.vec_id, c2.c,
+      |               CAST(list_sum(list_transform(list_zip(e.q, c2.cq),
+      |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+      |             FROM e CROSS JOIN c2))""".stripMargin
+
+  val qKmeans = Q(
+    "q_f36_kmeans",
+    s"""WITH $kmeansOracleCtes
+      |SELECT vec_id, c AS cluster, dist AS dist_sq
+      |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val embs = embeddings(s, d)
+    val model = kmeansFitExact(embs, k = 8, iters = 2)
+    embs.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), model.bestCol(col("embedding")).as("best"))
+      .select(col("vec_id"), col("best.i").as("cluster"),
+        col("best.d").as("dist_sq"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Graded F36b query: SemDeDup at minCos = 0.35 (the F21 threshold,
+    * so the two contracts are directly comparable), k = 8, 2 Lloyd
+    * iterations. The oracle recomputes the ENTIRE pipeline — the
+    * unrolled k-means fit, the final assignment, within-cluster-only
+    * cosine pairs, and the recursive-CTE closure — so the hash grades
+    * the fit, the restriction of the pair relation to same-cluster, and
+    * the CC labels end to end.
+    */
+  val qSemDedupClustered = Q(
+    "q_f36b_semdedup_clustered",
+    s"""WITH RECURSIVE $kmeansOracleCtes,
+      |fin AS (SELECT vec_id, c AS kc FROM a3 WHERE rn = 1),
+      |n2 AS (SELECT e.vec_id, e.emb,
+      |         sqrt(list_inner_product(e.emb, e.emb)) AS nrm, f.kc
+      |       FROM e JOIN fin f USING (vec_id)),
+      |pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
+      |          FROM n2 a JOIN n2 b
+      |            ON a.kc = b.kc AND a.vec_id < b.vec_id
+      |          WHERE list_inner_product(a.emb, b.emb)/(a.nrm*b.nrm) >= 0.35),
+      |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |reach AS (SELECT vec_id AS u, vec_id AS r FROM embeddings
+      |          UNION
+      |          SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u),
+      |cc AS (SELECT u AS vec_id, min(r) AS cluster_id FROM reach GROUP BY u)
+      |SELECT vec_id, cluster_id,
+      |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM cc ORDER BY vec_id""".stripMargin) { (s, d) =>
+    semanticClustersClustered(s, embeddings(s, d), minCos = 0.35, k = 8)
+  }
+
+  /** F36b (round 14): SemDeDup proper (Abbas et al. 2023) — k-means the
+    * embedding space with the deterministic [[kmeansFitExact]], then run
+    * semantic dedup WITHIN each cluster only. The candidate build
+    * becomes an EQUI-join on the cluster id (shuffle on k keys) instead
+    * of the exact path's O(n²) theta join — the published trade: pairs
+    * the clustering separates are forgone BY CONTRACT (the paper dedups
+    * within clusters only), in exchange for per-cluster quadratic cost,
+    * ~n²/k at balanced clusters. Same output contract as
+    * [[semanticClusters]]: every vector labeled (vec_id, cluster_id,
+    * cluster_size), cluster_id = min reachable vec_id over the
+    * within-cluster edge relation, via the same hybrid CC engine.
+    */
+  def semanticClustersClustered(s: SparkSession, emb: DataFrame,
+      minCos: Double, k: Int, iters: Int = 2): DataFrame = {
+    val model = kmeansFitExact(emb, k, iters)
+    val n = normedOf(s, emb.filter(col("embedding").isNotNull))
+      .withColumn("kc", model.assignCol(col("embedding")))
+    val a = n.select(col("kc"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = n.select(col("kc"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val within = a.join(b, Seq("kc")).filter(col("a_id") < col("b_id"))
+      .filter(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= minCos)
+      .select(col("a_id"), col("b_id"))
+    val cc = Dedup.connectedComponents(s, emb.select(col("vec_id").as("doc_id")),
+      within)
+    Dedup.withClusterSize(cc)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup,
-    qQuantize, qSemanticDedup, qSemanticDedupLsh)
+    qQuantize, qSemanticDedup, qSemanticDedupLsh, qKmeans, qSemDedupClustered)
 }

@@ -1684,6 +1684,99 @@ object Adhoc {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("kmeans14")) {
+      // Round-14 scale evidence for F36/F36b. (1) kmeansFitExact at 1M
+      // vectors × dim 32, k = 64: the fit must stay a per-iteration scan
+      // (zero-shuffle assignment + a k×dim-row agg), and the model must
+      // be bit-identical under a different partitioning. (2) Frozen
+      // assignment throughput: the plan-literal kernel over 1M rows, and
+      // assignBroadcast checksum-identical at the same scale. (3) F36b
+      // at 100k vectors with 10k planted EXACT twins: a twin quantizes
+      // identically, so it lands in the SAME cluster by construction and
+      // SemDeDup must merge 100% of planted pairs; plus a 30k-vector A/B
+      // against the exact O(n²) path (same recall, ~n²/k fewer pairs).
+      val n = sys.env.getOrElse("ADHOC_KMEANS_N", "1000000").toLong
+      val dim = 32
+      def synth(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame = ids.toDF().select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (sin(pmod(col("id"), lit(50)) * lit(13) + i) * lit(0.8) +
+            sin(col("id") * lit(7) + i * lit(3)) * lit(0.2)).cast("float"))
+          .as("embedding"))
+      val vecs = synth(spark.range(0, n)).repartition(32)
+        .localCheckpoint(eager = true)
+      println(s"kmeans14 corpus: ${vecs.count()} vectors, dim $dim")
+      val t0 = System.nanoTime()
+      val model = Similarity.kmeansFitExact(vecs, k = 64, iters = 2)
+      println(f"ADHOC kmeans_fit_1m k=64 iters=2 secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val model13 = Similarity.kmeansFitExact(vecs.repartition(13), k = 64, iters = 2)
+      assert(model13.centroidsMicros == model.centroidsMicros,
+        "fit is not partitioning-invariant")
+      println("ADHOC kmeans_fit_invariance partitioning=32vs13 identical=true")
+      var litSum = 0L; var litXor = 0L
+      for (rep <- 1 to 3) {
+        val t1 = System.nanoTime()
+        val a = vecs.select(col("vec_id"), model.bestCol(col("embedding")).as("b"))
+          .agg(sum(col("b.d")).as("s"),
+            bit_xor(xxhash64(col("vec_id"), col("b.i"), col("b.d"))).as("x"))
+          .head
+        litSum = a.getLong(0); litXor = a.getLong(1)
+        println(f"ADHOC kmeans_assign_literal_$rep dist_sum=$litSum secs=${(System.nanoTime() - t1) / 1e9}%.2f")
+      }
+      val t2 = System.nanoTime()
+      val b = model.assignBroadcast(vecs)
+        .agg(sum(col("dist_sq")).as("s"), count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("vec_id"), col("cluster"), col("dist_sq"))).as("x"))
+        .head
+      println(f"ADHOC kmeans_assign_broadcast dist_sum=${b.getLong(0)} rows=${b.getLong(1)} " +
+        f"identical=${b.getLong(0) == litSum && b.getLong(2) == litXor} secs=${(System.nanoTime() - t2) / 1e9}%.2f")
+      assert(b.getLong(0) == litSum && b.getLong(1) == n && b.getLong(2) == litXor,
+        "assignBroadcast drifted from the literal path at 1M")
+      // F36b: 100k + 10k exact twins (twin of id k is vec 100000+k)
+      def twinned(base: Long): DataFrame = {
+        val b0 = synth(spark.range(0, base))
+        val tw = synth(spark.range(0, base).filter(col("id") % 10 === 0))
+          .select((col("vec_id") + base).as("vec_id"), col("embedding"))
+        b0.union(tw).repartition(32).localCheckpoint(eager = true)
+      }
+      val v100 = twinned(100000L)
+      val t3 = System.nanoTime()
+      val cc = Similarity.semanticClustersClustered(spark, v100,
+        minCos = 0.9, k = 64).localCheckpoint(eager = true)
+      val secs3 = (System.nanoTime() - t3) / 1e9
+      val lab = cc.select(col("vec_id"), col("cluster_id"))
+      val merged = lab.as("a").join(
+          lab.select((col("vec_id") - 100000L).as("vec_id"),
+            col("cluster_id").as("twin_cid")).as("t"), Seq("vec_id"))
+        .filter(col("cluster_id") === col("twin_cid")).count()
+      println(f"ADHOC semdedup_clustered_100k twins_merged=$merged/10000 secs=$secs3%.2f")
+      assert(merged == 10000L, s"exact twins must merge 100%%, got $merged")
+      val cc2 = Similarity.semanticClustersClustered(spark, v100,
+        minCos = 0.9, k = 64)
+      val x1 = cc.agg(bit_xor(xxhash64(col("vec_id"), col("cluster_id")))).head.getLong(0)
+      val x2 = cc2.agg(bit_xor(xxhash64(col("vec_id"), col("cluster_id")))).head.getLong(0)
+      println(s"ADHOC semdedup_clustered_rerun identical=${x1 == x2}")
+      assert(x1 == x2, "clustered semantic dedup is not rerun-deterministic")
+      // 30k A/B: exact O(n²) vs cluster-restricted — same planted recall
+      val v30 = twinned(30000L)
+      val t4 = System.nanoTime()
+      val ccEx = Similarity.semanticClusters(spark, v30, minCos = 0.9)
+        .localCheckpoint(eager = true)
+      val secs4 = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      val ccCl = Similarity.semanticClustersClustered(spark, v30,
+        minCos = 0.9, k = 64).localCheckpoint(eager = true)
+      val secs5 = (System.nanoTime() - t5) / 1e9
+      def recall(df: DataFrame, base: Long): Long = {
+        val l = df.select(col("vec_id"), col("cluster_id"))
+        l.as("a").join(l.select((col("vec_id") - base).as("vec_id"),
+            col("cluster_id").as("tc")).as("t"), Seq("vec_id"))
+          .filter(col("cluster_id") === col("tc")).count()
+      }
+      println(f"ADHOC semdedup_ab_30k exact_secs=$secs4%.2f clustered_secs=$secs5%.2f " +
+        s"exact_twins=${recall(ccEx, 30000L)}/3000 clustered_twins=${recall(ccCl, 30000L)}/3000")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("round12ops")) {
       // Scale evidence for the round-12 operators: learned language ID
       // over a 500k-doc corpus (profile build stays seed-sized, scoring

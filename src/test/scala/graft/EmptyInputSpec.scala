@@ -51,6 +51,9 @@ class EmptyInputSpec extends SparkSpec {
       // LOUDLY on an empty seed — the LangGate convention)
       "q_strip_spans", "q_dedup_keep_best", "q_token_budget_mix",
       // round 14 late: upsampling mix + order shuffle of an empty corpus
+      // (q_f36_kmeans / q_f36b_semdedup_clustered are absent by design:
+      // kmeansFitExact fails LOUDLY when the corpus has fewer vectors
+      // than k — the nbFit/LangGate convention, pinned in Round14OpsSpec)
       "q_epoch_mix", "q_shuffle_shards")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()

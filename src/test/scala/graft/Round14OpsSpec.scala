@@ -887,4 +887,149 @@ class Round14OpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(again.sorted == m.sorted)
   }
+
+  // ---- F36: exact frozen k-means + F36b SemDeDup ---------------------
+
+  /** Brute-force reference for the ENTIRE F36 contract, independent of
+    * the Spark implementation: quantization, seeded init, argmin with the
+    * (dist, index) tie order, and the integer-mean update. */
+  private object KmeansRef {
+    def quant(v: Seq[Double]): Seq[Long] =
+      v.map(x => math.floor((math.max(-1.0, math.min(1.0, x)) + 1.0) * 1e6).toLong)
+    def dist(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(q: Seq[Long], cents: Seq[Seq[Long]]): (Long, Int) =
+      cents.zipWithIndex.map { case (c, i) => (dist(q, c), i) }.min
+    def fit(vecs: Seq[(Long, Seq[Double])], k: Int, iters: Int): Seq[Seq[Long]] = {
+      val qs = vecs.map { case (id, v) => (id, quant(v)) }
+      var cents = qs.sortBy { case (id, _) => (drawH(id), id) }.take(k).map(_._2)
+      require(cents.length == k)
+      for (_ <- 1 to iters) {
+        val byC = qs.groupBy { case (_, q) => assign(q, cents)._2 }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          byC.get(c) match {
+            case Some(rows) =>
+              old.indices.map(i => rows.map(_._2(i)).sum / rows.length)
+            case None => old
+          }
+        }
+      }
+      cents
+    }
+  }
+
+  test("kmeansFitExact ≡ brute-force integer Lloyd on a hand corpus") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 2.3),
+        math.sin(i * 0.9 + 1), math.cos(i * 1.1 + 2)))
+    }
+    val df = vecs.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val model = Similarity.kmeansFitExact(df, k = 3, iters = 2)
+    val want = KmeansRef.fit(vecs, k = 3, iters = 2)
+    assert(model.centroidsMicros == want,
+      s"centroids ${model.centroidsMicros} != $want")
+    // final assignments agree too (argmin + the (dist, index) tie order)
+    val got = df.select(col("vec_id"), model.assignCol(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == KmeansRef.assign(KmeansRef.quant(v), want)._2.toLong)
+    }
+    // pure function of the corpus: a different partitioning fits the
+    // SAME model bit-for-bit (the determinism the oracle hash relies on)
+    val again = Similarity.kmeansFitExact(df.repartition(7), k = 3, iters = 2)
+    assert(again.centroidsMicros == model.centroidsMicros)
+  }
+
+  test("KmeansModel: clamp law, exact-tie → lowest index, empty-cluster hold") {
+    // clamp: out-of-range components pin to the [0, 2·10⁶] micro grid
+    val m1 = Similarity.KmeansModel(Seq(Seq(0L, 0L)))
+    val q = Seq((1L, Array(5.0f, -3.0f))).toDF("vec_id", "embedding")
+      .select(m1.quantCol(col("embedding"))).head.getSeq[Long](0)
+    assert(q == Seq(2000000L, 0L))
+    // a point exactly equidistant from two centroids takes the LOWER index
+    val m2 = Similarity.KmeansModel(Seq(Seq(0L, 1000000L), Seq(2000000L, 1000000L)))
+    val tie = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(m2.bestCol(col("embedding")).as("b")).head.getStruct(0)
+    assert(tie.getLong(1) == 0L && tie.getLong(0) == 1000000L * 1000000L)
+    // an init vector duplicated: both become centroids, every point ties
+    // to the lower, and iterating keeps the starved centroid unchanged
+    // (the empty-cluster hold) instead of crashing or emitting nulls
+    val dup = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val m3 = Similarity.kmeansFitExact(dup, k = 2, iters = 2)
+    assert(m3.centroidsMicros(0) == m3.centroidsMicros(1))
+    // fewer vectors than k fails LOUDLY (the nbFit/LangGate convention)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansFitExact(dup, k = 5, iters = 1)
+    }
+    assert(e.getMessage.contains("only 2 vectors"))
+  }
+
+  test("assignBroadcast ≡ the plan-literal assignment, row for row") {
+    // the large-k variant must agree with bestCol EXACTLY — distances,
+    // cluster indices, and the (dist, index) tie order — including on a
+    // corpus with duplicated vectors (ties) and out-of-range components
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array(
+        (math.sin(i * 0.7) * 1.4).toFloat, // some components clamp
+        math.cos(i * 1.3).toFloat,
+        (if (i % 5 == 0) 0.5f else math.sin(i * 2.1).toFloat),
+        math.cos(i * 0.4).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = Similarity.kmeansFitExact(df, k = 4, iters = 2)
+    val lit = df.select(col("vec_id"), model.bestCol(col("embedding")).as("b"))
+      .select(col("vec_id"), col("b.i").as("cluster"), col("b.d").as("dist_sq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val bc = model.assignBroadcast(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(bc == lit)
+    // and the null-embedding row is dropped by both contracts
+    val withNull = df.union(Seq((999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    assert(model.assignBroadcast(withNull).count() == 60)
+  }
+
+  test("semanticClustersClustered merges within clusters and forgoes straddling pairs") {
+    // two tight groups near orthogonal axes; k = 2 separates them. Every
+    // within-group cosine is ≈1 (well above 0.35), across-group ≈0 (well
+    // below) — margins far from the threshold so float rounding can't
+    // flip an edge between the engine and this reference.
+    val vecs: Seq[(Long, Seq[Double])] = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.002 * i, 0.0, 0.0)
+                 else Seq(0.002 * i, 1.0, 0.0, 0.0)
+      (i.toLong, base)
+    }
+    val df = vecs.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticClustersClustered(spark, df, minCos = 0.35, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // reference: brute-force fit + within-cluster-only edges + union-find
+    val cents = KmeansRef.fit(vecs, k = 2, iters = 2)
+    val kc = vecs.map { case (id, v) =>
+      id -> KmeansRef.assign(KmeansRef.quant(v), cents)._2 }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val af = a.map(_.toFloat); val bf = b.map(_.toFloat)
+      val d = af.zip(bf).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(af.map(x => x.toDouble * x).sum) *
+        math.sqrt(bf.map(x => x.toDouble * x).sum))
+    }
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (i, vi) <- vecs; (j, vj) <- vecs
+      if i < j && kc(i) == kc(j) && cos(vi, vj) >= 0.35
+    } { val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj) }
+    val label = vecs.map(v => v._1 -> find(v._1)).toMap
+    val sizes = label.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = vecs.map(v => (v._1, label(v._1), sizes(label(v._1)))).sorted
+    assert(got == want, s"got $got, want $want")
+    // the contract's trade is real here: the two groups stay separate
+    // even though k-means could have put them in one cluster
+    assert(got.map(_._2).distinct.size >= 2)
+    // and WITHIN a cluster, near-identical vectors did merge
+    assert(got.count(_._3 > 1) > 0)
+  }
 }
