@@ -892,27 +892,26 @@ object Similarity {
     */
   final case class KmeansModel(centroidsMicros: Seq[Seq[Long]]) {
     def k: Int = centroidsMicros.length
-    /** Quantized vector — the exact integer form the model computes in. */
+    /** Quantized vector — the exact integer form the model computes in
+      * (the codegen `quant_micros` kernel; requires
+      * [[graft.functions.VectorFunctions.register]], which every fit/
+      * assignment entry point calls). */
     def quantCol(vecCol: Column): Column =
-      transform(vecCol, x =>
-        floor((greatest(lit(-1.0), least(lit(1.0), x.cast("double"))) + lit(1.0))
-          * lit(1000000.0)).cast("long"))
+      call_function("quant_micros", vecCol)
     /** struct(d, i): exact squared L2 distance to the nearest centroid
-      * and its index (ties → lowest index — array_min's lexicographic
-      * struct order). A pure per-row map over plan-literal centroids —
-      * ZERO shuffle, no join: assignment scales to any corpus as a scan.
-      * (The struct is cast to named fields: aliases inside
-      * higher-order-function lambdas don't survive analysis.)
+      * and its index (ties → lowest index — the argmin order the graded
+      * oracle pins). The codegen `kmeans_best_q` kernel: centroids ride
+      * as one long[] constant per task, the inner loop early-exits a
+      * centroid at the best-so-far bound (exact for non-decreasing
+      * sums), and assignment stays a pure per-row map — ZERO shuffle,
+      * no join, any corpus size. An equivalent SQL-lambda formulation
+      * (array_min over zip_with/aggregate) is interpreted per element
+      * and was measured unusably slow at 1M × k 64 (BASELINE.md).
       */
     def bestCol(vecCol: Column): Column = bestOnQuant(quantCol(vecCol))
     /** Same, over an ALREADY-quantized (long-micros) vector. */
     def bestOnQuant(q: Column): Column =
-      array_min(zip_with(typedLit(centroidsMicros),
-        sequence(lit(0L), lit((k - 1).toLong)),
-        (c, i) => struct(
-          aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x),
-          i).cast("struct<d:bigint,i:bigint>")))
+      call_function("kmeans_best_q", q, typedLit(centroidsMicros))
     /** Nearest-centroid index alone. */
     def assignCol(vecCol: Column): Column = bestCol(vecCol).getField("i")
 
@@ -931,6 +930,7 @@ object Similarity {
     def assignBroadcast(emb: DataFrame, vecCol: String = "embedding",
         idCol: String = "vec_id"): DataFrame = {
       val s = emb.sparkSession
+      VectorFunctions.register(s)
       import s.implicits._
       val cents = centroidsMicros.zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toDF("c_i", "c_q")
@@ -938,8 +938,7 @@ object Similarity {
         .select(col(idCol), quantCol(col(vecCol)).as("q"))
         .join(broadcast(cents))
         .select(col(idCol), struct(
-          aggregate(zip_with(col("q"), col("c_q"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
+          call_function("l2sq_long", col("q"), col("c_q")).as("d"),
           col("c_i").as("i")).as("di"))
         .groupBy(col(idCol))
         .agg(min(col("di")).as("best"))
@@ -964,6 +963,7 @@ object Similarity {
   def kmeansFitExact(embs: DataFrame, k: Int, iters: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): KmeansModel = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    VectorFunctions.register(embs.sparkSession)
     val probe = KmeansModel(Seq.empty)
     val q = embs.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), probe.quantCol(col(vecCol)).as("q"))

@@ -223,6 +223,178 @@ object SignLshBits {
   }
 }
 
+/** Codegen'd F36 quantization: float vector → the exact long-micros grid
+  * `floor((clamp(x, ±1) + 1)·10⁶)` the k-means contract computes in. One
+  * static call per row instead of a per-element SQL lambda (`transform`
+  * is interpreted with boxing — the same hazard FloatVecDot documents).
+  * NaN clamps to the UPPER bound, matching Spark's `least/greatest`
+  * NaN-is-largest ordering the HOF formulation had (embedding-contract
+  * data is NaN-free; the branch only pins equivalence).
+  */
+case class QuantMicros(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"quant_micros requires array<float>, got ${t.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quant_micros"
+
+  override def nullSafeEval(input: Any): Any =
+    QuantMicros.quant(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantMicros.quant($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantMicros {
+  /** Called from generated code. */
+  def quant(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      val clamped = if (x.isNaN) 1.0 else math.max(-1.0, math.min(1.0, x))
+      out(i) = math.floor((clamped + 1.0) * 1000000.0).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd F36 nearest-centroid argmin over an ALREADY-quantized
+  * (long-micros) vector: returns struct<d:bigint,i:bigint> — the exact
+  * squared L2 distance to the nearest centroid and its index, ties to the
+  * lowest index (≡ array_min's lexicographic struct order, the graded
+  * contract). The centroid table is a constructor constant (k × dim
+  * longs), shipped once per task via a codegen reference object, and the
+  * inner loop early-exits a centroid as soon as its partial sum reaches
+  * the best-so-far — exact for an argmin of non-decreasing sums, and the
+  * strict `<` keeps the tie order. The HOF formulation this replaces
+  * (zip_with + aggregate per centroid inside array_min) is interpreted
+  * per element: at 1M vectors × k 64 × dim 32 the fit did not finish in
+  * 15 minutes; this kernel does the identical arithmetic in a tight
+  * primitive loop (BASELINE.md round 14).
+  */
+case class KmeansBestQ(child: Expression, centroids: Seq[Seq[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val k = centroids.length
+  private val dim = if (k == 0) 0 else centroids.head.length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) if k > 0 && centroids.forall(_.length == dim) =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+        "kmeans_best_q needs a non-empty, rectangular centroid table")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"kmeans_best_q requires array<bigint>, got ${t.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("i", LongType, nullable = false)))
+  override def prettyName: String = "kmeans_best_q"
+
+  @transient private lazy val flat: Array[Long] = centroids.flatten.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    KmeansBestQ.best(input.asInstanceOf[ArrayData], flat, dim, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", flat, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.KmeansBestQ.best($c, $cents, $dim, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KmeansBestQ {
+  /** Called from generated code. Loud on a dim mismatch — a silent
+    * truncation would assign every vector to a wrong-but-plausible
+    * cluster (the nbFit/LangGate loud-failure convention).
+    */
+  def best(q: ArrayData, cents: Array[Long], dim: Int, k: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    require(q.numElements() == dim,
+      s"kmeans_best_q: vector dim ${q.numElements()} != centroid dim $dim")
+    var bestD = Long.MaxValue
+    var bestI = 0
+    var c = 0
+    var off = 0
+    while (c < k) {
+      var d = 0L
+      var i = 0
+      while (i < dim && d < bestD) {
+        val x = q.getLong(i) - cents(off + i)
+        d += x * x
+        i += 1
+      }
+      if (i == dim && d < bestD) { bestD = d; bestI = c }
+      c += 1
+      off += dim
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestI.toLong))
+  }
+}
+
+/** Codegen'd exact squared-L2 distance between two long vectors — the
+  * per-(vector, centroid) kernel of [[graft.Similarity]]'s broadcast
+  * assignment path, where the centroid arrives as a JOIN column rather
+  * than a plan constant.
+  */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"l2sq_long requires (array<bigint>, array<bigint>), got " +
+          s"(${a.catalogString}, ${b.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    L2SqLong.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.L2SqLong.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2SqLong {
+  /** Called from generated code. */
+  def dist(a: ArrayData, b: ArrayData): Long = {
+    require(a.numElements() == b.numElements(),
+      s"l2sq_long: dims differ (${a.numElements()} vs ${b.numElements()})")
+    var d = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      val x = a.getLong(i) - b.getLong(i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
+}
+
 object VectorFunctions {
   /** Register `fvec_dot` in the session's function registry so it is usable
     * from both the DataFrame DSL (`call_function("fvec_dot", a, b)`) and
@@ -287,6 +459,25 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh_bits", (exprs: Seq[Expression]) =>
         SignLshBits(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant_micros", (exprs: Seq[Expression]) =>
+        QuantMicros(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmeans_best_q", (exprs: Seq[Expression]) => {
+        // the centroid table arrives as a foldable array<array<bigint>>
+        // literal (typedLit) — folded to a constructor constant here so
+        // the kernel ships one long[] per task, not a per-row literal eval
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = (0 until arr.numElements()).map { i =>
+          val inner = arr.getArray(i)
+          (0 until inner.numElements()).map(inner.getLong).toIndexedSeq
+        }.toIndexedSeq
+        KmeansBestQ(exprs.head, cents)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_long", (exprs: Seq[Expression]) =>
+        L2SqLong(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", (exprs: Seq[Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1)), "built-in")

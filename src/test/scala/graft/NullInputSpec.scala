@@ -36,7 +36,10 @@ class NullInputSpec extends SparkSpec {
       "q_ngram_jaccard", "q_f16_dup_substrings", "q_f17_chunking",
       "q_f18_stratified_sample", "q_f19_lm_quality", "q_f20_pack_sequences",
       "q_normalize", "q_split_hash", "q_token_count", "q_fingerprint",
-      "q_f9_docstats", "q_f22_ngram_decontam")
+      "q_f9_docstats", "q_f22_ngram_decontam",
+      // round 14: the null-text doc must not multiply (F34) and must
+      // still get a shard/position (F35 places by id, not content)
+      "q_epoch_mix", "q_shuffle_shards")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

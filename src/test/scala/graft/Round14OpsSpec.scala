@@ -942,6 +942,7 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   test("KmeansModel: clamp law, exact-tie → lowest index, empty-cluster hold") {
+    graft.functions.VectorFunctions.register(spark) // model used without a fit
     // clamp: out-of-range components pin to the [0, 2·10⁶] micro grid
     val m1 = Similarity.KmeansModel(Seq(Seq(0L, 0L)))
     val q = Seq((1L, Array(5.0f, -3.0f))).toDF("vec_id", "embedding")
@@ -989,6 +990,35 @@ class Round14OpsSpec extends SparkSpec {
     val withNull = df.union(Seq((999L, null.asInstanceOf[Array[Float]]))
       .toDF("vec_id", "embedding"))
     assert(model.assignBroadcast(withNull).count() == 60)
+  }
+
+  test("plan shapes: epochMix is exchange-free; frozen assignment is a pure scan") {
+    // probes run over a parquet SCAN (a local relation would be
+    // constant-folded into a LocalTableScan, hiding the plan shape)
+    val d = tmpDir("planshape")
+    (0 until 50).map(i => (i.toLong, "s", "a b c"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$d/docs.parquet")
+    // F34's ZERO-shuffle claim, pinned: the copy materialization is a
+    // per-row map + explode — no Exchange anywhere in the plan
+    val p34 = TextOps.epochMix(
+        spark.read.parquet(s"$d/docs.parquet"), Map("s" -> 1500000L))
+      .queryExecution.executedPlan.toString
+    assert(!p34.contains("Exchange"), s"epochMix plan shuffles:\n$p34")
+    // F36's frozen-assignment claim: scoring a corpus against a fitted
+    // model is a scan — no Exchange, and the codegen kernel (not a SQL
+    // lambda) carries the argmin
+    graft.functions.VectorFunctions.register(spark)
+    val m = Similarity.KmeansModel(Seq(Seq(0L, 0L), Seq(2000000L, 2000000L)))
+    (0 until 50).map(i => (i.toLong, Array(0.1f * (i % 10), 0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embs.parquet")
+    val scored = spark.read.parquet(s"$d/embs.parquet")
+      .select(col("vec_id"), m.bestCol(col("embedding")).as("b"))
+    val p36 = scored.queryExecution.executedPlan.toString
+    assert(!p36.contains("Exchange"), s"assignment plan shuffles:\n$p36")
+    assert(p36.contains("kmeans_best_q") && p36.contains("quant_micros"),
+      s"assignment is not on the codegen kernels:\n$p36")
   }
 
   test("semanticClustersClustered merges within clusters and forgoes straddling pairs") {
