@@ -68,9 +68,12 @@ object Bench {
     // the token-budget mix constructor, and the mix-materialization pair
     // (epoch upsampling + deterministic order shuffle)
     "q_nb_quality", "q_token_budget_mix", "q_epoch_mix", "q_shuffle_shards",
-    // round-14 late additions: the exact frozen k-means fit and the
-    // SemDeDup cluster-then-dedup composition built on it
-    "q_f36_kmeans", "q_f36b_semdedup_clustered")
+    // round-14 late additions: the exact frozen k-means fit, the
+    // SemDeDup cluster-then-dedup composition built on it, and the
+    // two overlap diagnostics (eval-side contamination report,
+    // cross-source content-overlap matrix)
+    "q_f36_kmeans", "q_f36b_semdedup_clustered",
+    "q_f37_eval_overlap", "q_f38_source_overlap")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

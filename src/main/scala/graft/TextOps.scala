@@ -1367,6 +1367,149 @@ object TextOps {
     ngramDecontamOf(docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
   }
 
+  /** F37 (round 14): eval-side contamination REPORT — the per-benchmark-
+    * item diagnostic the published decontamination appendices publish
+    * (GPT-3 Appendix C's per-benchmark dirty rates, the PaLM/LLaMA
+    * overlap tables): for every EVAL doc, how much of it appears
+    * verbatim in the training corpus. F22 answers "which TRAIN docs must
+    * go"; this is the transpose — "which EVAL items are compromised" —
+    * reported instead of dropped, with `max_train_df` (the highest train
+    * document frequency among the overlapping windows) separating
+    * corpus-wide boilerplate from a genuine one-document leak.
+    *
+    * Scale: train windows collapse to a per-window DISTINCT-doc count
+    * (the one corpus-sized shuffle, partial-agg combined); the join is
+    * keyed on the window hash against that collapsed table, so per-key
+    * fan-out is 1 regardless of how many train docs repeat a window —
+    * the (eval window × train doc) blow-up a naive doc-level join would
+    * produce never materializes. The eval side is benchmark-sized by
+    * contract.
+    */
+  def evalOverlapReport(train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame, w: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    val trainDf = train
+      .select(col("doc_id"),
+        explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
+      .groupBy(col("wh"))
+      .agg(count_distinct(col("doc_id")).as("train_df"))
+    val evalWins = eval.select(col("doc_id"),
+      explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
+    val nw = evalWins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val hits = evalWins.join(trainDf, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nh"), max(col("train_df")).as("mx"))
+    val nHit = coalesce(col("nh"), lit(0L))
+    nw.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        nHit.cast("long").as("n_hit"),
+        (nHit > 0).as("contaminated"),
+        trunc6(nHit.cast("double") / col("n_windows")).as("overlap_frac"),
+        coalesce(col("mx"), lit(0L)).cast("long").as("max_train_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Graded F37 query: eval = every 10th doc (the deterministic stand-in
+    * split, large enough that the sf corpora's ~1k naturally duplicated
+    * 8-grams produce real hits), train = the rest. The oracle recomputes
+    * windows, the per-window train document frequency, and the per-eval
+    * aggregates from scratch.
+    */
+  val qEvalOverlap = Q(
+    "q_f37_eval_overlap",
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t
+      |            FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT doc_id, t, len(t) AS n FROM sp WHERE len(t) >= 8),
+      |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 7),
+      |        i -> md5(array_to_string(t[i:i+7], ' ')))) AS wh
+      |      FROM b),
+      |tdf AS (SELECT wh, CAST(count(DISTINCT doc_id) AS BIGINT) AS train_df
+      |        FROM w WHERE doc_id % 10 != 0 GROUP BY wh),
+      |ev AS (SELECT doc_id, wh FROM w WHERE doc_id % 10 = 0),
+      |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+      |       FROM ev GROUP BY doc_id),
+      |hit AS (SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS nh,
+      |               CAST(max(train_df) AS BIGINT) AS mx
+      |        FROM ev JOIN tdf USING (wh) GROUP BY ev.doc_id)
+      |SELECT nw.doc_id, n_windows, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+      |       coalesce(nh, 0) > 0 AS contaminated,
+      |       floor(coalesce(nh, 0) * 1.0 / n_windows * 1000000)/1000000 AS overlap_frac,
+      |       CAST(coalesce(mx, 0) AS BIGINT) AS max_train_df
+      |FROM nw LEFT JOIN hit USING (doc_id) ORDER BY nw.doc_id""".stripMargin) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    val docs = documents(s, d)
+    evalOverlapReport(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** F38 (round 14): cross-source content-overlap matrix — for every
+    * unordered source pair, how many distinct w-gram windows the two
+    * sources share, plus each side's distinct-window total and the
+    * containment fraction in both directions. The mixture-design
+    * diagnostic: a high containment between a curated source and a crawl
+    * source means the mixture double-counts that content (The Pile's
+    * overlap audits; the reason FineWeb dedups ACROSS dumps) — run it
+    * before setting F33/F34 budgets and epochs.
+    *
+    * Scale: the corpus collapses to DISTINCT (source, window) presence
+    * — the one corpus-sized shuffle (partial-agg combined; a window
+    * repeated a million times in one source is ONE row). The pair join
+    * is keyed on the window hash with per-key fan-out ≤ |sources|², and
+    * the output is |sources|² rows — both bounded by the source
+    * alphabet, not the corpus. Per-source totals ride in on a broadcast.
+    */
+  def sourceOverlapMatrix(docs: org.apache.spark.sql.DataFrame, w: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    val sw = docs
+      .select(col("source"),
+        explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
+      .distinct()
+    val totals = sw.groupBy(col("source")).agg(count(lit(1)).as("tot"))
+    val a = sw.select(col("wh"), col("source").as("src_a"))
+    val b = sw.select(col("wh"), col("source").as("src_b"))
+    a.join(b, Seq("wh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("tot").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("tot").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        trunc6(col("n_shared").cast("double") / col("n_a")).as("frac_a"),
+        trunc6(col("n_shared").cast("double") / col("n_b")).as("frac_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Graded F38 query: the full matrix over the corpus' sources (the sf
+    * corpora share 8-grams across ~20 source pairs). The oracle
+    * recomputes the distinct presence table, the pair counts, and both
+    * containment fractions from scratch.
+    */
+  val qSourceOverlap = Q(
+    "q_f38_source_overlap",
+    """WITH sp AS (SELECT doc_id, source, string_split(text,' ') AS t
+      |            FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT source, t, len(t) AS n FROM sp WHERE len(t) >= 8),
+      |w AS (SELECT DISTINCT source, unnest(list_transform(generate_series(1, n - 7),
+      |        i -> md5(array_to_string(t[i:i+7], ' ')))) AS wh
+      |      FROM b),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM w GROUP BY source),
+      |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+      |              CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM w a JOIN w b USING (wh) WHERE a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared, ta.tot AS n_a, tb.tot AS n_b,
+      |       floor(n_shared * 1.0 / ta.tot * 1000000)/1000000 AS frac_a,
+      |       floor(n_shared * 1.0 / tb.tot * 1000000)/1000000 AS frac_b
+      |FROM pr JOIN tot ta ON pr.src_a = ta.source
+      |        JOIN tot tb ON pr.src_b = tb.source
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    sourceOverlapMatrix(documents(s, d))
+  }
+
   /** F33 (round 14): token-budget mix construction — materialize a
     * training mixture by subsampling each source down to a TOKEN budget
     * (the published mixture-weight step: The Pile's per-source epoch
@@ -1763,6 +1906,6 @@ object TextOps {
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
-    qTokenBudgetMix, qEpochMix, qShuffleShards,
+    qTokenBudgetMix, qEpochMix, qShuffleShards, qEvalOverlap, qSourceOverlap,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

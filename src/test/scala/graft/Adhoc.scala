@@ -1684,6 +1684,68 @@ object Adhoc {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("overlap14")) {
+      // Round-14 scale evidence for F37/F38. 1M docs (11-19 tokens, 10
+      // sources) with PLANTED overlap structure: every doc whose id ends
+      // in 0 embeds one of 1,000 shared 8-gram spans (so spans recur
+      // ~100× each across all sources — the boilerplate shape), and docs
+      // 0-999 are the "eval" set. F37's claim: the per-window distinct-
+      // doc collapse keeps the join fan-out at 1 per key — the
+      // (eval window × train doc) blow-up (~100 rows per hit window)
+      // never materializes. F38's claim: the DISTINCT (source, window)
+      // presence collapse makes the pair join corpus-independent.
+      val n = sys.env.getOrElse("ADHOC_OVERLAP_N", "1000000").toLong
+      def tok(h: org.apache.spark.sql.Column) = concat(lit("w"),
+        lower(conv(pmod(h, lit(200000)).cast("string"), 10, 36)))
+      // span id HASH-scattered (not id mod 1000: any fixed-stride scheme
+      // times the 10-source stride keeps every span inside ONE source —
+      // the first run of this stress crashed on a genuinely empty matrix)
+      val spanId = pmod(hash((col("id") / 3).cast("long")), lit(1000))
+      val span = transform(sequence(lit(0), lit(7)),
+        i => concat(lit("S"), pmod(hash(spanId * 17 + i), lit(100000))))
+      val filler = transform(
+        sequence(lit(0), (pmod(hash(col("id")), lit(9)) + lit(2)).cast("int")),
+        i => tok(hash(col("id") * 31 + i)))
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(10))).as("source"),
+          concat_ws(" ", when(col("id") % 3 === 0,
+            concat(filler, span)).otherwise(filler)).as("text"))
+        .repartition(32).localCheckpoint(eager = true)
+      println(s"overlap14 corpus: ${docs.count()} docs")
+      val evalDocs = docs.filter(col("doc_id") < 1000)
+      val train = docs.filter(col("doc_id") >= 1000)
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val r = TextOps.evalOverlapReport(train, evalDocs)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("c"),
+            sum(col("n_hit")).as("h"), max(col("max_train_df")).as("mx"))
+          .head
+        println(f"ADHOC eval_overlap_1m_$rep eval_docs=${r.getLong(0)} contaminated=${r.getLong(1)} " +
+          f"hits=${r.getLong(2)} max_train_df=${r.getLong(3)} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val m = TextOps.sourceOverlapMatrix(docs)
+          .agg(count(lit(1)).as("pairs"),
+            coalesce(sum(col("n_shared")), lit(0L)).as("sh"))
+          .head
+        println(f"ADHOC source_matrix_1m_$rep pairs=${m.getLong(0)} shared_sum=${m.getLong(1)} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+        assert(m.getLong(0) == 45L,
+          s"all 45 source pairs must share planted spans, got ${m.getLong(0)}")
+      }
+      // every planted eval doc (id%3==0 — a stride COPRIME with the 10
+      // source labels, so spans cross all sources; id<1000 → 334 docs)
+      // embeds a hash-scattered span shared with ~333 train docs — all
+      // must report contaminated with a high max_train_df
+      val chk = TextOps.evalOverlapReport(train, evalDocs)
+        .filter(col("doc_id") % 3 === 0)
+      val bad = chk.filter(!col("contaminated")).count()
+      println(s"ADHOC eval_overlap_planted planted=${chk.count()} uncontaminated=$bad")
+      assert(bad == 0, "every planted eval doc must be contaminated")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("kmeans14")) {
       // Round-14 scale evidence for F36/F36b. (1) kmeansFitExact at 1M
       // vectors × dim 32, k = 64: the fit must stay a per-iteration scan

@@ -54,7 +54,9 @@ class EmptyInputSpec extends SparkSpec {
       // (q_f36_kmeans / q_f36b_semdedup_clustered are absent by design:
       // kmeansFitExact fails LOUDLY when the corpus has fewer vectors
       // than k — the nbFit/LangGate convention, pinned in Round14OpsSpec)
-      "q_epoch_mix", "q_shuffle_shards")
+      "q_epoch_mix", "q_shuffle_shards",
+      // round 14 late: overlap diagnostics over no docs
+      "q_f37_eval_overlap", "q_f38_source_overlap")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -888,6 +888,48 @@ class Round14OpsSpec extends SparkSpec {
     assert(again.sorted == m.sorted)
   }
 
+  // ---- F37/F38: overlap diagnostics ----------------------------------
+
+  test("evalOverlapReport ≡ hand-computed window containment") {
+    graft.functions.VectorFunctions.register(spark)
+    val span = (1 to 8).map(i => s"c$i").mkString(" ") // one 8-token window
+    val train = Seq(
+      (10L, s"t a $span"),         // contains the span
+      (11L, s"u v $span w"))       // contains it too → train_df 2
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, s"$span x y"),          // 10 toks → 3 windows, 1 hit
+      (2L, "p q r s t u v w x"),   // 9 toks → 2 windows, clean
+      (3L, "short doc"),           // < 8 toks → absent
+      (4L, s"$span $span"))        // span twice → 2 hits of 9 windows
+      .toDF("doc_id", "text")
+    val got = TextOps.evalOverlapReport(train, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, true, math.floor(1.0 / 3 * 1e6) / 1e6, 2L),
+      (2L, 2L, 0L, false, 0.0, 0L),
+      (4L, 9L, 2L, true, math.floor(2.0 / 9 * 1e6) / 1e6, 2L)))
+  }
+
+  test("sourceOverlapMatrix: distinct presence, no diagonal, exact fractions") {
+    graft.functions.VectorFunctions.register(spark)
+    def w8(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", w8("s1")), (2L, "A", w8("s2")),
+      (3L, "A", w8("s1")),            // dup window within A — collapses
+      (4L, "B", w8("s1")),
+      (5L, "C", w8("s2")), (6L, "C", w8("s3")),
+      (7L, "D", w8("s4")))            // disjoint → no row
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.sourceOverlapMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("A", "B", 1L, 2L, 1L, 0.5, 1.0),
+      ("A", "C", 1L, 2L, 2L, 0.5, 0.5)), s"got $got")
+  }
+
   // ---- F36: exact frozen k-means + F36b SemDeDup ---------------------
 
   /** Brute-force reference for the ENTIRE F36 contract, independent of
