@@ -929,6 +929,8 @@ object Similarity {
       */
     def assignBroadcast(emb: DataFrame, vecCol: String = "embedding",
         idCol: String = "vec_id"): DataFrame = {
+      require(k > 0, "assignBroadcast needs a fitted model (k = 0: the " +
+        "empty-cents frame would silently assign nothing)")
       val s = emb.sparkSession
       VectorFunctions.register(s)
       import s.implicits._

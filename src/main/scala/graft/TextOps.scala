@@ -1629,6 +1629,13 @@ object TextOps {
       idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     require(epochsMicros.values.forall(_ >= 0),
       "epoch weights must be non-negative micros")
+    // loud ceiling: copies materialize as a per-row array before the
+    // explode, so a runaway weight (10⁶ epochs from a unit mix-up —
+    // epochs where micros were meant) would OOM an executor on one row.
+    // Published mixtures top out near 10 epochs; 1000 is generous.
+    require(epochsMicros.values.forall(_ <= 1000000000L),
+      s"epoch weight above 1000 epochs — micros/epochs unit mix-up? got " +
+        s"${epochsMicros.maxBy(_._2)}")
     docs.filter(col("text").isNotNull)
       .select(col(idCol), col(sourceCol),
         size(split(col("text"), " ")).cast("long").as("n_toks"),

@@ -1684,6 +1684,61 @@ object Adhoc {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("mix14")) {
+      // Round-14 scale evidence for the COMPOSED mixture manifest
+      // (F33 budget fill → F34 epoch upsample → F35 order shuffle):
+      // 10M docs × 10 sources → 4096-shard training manifest. The claims:
+      // per-shard positions are a dense 0..n-1 permutation over COPIES
+      // (verified for ALL 4096 shards via one agg), the manifest is a
+      // pure function of (corpus, budgets, epochs, seed) — rerun
+      // checksum-identical — and the wall is a handful of bounded
+      // shuffles, never a shard- or source-sized single-partition sort.
+      val n = sys.env.getOrElse("ADHOC_MIX_N", "10000000").toLong
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(10))).as("source"),
+          concat_ws(" ", transform(
+            sequence(lit(0), (pmod(hash(col("id")), lit(11)) + lit(7)).cast("int")),
+            i => concat(lit("t"), pmod(hash(col("id") * 13 + i), lit(1000)))))
+            .as("text"))
+        .repartition(32).localCheckpoint(eager = true)
+      println(s"mix14 corpus: ${docs.count()} docs")
+      val totals = docs.groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tot"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // even sources halved by budget; odd unbounded; src1/src3 upsampled
+      val budgets = totals.map { case (s0, t) =>
+        s0 -> (if (s0.stripPrefix("src").toInt % 2 == 0) t / 2 else Long.MaxValue / 4) }
+      val epochs = totals.keys.map { s0 =>
+        s0 -> (if (s0 == "src1" || s0 == "src3") 2500000L else 1000000L) }.toMap
+      var xsum = 0L
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val m = Graft.mixManifest(docs, budgets, epochs, nShards = 4096, seed = 9L)
+        val a = m.agg(count(lit(1)).as("rows"), sum(col("n_toks")).as("toks"),
+          bit_xor(xxhash64(col("doc_id"), col("epoch"), col("shard"), col("pos"))).as("x"))
+          .head
+        if (rep == 1) xsum = a.getLong(2)
+        println(f"ADHOC mix_manifest_10m_$rep rows=${a.getLong(0)} toks=${a.getLong(1)} " +
+          f"identical=${a.getLong(2) == xsum} secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+        assert(a.getLong(2) == xsum, "manifest is not rerun-deterministic")
+      }
+      val m = Graft.mixManifest(docs, budgets, epochs, nShards = 4096, seed = 9L)
+        .localCheckpoint(eager = true)
+      val bad = m.groupBy(col("shard"))
+        .agg(count(lit(1)).as("cnt"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+        .filter(col("mx") =!= col("cnt") - 1 || col("mn") =!= 0).count()
+      val shards = m.select(col("shard")).distinct().count()
+      println(s"ADHOC mix_manifest_dense shards=$shards non_dense=$bad")
+      assert(bad == 0 && shards == 4096L,
+        s"positions must be dense 0..n-1 in all 4096 shards (got $shards shards, $bad bad)")
+      // upsampled sources really contribute >1 epoch; halved sources ~half
+      m.groupBy(col("source")).agg(count_distinct(col("doc_id")).as("docs"),
+          count(lit(1)).as("copies")).orderBy(col("source"))
+        .collect().foreach(r => println(
+          s"ADHOC mix_manifest_src ${r.getString(0)} docs=${r.getLong(1)} copies=${r.getLong(2)}"))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("overlap14")) {
       // Round-14 scale evidence for F37/F38. 1M docs (11-19 tokens, 10
       // sources) with PLANTED overlap structure: every doc whose id ends

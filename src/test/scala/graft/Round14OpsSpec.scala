@@ -817,6 +817,22 @@ class Round14OpsSpec extends SparkSpec {
     assert(webCopies.values.forall(c => c == 2 || c == 3))
   }
 
+  test("epochMix and assignBroadcast fail LOUDLY on unit mix-ups") {
+    val docs = Seq((1L, "s", "a b")).toDF("doc_id", "source", "text")
+    // 5_000_000_000 micros = 5000 epochs: almost certainly "epochs where
+    // micros were meant" — must refuse, not explode a 5000-long array
+    val e = intercept[IllegalArgumentException] {
+      TextOps.epochMix(docs, Map("s" -> 5000000000L))
+    }
+    assert(e.getMessage.contains("unit mix-up"))
+    // an unfitted model must not silently assign nothing
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.KmeansModel(Seq.empty)
+        .assignBroadcast(Seq((1L, Array(0.1f))).toDF("vec_id", "embedding"))
+    }
+    assert(e2.getMessage.contains("fitted model"))
+  }
+
   test("epochMix expected-copy law on a uniform corpus (1.5 epochs ≈ ×1.5)") {
     val docs = (0 until 2000).map(i => (i.toLong, "s", "x y z"))
       .toDF("doc_id", "source", "text")
