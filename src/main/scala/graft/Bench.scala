@@ -73,7 +73,9 @@ object Bench {
     // two overlap diagnostics (eval-side contamination report,
     // cross-source content-overlap matrix)
     "q_f36_kmeans", "q_f36b_semdedup_clustered",
-    "q_f37_eval_overlap", "q_f38_source_overlap")
+    "q_f37_eval_overlap", "q_f38_source_overlap",
+    // round-14 late addition: curriculum-ordered training shards
+    "q_f39_curriculum_shards")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

@@ -190,6 +190,14 @@ object Graft {
       idCol: String = "doc_id"): DataFrame =
     TextOps.shuffleShards(docs, nShards, seed, idCol)
 
+  /** F39: curriculum-ordered training shards — shard + exact intra-shard
+    * position with a coarse integer quality LEVEL as the primary order
+    * (descending; ties broken by the seeded draw). The staged/annealed
+    * data-order sibling of [[shuffleShards]]. */
+  def curriculumShards(docs: DataFrame, nShards: Int, levelCol: String,
+      seed: Long = 0L, idCol: String = "doc_id"): DataFrame =
+    TextOps.curriculumShards(docs, nShards, levelCol, seed, idCol)
+
   /** Composed mixture materialization: F33 budget subsample (when
     * `budgets` is non-empty) → F34 epoch upsample (when `epochsMicros`
     * is non-empty; sources absent from a non-empty map are dropped,

@@ -1758,6 +1758,82 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** F39 (round 14): curriculum-ordered training shards — the data-order
+    * trick of staged/annealed training (curriculum learning, and the
+    * "anneal the highest-quality data last" recipes): within every
+    * shard, docs are ordered by a coarse integer quality LEVEL
+    * (descending — highest level trains first; negate the level for the
+    * ascending variant), with the seeded uniform draw breaking ties
+    * inside a level. Coarse levels are the contract, not a limitation:
+    * curricula are staged in phases, and random order WITHIN a phase is
+    * exactly what training wants — a total quality order would fix the
+    * intra-phase order to the scorer's noise. Still a pure function of
+    * (corpus, levels, seed): reproducible, engine-exact.
+    *
+    * Scale: the F35 two-level rank with the level prepended to the
+    * order — row_number runs per (shard, level, draw-RANGE-bucket)
+    * window (the draw is uniform, so mass-tied levels still split
+    * across buckets — the pathology a bare (shard, level) partition
+    * would hit on a single-level corpus), and the offset cascade runs
+    * per shard over the (level, bucket) counts, ordered (level DESC,
+    * bucket). The counts table is shards × occupied-(level, bucket)
+    * rows — keep levels coarse (≤ ~10³) so it stays KB-to-MB-sized.
+    * Rows with a NULL level are dropped (unscored docs don't belong in
+    * a curriculum; gate them upstream).
+    */
+  def curriculumShards(docs: org.apache.spark.sql.DataFrame, nShards: Int,
+      levelCol: String, seed: Long = 0L, idCol: String = "doc_id",
+      buckets: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bucketWidth = (4294967296L + buckets - 1) / buckets
+    val m = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val base = docs.filter(col(levelCol).isNotNull)
+      .select(col(idCol), col(levelCol).cast("long").as("level"),
+        conv(substring(m, 1, 8), 16, 10).cast("long").as("h"),
+        (conv(substring(m, 9, 8), 16, 10).cast("long") % nShards).as("shard"))
+      .withColumn("b", floor(col("h") / bucketWidth).cast("long"))
+    val wOff = Window.partitionBy(col("shard"))
+      .orderBy(col("level").desc, col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("shard"), col("level"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("shard"), col("level"), col("b"), col("boff"))
+    val wIn = Window.partitionBy(col("shard"), col("level"), col("b"))
+      .orderBy(col("h"), col(idCol))
+    base.join(offsets, Seq("shard", "level", "b"))
+      .select(col(idCol), col("level"), col("shard"),
+        (col("boff") + row_number().over(wIn) - 1).as("pos"))
+  }
+
+  /** Graded F39 query: 8 shards, seed 42, 10 quality levels derived from
+    * n_chars (the deterministic stand-in for an F19/F32 score, capped so
+    * every level is genuinely populated). The oracle is the one-window
+    * definition — rank by (level DESC, draw, id) per shard — so the
+    * hash grades the level-major order, the two-level rank ≡ plain
+    * rank, and the within-level draw tie order.
+    */
+  val qCurriculumShards = Q(
+    "q_f39_curriculum_shards",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         least(9, greatest(0, n_chars // 100)) AS level,
+      |         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 8 AS shard
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT doc_id, CAST(level AS BIGINT) AS level, CAST(shard AS BIGINT) AS shard,
+      |       CAST(row_number() OVER (
+      |              PARTITION BY shard ORDER BY level DESC, h, doc_id)
+      |            - 1 AS BIGINT) AS pos
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    curriculumShards(
+      documents(s, d).withColumn("q_level",
+        least(lit(9L), greatest(lit(0L), expr("CAST(n_chars AS BIGINT) div 100")))),
+      nShards = 8, levelCol = "q_level", seed = 42L)
+      .orderBy(col("doc_id"))
+  }
+
   /** A FROZEN multinomial Naive Bayes text classifier: the driver-held
     * model the codegen `nb_score` kernel scores against (the
     * [[LangIdProfile]] fit→freeze pattern). KB-sized by construction
@@ -1913,6 +1989,7 @@ object TextOps {
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
-    qTokenBudgetMix, qEpochMix, qShuffleShards, qEvalOverlap, qSourceOverlap,
+    qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
+    qEvalOverlap, qSourceOverlap,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

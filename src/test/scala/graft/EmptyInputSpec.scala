@@ -55,8 +55,8 @@ class EmptyInputSpec extends SparkSpec {
       // kmeansFitExact fails LOUDLY when the corpus has fewer vectors
       // than k — the nbFit/LangGate convention, pinned in Round14OpsSpec)
       "q_epoch_mix", "q_shuffle_shards",
-      // round 14 late: overlap diagnostics over no docs
-      "q_f37_eval_overlap", "q_f38_source_overlap")
+      // round 14 late: overlap diagnostics + curriculum order over no docs
+      "q_f37_eval_overlap", "q_f38_source_overlap", "q_f39_curriculum_shards")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

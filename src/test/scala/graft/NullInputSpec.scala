@@ -40,8 +40,9 @@ class NullInputSpec extends SparkSpec {
       // round 14: the null-text doc must not multiply (F34) and must
       // still get a shard/position (F35 places by id, not content)
       "q_epoch_mix", "q_shuffle_shards",
-      // round 14: overlap diagnostics — null text never windows
-      "q_f37_eval_overlap", "q_f38_source_overlap")
+      // round 14: overlap diagnostics — null text never windows;
+      // curriculum order places every scored doc
+      "q_f37_eval_overlap", "q_f38_source_overlap", "q_f39_curriculum_shards")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

@@ -866,6 +866,33 @@ class Round14OpsSpec extends SparkSpec {
     assert(reseeded != one)
   }
 
+  test("curriculumShards: level-major order, bucket-invariant, dense per shard") {
+    val docs = (0 until 600).map(i => (i.toLong, (i % 4).toLong))
+      .toDF("doc_id", "lvl")
+    def run(b: Int) = TextOps.curriculumShards(docs, nShards = 3,
+        levelCol = "lvl", seed = 11L, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val one = run(1) // single bucket ≡ the plain one-window definition
+    assert(run(7) == one && run(256) == one)
+    // dense 0..n-1 per shard, and the order is LEVEL-MAJOR descending:
+    // every level-3 doc precedes every level-2 doc in its shard, etc.
+    one.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted == (0L until rows.size.toLong))
+      val byPos = rows.sortBy(_._4).map(_._2)
+      assert(byPos == byPos.sortBy(-_), s"shard $shard not level-major: $byPos")
+    }
+    // null level drops; a different seed reorders within levels
+    val withNull = docs.union(docs.limit(1)
+      .select(lit(999L).as("doc_id"), lit(null).cast("long").as("lvl")))
+    assert(TextOps.curriculumShards(withNull, 3, "lvl").count() == 600)
+    val reseeded = TextOps.curriculumShards(docs, nShards = 3,
+        levelCol = "lvl", seed = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(reseeded != one)
+  }
+
   test("mixManifest composes budget → epochs → copy-salted shuffle") {
     val docs = (0 until 300).map { i =>
       (i.toLong, if (i % 3 == 0) "big" else "small",
