@@ -1388,6 +1388,7 @@ object TextOps {
   def evalOverlapReport(train: org.apache.spark.sql.DataFrame,
       eval: org.apache.spark.sql.DataFrame, w: Int = 8)
       : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(train.sparkSession)
     val trainDf = train
       .select(col("doc_id"),
         explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
@@ -1460,6 +1461,7 @@ object TextOps {
     */
   def sourceOverlapMatrix(docs: org.apache.spark.sql.DataFrame, w: Int = 8)
       : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val sw = docs
       .select(col("source"),
         explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))

@@ -42,6 +42,25 @@ class FreshSessionSpec extends SparkSpec {
     }
     def fresh() = spark.newSession()
 
+    locally { // round 14: k-means fit/assign + clustered SemDeDup + overlap reports
+      val s = fresh()
+      val model = Similarity.kmeansFitExact(corpus(s), k = 2, iters = 1)
+      val s2 = fresh()
+      assert(model.assignBroadcast(corpus(s2)).count() == 24)
+      val s3 = fresh()
+      assert(Similarity.semanticClustersClustered(s3, corpus(s3),
+        minCos = 0.9, k = 2).count() == 24)
+      def textDocs(s0: org.apache.spark.sql.SparkSession) = {
+        import s0.implicits._
+        Seq((1L, "x", (1 to 9).map(i => s"t$i").mkString(" ")))
+          .toDF("doc_id", "source", "text")
+      }
+      val s4 = fresh()
+      assert(TextOps.evalOverlapReport(textDocs(s4), textDocs(s4)).count() == 1)
+      val s5 = fresh()
+      assert(TextOps.sourceOverlapMatrix(textDocs(s5)).count() == 0)
+    }
+
     locally { // exact edges + semantic clusters, both edge paths
       val s = fresh()
       assert(Similarity.exactCosineEdges(s, corpus(s), 0.99).count() >= 0)
