@@ -96,7 +96,13 @@ object Dedup {
       b.select(col("doc_id"), col("sz"),
         explode(slice(col("shs"), lit(1), prefLen)).as("shh"))
     }
-    val (lb, rb) = (base(left), if (sameFrame) base(left) else base(right))
+    // share ONE plan instance across both sides of the self-join: two
+    // `base(left)` calls build two distinct subtrees with fresh expression
+    // IDs, so Spark computes the shingle scan twice (round-14 regression,
+    // ~1.6× on q_ngram_jaccard); a single instance lets the self-join
+    // reuse the exchange
+    val lb = base(left)
+    val rb = if (sameFrame) lb else base(right)
     // self-join: the a<b predicate canonicalizes and halves the space;
     // bipartite: every qualifying (left, right) pair is kept as-is
     val orient =

@@ -1112,12 +1112,34 @@ object Similarity {
     * [[semanticClusters]]: every vector labeled (vec_id, cluster_id,
     * cluster_size), cluster_id = min reachable vec_id over the
     * within-cluster edge relation, via the same hybrid CC engine.
+    *
+    * Choosing k (round 15, verdict item): `k <= 0` selects the
+    * √n heuristic — k = ⌈√n⌉ from ONE pushdown count — which balances
+    * the two costs that move with k (per-cluster quadratic pair work
+    * ~n²/k vs fit work ~k·n per Lloyd pass) and is the common default in
+    * the SemDeDup literature's cluster-count ablations. The assignment
+    * kernel embeds the centroids as a plan LITERAL, which janino-compiles
+    * per query: past k ≈ 10⁴–10⁵ centroids (multi-MB literals), switch to
+    * [[KmeansModel.assignBroadcast]] — the 1M-vector stress in BASELINE.md
+    * measured the literal form ~17× slower than broadcast already at
+    * k = 64 on the FIT side's repeated passes; the broadcast join form is
+    * the scale path whenever k itself is large. The assigned frame is
+    * localCheckpoint'd so the self-join's two sides share one assignment
+    * pass instead of recomputing the kernel per side.
     */
   def semanticClustersClustered(s: SparkSession, emb: DataFrame,
-      minCos: Double, k: Int, iters: Int = 2): DataFrame = {
-    val model = kmeansFitExact(emb, k, iters)
+      minCos: Double, k: Int = 0, iters: Int = 2): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else {
+        val n = emb.filter(col("embedding").isNotNull).count()
+        require(n > 0, "semanticClustersClustered: no non-null embeddings")
+        math.ceil(math.sqrt(n.toDouble)).toInt
+      }
+    val model = kmeansFitExact(emb, kEff, iters)
     val n = normedOf(s, emb.filter(col("embedding").isNotNull))
       .withColumn("kc", model.assignCol(col("embedding")))
+      .localCheckpoint(eager = false) // both join sides share ONE assignment pass
     val a = n.select(col("kc"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = n.select(col("kc"), col("vec_id").as("b_id"),

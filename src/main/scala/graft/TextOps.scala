@@ -1263,18 +1263,36 @@ object TextOps {
     packSequencesOf(documents(s, d))
   }
 
-  /** Frame-level form of q_f20 — see the query's scaladoc. */
+  /** Frame-level form of q_f20 — see the query's scaladoc.
+    *
+    * Bucketing (round 15, per the round-14 verdict): a FIXED `buckets`
+    * count of contiguous doc_id-range slices, the F33/F35 pattern — the
+    * old `floor(doc_id / 1000)` scheme grew the bucket-totals table WITH
+    * the corpus (|docs|/1000 rows through the one global offset window:
+    * a 10⁷-row single-partition sort at 10¹⁰ docs). The id range comes
+    * from one bounded (min, max) pull; buckets stay contiguous in doc_id,
+    * so the within-bucket cumsum + offset cascade is exact for ANY id
+    * distribution (dense ids additionally balance the bucket load), and
+    * the totals table is ≤ `buckets` rows at any corpus size. Output is
+    * bucket-count-invariant — Round15OpsSpec pins 64 ≡ 256 exactly.
+    */
   def packSequencesOf(docs: org.apache.spark.sql.DataFrame,
-      seqLen: Int = 1024): org.apache.spark.sql.DataFrame = {
+      seqLen: Int = 1024, buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val SeqLen = seqLen
-    val BucketDocs = 1000
-    val toks = docs
+    val toksBase = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
-      .withColumn("b", floor(col("doc_id") / BucketDocs).cast("long"))
-    // bucket totals: |docs| / BucketDocs rows — the only global window
-    // runs over THIS table, which stays driver-tiny at any corpus size
+    // one bounded pull: the id range (2 values), BigInt width math so a
+    // full-Long id span cannot overflow the ceil
+    val mm = toksBase.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val width = ((BigInt(hi) - BigInt(lo) + buckets) / buckets).max(1).toLong
+    val toks = toksBase
+      .withColumn("b", floor((col("doc_id") - lit(lo)) / lit(width)).cast("long"))
+    // bucket totals: ≤ `buckets` rows — the only global window runs over
+    // THIS table, which stays driver-tiny at any corpus size
     val wOff = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = toks.groupBy(col("b")).agg(sum(col("n_toks")).as("bsum"))
       .withColumn("boff", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
@@ -1396,16 +1414,25 @@ object TextOps {
       .agg(count_distinct(col("doc_id")).as("train_df"))
     val evalWins = eval.select(col("doc_id"),
       explode(call_function("window_md5s", col("text"), lit(w))).as("wh"))
+    // spine = EVERY eval doc (round-15 ADVICE): a doc shorter than w
+    // tokens (or with NULL text) produces no windows, and the old
+    // windows-derived spine silently dropped it — a contamination report
+    // that omits exactly the short benchmark items. Such docs now report
+    // n_windows = 0, n_hit = 0, contaminated = false, overlap_frac = 0.
+    val spine = eval.select(col("doc_id"))
     val nw = evalWins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
     val hits = evalWins.join(trainDf, Seq("wh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nh"), max(col("train_df")).as("mx"))
     val nHit = coalesce(col("nh"), lit(0L))
-    nw.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
+    val nWin = coalesce(col("n_windows"), lit(0L))
+    spine.join(nw, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), nWin.cast("long").as("n_windows"),
         nHit.cast("long").as("n_hit"),
         (nHit > 0).as("contaminated"),
-        trunc6(nHit.cast("double") / col("n_windows")).as("overlap_frac"),
+        when(nWin === 0, lit(0.0))
+          .otherwise(trunc6(nHit.cast("double") / nWin)).as("overlap_frac"),
         coalesce(col("mx"), lit(0L)).cast("long").as("max_train_df"))
       .orderBy(col("doc_id"))
   }
@@ -1427,16 +1454,21 @@ object TextOps {
       |tdf AS (SELECT wh, CAST(count(DISTINCT doc_id) AS BIGINT) AS train_df
       |        FROM w WHERE doc_id % 10 != 0 GROUP BY wh),
       |ev AS (SELECT doc_id, wh FROM w WHERE doc_id % 10 = 0),
+      |ed AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
       |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
       |       FROM ev GROUP BY doc_id),
       |hit AS (SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS nh,
       |               CAST(max(train_df) AS BIGINT) AS mx
       |        FROM ev JOIN tdf USING (wh) GROUP BY ev.doc_id)
-      |SELECT nw.doc_id, n_windows, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+      |SELECT ed.doc_id, CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+      |       CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
       |       coalesce(nh, 0) > 0 AS contaminated,
-      |       floor(coalesce(nh, 0) * 1.0 / n_windows * 1000000)/1000000 AS overlap_frac,
+      |       CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+      |            ELSE floor(coalesce(nh, 0) * 1.0 / n_windows * 1000000)/1000000
+      |       END AS overlap_frac,
       |       CAST(coalesce(mx, 0) AS BIGINT) AS max_train_df
-      |FROM nw LEFT JOIN hit USING (doc_id) ORDER BY nw.doc_id""".stripMargin) { (s, d) =>
+      |FROM ed LEFT JOIN nw USING (doc_id) LEFT JOIN hit USING (doc_id)
+      |ORDER BY ed.doc_id""".stripMargin) { (s, d) =>
     graft.functions.VectorFunctions.register(s)
     val docs = documents(s, d)
     evalOverlapReport(docs.filter(col("doc_id") % 10 =!= 0),
@@ -1469,18 +1501,32 @@ object TextOps {
     val totals = sw.groupBy(col("source")).agg(count(lit(1)).as("tot"))
     val a = sw.select(col("wh"), col("source").as("src_a"))
     val b = sw.select(col("wh"), col("source").as("src_b"))
-    a.join(b, Seq("wh"))
+    val counts = a.join(b, Seq("wh"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
+    // spine = EVERY unordered source pair (round-15 ADVICE): disjoint
+    // pairs used to vanish from the matrix (inner join on wh), so a
+    // mixture designer could not tell "zero overlap" from "no data".
+    // The alphabet cross join is bounded by |sources|² by contract; a
+    // source whose docs are all too short for a window reports 0 totals.
+    val alpha = docs.select(col("source")).distinct()
+    val spine = alpha.select(col("source").as("src_a"))
+      .crossJoin(alpha.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val nSh = coalesce(col("n_shared"), lit(0L))
+    def frac(tot: Column) =
+      when(tot === 0, lit(0.0)).otherwise(trunc6(nSh.cast("double") / tot))
+    spine.join(counts, Seq("src_a", "src_b"), "left")
       .join(broadcast(totals.select(col("source").as("src_a"), col("tot").as("n_a"))),
-        Seq("src_a"))
+        Seq("src_a"), "left")
       .join(broadcast(totals.select(col("source").as("src_b"), col("tot").as("n_b"))),
-        Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("n_shared"),
-        col("n_a"), col("n_b"),
-        trunc6(col("n_shared").cast("double") / col("n_a")).as("frac_a"),
-        trunc6(col("n_shared").cast("double") / col("n_b")).as("frac_b"))
+        Seq("src_b"), "left")
+      .select(col("src_a"), col("src_b"), nSh.cast("long").as("n_shared"),
+        coalesce(col("n_a"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("n_b"), lit(0L)).cast("long").as("n_b"),
+        frac(coalesce(col("n_a"), lit(0L))).as("frac_a"),
+        frac(coalesce(col("n_b"), lit(0L))).as("frac_b"))
       .orderBy(col("src_a"), col("src_b"))
   }
 
@@ -1501,13 +1547,24 @@ object TextOps {
       |pr AS (SELECT a.source AS src_a, b.source AS src_b,
       |              CAST(count(*) AS BIGINT) AS n_shared
       |       FROM w a JOIN w b USING (wh) WHERE a.source < b.source
-      |       GROUP BY 1, 2)
-      |SELECT src_a, src_b, n_shared, ta.tot AS n_a, tb.tot AS n_b,
-      |       floor(n_shared * 1.0 / ta.tot * 1000000)/1000000 AS frac_a,
-      |       floor(n_shared * 1.0 / tb.tot * 1000000)/1000000 AS frac_b
-      |FROM pr JOIN tot ta ON pr.src_a = ta.source
-      |        JOIN tot tb ON pr.src_b = tb.source
-      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      |       GROUP BY 1, 2),
+      |alpha AS (SELECT DISTINCT source FROM documents),
+      |spine AS (SELECT a.source AS src_a, b.source AS src_b
+      |          FROM alpha a JOIN alpha b ON a.source < b.source)
+      |SELECT spine.src_a, spine.src_b,
+      |       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+      |       CAST(coalesce(ta.tot, 0) AS BIGINT) AS n_a,
+      |       CAST(coalesce(tb.tot, 0) AS BIGINT) AS n_b,
+      |       CASE WHEN coalesce(ta.tot, 0) = 0 THEN 0.0
+      |            ELSE floor(coalesce(n_shared, 0) * 1.0 / ta.tot * 1000000)/1000000
+      |       END AS frac_a,
+      |       CASE WHEN coalesce(tb.tot, 0) = 0 THEN 0.0
+      |            ELSE floor(coalesce(n_shared, 0) * 1.0 / tb.tot * 1000000)/1000000
+      |       END AS frac_b
+      |FROM spine LEFT JOIN pr ON spine.src_a = pr.src_a AND spine.src_b = pr.src_b
+      |           LEFT JOIN tot ta ON spine.src_a = ta.source
+      |           LEFT JOIN tot tb ON spine.src_b = tb.source
+      |ORDER BY spine.src_a, spine.src_b""".stripMargin) { (s, d) =>
     graft.functions.VectorFunctions.register(s)
     sourceOverlapMatrix(documents(s, d))
   }
@@ -1663,6 +1720,18 @@ object TextOps {
     * draw arithmetic, the `div`/`mod` split, and the 1-based epoch
     * numbering.
     */
+  /** The equalize-up-to-the-largest-source weight derivation used by
+    * q_epoch_mix, factored out and made EXACT at any scale (round-15
+    * ADVICE): `maxTot * 10⁶` overflows a Long past ~9.2e12 total tokens,
+    * and the previous double-math oracle could disagree with integer
+    * division once the product crossed 2⁵³. BigInt product here, HUGEINT
+    * `//` in the oracle — the same exact floor division on both engines.
+    */
+  def epochWeightMicros(maxTot: Long, tot: Long, capMicros: Long = 3000000L): Long = {
+    require(tot > 0, s"epochWeightMicros: source total must be positive, got $tot")
+    (BigInt(maxTot) * 1000000 / tot).min(BigInt(capMicros)).toLong
+  }
+
   val qEpochMix = Q(
     "q_epoch_mix",
     """WITH d AS (
@@ -1673,7 +1742,7 @@ object TextOps {
       |tot AS (SELECT source, sum(n_toks) AS t FROM d GROUP BY source),
       |mx AS (SELECT max(t) AS mt FROM tot),
       |w AS (SELECT source,
-      |        least(3000000, CAST(floor(mt * 1000000.0 / t) AS BIGINT)) AS e
+      |        least(3000000, CAST(CAST(mt AS HUGEINT) * 1000000 // t AS BIGINT)) AS e
       |      FROM tot CROSS JOIN mx),
       |k AS (SELECT d.doc_id, d.source, d.n_toks,
       |        CAST(e // 1000000 AS BIGINT) +
@@ -1691,7 +1760,7 @@ object TextOps {
       .collect() // one row per source — the bounded-alphabet pull
     val maxTot = if (tots.isEmpty) 0L else tots.map(_.getLong(1)).max
     val weights = tots.map(r => r.getString(0) ->
-      math.min(3000000L, maxTot * 1000000L / r.getLong(1))).toMap
+      epochWeightMicros(maxTot, r.getLong(1))).toMap
     epochMix(docs, weights).orderBy(col("doc_id"), col("epoch"))
   }
 
@@ -1890,6 +1959,11 @@ object TextOps {
       .select(col("label"), col("text"))
     val priorRows = seed.groupBy(col("label")).count().collect()
     require(priorRows.nonEmpty, "nbFit: empty seed — nothing to fit on")
+    // loud failure (round-15 ADVICE): a NULL label would otherwise NPE
+    // inside .sorted with no hint at the cause — same convention as the
+    // empty-seed require above
+    require(!priorRows.exists(_.isNullAt(0)),
+      "nbFit: seed contains NULL labels — every seed row must carry a label")
     val labels = priorRows.map(_.getString(0)).sorted.toSeq
     val nd = priorRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val ndTot = nd.values.sum

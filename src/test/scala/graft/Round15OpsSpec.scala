@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions, per the round-14 verdict + ADVICE: the F20
+  * fixed-bucket prefix-sum retrofit (bucket-count invariance), the Bench
+  * floor gate (fresh-JVM re-measure contract), F36b auto-k, the
+  * evalOverlapReport short-doc spine, the sourceOverlapMatrix zero-overlap
+  * spine, nbFit's null-label loud failure, the exact epoch-weight
+  * derivation, and the hybrid-CC diameter-sweep equivalence law.
+  */
+class Round15OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- F20: fixed bucket count over the id range ----------------------
+
+  test("packSequencesOf is bucket-count invariant (64 ≡ 256, exact)") {
+    val docs = Tables.documents(spark, sf001)
+    val a = TextOps.packSequencesOf(docs, buckets = 64).collect().toSeq
+    val b = TextOps.packSequencesOf(docs, buckets = 256).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("packSequencesOf is exact on SPARSE, non-dense ids (single-window oracle)") {
+    // ids deliberately ragged — huge gaps, so range buckets are unevenly
+    // loaded; correctness must not depend on density, only on contiguity
+    val rows = Seq(
+      (7L, "a b c"), (1000000L, "d e"), (1000001L, "f g h i"),
+      (900000000L, "j"), (900000007L, "k l m n o p"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextOps.packSequencesOf(docs, seqLen = 4, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // one-window reference: plain running cumsum in doc_id order
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      cum += n
+      val first = (cum - n) / 4; val last = (cum - 1) / 4
+      (id, n, first, last, last - first + 1)
+    }
+    assert(got == want)
+  }
+
+  test("packSequencesOf on an empty frame returns no rows (no NPE)") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.packSequencesOf(docs).collect().isEmpty)
+  }
+
+  // ---- Bench floor gate ------------------------------------------------
+
+  private def reps(xs: Double*): Bench.Reps = Bench.Reps(xs)
+
+  test("floorGate: over-floor query earns ONE re-measure; a faster fresh read replaces it") {
+    val results = Seq("fast" -> reps(1.0, 1.0, 1.0), "slow" -> reps(9.0, 9.1, 9.2))
+    val floors = Map("fast" -> 1.0, "slow" -> 3.0)
+    var calls = 0
+    val (out, retried, noisy) = Bench.floorGate(results, floors, { q =>
+      calls += 1; assert(q == "slow"); Some(reps(3.1, 3.2, 3.0))
+    })
+    assert(calls == 1 && retried == Seq("slow") && noisy.isEmpty)
+    assert(out.toMap.apply("slow").median == 3.1, "fresh-JVM reps must replace the inflated kept reps")
+    assert(out.toMap.apply("fast") == reps(1.0, 1.0, 1.0))
+  }
+
+  test("floorGate: still-over after the re-measure publishes as floor-noisy") {
+    val (out, retried, noisy) = Bench.floorGate(
+      Seq("q" -> reps(9.0, 9.0, 9.0)), Map("q" -> 1.0),
+      _ => Some(reps(8.0, 8.0, 8.0)))
+    assert(retried == Seq("q") && noisy == Seq("q"))
+    assert(out.toMap.apply("q").median == 8.0,
+      "the faster of the two measurements is still published, flagged noisy")
+  }
+
+  test("floorGate: failed/absent fresh JVM keeps the original; slower fresh read is discarded") {
+    val (a, _, na) = Bench.floorGate(
+      Seq("q" -> reps(5.0, 5.0, 5.0)), Map("q" -> 1.0), _ => None)
+    assert(a.toMap.apply("q").median == 5.0 && na == Seq("q"))
+    val (b, _, _) = Bench.floorGate(
+      Seq("q" -> reps(5.0, 5.0, 5.0)), Map("q" -> 1.0), _ => Some(reps(7.0, 7.0, 7.0)))
+    assert(b.toMap.apply("q").median == 5.0)
+    // a fresh read that FAILED a rep must never replace a clean one
+    val (c, _, _) = Bench.floorGate(
+      Seq("q" -> reps(5.0, 5.0, 5.0)), Map("q" -> 1.0), _ => Some(reps(-0.1, 1.0, 1.0)))
+    assert(c.toMap.apply("q").median == 5.0)
+  }
+
+  test("floorGate: no floor recorded, failed queries, and under-floor queries are untouched") {
+    var calls = 0
+    val (out, retried, noisy) = Bench.floorGate(
+      Seq("new_q" -> reps(9.0, 9.0, 9.0),   // no floor → skip
+        "red_q" -> reps(-1.0, 2.0, 2.0),    // failed rep → skip (already -1 sentinel)
+        "ok_q" -> reps(1.9, 1.9, 1.9)),     // within 2× floor → skip
+      Map("red_q" -> 0.1, "ok_q" -> 1.0),
+      _ => { calls += 1; None })
+    assert(calls == 0 && retried.isEmpty && noisy.isEmpty)
+    assert(out.map(_._1) == Seq("new_q", "red_q", "ok_q"))
+  }
+
+  test("loadFloors parses the committed flat JSON and survives a missing file") {
+    val f = java.nio.file.Files.createTempFile("floors", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"q1_pricing_summary": 0.182, "q_f36b_semdedup_clustered": 5.25}""")
+    val m = Bench.loadFloors(f.toString)
+    assert(m == Map("q1_pricing_summary" -> 0.182, "q_f36b_semdedup_clustered" -> 5.25))
+    assert(Bench.loadFloors("/nonexistent/floors.json").isEmpty)
+  }
+
+  test("render publishes the floor_retried list on every line") {
+    val (fam, head, full) = Bench.render(
+      Seq("q" -> reps(1.0, 1.0, 1.0)), 3, 0.5, 0.5, sf001,
+      Nil, Seq("q"), Seq("q"))
+    for (line <- Seq(fam, head, full)) {
+      assert(line.contains("\"floor_retried\":[\"q\"]"), line)
+      assert(line.contains("\"noisy\":[\"q\"]"), line)
+    }
+  }
+
+  // ---- F36b: auto-k ----------------------------------------------------
+
+  test("semanticClustersClustered auto-k (k ≤ 0) ≡ explicit k = ceil(sqrt(n))") {
+    val emb = (0 until 20).map { i =>
+      val base = Array.fill(4)(0.0f); base(i % 4) = 1.0f
+      base(0) += 0.1f * (i % 3) // non-zero norm always: base(i % 4) stays 1
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.semanticClustersClustered(spark, emb, minCos = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val explicit = Similarity.semanticClustersClustered(spark, emb, minCos = 0.8,
+        k = math.ceil(math.sqrt(20.0)).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
+  // ---- F37: short eval docs appear in the report ------------------------
+
+  test("evalOverlapReport reports n_windows = 0 rows for sub-w and NULL-text eval docs") {
+    val train = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6 t7 t8 tail"),    // 2 windows, 1 hit
+      (11L, "too short for any window"),          // < 8 tokens → 0 windows
+      (12L, null.asInstanceOf[String]))           // NULL text → 0 windows
+      .toDF("doc_id", "text")
+    val got = TextOps.evalOverlapReport(train, eval)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (10L, 2L, 1L, true, 0.5, 1L),
+      (11L, 0L, 0L, false, 0.0, 0L),
+      (12L, 0L, 0L, false, 0.0, 0L)), got.toString)
+  }
+
+  // ---- F38: zero-overlap pairs appear in the matrix ---------------------
+
+  test("sourceOverlapMatrix emits n_shared = 0 rows for disjoint and window-less sources") {
+    val w8 = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", w8 + " a_tail_token x1 x2 x3 x4 x5 x6 x7"),
+      (2L, "b", w8 + " b_tail_token y1 y2 y3 y4 y5 y6 y7"),
+      (3L, "c", (1 to 12).map(i => s"conly$i").mkString(" ")), // disjoint from a, b
+      (4L, "d", "short"))                                       // no windows at all
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.sourceOverlapMatrix(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.map(p => (p._1, p._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")),
+      s"every unordered pair must be present: $got")
+    val m = got.map(p => (p._1, p._2) -> p).toMap
+    assert(m(("a", "b"))._3 == 1L, "a and b share exactly the one full shared window")
+    assert(m(("a", "c"))._3 == 0L && m(("a", "c"))._4 > 0 && m(("a", "c"))._5 > 0)
+    assert(m(("c", "d"))._3 == 0L && m(("c", "d"))._5 == 0L &&
+      m(("c", "d"))._6 == 0.0 && m(("c", "d"))._7 == 0.0,
+      "a window-less source reports 0 totals and 0.0 fractions, not NULLs")
+  }
+
+  // ---- F32: nbFit loud failure on NULL labels ----------------------------
+
+  test("nbFit fails loudly on a NULL label in the seed") {
+    val seed = Seq(("good", "some text here"), (null.asInstanceOf[String], "oops"))
+      .toDF("label", "text")
+    val e = intercept[IllegalArgumentException] { TextOps.nbFit(seed) }
+    assert(e.getMessage.contains("NULL labels"), e.getMessage)
+  }
+
+  // ---- F34: exact epoch-weight derivation at any scale -------------------
+
+  test("epochWeightMicros is exact past the Long-overflow boundary") {
+    // 10¹³ total tokens: maxTot * 10⁶ = 10¹⁹ > Long.MaxValue — the old
+    // Long product silently wrapped negative here
+    assert(TextOps.epochWeightMicros(10000000000000L, 10000000000000L) == 1000000L)
+    assert(TextOps.epochWeightMicros(10000000000000L, 4000000000000L) == 2500000L)
+    assert(TextOps.epochWeightMicros(10000000000000L, 3000000000000L) == 3000000L,
+      "the 3-epoch cap applies")
+    // exact floor division, no double rounding: 10/3 epochs = 3333333 µ
+    assert(TextOps.epochWeightMicros(10L, 3L, capMicros = 10000000L) == 3333333L)
+    intercept[IllegalArgumentException] { TextOps.epochWeightMicros(1L, 0L) }
+  }
+
+  // ---- hybrid CC: diameter-sweep equivalence law --------------------------
+
+  test("hybrid CC ≡ min-label ≡ star across a diameter sweep") {
+    // chains of increasing diameter — the regime the starSwitchAfter
+    // hand-off exists for — plus a clique and singletons, all in one graph
+    val chains = Seq(2, 5, 12, 40)
+    var nextId = 0L
+    val edgeRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val nodeRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (len <- chains) {
+      val ids = (0 until len).map(_ => { nextId += 1; nextId })
+      nodeRows ++= ids
+      edgeRows ++= ids.zip(ids.tail)
+    }
+    val clique = (0 until 6).map(_ => { nextId += 1; nextId })
+    nodeRows ++= clique
+    for (a <- clique; b <- clique if a < b) edgeRows += ((a, b))
+    nodeRows ++= Seq({ nextId += 1; nextId }, { nextId += 1; nextId }) // singletons
+    val nodes = nodeRows.toSeq.toDF("doc_id")
+    val edges = edgeRows.toSeq.toDF("a_id", "b_id")
+    def labels(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val (ml, _) = Dedup.connectedComponentsWithRounds(spark, nodes, edges, maxIters = 100)
+    val (st, _) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+    val want = labels(ml)
+    assert(labels(st) == want, "star must agree with min-label on the sweep")
+    for (sw <- Seq(1, 2, 3, 5, 8)) {
+      val (hy, _) = Dedup.connectedComponentsHybridWithRounds(spark, nodes, edges,
+        maxIters = 100, starSwitchAfter = sw)
+      assert(labels(hy) == want, s"hybrid(starSwitchAfter=$sw) diverged on the sweep")
+    }
+  }
+
+  // ---- round-14 regression: jaccard self-join shares one base instance ----
+
+  test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w q r"),
+      (4L, "a b c d e f"), (5L, "totally different text here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsOf(spark, docs, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    // exhaustive reference over 3-shingles of words
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val rows = docs.collect().map(r => (r.getLong(0), sh(r.getString(1))))
+    val want = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.5
+    } yield (a, b)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}

@@ -545,6 +545,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept == Seq(12L), s"batch-mode kept $kept")
   }
 
+  test("curateStream corpusFp screen survives a checkpoint restart, E2E to shard files") {
+    import graft.streaming.StreamOps.Doc
+    // round 15 (verdict item): the stream-static anti join's exactly-once
+    // story under the E10 treatment — kill the query, restart on the SAME
+    // checkpoint, and assert (a) nothing re-delivers, (b) the screen still
+    // applies post-restart, (c) a fingerprint appended while the query was
+    // DOWN is picked up on restart (the static side re-resolves from
+    // files, no state involved).
+    def words(tag: String): String = (1 to 25).map(k => s"${tag}w$k").mkString(" ")
+    val fpDir = tmpDir("fp_rs_corpus")
+    Graft.corpusFingerprints(Seq((100L, words("corp"))).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(fpDir)
+    val in = MemoryStream[Doc]
+    val stream = tmpDir("fp_rs_stream"); val ckpt = tmpDir("fp_rs_ckpt")
+    def run(): Unit = {
+      // fp frame re-read per (re)start, exactly like a production restart
+      val q = Graft.runCurateStream(in.toDF(), Nil, stream, ckpt, numShards = 3,
+        corpusFp = Some(spark.read.parquet(fpDir)),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      q.processAllAvailable(); q.stop()
+    }
+    def delivered(): Seq[Long] = ShardFiles.deliveredDocIds(stream)
+    in.addData(
+      Doc(1L, ts(1), words("corp")),   // in the standing corpus → screened
+      Doc(2L, ts(2), words("fresh")))  // admitted + delivered
+    run()
+    assert(delivered().sorted == Seq(2L), s"batch 1 delivered ${delivered().sorted}")
+    // while the query is DOWN: the delivered-corpus appender records doc 2
+    Graft.corpusFingerprints(Seq((2L, words("fresh"))).toDF("doc_id", "text"))
+      .write.mode("append").parquet(fpDir)
+    in.addData(
+      Doc(3L, ts(3), words("fresh")),  // fp appended during downtime → screened
+      Doc(4L, ts(4), words("corp")),   // original corpus fp still screens
+      Doc(5L, ts(5), words("novel")))  // admitted
+    run()
+    assert(delivered().sorted == Seq(2L, 5L),
+      s"after restart: ${delivered().sorted} (2 not re-delivered; 3 and 4 screened)")
+  }
+
   test("gram-less docs bypass near-dup state and always pass") {
     import graft.streaming.StreamOps.Doc
     // < 3 tokens → NULL signature; the old sentinel signature made all of
