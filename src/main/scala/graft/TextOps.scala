@@ -1402,6 +1402,14 @@ object TextOps {
     * the (eval window × train doc) blow-up a naive doc-level join would
     * produce never materializes. The eval side is benchmark-sized by
     * contract.
+    *
+    * Batch-only BY DESIGN (round 15): this is an AUDIT over a standing
+    * corpus — its per-window distinct-doc counts are whole-corpus state
+    * that an unbounded stream cannot hold incrementally without a
+    * corpus-sized store. The streaming sibling of the leak-screening
+    * concern is [[graft.Graft.curateStream]]'s `corpusFp` anti join
+    * (per-arrival screening); re-run THIS report over the accumulated
+    * corpus at audit cadence, not per batch.
     */
   def evalOverlapReport(train: org.apache.spark.sql.DataFrame,
       eval: org.apache.spark.sql.DataFrame, w: Int = 8)
@@ -1490,6 +1498,11 @@ object TextOps {
     * is keyed on the window hash with per-key fan-out ≤ |sources|², and
     * the output is |sources|² rows — both bounded by the source
     * alphabet, not the corpus. Per-source totals ride in on a broadcast.
+    *
+    * Batch-only BY DESIGN (round 15): like [[evalOverlapReport]], this
+    * is a whole-corpus audit (distinct window presence per source) with
+    * no bounded incremental state — run it over the accumulated corpus
+    * before setting F33/F34 budgets, not inside the ingest stream.
     */
   def sourceOverlapMatrix(docs: org.apache.spark.sql.DataFrame, w: Int = 8)
       : org.apache.spark.sql.DataFrame = {

@@ -1961,6 +1961,198 @@ object Adhoc {
       }
     }
 
+    if (args.headOption.contains("curate15")) {
+      // Round-15 certification (verdict item 4): the FULL round-14
+      // curation stack composed end-to-end at 1M+ docs — Normalize →
+      // exact dedup → near-dup dedup → QualityGate → LangGate →
+      // ClassifierGate → AC contamination screen → eval decontamination →
+      // WeightedKeep → packing — then the day-2 `dedupIncrement` delta
+      // screen and `mixManifest` over the survivors. Per-stage audited
+      // counts, wall + shuffle bytes per phase, and checksum-identical
+      // reps (determinism across reruns).
+      //
+      // Synthetic corpus with one planted population per gate, on
+      // DISJOINT id residue classes so each stage has real work:
+      //   id % 97 == 0  → 8-token doc            (quality gate: too short)
+      //   id % 89 == 0  → "zq" charset            (lang gate: language B)
+      //   id % 83 == 0  → 4 spam lead tokens      (NB classifier gate)
+      //   id % 79 == 0  → planted contraband 3-gram (AC screen)
+      //   id % 20 == 0  → +50k EXACT twins        (exact dedup)
+      //   id % 20 == 10 → +50k 1-token-mutated twins (near-dup dedup)
+      //   1k eval docs  = 10-token windows of ids 701·j (decontamination)
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+      def phase[A](label: String)(f: => A): A = {
+        Thread.sleep(1500) // listener bus is async — drain prior events
+        val s0 = shuffleWrite.get(); val t0 = System.nanoTime()
+        val r = f
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        println(f"ADHOC curate15 phase=$label%-16s secs=$secs%.1f " +
+          f"shuffle_mb=${(shuffleWrite.get() - s0) / 1e6}%.1f")
+        r
+      }
+      val n = sys.env.getOrElse("ADHOC_CURATE_N", "1000000").toLong
+      val spamToks = array(lit("buyz"), lit("nowz"), lit("cheapz"), lit("freez"))
+      val contraToks = array(lit("forbidden"), lit("secret"), lit("sauce"))
+      // text of the doc whose base id is `idc`; forceSpam/forceLang let the
+      // SEED builders produce clean exemplars of each class; mutPos plants
+      // near-dup twins; truncTo builds the 10-token eval windows
+      def textOf(idc: org.apache.spark.sql.Column, mutPos: Int = -1,
+          forceSpam: Int = -1, forceLang: Int = -1, truncTo: Int = -1) = {
+        val isShort = pmod(idc, lit(97)) === 0
+        val isLangB =
+          if (forceLang >= 0) lit(forceLang == 1) else pmod(idc, lit(89)) === 0
+        val isSpam =
+          if (forceSpam >= 0) lit(forceSpam == 1) else pmod(idc, lit(83)) === 0
+        val isContra = pmod(idc, lit(79)) === 0
+        val nTok =
+          if (truncTo > 0) lit(truncTo)
+          else when(isShort, lit(8))
+            .otherwise((pmod(hash(idc), lit(30)) + lit(24)).cast("int"))
+        concat_ws(" ", transform(sequence(lit(0), nTok - 1), { i =>
+          val h = hash(idc * 31 + i)
+          val word = when(isLangB,
+              concat(lit("zq"), lower(conv(pmod(h, lit(20000)).cast("string"), 10, 36))))
+            .otherwise(
+              concat(lit("w"), lower(conv(pmod(h, lit(20000)).cast("string"), 10, 36))))
+          // layered overrides, innermost wins: stopword markers (NB
+          // "good" evidence + real stopword-ratio work) → spam lead →
+          // contraband 3-gram → near-dup mutation
+          val marked = when(!isSpam && i === 0, lit("the"))
+            .when(!isSpam && i === 1, lit("of"))
+            .when(isSpam && i < 4, element_at(spamToks, i + 1))
+            .otherwise(word)
+          val withContra = when(isContra && i >= 4 && i <= 6,
+            element_at(contraToks, i - 3)).otherwise(marked)
+          if (mutPos >= 0) when(i === mutPos, lit("mutxz")).otherwise(withContra)
+          else withContra
+        }))
+      }
+      val base = spark.range(0, n).select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+      val exactTwins = spark.range(0, n).filter(pmod(col("id"), lit(20)) === 0)
+        .select((col("id") + 2000000L).as("doc_id"), textOf(col("id")).as("text"))
+      val nearTwins = spark.range(0, n).filter(pmod(col("id"), lit(20)) === 10)
+        .select((col("id") + 3000000L).as("doc_id"), textOf(col("id"), mutPos = 5).as("text"))
+      val corpus = base.unionByName(exactTwins).unionByName(nearTwins)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC curate15 corpus=${corpus.count()} docs")
+      val evalDocs = spark.range(0, 1000)
+        .select((col("id") + 9000000L).as("doc_id"),
+          textOf(col("id") * 701, truncTo = 10).as("text"))
+        .localCheckpoint(eager = true)
+      // seeds: 400 clean exemplars per class, ids offset away from the
+      // corpus (labels from the construction, never from the gated corpus)
+      val langSeed = spark.range(0, 400)
+        .select(lit("aa").as("lang"),
+          textOf(col("id") * 7 + 13, forceSpam = 0, forceLang = 0).as("text"))
+        .unionByName(spark.range(0, 400)
+          .select(lit("bb").as("lang"),
+            textOf(col("id") * 7 + 13, forceSpam = 0, forceLang = 1).as("text")))
+      val nbSeed = spark.range(0, 400)
+        .select(lit("good").as("label"),
+          textOf(col("id") * 11 + 17, forceSpam = 0, forceLang = 0).as("text"))
+        .unionByName(spark.range(0, 400)
+          .select(lit("bad").as("label"),
+            textOf(col("id") * 11 + 17, forceSpam = 1, forceLang = 0).as("text")))
+      var packed1: DataFrame = null
+      var audit1: Seq[Graft.StageCount] = null
+      for (rep <- 1 to 2) {
+        val (out, audit) = phase(s"curate_rep$rep") {
+          val (o, a) = Graft.curateCorpusAudited(spark, corpus,
+            screenPhrases = Seq("forbidden secret sauce"),
+            evalDocs = Some(evalDocs),
+            normalize = Some(Graft.Normalize()),
+            langGate = Some(Graft.LangGate(langSeed, Set("aa"))),
+            classifier = Some(Graft.ClassifierGate(nbSeed, Set("good"))),
+            weighted = Some(Graft.WeightedKeep(length(col("text")).cast("long"), 250L)))
+          (o.localCheckpoint(eager = true), a)
+        }
+        audit.foreach(a => println(
+          f"ADHOC curate15 rep=$rep stage=${a.stage}%-18s kept=${a.kept} dropped=${a.dropped}"))
+        val checksum = out.agg(bit_xor(xxhash64(
+          col("doc_id"), col("n_toks"), col("seq_first"), col("seq_last"),
+          col("n_seqs")))).head().getLong(0)
+        println(s"ADHOC curate15 rep=$rep packed=${out.count()} checksum=$checksum")
+        if (rep == 1) { packed1 = out; audit1 = audit }
+        else {
+          val diff = out.exceptAll(packed1).count() + packed1.exceptAll(out).count()
+          assert(diff == 0, s"curation must be rerun-deterministic; $diff rows differ")
+        }
+      }
+      // every planted population must be visible in its own stage's drops
+      val byStage = audit1.map(a => a.stage -> a.dropped).toMap
+      assert(byStage("exact_dedup") >= 50000, s"exact twins: $byStage")
+      assert(byStage("neardup_dedup") >= 40000, s"near twins: $byStage")
+      assert(byStage("quality_gate") >= 9000, s"short docs: $byStage")
+      assert(byStage("lang_gate") >= 9000, s"language-B docs: $byStage")
+      assert(byStage("classifier_gate") >= 9000, s"spam docs: $byStage")
+      assert(byStage("contamination") >= 9000, s"contraband docs: $byStage")
+      assert(byStage("eval_decontam") >= 800, s"eval-window docs: $byStage")
+      // survivors (text restored via the packed id set — normalization is
+      // identity on this ASCII corpus) feed the day-2 screen and the mix
+      val curated = corpus.join(packed1.select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = true)
+      val nCur = curated.count()
+      println(s"ADHOC curate15 curated=$nCur docs")
+      // day-2 increment: 1/20 of the SURVIVORS as exact copies (must all
+      // be rejected), 1/20 mutated (near — rejected), 50k brand-new vocab
+      // (admitted, exactly)
+      val incExact = curated.filter(pmod(col("doc_id"), lit(20)) === 7)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val incNear = curated.filter(pmod(col("doc_id"), lit(20)) === 9)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            (t, i) => when(i === 5, lit("mutincz")).otherwise(t))).as("text"))
+      val incFresh = spark.range(0, 50000)
+        .select((col("id") + 7000000L).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(29)), { i =>
+            concat(lit("fz"), lower(conv(pmod(hash(col("id") * 37 + i),
+              lit(20000)).cast("string"), 10, 36)))
+          })).as("text"))
+      val increment = incExact.unionByName(incNear).unionByName(incFresh)
+        .localCheckpoint(eager = true)
+      val nInc = increment.count()
+      val admitted = phase("dedup_increment") {
+        Graft.dedupIncrement(spark, curated, increment)
+          .localCheckpoint(eager = true)
+      }
+      val nAdm = admitted.count()
+      val admNonFresh = admitted.filter(col("doc_id") < 7000000L).count()
+      val admFresh = admitted.filter(col("doc_id") >= 7000000L).count()
+      println(s"ADHOC curate15 increment=$nInc admitted=$nAdm fresh=$admFresh nonfresh=$admNonFresh")
+      assert(admNonFresh == 0, s"every exact/near increment dup must be rejected: $admNonFresh")
+      assert(admFresh == 50000L, s"every fresh doc must be admitted: $admFresh")
+      // mixture over the survivors: half-token budgets per source, mixed
+      // epoch weights, 64 shards — checksum-identical across reps
+      val sourced = curated.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(5)).cast("string")))
+        .localCheckpoint(eager = true)
+      val budgets = sourced.groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1) / 2).toMap
+      val epochs = (0 until 5).map(i => s"s$i" -> (1000000L + i * 250000L)).toMap
+      val sums = (1 to 2).map { rep =>
+        phase(s"mix_manifest_rep$rep") {
+          val m = Graft.mixManifest(sourced, budgets, epochs, nShards = 64)
+          val r = m.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"),
+            col("source"), col("n_toks"), col("epoch"), col("shard"),
+            col("pos")))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      }
+      println(s"ADHOC curate15 manifest rows=${sums.head._1} checksum=${sums.head._2}")
+      assert(sums(0) == sums(1), s"mix manifest must be rerun-identical: $sums")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded
