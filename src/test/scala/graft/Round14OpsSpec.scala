@@ -943,7 +943,7 @@ class Round14OpsSpec extends SparkSpec {
     val eval = Seq(
       (1L, s"$span x y"),          // 10 toks → 3 windows, 1 hit
       (2L, "p q r s t u v w x"),   // 9 toks → 2 windows, clean
-      (3L, "short doc"),           // < 8 toks → absent
+      (3L, "short doc"),           // < 8 toks → 0-window row (round 15)
       (4L, s"$span $span"))        // span twice → 2 hits of 9 windows
       .toDF("doc_id", "text")
     val got = TextOps.evalOverlapReport(train, eval)
@@ -952,6 +952,9 @@ class Round14OpsSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 3L, 1L, true, math.floor(1.0 / 3 * 1e6) / 1e6, 2L),
       (2L, 2L, 0L, false, 0.0, 0L),
+      // round-15 ADVICE fix: sub-w docs report a 0-window row instead of
+      // silently vanishing from the report
+      (3L, 0L, 0L, false, 0.0, 0L),
       (4L, 9L, 2L, true, math.floor(2.0 / 9 * 1e6) / 1e6, 2L)))
   }
 
@@ -963,14 +966,20 @@ class Round14OpsSpec extends SparkSpec {
       (3L, "A", w8("s1")),            // dup window within A — collapses
       (4L, "B", w8("s1")),
       (5L, "C", w8("s2")), (6L, "C", w8("s3")),
-      (7L, "D", w8("s4")))            // disjoint → no row
+      (7L, "D", w8("s4")))            // disjoint → n_shared = 0 row (round 15)
       .toDF("doc_id", "source", "text")
     val got = TextOps.sourceOverlapMatrix(docs)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // round-15 ADVICE fix: the full unordered pair spine — zero-overlap
+    // pairs report n_shared = 0 instead of vanishing from the matrix
     assert(got == Seq(
       ("A", "B", 1L, 2L, 1L, 0.5, 1.0),
-      ("A", "C", 1L, 2L, 2L, 0.5, 0.5)), s"got $got")
+      ("A", "C", 1L, 2L, 2L, 0.5, 0.5),
+      ("A", "D", 0L, 2L, 1L, 0.0, 0.0),
+      ("B", "C", 0L, 1L, 2L, 0.0, 0.0),
+      ("B", "D", 0L, 1L, 1L, 0.0, 0.0),
+      ("C", "D", 0L, 2L, 1L, 0.0, 0.0)), s"got $got")
   }
 
   // ---- F36: exact frozen k-means + F36b SemDeDup ---------------------

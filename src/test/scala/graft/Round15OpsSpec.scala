@@ -98,6 +98,20 @@ class Round15OpsSpec extends SparkSpec {
     assert(out.map(_._1) == Seq("new_q", "red_q", "ok_q"))
   }
 
+  test("floorGate caps fresh-JVM forks at maxRemeasures, worst ratios first") {
+    // 4 over-floor queries, budget 2: only the two worst ratios fork;
+    // the other two publish flagged noisy without a re-measure
+    val results = (1 to 4).map(i => s"q$i" -> reps(i * 2.0, i * 2.0, i * 2.0))
+    val floors = Map("q1" -> 0.5, "q2" -> 0.5, "q3" -> 0.5, "q4" -> 0.5)
+    // ratios: q1 4x, q2 8x, q3 12x, q4 16x → q3, q4 get the forks
+    var forked = List.empty[String]
+    val (_, retried, noisy) = Bench.floorGate(results, floors,
+      { q => forked ::= q; None }, maxRemeasures = 2)
+    assert(forked.toSet == Set("q3", "q4") && retried.toSet == Set("q3", "q4"))
+    assert(noisy.toSet == Set("q1", "q2", "q3", "q4"),
+      "un-remeasured over-floor queries must still publish noisy")
+  }
+
   test("loadFloors parses the committed flat JSON and survives a missing file") {
     val f = java.nio.file.Files.createTempFile("floors", ".json")
     java.nio.file.Files.writeString(f,
