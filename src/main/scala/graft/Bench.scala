@@ -75,7 +75,9 @@ object Bench {
     "q_f36_kmeans", "q_f36b_semdedup_clustered",
     "q_f37_eval_overlap", "q_f38_source_overlap",
     // round-14 late addition: curriculum-ordered training shards
-    "q_f39_curriculum_shards")
+    "q_f39_curriculum_shards",
+    // round-15 addition: reciprocal-rank fusion (hybrid retrieval)
+    "q_f40_rrf_fusion")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

@@ -1239,6 +1239,93 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** F40 (round 15): reciprocal-rank fusion — merge N per-query ranked
+    * retrieval runs into one list scored Σ_systems 1/(k₀ + rank), the
+    * published hybrid-retrieval combiner (Cormack, Clarke & Büttcher,
+    * SIGIR 2009; the standard BM25 ⊕ dense-cosine fusion in retrieval
+    * eval and hard-negative mining). Rank-based, so systems with
+    * incomparable score scales (BM25 floats vs cosine vs ELO) fuse
+    * without calibration; `k0` (60 in the paper) damps the head.
+    *
+    * Contract: `runs` rows are (query, system, doc, score) RESULT lists —
+    * bounded per (query, system) by the upstream retrieval's top-k, which
+    * is what makes the rank window scale-safe: row_number partitions on
+    * (query, system), each partition ≤ k rows at any corpus size (this is
+    * NOT a corpus ranking operator; rank a corpus with F35/F39's bucketed
+    * two-level rank instead). Ranks order by (score DESC, doc ASC) —
+    * deterministic under score ties. A doc absent from a system simply
+    * contributes no term (its `n_systems` says how many runs carried it).
+    *
+    * Exactness: contributions are the integer quantization
+    * `10⁹ div (k₀ + rank)` — identical floor division on every engine, so
+    * the fused ORDER (the thing retrieval consumes) is bit-stable across
+    * engines, reruns, and partitionings; `sum` over ≤ |systems| terms of
+    * ≤ 10⁹/61 cannot overflow a LONG below 10⁹ systems.
+    */
+  def rrfFuse(runs: org.apache.spark.sql.DataFrame, k0: Int = 60,
+      queryCol: String = "query_id", systemCol: String = "system",
+      idCol: String = "doc_id", scoreCol: String = "score")
+      : org.apache.spark.sql.DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val w = Window.partitionBy(col(queryCol), col(systemCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    runs.filter(col(scoreCol).isNotNull)
+      .select(col(queryCol), col(systemCol), col(idCol),
+        row_number().over(w).cast("long").as("rnk"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(expr(s"${RrfScale}L div (rnk + $k0)")).as("rrf_micros"),
+        count(lit(1)).as("n_systems"),
+        min(col("rnk")).as("best_rank"))
+  }
+
+  /** The RRF contribution scale: 10⁹ keeps rank-1-vs-rank-2 resolution
+    * (10⁹/61 − 10⁹/62 ≈ 2.6·10⁵) through pure integer division. */
+  val RrfScale: Long = 1000000000L
+
+  /** Graded F40 query: per language (the query axis), two deliberately
+    * decorrelated systems — "chars" ranks by n_chars, "draw" by the
+    * house md5 integer draw and only covers EVEN doc_ids, so the
+    * missing-from-one-run path (n_systems = 1) is graded, not just
+    * spec'd. The oracle recomputes both rankings and the integer fusion
+    * from scratch, so the hash grades the (score DESC, id ASC) tie
+    * order, the div quantization, and the absent-doc semantics.
+    */
+  val qRrfFusion = Q(
+    "q_f40_rrf_fusion",
+    """WITH d AS (
+      |  SELECT lang AS query_id, doc_id, n_chars,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      |runs AS (
+      |  SELECT query_id, 'chars' AS system, doc_id, n_chars AS score FROM d
+      |  UNION ALL
+      |  SELECT query_id, 'draw' AS system, doc_id, h AS score FROM d
+      |  WHERE doc_id % 2 = 0),
+      |r AS (
+      |  SELECT query_id, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id, system
+      |                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM runs)
+      |SELECT query_id, doc_id,
+      |       CAST(sum(1000000000 // (rnk + 60)) AS BIGINT) AS rrf_micros,
+      |       CAST(count(*) AS BIGINT) AS n_systems,
+      |       CAST(min(rnk) AS BIGINT) AS best_rank
+      |FROM r GROUP BY query_id, doc_id
+      |ORDER BY query_id, rrf_micros DESC, doc_id""".stripMargin) { (s, d) =>
+    val base = documents(s, d)
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(col("lang").as("query_id"), col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val runs = base.select(col("query_id"), lit("chars").as("system"),
+        col("doc_id"), col("n_chars").as("score"))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select(col("query_id"), lit("draw").as("system"),
+          col("doc_id"), col("h").as("score")))
+    rrfFuse(runs)
+      .orderBy(col("query_id"), col("rrf_micros").desc, col("doc_id"))
+  }
+
   // F20: training-sequence packing — docs in doc_id order form one
   // concatenated token stream, training sequences are fixed 1024-token
   // slices of it (docs cross boundaries — the standard concat-and-chunk
@@ -2079,6 +2166,6 @@ object TextOps {
     qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
-    qEvalOverlap, qSourceOverlap,
+    qEvalOverlap, qSourceOverlap, qRrfFusion,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

@@ -247,6 +247,41 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- F40: reciprocal-rank fusion ---------------------------------------
+
+  test("rrfFuse ≡ hand-computed fusion, incl. ties and docs missing from a run") {
+    val runs = Seq(
+      // query q1, system A: doc 1 (rank 1), doc 2 and 3 tie on score 5 →
+      // id-ascending tie order: 2 → rank 2, 3 → rank 3
+      ("q1", "A", 1L, 9L), ("q1", "A", 2L, 5L), ("q1", "A", 3L, 5L),
+      // system B covers docs 3 (rank 1) and 1 (rank 2); doc 2 absent
+      ("q1", "B", 3L, 7L), ("q1", "B", 1L, 2L),
+      // a second query fuses independently
+      ("q2", "A", 1L, 1L))
+      .toDF("query_id", "system", "doc_id", "score")
+    val got = TextOps.rrfFuse(runs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def c(rank: Long) = TextOps.RrfScale / (60 + rank)
+    assert(got == Seq(
+      ("q1", 1L, c(1) + c(2), 2L, 1L),
+      ("q1", 2L, c(2), 1L, 2L),
+      ("q1", 3L, c(3) + c(1), 2L, 1L),
+      ("q2", 1L, c(1), 1L, 1L)), got.toString)
+  }
+
+  test("rrfFuse is input-row-order invariant (rank depends only on scores)") {
+    val rows = (1 to 40).map(i =>
+      ("q", if (i % 2 == 0) "A" else "B", i.toLong, (i * 7 % 11).toLong))
+    val a = TextOps.rrfFuse(rows.toDF("query_id", "system", "doc_id", "score"))
+      .collect().map(_.toSeq).toSet
+    val b = TextOps.rrfFuse(
+        rows.reverse.toDF("query_id", "system", "doc_id", "score").repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   // ---- round-14 regression: jaccard self-join shares one base instance ----
 
   test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
