@@ -76,8 +76,9 @@ object Bench {
     "q_f37_eval_overlap", "q_f38_source_overlap",
     // round-14 late addition: curriculum-ordered training shards
     "q_f39_curriculum_shards",
-    // round-15 addition: reciprocal-rank fusion (hybrid retrieval)
-    "q_f40_rrf_fusion")
+    // round-15 additions: reciprocal-rank fusion (hybrid retrieval) and
+    // label-exclusion hard-negative mining
+    "q_f40_rrf_fusion", "q_f41_hard_negatives")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

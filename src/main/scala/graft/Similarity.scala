@@ -1154,6 +1154,77 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** F41 (round 15): hard-negative mining — for every QUERY vector, the
+    * top-k most-cosine-similar corpus vectors carrying a DIFFERENT label
+    * (the contrastive-training staple: DPR/ANCE-style dense-retriever
+    * negatives, CLIP-style batch mining — "the most confusable examples
+    * that are provably not positives"). Same-label rows and the query
+    * itself are excluded by construction; NULL-label rows on either side
+    * are dropped (an unlabeled vector can never be PROVEN negative).
+    *
+    * Shape: the query set is a probe batch by contract (a training
+    * batch / eval query set — thousands, not the corpus), so it rides in
+    * as a BROADCAST and the corpus streams ONCE through a nested-loop
+    * probe + the bounded-heap `collect_top_k` partial agg: k·|queries|
+    * retained rows per task, zero corpus shuffle — the same cost model
+    * as F3/F4's brute-force baselines. At corpus scale, restrict
+    * candidates first (IVF probe [[ivfProbe]] or the F36 cluster
+    * assignment) and feed the restricted pairs through the same top-k
+    * agg; the brute-force form here is the exact-recall baseline those
+    * paths are graded against.
+    *
+    * Cosines are floor-truncated at 1e-4 (the F3/F4 canon) and the rank
+    * order is (cos_sim DESC, n_id ASC) — deterministic under ties.
+    */
+  def hardNegatives(s: SparkSession, queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    VectorFunctions.register(s)
+    def prep(df: DataFrame, p: String) = df
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as(s"${p}_nrm"),
+        col("label").as(s"${p}_label"))
+    prep(corpus, "n")
+      .join(broadcast(prep(queries, "q")),
+        col("q_label") =!= col("n_label") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), struct(
+        trunc4(dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+          .as("cos_sim"),
+        (-col("n_id")).as("negid"), col("n_id")).as("p"))
+      .groupBy(col("q_id"))
+      .agg(call_function("collect_top_k", col("p"), lit(k), lit(false)).as("top"))
+      .select(col("q_id"), posexplode(sort_array(col("top"), asc = false)).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.n_id").as("n_id"), col("p.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Graded F41 query: queries = every 40th vector, corpus = the whole
+    * embeddings table, k = 3 — the oracle recomputes norms, the
+    * different-label restriction, truncated cosines, and the
+    * (cos DESC, n_id ASC) rank from scratch, so the hash grades the
+    * exclusion semantics and the bounded-heap ordering end to end.
+    */
+  val qHardNegatives = Q(
+    "q_f41_hard_negatives",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      |           FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |n AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm, label FROM e),
+      |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |             floor(list_inner_product(q.emb, c.emb)/(q.nrm*c.nrm)*10000)/10000 AS cos_sim
+      |      FROM n q JOIN n c ON q.label <> c.label AND q.vec_id <> c.vec_id
+      |      WHERE q.vec_id % 40 = 0),
+      |r AS (SELECT q_id, n_id, cos_sim,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+      |      FROM p)
+      |SELECT q_id, n_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3
+      |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val emb = embeddings(s, d)
+    hardNegatives(s, emb.filter(col("vec_id") % 40 === 0), emb, k = 3)
+  }
+
   def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup,
-    qQuantize, qSemanticDedup, qSemanticDedupLsh, qKmeans, qSemDedupClustered)
+    qQuantize, qSemanticDedup, qSemanticDedupLsh, qKmeans, qSemDedupClustered,
+    qHardNegatives)
 }

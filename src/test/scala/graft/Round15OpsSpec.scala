@@ -282,6 +282,28 @@ class Round15OpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- F41: hard-negative mining ------------------------------------------
+
+  test("hardNegatives excludes positives and self, ranks by truncated cosine") {
+    // 2-D vectors on axes: queries q ∈ label 0; corpus has same-label
+    // twins (must NOT appear), the query itself (must not), and
+    // different-label vectors at distinct angles
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val data = Seq[(Long, Seq[Float], java.lang.Integer)](
+      (1L, v(1, 0), 0),       // the query
+      (2L, v(1, 0.01), 0),    // same label, nearly identical → excluded
+      (3L, v(1, 0.1), 1),     // negative, cos ≈ .995 → rank 1
+      (4L, v(1, 1), 1),       // negative, cos ≈ .707 → rank 2
+      (5L, v(0, 1), 2),       // negative, cos = 0 → rank 3
+      (6L, v(-1, 0), 2),      // negative, cos = -1 → beyond k
+      (7L, v(1, 0), null))    // NULL label → dropped
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(spark,
+        data.filter(col("vec_id") === 1), data, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 1L), (1L, 4L, 2L), (1L, 5L, 3L)), got.toString)
+  }
+
   // ---- round-14 regression: jaccard self-join shares one base instance ----
 
   test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
