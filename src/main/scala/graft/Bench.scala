@@ -76,9 +76,9 @@ object Bench {
     "q_f37_eval_overlap", "q_f38_source_overlap",
     // round-14 late addition: curriculum-ordered training shards
     "q_f39_curriculum_shards",
-    // round-15 additions: reciprocal-rank fusion (hybrid retrieval) and
-    // label-exclusion hard-negative mining
-    "q_f40_rrf_fusion", "q_f41_hard_negatives")
+    // round-15 additions: reciprocal-rank fusion (hybrid retrieval),
+    // label-exclusion hard-negative mining, leakage-safe grouped split
+    "q_f40_rrf_fusion", "q_f41_hard_negatives", "q_f42_grouped_split")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

@@ -842,6 +842,76 @@ object Dedup {
     withClusterSize(cc).orderBy(col("doc_id"))
   }
 
+  /** F42 (round 15): leakage-safe GROUPED split — assign train/test at
+    * the CLUSTER level, so near-duplicates can never straddle the split
+    * (the published eval-hygiene rule: dedup-aware splitting; a test doc
+    * whose near-twin sits in train is a leaked answer, which is why
+    * decontamination appendices split by cluster/URL/document family,
+    * never by row). Input is any (…, groupCol) frame — F11/F2c/F21
+    * cluster labels, a URL/domain key, a source id; every member of a
+    * group draws the SAME integer md5 test (`h(group)·10⁶ <
+    * testMillionths·2³²`, both sides ≤ 2⁵² — the F34/F18b exact-draw
+    * idiom), so the assignment is a pure function of (group, seed):
+    * engine-, rerun-, and partitioning-exact, and changing `seed` is a
+    * fresh re-split. Appends `split` ∈ {train, test}.
+    *
+    * Scale: a per-row map — ZERO shuffles beyond whatever produced the
+    * group labels; the expected test fraction is testMillionths/10⁶ of
+    * GROUPS (not docs — mega-clusters land whole, by design).
+    */
+  def splitByGroup(labeled: DataFrame, testMillionths: Long,
+      groupCol: String = "cluster_id", seed: Long = 0L): DataFrame = {
+    require(testMillionths >= 0 && testMillionths <= 1000000L,
+      s"testMillionths must be in [0, 1000000], got $testMillionths")
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+        col(groupCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    labeled.withColumn("split",
+      when(h * lit(1000000L) < lit(testMillionths) * lit(4294967296L), "test")
+        .otherwise("train"))
+  }
+
+  /** Graded F42 query: F11 Jaccard clusters at 0.6, split 25% of GROUPS
+    * to test (seed 0). The oracle recomputes the recursive-CTE closure
+    * AND the integer draw from scratch, so the hash grades both the
+    * cluster labels and the members-move-together property end to end.
+    */
+  val qGroupedSplit = Q(
+    "q_f42_grouped_split",
+    """WITH RECURSIVE
+      |sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         generate_series(1, len(t) - 2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM sp),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT a_id AS u, b_id AS v
+      |          FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      |                     JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+      |          UNION ALL
+      |          SELECT b_id, a_id
+      |          FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      |                     JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6),
+      |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+      |          UNION
+      |          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |       CASE WHEN ('0x' || substr(md5('0:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+      |                 * 1000000 < 250000 * 4294967296
+      |            THEN 'test' ELSE 'train' END AS split
+      |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    splitByGroup(
+      connectedComponents(s, documents(s, d), jaccardEdges(s, d, 0.6)),
+      testMillionths = 250000L)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Decorate a (…, cluster_id) frame with each cluster's member count.
     *
     * Deliberately NOT `count(*) OVER (PARTITION BY cluster_id)`: a window
@@ -1070,5 +1140,5 @@ object Dedup {
   }
 
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
-    qIncrementalDedup, qDedupKeepBest)
+    qIncrementalDedup, qDedupKeepBest, qGroupedSplit)
 }

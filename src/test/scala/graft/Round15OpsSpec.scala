@@ -304,6 +304,35 @@ class Round15OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 1L), (1L, 4L, 2L), (1L, 5L, 3L)), got.toString)
   }
 
+  // ---- F42: leakage-safe grouped split -------------------------------------
+
+  test("splitByGroup: every member of a group lands in the same split; seed re-splits") {
+    // planted near-dup clusters: docs sharing a cluster must move together
+    val labeled = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L),   // one 3-member cluster
+      (4L, 200L), (5L, 200L),
+      (6L, 300L)) ++ (10L to 60L).map(i => (i, i)) // singletons for spread
+    val df = labeled.toDF("doc_id", "cluster_id")
+    val got = Dedup.splitByGroup(df, testMillionths = 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(byCluster.values.forall(_.size == 1),
+      s"every cluster must be single-split: $byCluster")
+    val splits = got.map(_._3).distinct.sorted
+    assert(splits == Seq("test", "train"), s"a 40% draw over 54 groups must produce both: $splits")
+    // deterministic: rerun identical; different seed re-splits (some group moves)
+    val again = Dedup.splitByGroup(df, 400000L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(again == got.map(t => (t._1, t._3)))
+    val reseeded = Dedup.splitByGroup(df, 400000L, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(reseeded != again, "a new seed must produce a different assignment")
+    // boundary semantics: 0 → all train, 10⁶ → all test
+    assert(Dedup.splitByGroup(df, 0L).filter(col("split") === "test").count() == 0)
+    assert(Dedup.splitByGroup(df, 1000000L).filter(col("split") === "train").count() == 0)
+    intercept[IllegalArgumentException] { Dedup.splitByGroup(df, -1L) }
+  }
+
   // ---- round-14 regression: jaccard self-join shares one base instance ----
 
   test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
