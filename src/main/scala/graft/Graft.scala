@@ -254,6 +254,28 @@ object Graft {
       b: Double = 0.75): DataFrame =
     TextOps.bm25Scores(docs, terms, k1, b)
 
+  /** F40: reciprocal-rank fusion of per-query ranked retrieval runs
+    * (BM25 ⊕ dense cosine, or any N systems) — Σ 1/(k₀ + rank), integer-
+    * quantized so the fused order is engine-exact; runs are bounded
+    * top-k result lists by contract. */
+  def rrfFuse(runs: DataFrame, k0: Int = 60): DataFrame =
+    TextOps.rrfFuse(runs, k0)
+
+  /** F41: hard-negative mining — per query vector, the top-k most-
+    * cosine-similar corpus vectors with a DIFFERENT label; the query
+    * batch broadcasts, the corpus streams once through a bounded-heap
+    * top-k. */
+  def hardNegatives(spark: SparkSession, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame =
+    Similarity.hardNegatives(spark, queries, corpus, k)
+
+  /** F42: leakage-safe grouped split — train/test assigned at the GROUP
+    * level (near-dup cluster, URL family, source) by an exact integer
+    * md5 draw on the group id, so duplicates never straddle the split. */
+  def splitByGroup(labeled: DataFrame, testMillionths: Long,
+      groupCol: String = "cluster_id", seed: Long = 0L): DataFrame =
+    Dedup.splitByGroup(labeled, testMillionths, groupCol, seed)
+
   /** F2c: SimHash near-dup pairs at ≤ `maxHamming` bit flips — exact
     * recall via Manku pigeonhole banding; one codegen popcount verify
     * per band collision. */

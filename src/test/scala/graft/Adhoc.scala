@@ -1961,6 +1961,58 @@ object Adhoc {
       }
     }
 
+    if (args.headOption.contains("hardneg1m")) {
+      // F41 decade certification (round 15): 1M corpus vectors (dim 16,
+      // 20 labels) × a 200-query broadcast batch, k = 10 — one corpus
+      // stream through the nested-loop probe + bounded-heap top-k.
+      // Exactness: 5 spot queries re-ranked by an INDEPENDENT
+      // orderBy-limit formulation must agree row-for-row.
+      val n = 1000000L
+      def vec(idc: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(15)),
+          i => (pmod(hash(idc * 31 + i), lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float"))
+      val corpus = spark.range(0, n).select(col("id").as("vec_id"),
+          vec(col("id")).as("embedding"),
+          pmod(hash(col("id") * 7 + 3), lit(20)).cast("int").as("label"))
+        .localCheckpoint(eager = true)
+      val queries = corpus.filter(col("vec_id") % 5000 === 0)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC hardneg1m corpus=${corpus.count()} queries=${queries.count()}")
+      var mined: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"hardneg1m rep=$rep") {
+          mined = Similarity.hardNegatives(spark, queries, corpus, k = 10)
+            .localCheckpoint(eager = true)
+          mined.count()
+        }
+      }
+      // independent re-rank of 5 spot queries: plain filter + orderBy + limit
+      val probe = queries.limit(5).collect()
+      for (q <- probe) {
+        val qid = q.getLong(0)
+        val got = mined.filter(col("q_id") === qid)
+          .orderBy(col("rn"))
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        val qRow = queries.filter(col("vec_id") === qid)
+          .select(col("embedding").as("q_emb"), col("label").as("q_label"))
+        val want = corpus.crossJoin(broadcast(qRow))
+          .filter(col("label") =!= col("q_label") && col("vec_id") =!= qid)
+          .select(col("vec_id"),
+            (floor(call_function("fvec_dot", col("embedding"), col("q_emb")) /
+              (sqrt(call_function("fvec_dot", col("embedding"), col("embedding"))) *
+                sqrt(call_function("fvec_dot", col("q_emb"), col("q_emb")))) * 10000) / 10000)
+              .as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"q=$qid: heap top-k diverged from orderBy-limit\n$got\n$want")
+      }
+      println("ADHOC hardneg1m spot_check=5/5 exact")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate15")) {
       // Round-15 certification (verdict item 4): the FULL round-14
       // curation stack composed end-to-end at 1M+ docs — Normalize →
