@@ -77,8 +77,10 @@ object Bench {
     // round-14 late addition: curriculum-ordered training shards
     "q_f39_curriculum_shards",
     // round-15 additions: reciprocal-rank fusion (hybrid retrieval),
-    // label-exclusion hard-negative mining, leakage-safe grouped split
-    "q_f40_rrf_fusion", "q_f41_hard_negatives", "q_f42_grouped_split")
+    // label-exclusion hard-negative mining, leakage-safe grouped split,
+    // Gopher repetition-rule fractions
+    "q_f40_rrf_fusion", "q_f41_hard_negatives", "q_f42_grouped_split",
+    "q_f43_gopher_rep")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

@@ -677,6 +677,122 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** F43 (round 15): the Gopher repetition-rule fractions (Rae et al.
+    * 2021, Table A1 — the published quality gate the Gopher/MassiveText
+    * and descendant pipelines filter on, finer-grained than F14's
+    * distinct-ratio/top-bigram-count pair):
+    *  - `top{2,3,4}_frac`: the fraction of the doc's CHARACTERS claimed
+    *    by its single most frequent token n-gram — count × chars(gram) /
+    *    chars(doc), the paper's definition (overlap not deduped for the
+    *    top-gram rules); top gram chosen by (count DESC, gram ASC), so
+    *    ties are deterministic.
+    *  - `dup5_frac`: the fraction of the doc's TOKENS covered by any
+    *    5-gram that occurs more than once WITHIN the doc — coverage is a
+    *    position-set union (a token inside two duplicated windows counts
+    *    once), the F30 coverage semantics turned per-doc. (The paper
+    *    states the dup-n-gram family in characters; this engine's
+    *    documented dialect is token mass — same signal, integer-exact.)
+    * Docs too short for an n-gram report 0.0 for that rule (present in
+    * the report, not dropped — the F37 spine lesson).
+    *
+    * Scale: each rule is a per-doc gram explode + partial-agg count —
+    * shuffles key on (doc_id, gram) with map-side combine, so repeated
+    * grams (the thing measured) COLLAPSE before the exchange; the
+    * coverage union is bounded by doc length. No corpus-global state.
+    */
+  def gopherRepetitionReport(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("n_toks", size(col("t")).cast("long"))
+    def grams(n: Int) = base.filter(col("n_toks") >= n)
+      .select(col("doc_id"), col("n_chars"),
+        posexplode(transform(sequence(lit(0), (col("n_toks") - n).cast("int")),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j + 1)): _*)))
+          .as(Seq("pos", "g")))
+    def topFrac(n: Int) = grams(n)
+      .groupBy(col("doc_id"), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      // (count DESC, gram ASC) argmax as one struct-min agg — the F31
+      // idiom, never a per-doc window
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("g"), col("n_chars"))).as("m"))
+      .select(col("doc_id"),
+        trunc6((-col("m.nc")).cast("double") * length(col("m.g")) / col("m.n_chars"))
+          .as(s"top${n}_frac"))
+    val g5 = grams(5)
+    val dup5 = g5.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("doc_id"), col("g"))
+    val cov5 = g5.join(dup5, Seq("doc_id", "g"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cv"))
+    base.select(col("doc_id"), col("n_toks"))
+      .join(topFrac(2), Seq("doc_id"), "left")
+      .join(topFrac(3), Seq("doc_id"), "left")
+      .join(topFrac(4), Seq("doc_id"), "left")
+      .join(cov5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"),
+        trunc6(coalesce(col("cv"), lit(0L)).cast("double") / col("n_toks"))
+          .as("dup5_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Graded F43 query: the full report over the documents table. The
+    * oracle recomputes every rule from scratch — gram builds, the
+    * (count DESC, gram ASC) argmax, char-mass products, and the
+    * position-union coverage — so the hash grades tie order, the char
+    * arithmetic, and the coverage union end to end.
+    */
+  val qGopherRep = Q(
+    "q_f43_gopher_rep",
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |                  CAST(length(text) AS BIGINT) AS n_chars,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g2 AS (SELECT doc_id, n_chars, array_to_string(t[i:i+1], ' ') AS g
+      |       FROM b, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |c2 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+      |f2 AS (SELECT doc_id,
+      |              floor(c * length(g) * 1.0 / n_chars * 1000000)/1000000 AS top2_frac,
+      |              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      |       FROM c2),
+      |g3 AS (SELECT doc_id, n_chars, array_to_string(t[i:i+2], ' ') AS g
+      |       FROM b, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |c3 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g3 GROUP BY 1, 2, 3),
+      |f3 AS (SELECT doc_id,
+      |              floor(c * length(g) * 1.0 / n_chars * 1000000)/1000000 AS top3_frac,
+      |              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      |       FROM c3),
+      |g4 AS (SELECT doc_id, n_chars, array_to_string(t[i:i+3], ' ') AS g
+      |       FROM b, unnest(generate_series(1, len(t) - 3)) AS u(i)),
+      |c4 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g4 GROUP BY 1, 2, 3),
+      |f4 AS (SELECT doc_id,
+      |              floor(c * length(g) * 1.0 / n_chars * 1000000)/1000000 AS top4_frac,
+      |              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      |       FROM c4),
+      |g5 AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+      |       FROM b, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+      |d5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) > 1),
+      |cov AS (SELECT DISTINCT g5.doc_id, p
+      |        FROM g5 JOIN d5 USING (doc_id, g),
+      |             unnest(generate_series(g5.pos, g5.pos + 4)) AS s(p)),
+      |cn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cv FROM cov GROUP BY doc_id)
+      |SELECT b.doc_id, n_toks,
+      |       coalesce((SELECT top2_frac FROM f2 WHERE f2.doc_id = b.doc_id AND rn = 1), 0.0) AS top2_frac,
+      |       coalesce((SELECT top3_frac FROM f3 WHERE f3.doc_id = b.doc_id AND rn = 1), 0.0) AS top3_frac,
+      |       coalesce((SELECT top4_frac FROM f4 WHERE f4.doc_id = b.doc_id AND rn = 1), 0.0) AS top4_frac,
+      |       floor(coalesce(cn.cv, 0) * 1.0 / n_toks * 1000000)/1000000 AS dup5_frac
+      |FROM b LEFT JOIN cn ON b.doc_id = cn.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    gopherRepetitionReport(documents(s, d))
+  }
+
   // F15: PII detection + redaction — per-doc match counts on the raw text
   // and an md5 of the redacted text (arrays/long strings don't survive the
   // driver comparator; the hash pins the full redaction byte-for-byte).
@@ -2163,7 +2279,7 @@ object TextOps {
     qUnicodeNormalize, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
-    qRepetition, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
+    qRepetition, qGopherRep, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion,

@@ -333,6 +333,30 @@ class Round15OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.splitByGroup(df, -1L) }
   }
 
+  // ---- F43: Gopher repetition fractions ------------------------------------
+
+  test("gopherRepetitionReport ≡ hand-computed fractions on planted repetition") {
+    val docs = Seq(
+      // "a b a b a b": top 2-gram "a b" ×3, 3·3=9 chars of 11;
+      // top 3-gram "a b a" ×2 (ties with "b a b" ×2 → gram-ASC picks "a b a"),
+      // 2·5=10 of 11; 5-grams "a b a b a"/"b a b a b" occur once each → dup5 0
+      (1L, "a b a b a b"),
+      // 12 tokens = "x y z w v" ×2 + "u q": the 5-gram "x y z w v" occurs
+      // twice → positions 1-5 and 6-10 covered → 10/12 tokens
+      (2L, "x y z w v x y z w v u q"),
+      (3L, "one"),          // 1 token: no grams at all → all 0.0
+      (4L, null.asInstanceOf[String])) // dropped (NULL text)
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepetitionReport(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got == Seq(
+      (1L, 6L, t6(9.0 / 11), t6(10.0 / 11), t6(2.0 * 7 / 11), 0.0),
+      (2L, 12L, t6(2.0 * 3 / 23), t6(2.0 * 5 / 23), t6(2.0 * 7 / 23), t6(10.0 / 12)),
+      (3L, 1L, 0.0, 0.0, 0.0, 0.0)), got.toString)
+  }
+
   // ---- round-14 regression: jaccard self-join shares one base instance ----
 
   test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
