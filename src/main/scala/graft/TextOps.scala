@@ -793,6 +793,86 @@ object TextOps {
     gopherRepetitionReport(documents(s, d))
   }
 
+  /** F44 (round 15): cross-source score calibration — per-source percent
+    * rank of a quality score, in integer millionths. The published
+    * mixture-curation step behind "keep the top q% of every source": raw
+    * scorer outputs (an NB/fastText quality score, perplexity, a reward
+    * model) are NOT comparable across sources — a crawl's score
+    * distribution sits far below a curated corpus's, so one global
+    * threshold keeps almost none of the crawl and all of the curated set.
+    * Rank-normalizing within each source first (CCNet's per-shard
+    * perplexity quantiles; DCLM/FineWeb-Edu-style per-source top-q%
+    * selection) makes `pct_millionths >= t` mean the same thing
+    * everywhere. Rank is (score ASC, id ASC) — pct 0 = the source's
+    * worst, 10⁶ = its best; a single-doc source reports 10⁶ (it IS its
+    * source's best); `(rank−1)·10⁶ div (n_s−1)` is exact integer floor
+    * division on every engine.
+    *
+    * Scale: the F20/F33/F35 two-level rank re-aimed at SCORES — docs
+    * range-bucket on the score value within each source (one bounded
+    * per-source (min, max, n) pull), row_number runs inside each
+    * (source, bucket) window, and the only global windows are the
+    * per-source offset cascades over the ≤ sources×buckets counts table.
+    * Buckets are contiguous in score and ties share a bucket (equal
+    * score ⇒ equal bucket), so the two-level rank equals the one-window
+    * rank EXACTLY for any score distribution; bucket balance (not
+    * correctness) degrades only if the score mass concentrates in one
+    * bucket — the spec pins 64 ≡ 256 bucket invariance.
+    */
+  def scoreCalibration(docs: org.apache.spark.sql.DataFrame, scoreCol: String,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = docs.filter(col(scoreCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol), col(sourceCol), col(scoreCol).cast("double").as("__s"))
+    val rng = base.groupBy(col(sourceCol))
+      .agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"),
+        count(lit(1)).as("__n"))
+    val withB = base.join(broadcast(rng), Seq(sourceCol))
+      .withColumn("__b", when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((col("__s") - col("__lo")) / (col("__hi") - col("__lo")) * buckets)
+            .cast("long"),
+          lit(buckets - 1L))))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .select(col(sourceCol), col("__b"), col("__boff"))
+    val wIn = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__s"), col(idCol))
+    withB.join(offsets, Seq(sourceCol, "__b"))
+      .withColumn("__rank", col("__boff") + row_number().over(wIn))
+      .select(col(idCol), col(sourceCol), col("__s").as("score"),
+        when(col("__n") === 1, lit(1000000L))
+          .otherwise(expr("((__rank - 1) * 1000000L) div (__n - 1)"))
+          .as("pct_millionths"))
+  }
+
+  /** Graded F44 query: n_chars as the stand-in quality score (any scorer
+    * output slots in), calibrated per source. The oracle recomputes the
+    * percent rank with ONE plain window per source, so the hash grades
+    * the two-level bucketed rank against the one-window definition, the
+    * (score ASC, id ASC) tie order, the integer-floor pct arithmetic,
+    * and the single-doc-source case end to end.
+    */
+  val qScoreCalibration = Q(
+    "q_f44_score_calibration",
+    """WITH d AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS s
+      |           FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      |n AS (SELECT source, count(*) AS n_s FROM d GROUP BY source),
+      |r AS (SELECT doc_id, source, s,
+      |             row_number() OVER (PARTITION BY source ORDER BY s, doc_id) AS rnk
+      |      FROM d)
+      |SELECT r.doc_id, r.source, r.s AS score,
+      |       CASE WHEN n_s = 1 THEN 1000000
+      |            ELSE CAST((rnk - 1) * 1000000 // (n_s - 1) AS BIGINT)
+      |       END AS pct_millionths
+      |FROM r JOIN n USING (source) ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    scoreCalibration(documents(s, d), "n_chars").orderBy(col("doc_id"))
+  }
+
   // F15: PII detection + redaction — per-doc match counts on the raw text
   // and an md5 of the redacted text (arrays/long strings don't survive the
   // driver comparator; the hash pins the full redaction byte-for-byte).
@@ -2279,7 +2359,8 @@ object TextOps {
     qUnicodeNormalize, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
-    qRepetition, qGopherRep, qPiiRedact, qDupSubstrings, qChunking, qStratifiedSample,
+    qRepetition, qGopherRep, qScoreCalibration, qPiiRedact, qDupSubstrings,
+    qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion,

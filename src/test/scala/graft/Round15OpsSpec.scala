@@ -357,6 +357,37 @@ class Round15OpsSpec extends SparkSpec {
       (3L, 1L, 0.0, 0.0, 0.0, 0.0)), got.toString)
   }
 
+  // ---- F44: cross-source score calibration ----------------------------------
+
+  test("scoreCalibration ≡ hand-computed per-source percent ranks, ties and singletons") {
+    val docs = Seq(
+      // source A: scores 10 < 20 = 20 < 40 (tie broken by id: 3 before 4)
+      (1L, "A", 10L), (2L, "A", 40L), (3L, "A", 20L), (4L, "A", 20L),
+      // source B: a single doc → pct 10⁶
+      (5L, "B", 7L),
+      // source C: all-equal scores → pure id order
+      (6L, "C", 5L), (7L, "C", 5L), (8L, "C", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = TextOps.scoreCalibration(docs, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0L),                 // A rank 1 of 4 → 0
+      (2L, 1000000L),           // A rank 4 → 10⁶
+      (3L, 333333L),            // A rank 2 → 1·10⁶ div 3
+      (4L, 666666L),            // A rank 3 → 2·10⁶ div 3
+      (5L, 1000000L),           // singleton source
+      (6L, 0L), (7L, 500000L), (8L, 1000000L)), got.toString)
+  }
+
+  test("scoreCalibration is bucket-count invariant (64 ≡ 256, exact)") {
+    val docs = Tables.documents(spark, sf001)
+    val a = TextOps.scoreCalibration(docs, "n_chars", buckets = 64)
+      .collect().map(_.toSeq).toSet
+    val b = TextOps.scoreCalibration(docs, "n_chars", buckets = 256)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   // ---- round-14 regression: jaccard self-join shares one base instance ----
 
   test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
