@@ -1961,6 +1961,22 @@ object Adhoc {
       }
     }
 
+    if (args.headOption.contains("freshjvm")) {
+      // Round-15 probe: exercise Bench.freshJvmReps END-TO-END — fork a
+      // real child JVM (same classpath + module opens via the RuntimeMXBean
+      // args), run one cheap query at sf0.01, parse the sentinel line.
+      // The floorGate spec covers the decision logic with synthetic reps;
+      // THIS proves the fork mechanics on the actual box.
+      spark.stop() // the child builds its own session; avoid double UI/port use
+      val r = Bench.freshJvmReps("q12_distinct", "/root/testdata/sf0.01", 2,
+        timeoutSec = 300)
+      println(s"ADHOC freshjvm result=$r")
+      assert(r.nonEmpty, "fork must return parsed reps")
+      assert(r.get.secs.length == 2 && r.get.errors == 0 && r.get.median > 0,
+        s"reps malformed: $r")
+      return
+    }
+
     if (args.headOption.contains("hardneg1m")) {
       // F41 decade certification (round 15): 1M corpus vectors (dim 16,
       // 20 labels) × a 200-query broadcast batch, k = 10 — one corpus
