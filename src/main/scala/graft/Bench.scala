@@ -80,7 +80,7 @@ object Bench {
     // label-exclusion hard-negative mining, leakage-safe grouped split,
     // Gopher repetition-rule fractions
     "q_f40_rrf_fusion", "q_f41_hard_negatives", "q_f42_grouped_split",
-    "q_f43_gopher_rep", "q_f44_score_calibration")
+    "q_f43_gopher_rep", "q_f44_score_calibration", "q_f45_soft_dedup")
 
   /** query name → family, derived from the module inventories so a new
     * query is never silently unattributed. */

