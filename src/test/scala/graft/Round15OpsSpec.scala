@@ -405,6 +405,42 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.filter(_._2 == 3L).map(_._3).sum <= 1000000L)
   }
 
+  // ---- rank-based ops: monotone-transform invariance laws -------------------
+
+  test("scoreCalibration is invariant under strictly-monotone score transforms") {
+    // the defining property of rank normalization: pct depends only on
+    // the ORDER of scores, so an affine (or any strictly increasing)
+    // rescale of the raw scorer output must not move a single pct
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"s${i % 4}", ((i * 37) % 50).toLong)) // heavy ties
+      .toDF("doc_id", "source", "n_chars")
+    val base = TextOps.scoreCalibration(docs, "n_chars")
+      .select("doc_id", "pct_millionths").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val affine = docs.withColumn("n_chars", col("n_chars") * 7 + 3)
+    val gotA = TextOps.scoreCalibration(affine, "n_chars")
+      .select("doc_id", "pct_millionths").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotA == base, "affine rescale moved pct ranks")
+    val cubed = docs.withColumn("n_chars",
+      col("n_chars") * col("n_chars") * col("n_chars")) // nonlinear, monotone on ≥0
+    val gotC = TextOps.scoreCalibration(cubed, "n_chars")
+      .select("doc_id", "pct_millionths").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotC == base, "monotone nonlinear rescale moved pct ranks")
+  }
+
+  test("rrfFuse is invariant under per-system monotone score transforms") {
+    // RRF's published selling point: it consumes RANKS, so fusing raw
+    // BM25 floats or their exp() or a 0-1 squashing is the same fusion
+    val rows = (1 to 60).map(i =>
+      ("q", if (i % 3 == 0) "A" else "B", i.toLong, ((i * 11) % 17).toLong))
+      .toDF("query_id", "system", "doc_id", "score")
+    val base = TextOps.rrfFuse(rows).collect().map(_.toSeq).toSet
+    val rescaled = rows.withColumn("score",
+      when(col("system") === "A", col("score") * 1000 + 5) // per-system DIFFERENT
+        .otherwise(col("score") * 3))                      // monotone transforms
+    val got = TextOps.rrfFuse(rescaled).collect().map(_.toSeq).toSet
+    assert(got == base && base.nonEmpty, "per-system monotone rescale changed the fusion")
+  }
+
   // ---- round-14 regression: jaccard self-join shares one base instance ----
 
   test("jaccardPairsOf still matches the exhaustive join after the shared-instance fix") {
