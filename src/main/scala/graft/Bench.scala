@@ -208,14 +208,31 @@ object Bench {
     * {"name": seconds} object written by this module, never nested.
     */
   def loadFloors(path: String = "BENCH_FLOORS.json"): Map[String, Double] =
-    try {
-      val src = scala.io.Source.fromFile(path, "UTF-8")
-      val txt = try src.mkString finally src.close()
-      val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
-      re.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter(_._2 > 0).toMap
-    } catch { case _: Throwable => Map.empty }
+    if (!new java.io.File(path).isFile) Map.empty // no floors yet: gate off, silently
+    else {
+      // round 16 (advice): a floors file that EXISTS but fails to parse
+      // must not silently disable the gate — that is the exact
+      // silent-over-publication mode the gate guards against. Warn loudly
+      // (stderr survives the JSON-line stdout contract) and run gateless.
+      val floors =
+        try {
+          val src = scala.io.Source.fromFile(path, "UTF-8")
+          val txt = try src.mkString finally src.close()
+          val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+          re.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toMap
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] WARNING: $path exists but is unreadable " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); floor gate DISABLED this run")
+            Map.empty[String, Double]
+        }
+      if (floors.isEmpty)
+        System.err.println(s"[bench] WARNING: $path parsed to ZERO floors; " +
+          "floor gate DISABLED this run — re-record quiet floors")
+      floors
+    }
 
   /** Floor gate (round 15): the round-14 artifact published a number 3×
     * its own quiet floor without flagging it (q_f36b 15.5 s committed vs
@@ -388,6 +405,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 1 && args(0) == "--one") {
+      // round 16 (advice): a malformed child invocation must die with a
+      // usage line, not an ArrayIndexOutOfBoundsException
+      if (args.length < 4) {
+        System.err.println("usage: Bench --one <queryName> <sfDir> <reps>")
+        sys.exit(2)
+      }
       oneShotMain(args(1), args(2), args(3).toInt)
       return
     }

@@ -865,8 +865,16 @@ object Dedup {
       s"testMillionths must be in [0, 1000000], got $testMillionths")
     val h = conv(substring(md5(concat(lit(s"$seed:"),
         col(groupCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    // round 16 (advice): a NULL group id must fail LOUDLY, not silently
+    // land in train — md5(NULL) is NULL, the draw comparison is NULL, and
+    // the otherwise branch would fire, masking unlabeled rows in exactly
+    // the leakage-safety operator whose contract is "members move
+    // together" (the nbFit NULL-label convention).
     labeled.withColumn("split",
-      when(h * lit(1000000L) < lit(testMillionths) * lit(4294967296L), "test")
+      when(col(groupCol).isNull,
+        raise_error(lit(s"splitByGroup: NULL $groupCol — an unlabeled row " +
+          "cannot be leakage-safely placed; filter or label NULL groups first")))
+        .when(h * lit(1000000L) < lit(testMillionths) * lit(4294967296L), "test")
         .otherwise("train"))
   }
 

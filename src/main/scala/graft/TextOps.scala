@@ -1511,7 +1511,7 @@ object TextOps {
       .select(col(queryCol), col(systemCol), col(idCol),
         row_number().over(w).cast("long").as("rnk"))
       .groupBy(col(queryCol), col(idCol))
-      .agg(sum(expr(s"${RrfScale}L div (rnk + $k0)")).as("rrf_micros"),
+      .agg(sum(expr(s"${RrfScale}L div (rnk + $k0)")).as("rrf_nanos"),
         count(lit(1)).as("n_systems"),
         min(col("rnk")).as("best_rank"))
   }
@@ -1545,11 +1545,11 @@ object TextOps {
       |                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
       |  FROM runs)
       |SELECT query_id, doc_id,
-      |       CAST(sum(1000000000 // (rnk + 60)) AS BIGINT) AS rrf_micros,
+      |       CAST(sum(1000000000 // (rnk + 60)) AS BIGINT) AS rrf_nanos,
       |       CAST(count(*) AS BIGINT) AS n_systems,
       |       CAST(min(rnk) AS BIGINT) AS best_rank
       |FROM r GROUP BY query_id, doc_id
-      |ORDER BY query_id, rrf_micros DESC, doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY query_id, rrf_nanos DESC, doc_id""".stripMargin) { (s, d) =>
     val base = documents(s, d)
       .filter(col("lang").isNotNull && col("n_chars").isNotNull)
       .select(col("lang").as("query_id"), col("doc_id"), col("n_chars"),
@@ -1561,7 +1561,7 @@ object TextOps {
         .select(col("query_id"), lit("draw").as("system"),
           col("doc_id"), col("h").as("score")))
     rrfFuse(runs)
-      .orderBy(col("query_id"), col("rrf_micros").desc, col("doc_id"))
+      .orderBy(col("query_id"), col("rrf_nanos").desc, col("doc_id"))
   }
 
   // F20: training-sequence packing — docs in doc_id order form one

@@ -58,10 +58,10 @@ class EmptyInputSpec extends SparkSpec {
       // round 14 late: overlap diagnostics + curriculum order over no docs
       "q_f37_eval_overlap", "q_f38_source_overlap", "q_f39_curriculum_shards",
       // round 15: fusion of empty runs, mining over an empty query batch
-      // AND corpus, grouped split / repetition report / calibration of
-      // nothing — all empty, never a throw
+      // AND corpus, grouped split / repetition report / calibration /
+      // soft-dedup weights of nothing — all empty, never a throw
       "q_f40_rrf_fusion", "q_f41_hard_negatives", "q_f42_grouped_split",
-      "q_f43_gopher_rep", "q_f44_score_calibration")
+      "q_f43_gopher_rep", "q_f44_score_calibration", "q_f45_soft_dedup")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -45,10 +45,11 @@ class NullInputSpec extends SparkSpec {
       "q_f37_eval_overlap", "q_f38_source_overlap", "q_f39_curriculum_shards",
       // round 15: fusion keys on lang (null-lang docs filtered), the
       // grouped split places even null-text docs (CC nodes by id), the
-      // repetition report drops null text, calibration scores n_chars
+      // repetition report and the soft-dedup weights drop null text,
+      // calibration scores n_chars
       // (q_f41 is absent: the null fixture carries no embeddings table)
       "q_f40_rrf_fusion", "q_f42_grouped_split", "q_f43_gopher_rep",
-      "q_f44_score_calibration")
+      "q_f44_score_calibration", "q_f45_soft_dedup")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")
