@@ -2014,6 +2014,52 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("calib16")) {
+      // F44 round-16 certification: the PLANTED pathological shape from
+      // the round-15 verdict — 1M docs, ONE source, ONE score value (plus
+      // a small varied source as a control). Pre-fix this put the whole
+      // source in one (source, bucket) window partition; the tie-run
+      // id-range sub-bucketing must (a) complete in window-bounded time,
+      // (b) match the one-window definition row-for-row, and (c) leave no
+      // executed WindowExec partition at row scale — asserted indirectly
+      // by (b) + the per-partition row bound probe on the final plan.
+      val n = 1000000L
+      val blob = spark.range(0, n).select(col("id").as("doc_id"),
+        lit("blob").as("source"), lit(42L).as("n_chars"))
+      val ctrl = spark.range(0, 1000).select((col("id") + 5000000L).as("doc_id"),
+        lit("ctrl").as("source"), pmod(hash(col("id")), lit(97)).cast("long").as("n_chars"))
+      val docs = blob.unionByName(ctrl).localCheckpoint(eager = true)
+      println(s"ADHOC calib16 corpus=${docs.count()}")
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"calib16 rep=$rep") {
+          out = TextOps.scoreCalibration(docs, "n_chars")
+            .localCheckpoint(eager = true)
+          out.count()
+        }
+      }
+      // one-window definition (feasible as a one-off reference at 1M)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+      val nBySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val oneWindow = docs
+        .select(col("doc_id"), col("source"), col("n_chars").cast("double").as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .join(broadcast(nBySrc), Seq("source"))
+        .select(col("doc_id"), col("source"), col("score"),
+          when(col("n_s") === 1, lit(1000000L))
+            .otherwise(expr("((rnk - 1) * 1000000L) div (n_s - 1)"))
+            .as("pct_millionths"))
+      val dw = out.exceptAll(oneWindow).count() + oneWindow.exceptAll(out).count()
+      assert(dw == 0, s"constant-score source diverged from the one-window definition: $dw")
+      // bucket invariance holds on the degenerate shape too
+      val o64 = TextOps.scoreCalibration(docs, "n_chars", buckets = 64)
+      assert(o64.exceptAll(out).count() == 0, "bucket-count variance on the blob")
+      println("ADHOC calib16 window_equiv=exact bucket_invariance=exact")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("freshjvm")) {
       // Round-15 probe: exercise Bench.freshJvmReps END-TO-END — fork a
       // real child JVM (same classpath + module opens via the RuntimeMXBean

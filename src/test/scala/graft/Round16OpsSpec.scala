@@ -31,6 +31,50 @@ class Round16OpsSpec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  // ---- F44: tie-run sub-bucketing (round-15 verdict item 3) -------------
+
+  /** One-window reference: plain (score ASC, id ASC) percent rank. */
+  private def calibRef(rows: Seq[(Long, String, Double)]): Set[(Long, String, Double, Long)] =
+    rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val n = rs.length.toLong
+      rs.sortBy(r => (r._3, r._1)).zipWithIndex.map { case ((id, s, sc), i) =>
+        val pct = if (n == 1) 1000000L else i.toLong * 1000000L / (n - 1)
+        (id, s, sc, pct)
+      }
+    }.toSet
+
+  private def calibGot(rows: Seq[(Long, String, Double)], buckets: Int) =
+    TextOps.scoreCalibration(
+        rows.toDF("doc_id", "source", "sc").repartition(7), "sc", buckets = buckets)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+  test("scoreCalibration ≡ one-window rank on a CONSTANT-score source (the degenerate tie-run)") {
+    // one source whose score mass is a single value — the round-15
+    // pathology: pre-fix this was one source-sized window partition.
+    // Ids deliberately sparse/ragged so id-range slices are uneven.
+    val const = Seq(3L, 5L, 900L, 901L, 1000000L, 1000007L, 4L, 77L)
+      .map(id => (id, "blob", 42.0))
+    val varied = (0 until 20).map(i => (2000L + i, "mix", (i * 7 % 11).toDouble))
+    val rows = const ++ varied
+    assert(calibGot(rows, 4) == calibRef(rows))
+    assert(calibGot(rows, 256) == calibRef(rows))
+  }
+
+  test("scoreCalibration ≡ one-window rank when a heavy tie-run sits INSIDE a varied source") {
+    // ties in the middle of a spread distribution: runOff must count the
+    // smaller-score mass exactly, the run must split by id range, and
+    // larger scores must resume after the whole run
+    val rows =
+      (0 until 10).map(i => (i.toLong, "s", i.toDouble)) ++          // below
+      (100 until 140).map(i => (i.toLong, "s", 50.0)) ++             // the run
+      (200 until 210).map(i => (i.toLong, "s", 90.0 + i)) ++         // above
+      Seq((999L, "singleton", 5.0))                                  // n = 1 source
+    assert(calibGot(rows, 3) == calibRef(rows))
+    assert(calibGot(rows, 64) == calibRef(rows))
+  }
+
   // ---- Bench.loadFloors: missing vs corrupt (ADVICE r15) ----------------
 
   test("loadFloors: absent file is silently empty; corrupt file is empty with a warning, not a crash") {
