@@ -706,33 +706,53 @@ object TextOps {
       .select(col("doc_id"), split(col("text"), " ").as("t"),
         length(col("text")).cast("long").as("n_chars"))
       .withColumn("n_toks", size(col("t")).cast("long"))
-    def grams(n: Int) = base.filter(col("n_toks") >= n)
-      .select(col("doc_id"), col("n_chars"),
-        posexplode(transform(sequence(lit(0), (col("n_toks") - n).cast("int")),
-          i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j + 1)): _*)))
-          .as(Seq("pos", "g")))
-    def topFrac(n: Int) = grams(n)
-      .groupBy(col("doc_id"), col("n_chars"), col("g"))
+    // Round 16 (verdict item 8): the top-{2,3,4}-gram rules share ONE
+    // explode emitting (n, gram) — the old form re-scanned and re-split
+    // the corpus once per n. Per-(doc, n, gram) counts collapse map-side
+    // exactly as before; the three argmaxes then ride ONE conditional
+    // struct-min aggregate (min ignores the NULLs the when() leaves for
+    // other n), so the whole top-gram family is one scan + two shuffles.
+    val tri = base.select(col("doc_id"), col("n_chars"),
+      explode(flatten(transform(sequence(lit(2), lit(4)), n =>
+        transform(
+          filter(sequence(lit(0), greatest(col("n_toks") - n, lit(0)).cast("int")),
+            i => (i + n).cast("long") <= col("n_toks")),
+          i => struct(n.as("n"), array_join(slice(col("t"), i + 1, n), " ").as("g"))))))
+        .as("e"))
+      .select(col("doc_id"), col("n_chars"), col("e.n").as("n"), col("e.g").as("g"))
+    def m(n: Int) =
+      min(when(col("n") === n,
+        struct((-col("c")).as("nc"), col("g"), col("n_chars")))).as(s"m$n")
+    def frac(n: Int) = {
+      val mc = col(s"m$n")
+      coalesce(trunc6((-mc.getField("nc")).cast("double") *
+        length(mc.getField("g")) / mc.getField("n_chars")), lit(0.0))
+        .as(s"top${n}_frac")
+    }
+    val tf = tri.groupBy(col("doc_id"), col("n_chars"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
-      // (count DESC, gram ASC) argmax as one struct-min agg — the F31
-      // idiom, never a per-doc window
+      // (count DESC, gram ASC) argmax per n as conditional struct-min
+      // aggs — the F31 idiom, never a per-doc window
       .groupBy(col("doc_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("g"), col("n_chars"))).as("m"))
+      .agg(m(2), m(3), m(4))
+      .select(col("doc_id"), frac(2), frac(3), frac(4))
+    // dup-5-gram coverage: one 5-gram pass — per-(doc, gram) position
+    // lists (bounded by within-doc occurrences), dup grams explode their
+    // positions into the F30-style coverage union
+    val g5 = base.filter(col("n_toks") >= 5)
       .select(col("doc_id"),
-        trunc6((-col("m.nc")).cast("double") * length(col("m.g")) / col("m.n_chars"))
-          .as(s"top${n}_frac"))
-    val g5 = grams(5)
-    val dup5 = g5.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("doc_id"), col("g"))
-    val cov5 = g5.join(dup5, Seq("doc_id", "g"))
+        posexplode(transform(sequence(lit(0), (col("n_toks") - 5).cast("int")),
+          i => array_join(slice(col("t"), i + 1, lit(5)), " ")))
+          .as(Seq("pos", "g")))
+    val cov5 = g5.groupBy(col("doc_id"), col("g"))
+      .agg(collect_list(col("pos")).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(col("doc_id"), explode(col("ps")).as("pos"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("p"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("cv"))
     base.select(col("doc_id"), col("n_toks"))
-      .join(topFrac(2), Seq("doc_id"), "left")
-      .join(topFrac(3), Seq("doc_id"), "left")
-      .join(topFrac(4), Seq("doc_id"), "left")
+      .join(tf, Seq("doc_id"), "left")
       .join(cov5, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
