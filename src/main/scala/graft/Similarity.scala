@@ -1167,11 +1167,12 @@ object Similarity {
     * as a BROADCAST and the corpus streams ONCE through a nested-loop
     * probe + the bounded-heap `collect_top_k` partial agg: k·|queries|
     * retained rows per task, zero corpus shuffle — the same cost model
-    * as F3/F4's brute-force baselines. At corpus scale, restrict
-    * candidates first (IVF probe [[ivfProbe]] or the F36 cluster
-    * assignment) and feed the restricted pairs through the same top-k
-    * agg; the brute-force form here is the exact-recall baseline those
-    * paths are graded against.
+    * as F3/F4's brute-force baselines. At corpus scale, use
+    * [[hardNegativesClustered]] (round 16): the F36 cluster assignment
+    * restricts candidates to each query's probed cells and feeds the
+    * restricted pairs through this same top-k agg; the brute-force form
+    * here is the exact-recall baseline that path is graded against
+    * (nprobe = k equivalence is spec-pinned).
     *
     * Cosines are floor-truncated at 1e-4 (the F3/F4 canon) and the rank
     * order is (cos_sim DESC, n_id ASC) — deterministic under ties.
@@ -1180,24 +1181,85 @@ object Similarity {
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     VectorFunctions.register(s)
-    def prep(df: DataFrame, p: String) = df
-      .filter(col("embedding").isNotNull && col("label").isNotNull)
-      .select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
-        sqrt(dot(col("embedding"), col("embedding"))).as(s"${p}_nrm"),
-        col("label").as(s"${p}_label"))
-    prep(corpus, "n")
-      .join(broadcast(prep(queries, "q")),
-        col("q_label") =!= col("n_label") && col("q_id") =!= col("n_id"))
-      .select(col("q_id"), struct(
+    rankNegatives(
+      prepLabeled(corpus, "n")
+        .join(broadcast(prepLabeled(queries, "q")),
+          col("q_label") =!= col("n_label") && col("q_id") =!= col("n_id")),
+      k)
+  }
+
+  /** (vec_id, embedding, label) → prefixed (id, emb, nrm, label) with
+    * NULL embeddings/labels dropped — the F41 candidate-side prep, shared
+    * by the brute-force baseline and the clustered scale path. */
+  private def prepLabeled(df: DataFrame, p: String): DataFrame = df
+    .filter(col("embedding").isNotNull && col("label").isNotNull)
+    .select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as(s"${p}_nrm"),
+      col("label").as(s"${p}_label"))
+
+  /** The shared F41 tail: candidate (q, n) pairs → truncated cosines →
+    * the bounded-heap per-query top-k ([[topKByCosine]]), ordered
+    * (q_id, rn). Partial aggregation keeps k rows per query per task, so
+    * the tail never shuffles the candidate fan-out. */
+  private def rankNegatives(pairs: DataFrame, k: Int): DataFrame =
+    topKByCosine(
+      pairs.select(col("q_id"),
         trunc4(dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
           .as("cos_sim"),
-        (-col("n_id")).as("negid"), col("n_id")).as("p"))
-      .groupBy(col("q_id"))
-      .agg(call_function("collect_top_k", col("p"), lit(k), lit(false)).as("top"))
-      .select(col("q_id"), posexplode(sort_array(col("top"), asc = false)).as(Seq("pos", "p")))
-      .select(col("q_id"), col("p.n_id").as("n_id"), col("p.cos_sim").as("cos_sim"),
-        (col("pos") + 1).cast("long").as("rn"))
+        col("n_id")),
+      k)
       .orderBy(col("q_id"), col("rn"))
+
+  /** F41b (round 16): CLUSTER-RESTRICTED hard-negative mining — the
+    * corpus-scale path the F41 scaladoc promised, now code (round-15
+    * verdict item 1). The corpus rides the F36 [[KmeansModel]] assignment
+    * (zero-shuffle per-row kernel); each query probes its `nprobe`
+    * nearest centroids by the model's own exact integer distance (the
+    * IVF probe discipline, over the query BATCH × k centroids only);
+    * candidates are corpus vectors whose cluster lands in the query's
+    * probe set, and the different-label filter + bounded-heap top-k tail
+    * is byte-identical to [[hardNegatives]]. Cost: the all-pairs
+    * |queries| × |corpus| probe becomes |queries| × (nprobe/k share of
+    * the corpus) — still zero corpus shuffle (the probe set broadcasts),
+    * which is what makes mining against a 100 TB corpus feasible.
+    *
+    * Recall contract: `nprobe = model.k` scans every cell — EXACTLY
+    * [[hardNegatives]] (spec-pinned). Below that, a true negative is
+    * missed only when it lies in a cell the query did not probe — the
+    * standard IVF recall trade, measured on planted confusables in the
+    * spec (near-identical different-label twins co-assign, so nprobe = 1
+    * already finds them) and at 1M vectors in BASELINE.md. Tie order
+    * everywhere is the kmeans argmin order (distance, then centroid
+    * index), so probe sets — and therefore results — are deterministic.
+    */
+  def hardNegativesClustered(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame, k: Int, model: KmeansModel, nprobe: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0 && nprobe <= model.k,
+      s"nprobe must be in [1, ${model.k}], got $nprobe")
+    VectorFunctions.register(s)
+    import s.implicits._
+    val cents = model.centroidsMicros.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("c_i", "c_q")
+    // probe sets: query batch × k centroids (batch-bounded by the F41
+    // contract), ranked per query by exact integer distance with the
+    // kmeans argmin tie order (d, c_i) — nprobe = 1 therefore agrees
+    // with the corpus side's own assignment on every tie
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__d"), col("c_i"))
+    val qp = prepLabeled(queries, "q")
+      .withColumn("__qq", model.quantCol(col("q_emb")))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", call_function("l2sq_long", col("__qq"), col("c_q")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("q_label"),
+        col("c_i").as("kc"))
+    val cand = prepLabeled(corpus, "n")
+      .withColumn("kc", model.assignCol(col("n_emb")))
+      .join(broadcast(qp), Seq("kc"))
+      .filter(col("q_label") =!= col("n_label") && col("q_id") =!= col("n_id"))
+    rankNegatives(cand, k)
   }
 
   /** Graded F41 query: queries = every 40th vector, corpus = the whole
@@ -1224,7 +1286,48 @@ object Similarity {
     hardNegatives(s, emb.filter(col("vec_id") % 40 === 0), emb, k = 3)
   }
 
+  /** Graded F41b query: the SAME query association as q_f41 (every 40th
+    * vector, k = 3) but mined through the clustered path — k-means k = 8
+    * / 2 Lloyd iterations (the q_f36 fit, so the oracle reuses its
+    * unrolled CTEs), nprobe = 2. The oracle recomputes the ENTIRE
+    * pipeline — the exact integer fit, the corpus assignment, each
+    * query's (distance, centroid) probe ranking, the different-label
+    * restriction to probed cells, truncated cosines, and the final
+    * (cos DESC, n_id) rank — so the hash grades the restriction
+    * semantics end to end, not just the rank arithmetic.
+    */
+  val qHardNegativesClustered = Q(
+    "q_f41b_hard_negatives_clustered",
+    s"""WITH $kmeansOracleCtes,
+      |fin AS (SELECT vec_id, c AS kc FROM a3 WHERE rn = 1),
+      |n0 AS (SELECT e.vec_id, e.emb, sqrt(list_inner_product(e.emb, e.emb)) AS nrm,
+      |              l.label, f.kc, e.q
+      |       FROM e JOIN embeddings l ON l.vec_id = e.vec_id
+      |              JOIN fin f ON f.vec_id = e.vec_id
+      |       WHERE l.label IS NOT NULL),
+      |qp AS (SELECT q.vec_id AS q_id, c2.c AS kc,
+      |              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |                CAST(list_sum(list_transform(list_zip(q.q, c2.cq),
+      |                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT), c2.c) AS pr
+      |       FROM n0 q CROSS JOIN c2
+      |       WHERE q.vec_id % 40 = 0),
+      |p2 AS (SELECT qp.q_id, n.vec_id AS n_id,
+      |              floor(list_inner_product(q1.emb, n.emb)/(q1.nrm*n.nrm)*10000)/10000 AS cos_sim
+      |       FROM qp JOIN n0 n ON n.kc = qp.kc
+      |               JOIN n0 q1 ON q1.vec_id = qp.q_id
+      |       WHERE qp.pr <= 2 AND q1.label <> n.label AND qp.q_id <> n.vec_id),
+      |r AS (SELECT q_id, n_id, cos_sim,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+      |      FROM p2)
+      |SELECT q_id, n_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3
+      |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val emb = embeddings(s, d)
+    val model = kmeansFitExact(emb, k = 8, iters = 2)
+    hardNegativesClustered(s, emb.filter(col("vec_id") % 40 === 0), emb,
+      k = 3, model, nprobe = 2)
+  }
+
   def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup,
     qQuantize, qSemanticDedup, qSemanticDedupLsh, qKmeans, qSemDedupClustered,
-    qHardNegatives)
+    qHardNegatives, qHardNegativesClustered)
 }

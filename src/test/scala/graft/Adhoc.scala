@@ -2128,6 +2128,61 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("hardneg16")) {
+      // F41b certification (round 16, verdict item 1): the SAME 1M-vector
+      // / 200-query association as hardneg1m, mined through the
+      // cluster-restricted path — kmeansFitExact k=64 (1 Lloyd pass),
+      // nprobe=4 (a 16× candidate cut). Measures the restricted wall
+      // against the brute baseline re-run in THIS session (same box,
+      // same warmth) and the pair recall of the restricted top-10
+      // against the exact top-10.
+      val n = 1000000L
+      def vec(idc: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(15)),
+          i => (pmod(hash(idc * 31 + i), lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float"))
+      val corpus = spark.range(0, n).select(col("id").as("vec_id"),
+          vec(col("id")).as("embedding"),
+          pmod(hash(col("id") * 7 + 3), lit(20)).cast("int").as("label"))
+        .localCheckpoint(eager = true)
+      val queries = corpus.filter(col("vec_id") % 5000 === 0)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC hardneg16 corpus=${corpus.count()} queries=${queries.count()}")
+      var model: Similarity.KmeansModel = null
+      time("hardneg16 fit_k64") {
+        model = Similarity.kmeansFitExact(corpus, k = 64, iters = 1)
+        model.k.toLong
+      }
+      var brute: DataFrame = null
+      var mined: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"hardneg16 brute rep=$rep") {
+          brute = Similarity.hardNegatives(spark, queries, corpus, k = 10)
+            .localCheckpoint(eager = true)
+          brute.count()
+        }
+        time(s"hardneg16 clustered_np4 rep=$rep") {
+          mined = Similarity.hardNegativesClustered(spark, queries, corpus,
+              k = 10, model, nprobe = 4)
+            .localCheckpoint(eager = true)
+          mined.count()
+        }
+      }
+      val nBrute = brute.count()
+      val hit = mined.select(col("q_id"), col("n_id"))
+        .join(brute.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+        .count()
+      println(f"ADHOC hardneg16 recall@10=${hit.toDouble / nBrute}%.4f " +
+        s"(pairs $hit/$nBrute)")
+      // every query must still get a full slate (k negatives exist in
+      // 4 probed cells at this density)
+      val slates = mined.groupBy(col("q_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 10).count()
+      println(s"ADHOC hardneg16 short_slates=$slates")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate15")) {
       // Round-15 certification (verdict item 4): the FULL round-14
       // curation stack composed end-to-end at 1M+ docs — Normalize →

@@ -75,6 +75,59 @@ class Round16OpsSpec extends SparkSpec {
     assert(calibGot(rows, 64) == calibRef(rows))
   }
 
+  // ---- F41b: cluster-restricted hard negatives (verdict item 1) ---------
+
+  test("hardNegativesClustered with nprobe = k scans every cell ≡ brute-force hardNegatives") {
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Similarity.kmeansFitExact(emb, k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val brute = rows(Similarity.hardNegatives(spark, queries, emb, k = 3))
+    val full = rows(Similarity.hardNegativesClustered(spark, queries, emb,
+      k = 3, model, nprobe = 8))
+    assert(brute.nonEmpty && full == brute)
+  }
+
+  test("hardNegativesClustered recall on planted confusables: nprobe = 1 finds every near-twin") {
+    // four orthogonal directions; each label-0 query has a near-identical
+    // label-1 twin (cos ≈ 0.999) — the hard negative by construction —
+    // while every OTHER different-label vector is near-orthogonal. A
+    // hand-built model with one centroid per direction co-assigns each
+    // query with exactly its twin, so nprobe = 1 must already find all
+    // four at rank 1 with the full brute-force cosine.
+    val dim = 4
+    def unit(i: Int, scale: Float, bleed: Float) =
+      Seq.tabulate(dim)(j => if (j == i) scale else bleed)
+    val rows =
+      (0 until dim).map(i => (i.toLong, unit(i, 1.0f, 0.0f), 0)) ++     // queries
+      (0 until dim).map(i => (100L + i, unit(i, 0.95f, 0.02f), 1))      // twins
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val model = Similarity.KmeansModel(
+      Seq.tabulate(dim)(i => Seq.tabulate(dim)(j =>
+        if (j == i) 2000000L else 1000000L)))
+    val got = Similarity.hardNegativesClustered(spark,
+        emb.filter(col("label") === 0), emb, k = 1, model, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == (0 until dim).map(i => (i.toLong, 100L + i, 1L)), got.toString)
+    // and the restricted pick agrees with the brute-force baseline's rank 1
+    val brute = Similarity.hardNegatives(spark,
+        emb.filter(col("label") === 0), emb, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(brute == got)
+  }
+
+  test("hardNegativesClustered rejects an out-of-range nprobe") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val model = Similarity.KmeansModel(Seq(Seq(2000000L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegativesClustered(spark, emb, emb, k = 1, model, nprobe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegativesClustered(spark, emb, emb, k = 1, model, nprobe = 2)
+    }
+  }
+
   // ---- Bench.loadFloors: missing vs corrupt (ADVICE r15) ----------------
 
   test("loadFloors: absent file is silently empty; corrupt file is empty with a warning, not a crash") {
