@@ -842,6 +842,64 @@ object Dedup {
     withClusterSize(cc).orderBy(col("doc_id"))
   }
 
+  /** F45b (round 16, verdict item 6): soft dedup over NEAR-DUP clusters —
+    * the down-weighting twin of F31's keep-best, and the clustered
+    * sibling of F45's exact-group weights: every member of a cluster is
+    * KEPT at `10⁶ div cluster_size` millionths, so each near-dup family
+    * contributes ~one document of training mass in expectation without
+    * choosing a representative (the soft alternative where near-dup
+    * frequency is itself signal, but boilerplate families must not
+    * dominate the token distribution). Input is any (…, cluster_id)
+    * frame — F11/F2c/F21 labels; the weight join rides the SAME slim
+    * partial-agg count [[withClusterSize]] uses (mega-cluster-safe,
+    * never a window). Feed `weight_millionths` to F18b's
+    * `weightedBernoulli(scale = 10⁶)` or carry it into the loss.
+    */
+  def softDedupWeightsClustered(labeled: DataFrame): DataFrame =
+    withClusterSize(labeled)
+      .withColumn("weight_millionths", expr("1000000L div cluster_size"))
+
+  /** Graded F45b query: weights over the F11 Jaccard-0.6 clusters. The
+    * oracle recomputes the recursive-CTE closure AND the integer weight
+    * from scratch, so the hash grades both the cluster labels and the
+    * weight arithmetic end to end.
+    */
+  val qSoftDedupClustered = Q(
+    "q_f45b_soft_dedup_clustered",
+    """WITH RECURSIVE
+      |sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         generate_series(1, len(t) - 2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM sp),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT a_id AS u, b_id AS v
+      |          FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      |                     JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+      |          UNION ALL
+      |          SELECT b_id, a_id
+      |          FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      |                     JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6),
+      |reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+      |          UNION
+      |          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+      |sized AS (SELECT doc_id, cluster_id,
+      |                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |          FROM cc)
+      |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       CAST(1000000 // cluster_size AS BIGINT) AS weight_millionths
+      |FROM sized ORDER BY doc_id""".stripMargin) { (s, d) =>
+    softDedupWeightsClustered(
+      connectedComponents(s, documents(s, d), jaccardEdges(s, d, 0.6)))
+      .orderBy(col("doc_id"))
+  }
+
   /** F42 (round 15): leakage-safe GROUPED split — assign train/test at
     * the CLUSTER level, so near-duplicates can never straddle the split
     * (the published eval-hygiene rule: dedup-aware splitting; a test doc
@@ -1148,5 +1206,5 @@ object Dedup {
   }
 
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
-    qIncrementalDedup, qDedupKeepBest, qGroupedSplit)
+    qIncrementalDedup, qDedupKeepBest, qGroupedSplit, qSoftDedupClustered)
 }

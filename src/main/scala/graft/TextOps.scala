@@ -1633,6 +1633,101 @@ object TextOps {
       .orderBy(col("query_id"), col("rrf_nanos").desc, col("doc_id"))
   }
 
+  /** Graded F40b query (round 16, verdict item 5): the PUBLISHED fusion —
+    * a real BM25 run ⊕ a real dense-cosine run over the same corpus
+    * (Cormack et al.'s canonical hybrid-retrieval pairing), where
+    * q_f40_rrf_fusion grades the combinator on synthetic decorrelated
+    * runs. The BM25 side is q_bm25_topk's association verbatim (top-5-df
+    * terms, top 50 by micro-quantized score); the dense side is the
+    * truncated-cosine top 50 against the corpus' min-vec_id embedding
+    * (deterministic, SF-robust probe choice; doc_id ≡ vec_id in the
+    * testdata contract). Score scales are incomparable by construction —
+    * LONG micros vs ≤1.0 cosines — which is exactly RRF's premise; the
+    * oracle recomputes BOTH retrievals and the integer fusion from
+    * scratch, so the hash grades the runs, the rank tie order, and the
+    * fused order end to end. Each run is top-k-bounded before fusion, so
+    * the combinator's windows stay k-bounded at any corpus size (the F40
+    * contract).
+    */
+  val qRrfBm25Dense = Q(
+    "q_f40b_rrf_bm25_dense",
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, len(t) AS dl, t FROM base),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 sum(len(t)) * 1.0 / count(*) AS avgdl
+      |          FROM base),
+      |toks AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+      |qt AS (SELECT term FROM (
+      |         SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+      |       ORDER BY df DESC, term LIMIT 5),
+      |tf AS (SELECT t.doc_id, t.term, t.dl, count(*) AS tf
+      |       FROM toks t JOIN qt ON t.term = qt.term
+      |       GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id,
+      |         CAST(floor(
+      |           (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000) / 1000000)
+      |           * ((tf * 2.25) / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      |           * 1000000.0) AS BIGINT) AS c
+      |       FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats),
+      |bm25 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS s
+      |         FROM sc GROUP BY doc_id
+      |         ORDER BY s DESC, doc_id LIMIT 50),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |      FROM embeddings WHERE embedding IS NOT NULL),
+      |p AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm
+      |      FROM e ORDER BY vec_id LIMIT 1),
+      |dense AS (SELECT e.vec_id AS doc_id,
+      |            floor(list_inner_product(e.emb, p.emb)
+      |              / (sqrt(list_inner_product(e.emb, e.emb)) * p.nrm)
+      |              * 10000)/10000 AS s
+      |          FROM e, p WHERE e.vec_id <> p.vec_id
+      |          ORDER BY s DESC, e.vec_id LIMIT 50),
+      |runs AS (SELECT 'bm25' AS system, doc_id, CAST(s AS DOUBLE) AS score FROM bm25
+      |         UNION ALL
+      |         SELECT 'dense' AS system, doc_id, s AS score FROM dense),
+      |r AS (SELECT doc_id, system,
+      |        CAST(row_number() OVER (PARTITION BY system
+      |                                ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      |      FROM runs)
+      |SELECT 'fuse' AS query_id, doc_id,
+      |       CAST(sum(1000000000 // (rnk + 60)) AS BIGINT) AS rrf_nanos,
+      |       CAST(count(*) AS BIGINT) AS n_systems,
+      |       CAST(min(rnk) AS BIGINT) AS best_rank
+      |FROM r GROUP BY doc_id
+      |ORDER BY rrf_nanos DESC, doc_id""".stripMargin) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    val docs = documents(s, d)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val qt = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(5)
+      .select(col("term"))
+    val bm25 = bm25Scores(docs, qt)
+      .orderBy(col("score_micros").desc, col("doc_id")).limit(50)
+      .select(lit("fuse").as("query_id"), lit("bm25").as("system"),
+        col("doc_id"), col("score_micros").cast("double").as("score"))
+    def fdot(a: Column, b: Column) = call_function("fvec_dot", a, b)
+    val emb = embeddings(s, d).filter(col("embedding").isNotNull)
+    val probe = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("p_nrm"))
+    val dense = emb.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(col("vec_id").as("doc_id"),
+        trunc4(fdot(col("embedding"), col("p_emb")) /
+          (sqrt(fdot(col("embedding"), col("embedding"))) * col("p_nrm")))
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .select(lit("fuse").as("query_id"), lit("dense").as("system"),
+        col("doc_id"), col("score"))
+    rrfFuse(bm25.unionByName(dense))
+      .orderBy(col("rrf_nanos").desc, col("doc_id"))
+  }
+
   // F20: training-sequence packing — docs in doc_id order form one
   // concatenated token stream, training sequences are fixed 1024-token
   // slices of it (docs cross boundaries — the standard concat-and-chunk
@@ -2474,6 +2569,6 @@ object TextOps {
     qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
-    qEvalOverlap, qSourceOverlap, qRrfFusion,
+    qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

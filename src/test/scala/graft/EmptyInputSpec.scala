@@ -61,7 +61,11 @@ class EmptyInputSpec extends SparkSpec {
       // AND corpus, grouped split / repetition report / calibration /
       // soft-dedup weights of nothing — all empty, never a throw
       "q_f40_rrf_fusion", "q_f41_hard_negatives", "q_f42_grouped_split",
-      "q_f43_gopher_rep", "q_f44_score_calibration", "q_f45_soft_dedup")
+      "q_f43_gopher_rep", "q_f44_score_calibration", "q_f45_soft_dedup",
+      // round 16: clustered soft-dedup weights of an empty corpus
+      // (q_f41b is absent by design: kmeansFitExact fails LOUDLY below
+      // k vectors — the q_f36 convention)
+      "q_f45b_soft_dedup_clustered")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -49,7 +49,10 @@ class NullInputSpec extends SparkSpec {
       // calibration scores n_chars
       // (q_f41 is absent: the null fixture carries no embeddings table)
       "q_f40_rrf_fusion", "q_f42_grouped_split", "q_f43_gopher_rep",
-      "q_f44_score_calibration", "q_f45_soft_dedup")
+      "q_f44_score_calibration", "q_f45_soft_dedup",
+      // round 16: clustered weights place null-text docs too (CC nodes
+      // are ids; a shingle-less doc is its own singleton, weight 10⁶)
+      "q_f45b_soft_dedup_clustered")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

@@ -128,6 +128,31 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- F45b: soft dedup over near-dup clusters (verdict item 6) ---------
+
+  test("softDedupWeightsClustered: per-cluster mass lands in (10⁶ − n, 10⁶]; singletons keep full weight") {
+    val labeled = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),          // 3-cluster: w = 333333
+      (4L, 4L),                              // singleton: w = 1000000
+      (5L, 5L), (6L, 5L), (7L, 5L), (8L, 5L), (9L, 5L), (10L, 5L), (11L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.softDedupWeightsClustered(labeled)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 11)
+    got.groupBy(_._2).foreach { case (_, members) =>
+      val n = members.head._3
+      assert(members.length == n)
+      val w = members.head._4
+      assert(members.forall(_._4 == w)) // every copy, same weight
+      val mass = n * w
+      assert(mass <= 1000000L && mass > 1000000L - n,
+        s"cluster mass $mass for n=$n w=$w")
+    }
+    assert(got.find(_._1 == 4L).get._4 == 1000000L)
+    assert(got.find(_._1 == 1L).get._4 == 333333L)
+    assert(got.find(_._1 == 5L).get._4 == 142857L)
+  }
+
   // ---- Bench.loadFloors: missing vs corrupt (ADVICE r15) ----------------
 
   test("loadFloors: absent file is silently empty; corrupt file is empty with a warning, not a crash") {
