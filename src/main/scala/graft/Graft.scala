@@ -590,6 +590,49 @@ object Graft {
     require(scale > 0, s"scale must be positive, got $scale")
   }
 
+  /** Calibrated per-source quality gate (F44 wired into curation — round
+    * 16, verdict item 4): keep documents whose PER-SOURCE percent rank of
+    * `score` is ≥ `minPctMillionths` — the published "top q% of every
+    * source" selection (DCLM / FineWeb-Edu per-source top-q%, CCNet
+    * per-shard quantile gating), which a single global threshold cannot
+    * express because raw scorer outputs are not comparable across
+    * sources. `score` is any Column over the document row (octet_length,
+    * an F19/F25/F32 signal joined upstream); `sourceCol` must exist on
+    * the gated frame.
+    *
+    * Two modes, one knob:
+    *  - `reference = None` (batch default): the EXACT
+    *    [[TextOps.scoreCalibration]] rank over the pool entering the
+    *    stage — "top q% of what survived the earlier gates".
+    *  - `reference = Some(ref)` (required for streaming, optional for
+    *    batch): fit→freeze, the LangGate/ClassifierGate shape — a
+    *    [[TextOps.CalibrationModel]] is fit ONCE on the reference
+    *    (bounded sources × buckets pull), and the gate is a stateless
+    *    per-row map lookup against the frozen distribution (gate
+    *    today's arrivals against last month's corpus). Frozen decisions
+    *    are value-granular: scores sharing a bucket share a pct, and a
+    *    source the reference never saw gates NULL → dropped.
+    *
+    * Rows with a NULL score or NULL source drop in both modes — an
+    * unscorable row cannot be proven top-q% (the splitByGroup NULL
+    * philosophy, applied as a drop because gating, unlike splitting,
+    * has a conservative direction).
+    */
+  final case class CalibratedKeep(score: org.apache.spark.sql.Column,
+      minPctMillionths: Long, sourceCol: String = "source",
+      reference: Option[DataFrame] = None, buckets: Int = 256) {
+    require(minPctMillionths >= 0 && minPctMillionths <= 1000000L,
+      s"minPctMillionths must be in [0, 1000000], got $minPctMillionths")
+    /** The frozen model (lazy; only forced in frozen/streaming mode). */
+    lazy val model: TextOps.CalibrationModel = {
+      val ref = reference.getOrElse(throw new IllegalArgumentException(
+        "CalibratedKeep needs `reference` (the frozen fit corpus) in a " +
+          "streaming pipeline — the exact pool rank needs the whole pool"))
+      TextOps.calibrationFit(ref.withColumn("__cal_s", score), "__cal_s",
+        sourceCol, buckets)
+    }
+  }
+
   /** The quality gate as a row predicate over `text` — one definition
     * shared by the batch pipeline ([[curateCorpus]]) and the streaming
     * entry point ([[curateStream]]) so the two gates can never drift.
@@ -655,6 +698,10 @@ object Graft {
     *  5b. learned-classifier gate (when `classifier` is given) — keep
     *     only docs whose F32 NB-predicted label is in the keep set
     *     ([[ClassifierGate]]): the published seed-trained quality filter
+    *  5c. calibrated per-source gate (when `calibrated` is given, round
+    *     16) — keep only docs in the top q% of THEIR source by the F44
+    *     percent rank ([[CalibratedKeep]]): exact pool rank by default,
+    *     frozen-reference mode for cross-corpus gating
     *  6. contamination screen — broadcast Aho–Corasick, drop any hit
     *  7. eval decontamination (when `evalDocs` is given) — drop any doc
     *     sharing a 10-token window with the held-out eval corpus (F22)
@@ -676,12 +723,14 @@ object Graft {
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
-      weighted: Option[WeightedKeep] = None): DataFrame =
+      weighted: Option[WeightedKeep] = None,
+      calibrated: Option[CalibratedKeep] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
         normalize = normalize, langGate = langGate,
-        classifier = classifier, weighted = weighted).last._2)
+        classifier = classifier, weighted = weighted,
+        calibrated = calibrated).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -711,11 +760,13 @@ object Graft {
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
-      weighted: Option[WeightedKeep] = None): (DataFrame, Seq[StageCount]) = {
+      weighted: Option[WeightedKeep] = None,
+      calibrated: Option[CalibratedKeep] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
       normalize = normalize, langGate = langGate,
-      classifier = classifier, weighted = weighted)
+      classifier = classifier, weighted = weighted,
+      calibrated = calibrated)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -738,6 +789,11 @@ object Graft {
     *  1b'. learned-classifier gate (when `classifier` is given, round
     *     14) — keep docs whose F32 NB-predicted label is in the keep
     *     set; same driver-held-model, zero-shuffle shape as 1b
+    *  1b''. calibrated per-source gate (when `calibrated` is given,
+    *     round 16) — keep docs whose score's FROZEN per-source percent
+    *     rank ([[TextOps.CalibrationModel]], fit once on the reference
+    *     corpus) clears `minPctMillionths`; same fit→freeze zero-shuffle
+    *     shape as 1b/1b'
     *  1c. standing-corpus screen (when `corpusFp` is given, round 14) —
     *     drop arrivals already fingerprinted in the delivered corpus
     *     (stream-static md5 anti join; static side re-resolved per
@@ -781,7 +837,8 @@ object Graft {
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
-      corpusFp: Option[DataFrame] = None): DataFrame = {
+      corpusFp: Option[DataFrame] = None,
+      calibrated: Option[CalibratedKeep] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
@@ -789,9 +846,20 @@ object Graft {
     // suppressor's MinHash state, and the sink payload all see ONE
     // canonical rendering (per-row kernels — stateless, stream-safe)
     val normed = normalize.fold(docs)(nz => docs.withColumn("text", nz(col("text"))))
-    val qualGated = normed
+    val qualFiltered = normed
       .filter(col("text").isNotNull && qualityPredicate(quality))
-      .select(col("doc_id"), col("ts"), col("text"))
+    // round-16 calibrated gate (F44 fit→freeze): per-source top-q%
+    // against the FROZEN reference distribution — a stateless per-row
+    // map lookup, fit once on the driver (the LangGate shape). Runs
+    // while the source column is still on the row; the canonical stream
+    // schema drops to (doc_id, ts, text) right after. Forcing `model`
+    // fails loudly when no reference was given — an exact pool rank
+    // needs the whole pool, which an unbounded stream never has.
+    val calGated = calibrated.fold(qualFiltered) { ck =>
+      qualFiltered.filter(
+        ck.model.pctCol(ck.score, col(ck.sourceCol)) >= ck.minPctMillionths)
+    }
+    val qualGated = calGated.select(col("doc_id"), col("ts"), col("text"))
     // language gate: the profile is fit ONCE on the driver (lazy val on
     // the LangGate) against its labeled seed — a stateless row filter on
     // the stream, the same gate semantics as the batch pipeline
@@ -872,11 +940,12 @@ object Graft {
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
-      corpusFp: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      corpusFp: Option[DataFrame] = None,
+      calibrated: Option[CalibratedKeep] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
       watermarkDelay, useTws, twsTtl, normalize, langGate, classifier,
-      corpusFp)
+      corpusFp, calibrated)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)
@@ -900,7 +969,8 @@ object Graft {
       normalize: Option[Normalize] = None,
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
-      weighted: Option[WeightedKeep] = None): Seq[(String, DataFrame)] = {
+      weighted: Option[WeightedKeep] = None,
+      calibrated: Option[CalibratedKeep] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
@@ -965,9 +1035,29 @@ object Graft {
     val d3c = classifier.fold(d3b) { cg =>
       d3b.filter(cg.model.predictCol(col("text")).isin(cg.keep.toSeq: _*))
     }
-    val clean = TextOps.contaminationScanAC(d3c, screenPhrases)
+    // round-16 calibrated per-source gate (F44): keep the top q% of
+    // every source. Exact mode ranks the pool ENTERING the stage (the
+    // published "top q% of what survived" semantics — ranking the raw
+    // corpus instead would let already-dropped junk shift the cut);
+    // frozen mode is the stateless model filter, identical to the
+    // streaming stage.
+    val d3d = calibrated.fold(d3c) { ck =>
+      ck.reference match {
+        case None =>
+          val pct = TextOps.scoreCalibration(
+            d3c.withColumn("__cal_s", ck.score), "__cal_s", ck.sourceCol)
+          d3c.join(
+            pct.filter(col("pct_millionths") >= ck.minPctMillionths)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        case Some(_) =>
+          d3c.filter(
+            ck.model.pctCol(ck.score, col(ck.sourceCol)) >= ck.minPctMillionths)
+      }
+    }
+    val clean = TextOps.contaminationScanAC(d3d, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
-    val d4 = d3c.join(clean, Seq("doc_id"), "left_semi")
+    val d4 = d3d.join(clean, Seq("doc_id"), "left_semi")
     val core = Seq("input" -> raw) ++
       normalize.map(_ => "unicode_normalize" -> base).toSeq ++
       Seq("exact_dedup" -> d1, "neardup_dedup" -> d2) ++
@@ -975,6 +1065,7 @@ object Graft {
       Seq("quality_gate" -> d3) ++
       langGate.map(_ => "lang_gate" -> d3b).toSeq ++
       classifier.map(_ => "classifier_gate" -> d3c).toSeq ++
+      calibrated.map(_ => "calibrated_keep" -> d3d).toSeq ++
       Seq("contamination" -> d4)
     val withDecontam = evalDocs match {
       case None => core

@@ -919,6 +919,91 @@ object TextOps {
           .as("pct_millionths"))
   }
 
+  /** F44 fit→freeze (round 16, verdict item 4): a FROZEN per-source
+    * reference distribution for calibrated gating where the exact
+    * pool rank is unavailable — the streaming arm of [[scoreCalibration]]
+    * (CCNet's frozen per-shard perplexity quantiles: fit once on a
+    * reference corpus, gate every arrival against it). Per source the
+    * model holds `buckets` equal-width score ranges and, per bucket, the
+    * percent rank OF THE BUCKET'S FIRST MEMBER in the reference's
+    * (score ASC, id-free) order — `cumBelow·10⁶ div (n−1)`, the same
+    * integer formula as the batch rank, computed driver-side at fit time
+    * so the serving expression is a pure map lookup (zero arithmetic,
+    * zero shuffle, stream-safe).
+    *
+    * Granularity contract: scores sharing a bucket share the bucket's
+    * first-member pct — value-level decisions, ties move together (a
+    * frozen distribution cannot see ids; the grouped-split philosophy).
+    * With buckets fine enough that every distinct reference value owns
+    * its bucket, the frozen pct EQUALS the batch pct of each value's
+    * first member — spec-pinned, and exact equality with the batch gate
+    * on distinct-score sources. Scores outside the reference range
+    * clamp to the end buckets; an arrival whose source the reference
+    * never saw gets NULL (and a `>=` gate drops it — an uncalibratable
+    * row cannot be proven top-q%).
+    */
+  final case class CalibrationModel(buckets: Int,
+      lo: Map[String, Double], hi: Map[String, Double],
+      pctByBucket: Map[String, Seq[Long]]) {
+    require(pctByBucket.nonEmpty,
+      "CalibrationModel with zero sources gates out every document; " +
+        "fit it on a non-empty reference")
+    /** Frozen percent rank (millionths) of `score` within `source`'s
+      * reference distribution — a literal-map lookup, per-row. */
+    def pctCol(score: Column, source: Column): Column = {
+      val l = element_at(typedLit(lo), source)
+      val h = element_at(typedLit(hi), source)
+      val s = score.cast("double")
+      val b = when(h === l, lit(0L)).otherwise(least(
+        greatest(floor((s - l) / (h - l) * buckets).cast("long"), lit(0L)),
+        lit(buckets - 1L)))
+      element_at(element_at(typedLit(pctByBucket), source), (b + 1).cast("int"))
+    }
+  }
+
+  /** Fit a [[CalibrationModel]] on a reference corpus: one bounded pull
+    * of the ≤ sources × buckets histogram (the nbFit/langIdFit model-fit
+    * boundary) plus the per-source (lo, hi, n) ranges; the cumulative
+    * counts and the integer pct arithmetic run driver-side. Fails loudly
+    * on an empty/unusable reference (the LangGate convention).
+    */
+  def calibrationFit(ref: org.apache.spark.sql.DataFrame, scoreCol: String,
+      sourceCol: String = "source", buckets: Int = 256): CalibrationModel = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = ref.filter(col(scoreCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).cast("string").as("src"),
+        col(scoreCol).cast("double").as("s"))
+    val rng = base.groupBy(col("src"))
+      .agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+        count(lit(1)).as("n"))
+    val withB = base.join(broadcast(rng), Seq("src"))
+      .withColumn("b", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(
+          floor((col("s") - col("lo")) / (col("hi") - col("lo")) * buckets)
+            .cast("long"),
+          lit(buckets - 1L))))
+    val hist = withB.groupBy(col("src"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: ≤ sources × buckets rows
+      .map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val ranges = rng.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    require(ranges.nonEmpty,
+      "calibrationFit: reference has no row with non-NULL score and source; " +
+        "the frozen gate would drop every arrival")
+    val pct = ranges.map { case (src, (_, _, n)) =>
+      var below = 0L
+      src -> (0 until buckets).map { b =>
+        val p = if (n == 1) 1000000L else below * 1000000L / (n - 1)
+        below += hist.getOrElse((src, b), 0L)
+        p
+      }
+    }
+    CalibrationModel(buckets, ranges.map { case (s, (l, _, _)) => s -> l },
+      ranges.map { case (s, (_, h, _)) => s -> h }, pct)
+  }
+
   /** Graded F44 query: n_chars as the stand-in quality score (any scorer
     * output slots in), calibrated per source. The oracle recomputes the
     * percent rank with ONE plain window per source, so the hash grades

@@ -2060,6 +2060,62 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("curate16")) {
+      // CalibratedKeep certification (round 16, verdict item 4): the
+      // audited curation pipeline with the F44 per-source top-30% gate
+      // over 200k docs in 4 sources with WILDLY different score
+      // distributions (the motivating shape: one global threshold would
+      // keep almost none of the short-doc crawl). Texts are unique and
+      // the quality gate is loose, so the pool entering the stage is the
+      // full corpus and the expected per-source keep count is the exact
+      // integer-rank ground truth computed here.
+      val n = 200000L
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          concat(lit("s"), pmod(col("id"), lit(4)).cast("string")).as("source"),
+          concat_ws(" ",
+            transform(sequence(lit(0),
+                // source s0: 5–20 tokens, s1: 30–60, s2: 8–200, s3: 100–110
+                when(pmod(col("id"), lit(4)) === 0,
+                  (pmod(hash(col("id")), lit(16)) + lit(5)))
+                .when(pmod(col("id"), lit(4)) === 1,
+                  (pmod(hash(col("id")), lit(31)) + lit(30)))
+                .when(pmod(col("id"), lit(4)) === 2,
+                  (pmod(hash(col("id")), lit(193)) + lit(8)))
+                .otherwise(pmod(hash(col("id")), lit(11)) + lit(100))
+                  .cast("int")),
+              i => concat(lit("u"), col("id"), lit("_"), i))).as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC curate16 corpus=${docs.count()}")
+      val gate = Graft.QualityGate(minTokens = 1, maxTokens = 1000000,
+        stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+      val ck = Graft.CalibratedKeep(
+        size(split(col("text"), " ")).cast("long"), minPctMillionths = 700000L)
+      val t0 = System.nanoTime()
+      val (packed, audit) = Graft.curateCorpusAudited(spark, docs, Seq("ZZZNEVER"),
+        quality = gate, calibrated = Some(ck))
+      val outN = packed.count()
+      println(f"ADHOC curate16 wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      audit.foreach(a => println(s"ADHOC curate16 stage=${a.stage} kept=${a.kept} dropped=${a.dropped}"))
+      val calRow = audit.find(_.stage == "calibrated_keep").get
+      // exact ground truth: per source, keep ranks r with
+      // (r-1)*1e6 div (n_s-1) >= 7e5; texts unique → pool = corpus
+      val perSrc = docs.groupBy(col("source")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantKept = perSrc.values.map { ns =>
+        (1L to ns).count(r => (r - 1) * 1000000L / (ns - 1) >= 700000L).toLong
+      }.sum
+      assert(calRow.kept == wantKept,
+        s"calibrated_keep kept ${calRow.kept}, ground truth $wantKept")
+      // per-source survival: every source keeps ~30% (a global cut would
+      // zero out s0 entirely — its longest doc is 20 tokens)
+      val kept = docs.join(packed.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).count().orderBy(col("source")).collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+      println(s"ADHOC curate16 out=$outN per_source_kept=$kept expected_cal_kept=$wantKept OK")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("freshjvm")) {
       // Round-15 probe: exercise Bench.freshJvmReps END-TO-END — fork a
       // real child JVM (same classpath + module opens via the RuntimeMXBean

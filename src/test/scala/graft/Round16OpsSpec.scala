@@ -153,6 +153,85 @@ class Round16OpsSpec extends SparkSpec {
     assert(got.find(_._1 == 5L).get._4 == 142857L)
   }
 
+  // ---- CalibratedKeep: F44 as a curation gate (verdict item 4) ----------
+
+  /** 2-source corpus with per-source DISTINCT integer scores (token
+    * counts), unique texts (dedup stages pass everything through). */
+  private def calibDocs(n: Int) = (0 until n).map { i =>
+    val src = if (i % 2 == 0) "crawl" else "curated"
+    // crawl docs are short (5..), curated long (40..) — a global cut
+    // would keep only curated; per-source q% keeps half of EACH
+    val toks = (if (i % 2 == 0) 5 else 40) + i / 2
+    (i.toLong, src, (1 to toks).map(j => s"w${i}_$j").mkString(" "))
+  }.toDF("doc_id", "source", "text")
+
+  private val looseGate = Graft.QualityGate(minTokens = 1, maxTokens = 100000,
+    stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+
+  test("calibrated_keep stage (exact mode): per-source top-50% of the pool, audit row present") {
+    val docs = calibDocs(120)
+    val ck = Graft.CalibratedKeep(
+      org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long"),
+      minPctMillionths = 500000L)
+    val (packed, audit) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = looseGate, calibrated = Some(ck))
+    assert(audit.map(_.stage) == Seq("input", "exact_dedup", "neardup_dedup",
+      "quality_gate", "calibrated_keep", "contamination"), audit.toString)
+    // the pool entering the stage is all 120 docs (unique texts, loose
+    // gate); the standalone F44 rank at the same threshold is the truth
+    val want = TextOps.scoreCalibration(
+        docs.withColumn("s", size(split(col("text"), " ")).cast("long")), "s")
+      .filter(col("pct_millionths") >= 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // both sources survive — the per-source property a global cut breaks
+    val bySrc = docs.join(packed.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set("crawl", "curated") && bySrc.values.forall(_ == 30),
+      s"per-source keeps: $bySrc")
+  }
+
+  test("frozen CalibrationModel ≡ the exact batch gate on distinct-score sources (fine buckets)") {
+    val docs = calibDocs(80)
+      .withColumn("s", size(split(col("text"), " ")).cast("long"))
+    // every distinct value owns a bucket: 40 values per source spread
+    // over [lo, hi]; 4096 equal-width buckets isolate each integer
+    val model = TextOps.calibrationFit(docs, "s", buckets = 4096)
+    for (t <- Seq(0L, 250000L, 500000L, 750000L, 1000000L)) {
+      val frozen = docs.filter(model.pctCol(col("s"), col("source")) >= t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val exact = TextOps.scoreCalibration(docs, "s")
+        .filter(col("pct_millionths") >= t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(frozen == exact, s"t=$t: frozen ${frozen.size} vs exact ${exact.size}")
+    }
+    // a source the reference never saw gates NULL → dropped
+    val alien = Seq((999L, "mystery", 50L)).toDF("doc_id", "source", "s")
+    assert(alien.filter(model.pctCol(col("s"), col("source")) >= 0L).count() == 0)
+  }
+
+  test("curateStream applies the frozen calibrated gate; no-reference streaming use fails loudly") {
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val ref = calibDocs(120)
+      .withColumn("s", size(split(col("text"), " ")).cast("long"))
+    val stream = calibDocs(120)
+      .withColumn("ts", lit(t0)).select("doc_id", "ts", "text", "source")
+    val ck = Graft.CalibratedKeep(
+      size(split(col("text"), " ")).cast("long"), 500000L,
+      reference = Some(calibDocs(120)), buckets = 4096)
+    val out = Graft.curateStream(stream, Nil, quality = looseGate,
+      minEst = 0.99, calibrated = Some(ck))
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ref.filter(ck.model.pctCol(col("s"), col("source")) >= 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty, s"stream kept ${got.size}, want ${want.size}")
+    // reference omitted: forcing the model must throw the descriptive error
+    val bad = Graft.CalibratedKeep(lit(1L), 500000L)
+    val e = intercept[IllegalArgumentException] { bad.model }
+    assert(e.getMessage.contains("reference"))
+  }
+
   // ---- Bench.loadFloors: missing vs corrupt (ADVICE r15) ----------------
 
   test("loadFloors: absent file is silently empty; corrupt file is empty with a warning, not a crash") {
