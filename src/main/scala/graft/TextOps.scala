@@ -1813,6 +1813,118 @@ object TextOps {
       .orderBy(col("rrf_nanos").desc, col("doc_id"))
   }
 
+  /** F46 (round 16): DSIR importance weights — "Data Selection for
+    * Language Models via Importance Resampling" (Xie et al., NeurIPS
+    * 2023): score every RAW document by the log-likelihood ratio of a
+    * TARGET hashed-n-gram model vs the RAW model, so resampling
+    * ∝ exp(weight) shifts the raw corpus toward the target distribution
+    * (the published alternative to classifier gating when the "good"
+    * corpus is small: Wikipedia/books as target, CommonCrawl as raw).
+    * Features are the paper's unigrams + bigrams hashed into `buckets`
+    * counts; both models are add-1-smoothed bucket unigram models.
+    *
+    * Exactness: the per-bucket log ratio is quantized ONCE, driver-side,
+    * to integer micros — per-doc weights are then pure LONG sums of
+    * bucket contributions: order-free, partitioning-exact, and
+    * oracle-checkable without float-fold pinning (the F29 micro-sum
+    * idiom; contrast F19's order-pinned double fold). `n_grams` rides
+    * along for length normalization downstream.
+    *
+    * Scale: BOTH fits collapse to ≤ `buckets` rows via partial-agg
+    * counts before their bounded driver pulls (a 100 TB raw corpus
+    * shuffles `buckets` partial rows per task, nothing else); scoring is
+    * a per-row literal-array lookup + ONE doc-keyed partial agg. The
+    * ratio table rides as a plan literal (fine to ~10⁴ buckets — the
+    * kmeans_best_q boundary); past that, put it in a broadcast frame.
+    * Feed the weights to F18b resampling or F44 calibration — DSIR's
+    * published consumption is exactly importance RESAMPLING.
+    */
+  def dsirWeights(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, buckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def gramBuckets(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(concat(
+          col("t"),
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(0), (size(col("t")) - 2).cast("int")), i =>
+              concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+            .otherwise(array().cast("array<string>"))))
+        .as("g"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    def fit(df: org.apache.spark.sql.DataFrame): (Map[Long, Long], Long) = {
+      val rows = gramBuckets(df).groupBy(col("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // bounded: ≤ buckets rows (partial-agg collapsed)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (rows, rows.values.sum)
+    }
+    val (tc, tn) = fit(target)
+    val (rc, rn) = fit(raw)
+    require(tn > 0, "dsirWeights: target corpus has no grams — the " +
+      "importance model is undefined (the nbFit/LangGate loud-failure convention)")
+    require(rn > 0, "dsirWeights: raw corpus has no grams")
+    val lr: Seq[Long] = (0L until buckets.toLong).map { b =>
+      val pt = (tc.getOrElse(b, 0L) + 1.0) / (tn + buckets)
+      val pr = (rc.getOrElse(b, 0L) + 1.0) / (rn + buckets)
+      math.floor((math.log(pt) - math.log(pr)) * 1e6).toLong
+    }
+    gramBuckets(raw)
+      .select(col("doc_id"),
+        element_at(typedLit(lr), (col("b") + 1).cast("int")).as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("logratio_micros"))
+  }
+
+  /** Graded F46 query: target = the English slice of the corpus, raw =
+    * the whole corpus (the paper's shape with the corpus' own metadata
+    * standing in for the curated target). The oracle recomputes BOTH
+    * hashed-bucket models, the smoothed log ratios at the same micro
+    * quantization, and the integer per-doc sums from scratch — so the
+    * hash grades the feature build (unigrams + bigrams, empty-token
+    * semantics included), the bucket hash, the smoothing arithmetic,
+    * and the sum end to end.
+    */
+  val qDsirWeights = Q(
+    "q_f46_dsir_weights",
+    """WITH rawsp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |               FROM documents WHERE text IS NOT NULL),
+      |tgtsp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |          FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+      |rg AS (SELECT doc_id, unnest(t) AS g FROM rawsp
+      |       UNION ALL
+      |       SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |       FROM rawsp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |tg AS (SELECT doc_id, unnest(t) AS g FROM tgtsp
+      |       UNION ALL
+      |       SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |       FROM tgtsp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |rb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM rg),
+      |tb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM tg),
+      |rc AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+      |tcn AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM rb) AS nr, (SELECT count(*) FROM tb) AS nt),
+      |lr AS (SELECT gs.b,
+      |         CAST(floor((ln((coalesce(tcn.c, 0) + 1.0) / (nt + 1024))
+      |                   - ln((coalesce(rc.c, 0) + 1.0) / (nr + 1024))) * 1000000)
+      |           AS BIGINT) AS lr
+      |       FROM generate_series(0, 1023) AS gs(b)
+      |       LEFT JOIN tcn ON tcn.b = gs.b
+      |       LEFT JOIN rc ON rc.b = gs.b
+      |       CROSS JOIN tot)
+      |SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(lr.lr) AS BIGINT) AS logratio_micros
+      |FROM rb JOIN lr ON lr.b = rb.b
+      |GROUP BY rb.doc_id ORDER BY rb.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    dsirWeights(docs, docs.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
   // F20: training-sequence packing — docs in doc_id order form one
   // concatenated token stream, training sequences are fixed 1024-token
   // slices of it (docs cross boundaries — the standard concat-and-chunk
@@ -2654,6 +2766,6 @@ object TextOps {
     qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
-    qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense,
+    qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense, qDsirWeights,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

@@ -232,6 +232,42 @@ class Round16OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("reference"))
   }
 
+  // ---- F46: DSIR importance weights -------------------------------------
+
+  test("dsirWeights ranks target-like docs above off-target docs; target ≡ raw zeroes out") {
+    // target: cat documents; raw: cats and dogs. A cat doc's hashed-gram
+    // mass sits in target-heavy buckets, so its log ratio must exceed
+    // every dog doc's.
+    val cats = (0 until 6).map(i => (i.toLong, s"cat purrs softly cat c$i"))
+    val dogs = (0 until 6).map(i => (100L + i, s"dog barks loudly dog d$i"))
+    val raw = (cats ++ dogs).toDF("doc_id", "text")
+    val target = cats.toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(raw, target, buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val worstCat = cats.map(c => w(c._1)).min
+    val bestDog = dogs.map(d => w(d._1)).max
+    assert(worstCat > bestDog, s"cat floor $worstCat vs dog ceiling $bestDog")
+    // target ≡ raw: every bucket's pt = pr, every weight exactly 0
+    val self = TextOps.dsirWeights(raw, raw, buckets = 256)
+      .collect().map(_.getLong(2)).toSet
+    assert(self == Set(0L))
+    // loud failure on an empty target (the nbFit convention)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.dsirWeights(raw, raw.filter(col("doc_id") < 0), buckets = 16)
+    }
+    assert(e.getMessage.contains("target"))
+  }
+
+  test("dsirWeights is partitioning-invariant (integer micro-sums, no float folds)") {
+    val docs = Tables.documents(spark, sf001)
+    val a = TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = TextOps.dsirWeights(docs.repartition(7),
+        docs.filter(col("lang") === "en").repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   // ---- Bench.loadFloors: missing vs corrupt (ADVICE r15) ----------------
 
   test("loadFloors: absent file is silently empty; corrupt file is empty with a warning, not a crash") {
