@@ -1908,11 +1908,12 @@ object TextOps {
       |rc AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
       |tcn AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
       |tot AS (SELECT (SELECT count(*) FROM rb) AS nr, (SELECT count(*) FROM tb) AS nt),
+      |gs AS (SELECT unnest(generate_series(0, 1023)) AS b),
       |lr AS (SELECT gs.b,
       |         CAST(floor((ln((coalesce(tcn.c, 0) + 1.0) / (nt + 1024))
       |                   - ln((coalesce(rc.c, 0) + 1.0) / (nr + 1024))) * 1000000)
       |           AS BIGINT) AS lr
-      |       FROM generate_series(0, 1023) AS gs(b)
+      |       FROM gs
       |       LEFT JOIN tcn ON tcn.b = gs.b
       |       LEFT JOIN rc ON rc.b = gs.b
       |       CROSS JOIN tot)
