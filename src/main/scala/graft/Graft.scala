@@ -444,6 +444,15 @@ object Graft {
   def lmQuality(spark: SparkSession, dir: String): DataFrame =
     TextOps.qLmQuality.fn(spark, dir)
 
+  /** DSIR importance weights (F46, round 16): per raw doc, the integer-
+    * micro log-likelihood ratio of the target hashed-n-gram model vs the
+    * raw model. Feed to [[TextOps.weightedBernoulli]] (resampling — the
+    * paper's consumption) or per-source [[CalibratedKeep]] after joining
+    * the weight onto the docs. */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = 1024): DataFrame =
+    TextOps.dsirWeights(raw, target, buckets)
+
   /** Gap sessionization on transformWithState event-time timers. */
   def sessionizeTimers(events: org.apache.spark.sql.Dataset[streaming.StreamOps.Ev],
       gapMillis: Long = 600000L) =
