@@ -1856,15 +1856,20 @@ object TextOps {
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).as("b"))
-    def fit(df: org.apache.spark.sql.DataFrame): (Map[Long, Long], Long) = {
-      val rows = gramBuckets(df).groupBy(col("b"))
+    def fit(grams: org.apache.spark.sql.DataFrame): (Map[Long, Long], Long) = {
+      val rows = grams.groupBy(col("b"))
         .agg(count(lit(1)).as("c"))
         .collect() // bounded: ≤ buckets rows (partial-agg collapsed)
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       (rows, rows.values.sum)
     }
-    val (tc, tn) = fit(target)
-    val (rc, rn) = fit(raw)
+    // the raw gram frame feeds BOTH the raw fit and the scoring pass —
+    // checkpoint the slim (doc_id, bucket) rows once instead of
+    // re-splitting/re-exploding the corpus text (the d1/assignment-cache
+    // discipline; 16 bytes/gram, far smaller than the text it came from)
+    val rawGrams = gramBuckets(raw).localCheckpoint(eager = false)
+    val (tc, tn) = fit(gramBuckets(target))
+    val (rc, rn) = fit(rawGrams)
     require(tn > 0, "dsirWeights: target corpus has no grams — the " +
       "importance model is undefined (the nbFit/LangGate loud-failure convention)")
     require(rn > 0, "dsirWeights: raw corpus has no grams")
@@ -1873,7 +1878,7 @@ object TextOps {
       val pr = (rc.getOrElse(b, 0L) + 1.0) / (rn + buckets)
       math.floor((math.log(pt) - math.log(pr)) * 1e6).toLong
     }
-    gramBuckets(raw)
+    rawGrams
       .select(col("doc_id"),
         element_at(typedLit(lr), (col("b") + 1).cast("int")).as("lr"))
       .groupBy(col("doc_id"))
