@@ -125,6 +125,112 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** F47 (round 16): near-CONTAINMENT detection — every ORDERED doc pair
+    * (inner, outer) whose word-3-gram containment
+    * c(inner → outer) = |S(inner) ∩ S(outer)| / |S(inner)| ≥ `minC`
+    * (Broder 1997's second resemblance measure). The asymmetric twin of
+    * [[jaccardPairsOf]]: a crawl page that wraps a whole smaller document
+    * in boilerplate (quote pages, mirrors with chrome, aggregators) has
+    * LOW Jaccard against it — the union is container-sized — but the
+    * contained doc's containment is ≈ 1, which is the signal dedup and
+    * decontamination actually want there. Emits `c_millionths` =
+    * `i·10⁶ div |S(inner)|` (exact integer) per qualifying pair; exact
+    * duplicates appear in both directions at 10⁶.
+    *
+    * Scale: the prefix lemma is one-sided — a qualifying pair shares
+    * ≥ ⌈t·|A|⌉ shingles, so it shares one inside A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles under ANY global total order — hence
+    * only the INNER side explodes a prefix; the outer side is a full
+    * inverted index (the published cost of containment joins: no size
+    * upper bound may prune the container side, that asymmetry IS the
+    * semantics). The prefix ORDER is document-frequency ASCENDING
+    * (df, then hash — the AllPairs canonical order), NOT hash order:
+    * prefixes then hold each doc's RAREST shingles, so corpus-hot
+    * boilerplate shingles (chrome shared by every wrapper page — df in
+    * the millions, and exactly what a containment corpus is full of)
+    * sit at the END of the order and never enter the candidate join.
+    * Measured on the 1.1M-doc cert: hash-ordered prefixes let 6 chrome
+    * shingles × 100k-df each into the join (~10⁹ candidates, unusable);
+    * df-ordered prefixes finish the same corpus in seconds with the
+    * IDENTICAL result set (the lemma holds for any order — spec-pinned
+    * against the exhaustive join). Costs one df partial-agg + one join
+    * + a per-doc bounded re-sort over the corpus, all linear.
+    * Candidates verify with the same codegen `sorted_intersect_count`
+    * merge over the hash-sorted full arrays.
+    */
+  def containmentPairs(s: SparkSession, docs: DataFrame, minC: Double): DataFrame = {
+    require(minC > 0.0 && minC <= 1.0, s"minC must be in (0, 1], got $minC")
+    VectorFunctions.register(s)
+    val t = minC
+    // ONE plan instance feeds the prefix side, the index side, and both
+    // verify joins (the round-14 shared-instance lesson: fresh subtrees
+    // re-execute the shingle scan)
+    val base = docs
+      .select(col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(MinHash.GramLen)).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
+      .filter(col("sz") > 0)
+    val sh = base.select(col("doc_id"), col("sz"), explode(col("shs")).as("shh"))
+    // global df per shingle: partial-agg collapsed, hot shingles = one row
+    val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("__df"))
+    val prefLen = (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")
+    // per-doc df-ascending prefix: bounded by doc length (the per-doc
+    // collect/sort bound of F11/F30), never a corpus structure
+    val inner = sh.join(df, Seq("shh"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("shh")))).as("ord"))
+      .select(col("doc_id").as("inner_id"), col("sz").as("sa"),
+        explode(slice(col("ord"), lit(1), prefLen)).as("p"))
+      .select(col("inner_id"), col("sa"), col("p.shh").as("shh"))
+    val outer = base.select(col("doc_id").as("outer_id"), col("sz").as("sb"),
+      explode(col("shs")).as("shh"))
+    val cand = inner.join(outer, Seq("shh"))
+      // i ≤ sb, so sb ≥ t·sa is a necessary size screen; no upper bound
+      // on the container — asymmetry is the point
+      .filter(col("inner_id") =!= col("outer_id") &&
+        col("sb").cast("double") >= col("sa") * lit(t))
+      .select(col("inner_id"), col("outer_id"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("inner_id"), col("shs").as("a_shs"),
+        col("sz").as("sa")), Seq("inner_id"))
+      .join(base.select(col("doc_id").as("outer_id"), col("shs").as("b_shs")),
+        Seq("outer_id"))
+      .withColumn("i",
+        call_function("sorted_intersect_count", col("a_shs"), col("b_shs")))
+      .filter(col("i").cast("double") / col("sa") >= t)
+      .select(col("inner_id"), col("outer_id"),
+        expr("(i * 1000000L) div sa").as("c_millionths"))
+  }
+
+  /** Graded F47 query: ordered containment pairs at 0.75 over the
+    * documents corpus (exact-dup families surface in both directions at
+    * 10⁶; asymmetric near-containments surface one-way). The oracle
+    * recomputes distinct shingles, per-direction intersection counts,
+    * and the integer containment from scratch — so the hash grades the
+    * prefix filter's exactness, the direction semantics, and the
+    * integer arithmetic end to end.
+    */
+  val qContainment = Q(
+    "q_f47_containment",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         generate_series(1, len(t) - 2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM sp),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT inner_id, outer_id,
+      |       CAST(i * 1000000 // sa.sz AS BIGINT) AS c_millionths
+      |FROM inter JOIN sizes sa ON sa.doc_id = inner_id
+      |WHERE i * 1.0 / sa.sz >= 0.75
+      |ORDER BY inner_id, outer_id""".stripMargin) { (s, d) =>
+    containmentPairs(s, documents(s, d), minC = 0.75)
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
   /** Edit-distance near-dup pairs: every unordered doc pair within
     * `maxDist` Levenshtein edits, id-canonicalized (a_id < b_id).
     *
@@ -1206,5 +1312,6 @@ object Dedup {
   }
 
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
-    qIncrementalDedup, qDedupKeepBest, qGroupedSplit, qSoftDedupClustered)
+    qIncrementalDedup, qDedupKeepBest, qGroupedSplit, qSoftDedupClustered,
+    qContainment)
 }

@@ -2060,6 +2060,45 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("contain16")) {
+      // F47 certification (round 16): 1M base docs (unique hash-token
+      // texts, 12–19 tokens) + 100k boilerplate-WRAPPED copies (every
+      // 10th base doc re-emitted inside an 8-token chrome wrapper — the
+      // published quote-page/mirror shape). Ground truth: each wrapped
+      // copy CONTAINS its base exactly (containment 10⁶ base→wrapper;
+      // the wrapper's containment in the base is ~0.55 — below the 0.9
+      // gate), unique filler makes cross-pairs impossible. Asserts the
+      // pair set is EXACTLY the 100k planted (base → wrapper) rows.
+      val n = 1000000L
+      def textOf(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+        transform(sequence(lit(0), (pmod(hash(idc), lit(8)) + lit(11)).cast("int")),
+          i => concat(lit("u"), idc, lit("_"), pmod(hash(idc * 31 + i), lit(997)))))
+      val bases = spark.range(0, n).select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+      val wrapped = spark.range(0, n).filter(col("id") % 10 === 0)
+        .select((col("id") + 10000000L).as("doc_id"),
+          concat(lit("hdr nav chrome menu "), textOf(col("id")),
+            lit(" footer links legal copyright")).as("text"))
+      val docs = bases.unionByName(wrapped).localCheckpoint(eager = true)
+      println(s"ADHOC contain16 corpus=${docs.count()}")
+      var pairs: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"contain16 rep=$rep") {
+          pairs = Dedup.containmentPairs(spark, docs, minC = 0.9)
+            .localCheckpoint(eager = true)
+          pairs.count()
+        }
+      }
+      val nPairs = pairs.count()
+      val want = n / 10
+      val exact = pairs.filter(col("inner_id") + 10000000L === col("outer_id") &&
+        col("c_millionths") === 1000000L).count()
+      println(s"ADHOC contain16 pairs=$nPairs planted=$want exact_planted=$exact")
+      assert(nPairs == want && exact == want,
+        s"containment recall/precision failed: $nPairs pairs, $exact planted of $want")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("dsir16")) {
       // F46 certification (round 16): 1M raw docs (two interleaved
       // styles — 'web' filler vs 'book' filler vocabularies) scored

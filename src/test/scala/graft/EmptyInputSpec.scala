@@ -62,10 +62,12 @@ class EmptyInputSpec extends SparkSpec {
       // soft-dedup weights of nothing — all empty, never a throw
       "q_f40_rrf_fusion", "q_f41_hard_negatives", "q_f42_grouped_split",
       "q_f43_gopher_rep", "q_f44_score_calibration", "q_f45_soft_dedup",
-      // round 16: clustered soft-dedup weights of an empty corpus
-      // (q_f41b is absent by design: kmeansFitExact fails LOUDLY below
-      // k vectors — the q_f36 convention)
-      "q_f45b_soft_dedup_clustered")
+      // round 16: clustered soft-dedup weights / containment pairs /
+      // BM25⊕dense fusion of an empty corpus (q_f41b and q_f46 are
+      // absent by design: kmeansFitExact and the DSIR fits fail LOUDLY
+      // on empty inputs — the q_f36/nbFit convention)
+      "q_f45b_soft_dedup_clustered", "q_f47_containment",
+      "q_f40b_rrf_bm25_dense")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -51,8 +51,9 @@ class NullInputSpec extends SparkSpec {
       "q_f40_rrf_fusion", "q_f42_grouped_split", "q_f43_gopher_rep",
       "q_f44_score_calibration", "q_f45_soft_dedup",
       // round 16: clustered weights place null-text docs too (CC nodes
-      // are ids; a shingle-less doc is its own singleton, weight 10⁶)
-      "q_f45b_soft_dedup_clustered")
+      // are ids; a shingle-less doc is its own singleton, weight 10⁶);
+      // containment drops null/short texts (no shingles, no pairs)
+      "q_f45b_soft_dedup_clustered", "q_f47_containment")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

@@ -268,6 +268,59 @@ class Round16OpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- F47: near-containment detection -----------------------------------
+
+  test("containmentPairs: a boilerplate-wrapped copy is caught one-way where Jaccard misses it") {
+    val innerText = "alpha beta gamma delta epsilon zeta eta theta"
+    val wrapper = "nav home about " + innerText + " footer contact terms privacy copyright " +
+      "subscribe newsletter related links sitemap search login"
+    val docs = Seq(
+      (1L, innerText),                       // the contained doc
+      (2L, wrapper),                         // the container
+      (3L, "totally unrelated words here that share no shingles at all with others"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(spark, docs, minC = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1's shingles all appear in doc 2 → containment 10⁶ one way only
+    assert(got == Set((1L, 2L, 1000000L)), got.toString)
+    // Jaccard at the same strength misses it (union is container-sized)
+    assert(Dedup.jaccardPairsOf(spark, docs, 0.9).count() == 0)
+  }
+
+  test("prefix-filtered containmentPairs ≡ the exhaustive ordered join (the lemma is exact)") {
+    val rnd = new scala.util.Random(16)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val bases = (0 until 60).map { i =>
+      val n = 4 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant wrapped copies of every 5th doc so each threshold sees real
+    // containments (plus whatever the random collisions produce)
+    val wrapped = bases.collect { case (id, text) if id % 5 == 0 =>
+      (1000L + id, s"hdr$id nav chrome $text footer$id links legal") }
+    val docs = (bases ++ wrapped).toDF("doc_id", "text").localCheckpoint()
+    for (t <- Seq(0.5, 0.75, 0.9)) {
+      val fast = Dedup.containmentPairs(spark, docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // exhaustive reference: full shingle equi-join, no prefix filter
+      val sh = docs.select(col("doc_id"),
+          explode(call_function("shingle_hashes", col("text"), lit(3))).as("h"))
+        .distinct()
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val slow = sh.select(col("doc_id").as("inner_id"), col("h"))
+        .join(sh.select(col("doc_id").as("outer_id"), col("h")), Seq("h"))
+        .filter(col("inner_id") =!= col("outer_id"))
+        .groupBy(col("inner_id"), col("outer_id")).agg(count(lit(1)).as("i"))
+        .join(sz.select(col("doc_id").as("inner_id"), col("sz").as("sa")), Seq("inner_id"))
+        .filter(col("i").cast("double") / col("sa") >= t)
+        .select(col("inner_id"), col("outer_id"),
+          expr("(i * 1000000L) div sa").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == slow, s"t=$t: fast ${fast.size} vs exhaustive ${slow.size}")
+      assert(t > 0.5 || slow.nonEmpty, "the law must exercise non-empty pair sets")
+    }
+  }
+
   // ---- Bench.loadFloors: missing vs corrupt (ADVICE r15) ----------------
 
   test("loadFloors: absent file is silently empty; corrupt file is empty with a warning, not a crash") {
