@@ -227,4 +227,44 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(prunedFiles > 0 && prunedFiles < allFiles,
       s"pruned=$prunedFiles all=$allFiles")
   }
+
+  // ---- round-16 plan pins: the claims PLANS.md records, made durable ----
+
+  test("round-16 ops execute with the promised plan shapes (windows, heaps, collapses)") {
+    val docs = Tables.documents(spark, sf001)
+    def executed(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    // F43: the whole repetition report runs window-free (conditional
+    // struct-min argmax, never a per-doc rank)
+    val p43 = executed(TextOps.gopherRepetitionReport(docs))
+    assert(!p43.contains("Window"), s"F43 must stay window-free:\n$p43")
+    // F45/F45b: soft-dedup weights are aggregate+join, never a window
+    assert(!executed(TextOps.softDedupWeights(docs)).contains("Window"))
+    // F44: the executed plan must carry the tie-run THIRD level — the
+    // per-run id sub-bucket column partitions the row-level window
+    val p44 = executed(TextOps.scoreCalibration(docs, "n_chars"))
+    assert(p44.contains("__ib"),
+      s"F44's id-sub-bucket level missing from the executed plan:\n$p44")
+    // F41/F41b: candidate ranking is the bounded-heap partial aggregate
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val p41 = executed(Similarity.hardNegatives(spark, queries, emb, k = 3))
+    assert(p41.contains("partial_collect_top_k"),
+      s"F41 must rank through the partial bounded heap:\n$p41")
+    val model = Similarity.KmeansModel(Seq(Seq.fill(64)(1000000L), Seq.fill(64)(1500000L)))
+    val p41b = executed(Similarity.hardNegativesClustered(spark, queries, emb,
+      k = 3, model, nprobe = 1))
+    assert(p41b.contains("partial_collect_top_k") && p41b.contains("kmeans_best_q"),
+      s"F41b must combine the assignment kernel with the partial heap:\n$p41b")
+    // F46: the scoring plan is explode + literal lookup + ONE aggregate —
+    // no join and no window may appear (the fits ran eagerly before)
+    val p46 = executed(TextOps.dsirWeights(docs, docs.filter(col("lang") === "en")))
+    assert(!p46.contains("Join") && !p46.contains("Window"),
+      s"F46 scoring must be join- and window-free:\n$p46")
+    // F47: candidates verify through the codegen merge kernel
+    val p47 = executed(Dedup.containmentPairs(spark, docs, minC = 0.75))
+    assert(p47.contains("sorted_intersect_count"),
+      s"F47 must verify via the merge kernel:\n$p47")
+  }
 }
