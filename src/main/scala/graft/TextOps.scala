@@ -2274,6 +2274,135 @@ object TextOps {
     sourceOverlapMatrix(documents(s, d))
   }
 
+  /** F48 (round 16): temperature-scaled source budgets — the published
+    * α-sampling rule for multilingual/multi-source mixtures (mT5 §3.1,
+    * XLM-R, CC-100: P(s) ∝ n_s^α with α ∈ [0, 1]; α = 1 is proportional,
+    * α = 0 is uniform, α ≈ 0.3 is the multilingual default): derive each
+    * source's TOKEN budget from the corpus' own per-source token mass,
+    * then feed the table to [[tokenBudgetMix]] (F33) — turning the two
+    * published knobs (temperature, total budget) into a materialized,
+    * deterministic mixture.
+    *
+    * Exactness: the ONLY float step is the driver-side micro
+    * quantization `w_s = floor(n_s^α · 10⁶)` (the F29/F46 ln/pow
+    * discipline); the apportionment of `totalTokens` over the w_s is
+    * exact INTEGER largest-remainder (quotas/remainders in BigInt — the
+    * epochMix HUGEINT precedent — remainder ties broken by source name),
+    * so budgets sum to `totalTokens` EXACTLY and the whole table is a
+    * pure function of (corpus, α, total).
+    *
+    * Scale: one per-source partial agg (alphabet-bounded pull — the
+    * nbFit/langIdFit boundary), everything after is driver arithmetic
+    * over ≤ |sources| rows. Returns (source, n_docs, n_tokens,
+    * weight_micros, budget_tokens) ordered by source.
+    */
+  def temperatureBudgets(docs: org.apache.spark.sql.DataFrame, alpha: Double,
+      totalTokens: Long, sourceCol: String = "source")
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(totalTokens >= 0, s"totalTokens must be non-negative, got $totalTokens")
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = docs.filter(col("text").isNotNull && col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .collect() // bounded: the source alphabet
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (t.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_tokens", "weight_micros", "budget_tokens")
+    val wm = t.map { case (src, nd, nt) =>
+      (src, nd, nt, math.floor(math.pow(nt.toDouble, alpha) * 1e6).toLong)
+    }
+    val bigW = wm.map(x => BigInt(x._4)).sum
+    val quotas = wm.map { case (src, nd, nt, w) =>
+      val prod = BigInt(totalTokens) * w
+      (src, nd, nt, w, (prod / bigW).toLong, prod % bigW)
+    }
+    val leftover = totalTokens - quotas.map(_._5).sum // < |sources| by LR
+    val bump = quotas.sortBy { case (src, _, _, _, _, rem) => (-rem, src) }
+      .take(leftover.toInt).map(_._1).toSet
+    quotas
+      .map { case (src, nd, nt, w, b, _) =>
+        (src, nd, nt, w, b + (if (bump(src)) 1L else 0L))
+      }
+      .sortBy(_._1)
+      .toSeq
+      .toDF("source", "n_docs", "n_tokens", "weight_micros", "budget_tokens")
+  }
+
+  /** [[temperatureBudgets]] as the Map form [[tokenBudgetMix]] consumes. */
+  def temperatureBudgetMap(docs: org.apache.spark.sql.DataFrame, alpha: Double,
+      totalTokens: Long, sourceCol: String = "source"): Map[String, Long] =
+    temperatureBudgets(docs, alpha, totalTokens, sourceCol)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+
+  /** Shared oracle CTEs for F48: per-source token mass → micro-quantized
+    * n^0.3 weights → exact HUGEINT largest-remainder apportionment of
+    * 100k tokens. `bud` is (source, n_docs, n_tokens, wm, budget).
+    */
+  private val temperatureOracleCtes =
+    """t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      |      GROUP BY source),
+      |wq AS (SELECT t.*, CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1000000)
+      |                      AS BIGINT) AS wm FROM t),
+      |ws AS (SELECT sum(CAST(wm AS HUGEINT)) AS W FROM wq),
+      |q AS (SELECT source, n_docs, n_tokens, wm,
+      |        CAST((100000::HUGEINT * wm) // W AS BIGINT) AS base,
+      |        (100000::HUGEINT * wm) % W AS rem
+      |      FROM wq CROSS JOIN ws),
+      |lo AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM q),
+      |bud AS (SELECT source, n_docs, n_tokens, wm,
+      |          base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |                        <= leftover THEN 1 ELSE 0 END AS budget
+      |        FROM q CROSS JOIN lo)""".stripMargin
+
+  /** Graded F48 query: α = 0.3 (the multilingual default), 100k-token
+    * total over the documents corpus. The oracle recomputes the
+    * per-source mass, the micro-quantized pow weights, and the HUGEINT
+    * largest-remainder apportionment from scratch — so the hash grades
+    * the quantization, the integer quota arithmetic, the remainder tie
+    * order, and the budgets-sum-exactly property end to end.
+    */
+  val qTemperatureBudgets = Q(
+    "q_f48_temperature_budgets",
+    s"""WITH $temperatureOracleCtes
+      |SELECT source, n_docs, n_tokens, wm AS weight_micros,
+      |       CAST(budget AS BIGINT) AS budget_tokens
+      |FROM bud ORDER BY source""".stripMargin) { (s, d) =>
+    temperatureBudgets(documents(s, d), alpha = 0.3, totalTokens = 100000L)
+  }
+
+  /** Graded F48b query: the COMPOSITION — F33's deterministic greedy
+    * fill under the F48 temperature budgets (the published two-step:
+    * derive mixture weights, then materialize the mixture). The oracle
+    * recomputes budgets AND the one-window fill, so the hash grades the
+    * handoff (budget table → fill cutoff) end to end.
+    */
+  val qTemperatureMix = Q(
+    "q_f48b_temperature_mix",
+    s"""WITH $temperatureOracleCtes,
+      |d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT d.*, sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+      |                                    ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM d)
+      |SELECT c.doc_id, c.source, c.n_toks,
+      |       CAST(c.cum - c.n_toks AS BIGINT) AS cum_before
+      |FROM c JOIN bud USING (source)
+      |WHERE c.cum - c.n_toks < bud.budget
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    tokenBudgetMix(docs, temperatureBudgetMap(docs, 0.3, 100000L))
+      .orderBy(col("doc_id"))
+  }
+
   /** F33 (round 14): token-budget mix construction — materialize a
     * training mixture by subsampling each source down to a TOKEN budget
     * (the published mixture-weight step: The Pile's per-source epoch
@@ -2771,7 +2900,8 @@ object TextOps {
     qRepetition, qGopherRep, qScoreCalibration, qSoftDedup, qPiiRedact,
     qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
-    qTokenBudgetMix, qEpochMix, qShuffleShards, qCurriculumShards,
+    qTokenBudgetMix, qTemperatureBudgets, qTemperatureMix,
+    qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense, qDsirWeights,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

@@ -67,7 +67,10 @@ class EmptyInputSpec extends SparkSpec {
       // absent by design: kmeansFitExact and the DSIR fits fail LOUDLY
       // on empty inputs — the q_f36/nbFit convention)
       "q_f45b_soft_dedup_clustered", "q_f47_containment",
-      "q_f40b_rrf_bm25_dense")
+      "q_f40b_rrf_bm25_dense",
+      // round 16: temperature budgets/mix of an empty corpus — an empty
+      // budget table and an empty fill, never a throw
+      "q_f48_temperature_budgets", "q_f48b_temperature_mix")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -53,7 +53,9 @@ class NullInputSpec extends SparkSpec {
       // round 16: clustered weights place null-text docs too (CC nodes
       // are ids; a shingle-less doc is its own singleton, weight 10⁶);
       // containment drops null/short texts (no shingles, no pairs)
-      "q_f45b_soft_dedup_clustered", "q_f47_containment")
+      "q_f45b_soft_dedup_clustered", "q_f47_containment",
+      // round 16: temperature budgets/mix drop null-text/null-source rows
+      "q_f48_temperature_budgets", "q_f48b_temperature_mix")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

@@ -321,6 +321,46 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- F48: temperature-scaled mixture budgets ---------------------------
+
+  test("temperatureBudgets: exact sum, α endpoints, and the downweight-the-giant property") {
+    // sources with wildly different masses: 'big' 10× 'small'
+    val docs = ((0 until 100).map(i => (i.toLong, "big", "a b c d e")) ++
+      (100 until 110).map(i => (i.toLong, "small", "a b c d e")))
+      .toDF("doc_id", "source", "text")
+    def budgets(alpha: Double) = TextOps.temperatureBudgets(docs, alpha, 9999L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // α = 1: proportional to token mass (500 vs 50 → 10:1)
+    val b1 = budgets(1.0)
+    assert(b1.values.sum == 9999L)
+    assert(b1("big").toDouble / b1("small") > 9.0 && b1("big").toDouble / b1("small") < 11.0)
+    // α = 0: uniform (n^0 = 1 per source) — as equal as integers allow
+    val b0 = budgets(0.0)
+    assert(b0.values.sum == 9999L && math.abs(b0("big") - b0("small")) <= 1)
+    // α = 0.3: strictly between — the giant is down-weighted
+    val b3 = budgets(0.3)
+    assert(b3.values.sum == 9999L)
+    val ratio3 = b3("big").toDouble / b3("small")
+    assert(ratio3 > 1.0 && ratio3 < 9.0, s"alpha=0.3 ratio was $ratio3")
+    intercept[IllegalArgumentException] { TextOps.temperatureBudgets(docs, 1.5, 1L) }
+    intercept[IllegalArgumentException] { TextOps.temperatureBudgets(docs, 0.3, -1L) }
+    // empty corpus: an empty budget table, never a throw
+    assert(TextOps.temperatureBudgets(docs.filter(col("doc_id") < 0), 0.3, 100L)
+      .count() == 0)
+  }
+
+  test("temperature mix composition ≡ tokenBudgetMix under the derived budgets") {
+    val docs = Tables.documents(spark, sf001)
+    val budgets = TextOps.temperatureBudgetMap(docs, 0.3, 100000L)
+    assert(budgets.values.sum == 100000L)
+    val composed = TextOps.qTemperatureMix.fn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val direct = TextOps.tokenBudgetMix(docs, budgets)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(composed == direct && composed.nonEmpty)
+  }
+
   // ---- Bench.loadFloors: missing vs corrupt (ADVICE r15) ----------------
 
   test("loadFloors: absent file is silently empty; corrupt file is empty with a warning, not a crash") {
