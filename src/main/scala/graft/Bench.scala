@@ -411,7 +411,16 @@ object Bench {
         System.err.println("usage: Bench --one <queryName> <sfDir> <reps>")
         sys.exit(2)
       }
-      oneShotMain(args(1), args(2), args(3).toInt)
+      // round 17 (advice): a non-numeric reps must die with the same
+      // usage line, not a raw NumberFormatException stack trace
+      val reps = args(3).toIntOption.getOrElse {
+        System.err.println(
+          s"usage: Bench --one <queryName> <sfDir> <reps> — reps must be " +
+            s"an integer, got '${args(3)}'")
+        sys.exit(2)
+        0
+      }
+      oneShotMain(args(1), args(2), reps)
       return
     }
     val loadAmbient = loadAvg1m() // before the session exists — true ambient

@@ -231,6 +231,133 @@ object Dedup {
       .orderBy(col("inner_id"), col("outer_id"))
   }
 
+  /** F47b (round 17): containment DEDUP verdicts — the consumption half
+    * of [[containmentPairs]] (the round-16 verdict's gap: every other
+    * near-dup family got its composition — F11 groups, F31 keep-best,
+    * F45b weights, F28 verdicts — while containment, whose published use
+    * IS "drop the contained doc / strip the wrapper", emitted raw
+    * edges). Labels every document from the DIRECTED containment
+    * relation at `minC`:
+    *
+    *  - `contained` — some edge (d → o) has NO reverse edge: d is
+    *    strictly (near-)contained in a genuinely larger document; drop
+    *    it, the container carries its content (Broder '97's use case —
+    *    quote pages, boilerplate-wrapped mirrors, aggregators);
+    *  - `dup_loser` — d's only containments are MUTUAL (the exact-dup
+    *    family: both directions ≥ minC) and some mutual partner beats it
+    *    by (`weight` DESC, doc_id ASC) — the F31 keep-best treatment;
+    *  - `kept` — everything else (docs with no out-edges, and each
+    *    mutual family's best member).
+    *
+    * Tie/cycle semantics are pinned ONE-PASS, like
+    * [[incrementalDedupVerdicts]]' smaller-id-wins rule and unlike CC's
+    * transitive closure: d is `contained` even if its container is
+    * itself contained (a chain a ⊂ b ⊂ c keeps only c — a's content
+    * rides in b's, which rides in c's), a `dup_loser` loses to ANY
+    * beating mutual partner, surviving or not (mutual partners are
+    * near-identical by construction — one of them survives unless a
+    * strict container drops the whole family, which is the correct
+    * outcome for a family of wrapped copies), and a non-mutual cycle
+    * (a near-threshold measure-zero artifact) drops all members — the
+    * conservative direction for dedup. One pass means the contract is
+    * plain NOT-EXISTS SQL (the DuckDB oracle) and stable under any
+    * partitioning. `weight` must be deterministic and non-NULL on every
+    * doc that has an edge (the [[dedupKeepBest]] convention — coalesce
+    * to a sentinel before calling).
+    *
+    * Scale: the verdict logic runs entirely on the SLIM edge list (one
+    * self-join for mutuality detection — edges are near-dup-sparse, not
+    * corpus-quadratic, by the prefix filter), two weight lookups keyed
+    * on doc_id, and one distinct per label; the corpus-sized work is
+    * [[containmentPairs]] itself. The edge list is localCheckpoint'd
+    * once and feeds both sides of the mutual self-join (the round-14
+    * shared-instance lesson).
+    */
+  def containmentVerdicts(s: SparkSession, docs: DataFrame, minC: Double,
+      weight: org.apache.spark.sql.Column): DataFrame = {
+    val e = containmentPairs(s, docs, minC)
+      .select(col("inner_id"), col("outer_id"))
+      .localCheckpoint(eager = false) // slim; feeds both mutual-join sides
+    val rev = e.select(col("outer_id").as("inner_id"),
+      col("inner_id").as("outer_id"), lit(true).as("__mut"))
+    val w = docs.select(col("doc_id"), weight.cast("long").as("__w"))
+    val marked = e.join(rev, Seq("inner_id", "outer_id"), "left")
+    val contained = marked.filter(!coalesce(col("__mut"), lit(false)))
+      .select(col("inner_id").as("doc_id")).distinct()
+      .withColumn("__c", lit(true))
+    val dupLost = marked.filter(coalesce(col("__mut"), lit(false)))
+      .join(w.select(col("doc_id").as("inner_id"), col("__w").as("__wi")),
+        Seq("inner_id"))
+      .join(w.select(col("doc_id").as("outer_id"), col("__w").as("__wo")),
+        Seq("outer_id"))
+      .filter(col("__wo") > col("__wi") ||
+        (col("__wo") === col("__wi") && col("outer_id") < col("inner_id")))
+      .select(col("inner_id").as("doc_id")).distinct()
+      .withColumn("__l", lit(true))
+    docs.select(col("doc_id"))
+      .join(contained, Seq("doc_id"), "left")
+      .join(dupLost, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("__c"), lit(false)), lit("contained"))
+          .when(coalesce(col("__l"), lit(false)), lit("dup_loser"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
+  /** [[containmentVerdicts]] applied: the input rows whose verdict is
+    * `kept`, original schema unchanged — the drop-contained curation
+    * primitive. */
+  def dropContained(s: SparkSession, docs: DataFrame, minC: Double,
+      weight: org.apache.spark.sql.Column): DataFrame =
+    docs.join(
+      containmentVerdicts(s, docs, minC, weight)
+        .filter(col("verdict") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** Graded F47b query: containment verdicts at 0.75 with the F31 weight
+    * treatment (n_chars DESC, doc_id ASC). The oracle recomputes the
+    * directed edge relation from scratch (shingles, per-direction
+    * intersections, the one-sided threshold) and then derives the labels
+    * with independent NOT-EXISTS/CASE formulations — so the hash grades
+    * the mutuality detection, the beats order, the one-pass chain/cycle
+    * semantics, and the kept default end to end over the full corpus.
+    */
+  val qContainmentVerdicts = Q(
+    "q_f47b_containment_verdicts",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         generate_series(1, len(t) - 2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM sp),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2),
+      |edges AS (SELECT inner_id, outer_id
+      |          FROM inter JOIN sizes sa ON sa.doc_id = inner_id
+      |          WHERE i * 1.0 / sa.sz >= 0.75),
+      |m AS (SELECT e.inner_id, e.outer_id,
+      |             EXISTS (SELECT 1 FROM edges r
+      |                     WHERE r.inner_id = e.outer_id
+      |                       AND r.outer_id = e.inner_id) AS mut
+      |      FROM edges e),
+      |c AS (SELECT DISTINCT inner_id AS doc_id FROM m WHERE NOT mut),
+      |l AS (SELECT DISTINCT m.inner_id AS doc_id
+      |      FROM m JOIN documents wi ON wi.doc_id = m.inner_id
+      |             JOIN documents wo ON wo.doc_id = m.outer_id
+      |      WHERE m.mut AND (wo.n_chars > wi.n_chars
+      |        OR (wo.n_chars = wi.n_chars AND m.outer_id < m.inner_id)))
+      |SELECT d.doc_id,
+      |       CASE WHEN c.doc_id IS NOT NULL THEN 'contained'
+      |            WHEN l.doc_id IS NOT NULL THEN 'dup_loser'
+      |            ELSE 'kept' END AS verdict
+      |FROM documents d
+      |LEFT JOIN c ON c.doc_id = d.doc_id
+      |LEFT JOIN l ON l.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    containmentVerdicts(s, documents(s, d), minC = 0.75, col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance near-dup pairs: every unordered doc pair within
     * `maxDist` Levenshtein edits, id-canonicalized (a_id < b_id).
     *
@@ -1313,5 +1440,5 @@ object Dedup {
 
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
     qIncrementalDedup, qDedupKeepBest, qGroupedSplit, qSoftDedupClustered,
-    qContainment)
+    qContainment, qContainmentVerdicts)
 }

@@ -599,6 +599,25 @@ object Graft {
     require(scale > 0, s"scale must be positive, got $scale")
   }
 
+  /** DSIR importance-resampling gate (F46b wired into curation — round
+    * 17, verdict item 1): keep each surviving document with probability
+    * exp((w − max)/10⁶), w = its [[TextOps.dsirWeights]] log-likelihood
+    * ratio of `target` vs the POOL ENTERING THE STAGE (the paper's raw
+    * model fit on what earlier gates admitted — fitting on the raw
+    * corpus instead would let already-dropped junk shape the importance
+    * model). The published alternative to classifier gating when the
+    * "good" corpus is small: Wikipedia/books as `target`, the crawl as
+    * raw. Batch-only: the raw fit needs the whole pool (stream arrivals
+    * would need a fit→freeze raw reference — the CalibratedKeep frozen
+    * arm, not built until a user needs it). Unscorable docs (gramless
+    * text) drop — the CalibratedKeep conservative direction. See
+    * [[TextOps.dsirResample]] for the draw's exactness contract.
+    */
+  final case class DsirKeep(target: DataFrame, buckets: Int = 1024,
+      seed: Long = 0L, checkpointDir: Option[String] = None) {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+  }
+
   /** Calibrated per-source quality gate (F44 wired into curation — round
     * 16, verdict item 4): keep documents whose PER-SOURCE percent rank of
     * `score` is ≥ `minPctMillionths` — the published "top q% of every
@@ -711,6 +730,9 @@ object Graft {
     *     16) — keep only docs in the top q% of THEIR source by the F44
     *     percent rank ([[CalibratedKeep]]): exact pool rank by default,
     *     frozen-reference mode for cross-corpus gating
+    *  5d. DSIR importance resampling (when `dsir` is given, round 17) —
+    *     keep each survivor w.p. exp((w − max)/10⁶), w = the F46
+    *     target-vs-pool log-likelihood ratio ([[DsirKeep]])
     *  6. contamination screen — broadcast Aho–Corasick, drop any hit
     *  7. eval decontamination (when `evalDocs` is given) — drop any doc
     *     sharing a 10-token window with the held-out eval corpus (F22)
@@ -733,13 +755,14 @@ object Graft {
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None,
-      calibrated: Option[CalibratedKeep] = None): DataFrame =
+      calibrated: Option[CalibratedKeep] = None,
+      dsir: Option[DsirKeep] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
         normalize = normalize, langGate = langGate,
         classifier = classifier, weighted = weighted,
-        calibrated = calibrated).last._2)
+        calibrated = calibrated, dsir = dsir).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -770,12 +793,13 @@ object Graft {
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None,
-      calibrated: Option[CalibratedKeep] = None): (DataFrame, Seq[StageCount]) = {
+      calibrated: Option[CalibratedKeep] = None,
+      dsir: Option[DsirKeep] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
       normalize = normalize, langGate = langGate,
       classifier = classifier, weighted = weighted,
-      calibrated = calibrated)
+      calibrated = calibrated, dsir = dsir)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -979,7 +1003,8 @@ object Graft {
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None,
-      calibrated: Option[CalibratedKeep] = None): Seq[(String, DataFrame)] = {
+      calibrated: Option[CalibratedKeep] = None,
+      dsir: Option[DsirKeep] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
@@ -1053,8 +1078,12 @@ object Graft {
     val d3d = calibrated.fold(d3c) { ck =>
       ck.reference match {
         case None =>
+          // round 17 (advice): thread ck.buckets through — rank exactness
+          // is bucket-invariant, but the knob must mean the same thing in
+          // both modes (callers tune it for the frozen fit's granularity)
           val pct = TextOps.scoreCalibration(
-            d3c.withColumn("__cal_s", ck.score), "__cal_s", ck.sourceCol)
+            d3c.withColumn("__cal_s", ck.score), "__cal_s", ck.sourceCol,
+            buckets = ck.buckets)
           d3c.join(
             pct.filter(col("pct_millionths") >= ck.minPctMillionths)
               .select("doc_id"),
@@ -1064,9 +1093,19 @@ object Graft {
             ck.model.pctCol(ck.score, col(ck.sourceCol)) >= ck.minPctMillionths)
       }
     }
-    val clean = TextOps.contaminationScanAC(d3d, screenPhrases)
+    // round-17 DSIR importance-resampling gate (F46b): target-vs-pool
+    // importance weights over the docs still alive, then the log-space
+    // exp-weight draw — the paper's resampling as a curation stage. The
+    // raw model fits on the POOL entering the stage (see DsirKeep).
+    val d3e = dsir.fold(d3d) { dk =>
+      d3d.join(
+        TextOps.dsirResample(d3d, dk.target, dk.buckets, dk.seed,
+          dk.checkpointDir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    val clean = TextOps.contaminationScanAC(d3e, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
-    val d4 = d3d.join(clean, Seq("doc_id"), "left_semi")
+    val d4 = d3e.join(clean, Seq("doc_id"), "left_semi")
     val core = Seq("input" -> raw) ++
       normalize.map(_ => "unicode_normalize" -> base).toSeq ++
       Seq("exact_dedup" -> d1, "neardup_dedup" -> d2) ++
@@ -1075,6 +1114,7 @@ object Graft {
       langGate.map(_ => "lang_gate" -> d3b).toSeq ++
       classifier.map(_ => "classifier_gate" -> d3c).toSeq ++
       calibrated.map(_ => "calibrated_keep" -> d3d).toSeq ++
+      dsir.map(_ => "dsir_resample" -> d3e).toSeq ++
       Seq("contamination" -> d4)
     val withDecontam = evalDocs match {
       case None => core

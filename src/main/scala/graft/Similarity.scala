@@ -1126,9 +1126,18 @@ object Similarity {
     * the scale path whenever k itself is large. The assigned frame is
     * localCheckpoint'd so the self-join's two sides share one assignment
     * pass instead of recomputing the kernel per side.
+    *
+    * Fault tolerance (`checkpointDir`, round 17 — the
+    * connectedComponents escape hatch applied to the assignment cache):
+    * localCheckpoint blocks die with their executor, killing the job
+    * between the assignment pass and the pair join on a real cluster;
+    * a reliable dir makes the cache replayable FILES, identical output
+    * (Round17OpsSpec pins equality). The dir also flows into the CC
+    * loop's own cuts.
     */
   def semanticClustersClustered(s: SparkSession, emb: DataFrame,
-      minCos: Double, k: Int = 0, iters: Int = 2): DataFrame = {
+      minCos: Double, k: Int = 0, iters: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
     val kEff =
       if (k > 0) k
       else {
@@ -1137,9 +1146,13 @@ object Similarity {
         math.ceil(math.sqrt(n.toDouble)).toInt
       }
     val model = kmeansFitExact(emb, kEff, iters)
-    val n = normedOf(s, emb.filter(col("embedding").isNotNull))
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    val assigned = normedOf(s, emb.filter(col("embedding").isNotNull))
       .withColumn("kc", model.assignCol(col("embedding")))
-      .localCheckpoint(eager = false) // both join sides share ONE assignment pass
+    // both join sides share ONE assignment pass
+    val n =
+      if (checkpointDir.isDefined) assigned.checkpoint(eager = false)
+      else assigned.localCheckpoint(eager = false)
     val a = n.select(col("kc"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = n.select(col("kc"), col("vec_id").as("b_id"),
@@ -1148,7 +1161,7 @@ object Similarity {
       .filter(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= minCos)
       .select(col("a_id"), col("b_id"))
     val cc = Dedup.connectedComponents(s, emb.select(col("vec_id").as("doc_id")),
-      within)
+      within, checkpointDir = checkpointDir)
     Dedup.withClusterSize(cc)
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("vec_id"))

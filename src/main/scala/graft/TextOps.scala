@@ -856,13 +856,28 @@ object TextOps {
     * never depends on density, only on id-contiguity of the slices).
     * The spec pins 64 ≡ 256 bucket invariance AND equality with the
     * one-window definition on a planted constant-score source.
+    *
+    * `idCol` must be numeric and non-NULL (the level-3 id-range
+    * arithmetic needs both); a NULL id raises at execution time rather
+    * than silently dropping the row (round 17, advice).
     */
   def scoreCalibration(docs: org.apache.spark.sql.DataFrame, scoreCol: String,
       sourceCol: String = "source", idCol: String = "doc_id",
       buckets: Int = 256): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // round 17 (advice): idCol must be numeric and non-NULL — the level-3
+    // sub-bucket id arithmetic and its equi-join would silently DROP a
+    // NULL-id row (NULL never equi-joins), so raise loudly instead (the
+    // splitByGroup NULL philosophy: a rankable row with no identity
+    // cannot be deterministically tie-ordered)
     val base = docs.filter(col(scoreCol).isNotNull && col(sourceCol).isNotNull)
-      .select(col(idCol), col(sourceCol), col(scoreCol).cast("double").as("__s"))
+      .select(
+        when(col(idCol).isNull,
+          raise_error(lit(s"scoreCalibration: NULL $idCol — the per-run " +
+            "tie order needs a non-NULL numeric id; filter or label NULL " +
+            "ids first")))
+          .otherwise(col(idCol)).as(idCol),
+        col(sourceCol), col(scoreCol).cast("double").as("__s"))
     val rng = base.groupBy(col(sourceCol))
       .agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"),
         count(lit(1)).as("__n"))
@@ -1836,11 +1851,19 @@ object TextOps {
     * a per-row literal-array lookup + ONE doc-keyed partial agg. The
     * ratio table rides as a plan literal (fine to ~10⁴ buckets — the
     * kmeans_best_q boundary); past that, put it in a broadcast frame.
-    * Feed the weights to F18b resampling or F44 calibration — DSIR's
-    * published consumption is exactly importance RESAMPLING.
+    * Feed the weights to [[dsirResample]] — DSIR's published consumption
+    * is exactly importance RESAMPLING (composed there, round 17).
+    *
+    * Fault tolerance (`checkpointDir`, round 17 — the
+    * connectedComponents escape hatch applied to the fit-side cache):
+    * the gram frame feeds the raw fit AND the scoring pass through a
+    * `localCheckpoint`, whose blocks die with their executor; on a real
+    * cluster pass a reliable dir and the cache becomes replayable FILES,
+    * identical output (Round17OpsSpec pins equality).
     */
   def dsirWeights(raw: org.apache.spark.sql.DataFrame,
-      target: org.apache.spark.sql.DataFrame, buckets: Int = 1024)
+      target: org.apache.spark.sql.DataFrame, buckets: Int = 1024,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     def gramBuckets(df: org.apache.spark.sql.DataFrame) = df
@@ -1867,7 +1890,10 @@ object TextOps {
     // checkpoint the slim (doc_id, bucket) rows once instead of
     // re-splitting/re-exploding the corpus text (the d1/assignment-cache
     // discipline; 16 bytes/gram, far smaller than the text it came from)
-    val rawGrams = gramBuckets(raw).localCheckpoint(eager = false)
+    checkpointDir.foreach(raw.sparkSession.sparkContext.setCheckpointDir)
+    val rawGrams =
+      if (checkpointDir.isDefined) gramBuckets(raw).checkpoint(eager = false)
+      else gramBuckets(raw).localCheckpoint(eager = false)
     val (tc, tn) = fit(gramBuckets(target))
     val (rc, rn) = fit(rawGrams)
     require(tn > 0, "dsirWeights: target corpus has no grams — the " +
@@ -1928,6 +1954,126 @@ object TextOps {
       |GROUP BY rb.doc_id ORDER BY rb.doc_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
     dsirWeights(docs, docs.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F46b (round 17): DSIR importance RESAMPLING — the consumption half
+    * of [[dsirWeights]] (the round-16 verdict's top gap: the paper's
+    * actual output is a resampled corpus, sampling ∝ exp(weight), and
+    * F46 produced only the number). Keeps each scored document with
+    * probability exp((w − m)/10⁶) where w is its `logratio_micros` and
+    * m is the corpus max (one bounded agg pull) — the self-normalized
+    * Bernoulli form of the paper's draw: the best-matching doc keeps
+    * with certainty and everything below decays exponentially, shifting
+    * the kept mass toward the target distribution.
+    *
+    * Exactness discipline (why the draw runs in LOG space): bridging
+    * through a linear `p_millionths` column floors every probability
+    * below 10⁻⁶ to zero — and ±10-ln-unit ratios, exactly where DSIR
+    * separates styles, live far below that. Instead the inclusion test
+    * is `⌊ln(u)·10⁶⌋ < w − m`: the per-doc side is a pure LONG subtend
+    * (exact at any magnitude), and the only per-row float is ONE ln of
+    * the dyadic rational u = (2h+1)/2³³ (h = the first 8 md5 hex digits
+    * of "seed:id" — the splitByGroup key shape), floored to micros — the
+    * F18c A-ES precedent, same cross-engine risk class as the fit's own
+    * ln. u ∈ (0,1) strictly, so the max-weight doc (p_log = 0) is always
+    * kept; u ≥ 2⁻³³ censors docs more than ~22.87 ln units below the
+    * max at p < 1.2·10⁻¹⁰ — below any practical resampling rate.
+    * Emits `p_log_micros` = w − m (= ln p·10⁶, exact integer): the
+    * Horvitz–Thompson factor is exp(−p_log_micros/10⁶), left to the
+    * consumer so the graded columns stay integer.
+    *
+    * Scale: [[dsirWeights]]' two bounded fits + one scoring pass, one
+    * scalar max pull, then a stateless per-row filter — zero extra
+    * shuffle; unscored docs (NULL/gramless text) are dropped, the
+    * CalibratedKeep conservative direction (an unscorable row cannot be
+    * proven target-like).
+    */
+  def dsirResample(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, buckets: Int = 1024,
+      seed: Long = 0L, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.DataFrame =
+    resampleByLogWeight(dsirWeights(raw, target, buckets, checkpointDir),
+      "doc_id", "logratio_micros", seed)
+
+  /** The generic log-space weighted Bernoulli behind [[dsirResample]]:
+    * keep each row w.p. exp((logWeight − max)/10⁶) — [[weightedBernoulli]]
+    * for weights that arrive as integer-micro LOG weights spanning
+    * hundreds of ln units, where the linear p_millionths bridge
+    * underflows. Anchor = one bounded max pull; draw = md5("seed:id");
+    * see [[dsirResample]] for the exactness contract. Appends
+    * `p_log_micros` (≤ 0). Fails loudly on an empty/unscored frame —
+    * an anchor-less draw has no semantics (the calibrationFit
+    * convention).
+    */
+  def resampleByLogWeight(df: org.apache.spark.sql.DataFrame, idCol: String,
+      logWeightCol: String, seed: Long = 0L)
+      : org.apache.spark.sql.DataFrame = {
+    val mRow = df.agg(max(col(logWeightCol).cast("long"))).head()
+    require(!mRow.isNullAt(0),
+      s"resampleByLogWeight: no row with a non-NULL $logWeightCol — the " +
+        "self-normalizing anchor is undefined (the calibrationFit " +
+        "loud-failure convention)")
+    val m = mRow.getLong(0)
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    df.filter(col(logWeightCol).isNotNull)
+      .withColumn("p_log_micros", col(logWeightCol).cast("long") - lit(m))
+      .filter(floor(log((h * 2 + 1) / lit(8589934592.0)) * 1e6).cast("long")
+        < col("p_log_micros"))
+  }
+
+  /** Graded F46b query: the q_f46 shape (target = the English slice,
+    * raw = the whole corpus) taken through the published consumption —
+    * models → ratios → per-doc sums → exp-weight draw. The oracle
+    * recomputes ALL of it from scratch: both hashed-bucket models, the
+    * micro-quantized log ratios, the integer sums, the corpus-max
+    * anchor, and the md5 log-space draw — so the hash grades the whole
+    * pipeline end to end, including the draw arithmetic at the kept/
+    * dropped boundary.
+    */
+  val qDsirResample = Q(
+    "q_f46b_dsir_resample",
+    """WITH rawsp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |               FROM documents WHERE text IS NOT NULL),
+      |tgtsp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |          FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+      |rg AS (SELECT doc_id, unnest(t) AS g FROM rawsp
+      |       UNION ALL
+      |       SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |       FROM rawsp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |tg AS (SELECT doc_id, unnest(t) AS g FROM tgtsp
+      |       UNION ALL
+      |       SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |       FROM tgtsp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |rb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM rg),
+      |tb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM tg),
+      |rc AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+      |tcn AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM rb) AS nr, (SELECT count(*) FROM tb) AS nt),
+      |gs AS (SELECT unnest(generate_series(0, 1023)) AS b),
+      |lr AS (SELECT gs.b,
+      |         CAST(floor((ln((coalesce(tcn.c, 0) + 1.0) / (nt + 1024))
+      |                   - ln((coalesce(rc.c, 0) + 1.0) / (nr + 1024))) * 1000000)
+      |           AS BIGINT) AS lr
+      |       FROM gs
+      |       LEFT JOIN tcn ON tcn.b = gs.b
+      |       LEFT JOIN rc ON rc.b = gs.b
+      |       CROSS JOIN tot),
+      |w AS (SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |             CAST(sum(lr.lr) AS BIGINT) AS logratio_micros
+      |      FROM rb JOIN lr ON lr.b = rb.b GROUP BY rb.doc_id),
+      |mx AS (SELECT max(logratio_micros) AS m FROM w)
+      |SELECT doc_id, n_grams, logratio_micros,
+      |       logratio_micros - mx.m AS p_log_micros
+      |FROM w CROSS JOIN mx
+      |WHERE CAST(floor(ln(
+      |        (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |          * 2 + 1) / 8589934592.0) * 1000000) AS BIGINT)
+      |      < logratio_micros - mx.m
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    dsirResample(docs, docs.filter(col("lang") === "en"))
       .orderBy(col("doc_id"))
   }
 
@@ -2903,5 +3049,6 @@ object TextOps {
     qTokenBudgetMix, qTemperatureBudgets, qTemperatureMix,
     qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense, qDsirWeights,
+    qDsirResample,
     qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
 }

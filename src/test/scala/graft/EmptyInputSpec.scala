@@ -70,7 +70,11 @@ class EmptyInputSpec extends SparkSpec {
       "q_f40b_rrf_bm25_dense",
       // round 16: temperature budgets/mix of an empty corpus — an empty
       // budget table and an empty fill, never a throw
-      "q_f48_temperature_budgets", "q_f48b_temperature_mix")
+      "q_f48_temperature_budgets", "q_f48b_temperature_mix",
+      // round 17: containment verdicts of an empty corpus — no edges, no
+      // docs, empty verdict frame (q_f46b is absent by design: the DSIR
+      // fits fail LOUDLY on empty inputs — the q_f36/nbFit convention)
+      "q_f47b_containment_verdicts")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

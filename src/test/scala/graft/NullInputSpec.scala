@@ -55,7 +55,11 @@ class NullInputSpec extends SparkSpec {
       // containment drops null/short texts (no shingles, no pairs)
       "q_f45b_soft_dedup_clustered", "q_f47_containment",
       // round 16: temperature budgets/mix drop null-text/null-source rows
-      "q_f48_temperature_budgets", "q_f48b_temperature_mix")
+      "q_f48_temperature_budgets", "q_f48b_temperature_mix",
+      // round 17: containment verdicts label every doc (null text = no
+      // shingles = no edges = kept); the DSIR resample scores the docs
+      // that have grams and always keeps its anchor doc
+      "q_f47b_containment_verdicts", "q_f46b_dsir_resample")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

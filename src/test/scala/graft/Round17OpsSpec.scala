@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-17 additions, per the round-16 verdict + ADVICE: the F46b DSIR
+  * resample composition (pure-Scala recompute equality, target-mass
+  * shift, the curation stage), the F47b containment-dedup verdicts
+  * (planted wrapper/mirror corpus, one-pass chain semantics), the
+  * scoreCalibration NULL-id loud failure, and the reliable-checkpoint
+  * escape hatches on dsirWeights / semanticClustersClustered.
+  */
+class Round17OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- scoreCalibration: NULL ids fail loudly (ADVICE r16) --------------
+
+  test("scoreCalibration raises on a NULL id instead of silently dropping the row") {
+    val df = Seq((Some(1L), "s", 1.0), (None, "s", 2.0), (Some(3L), "s", 3.0))
+      .toDF("doc_id", "source", "sc")
+    val e = intercept[Exception] {
+      TextOps.scoreCalibration(df, "sc").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL doc_id")), e.toString)
+    // the all-labeled frame is untouched by the guard
+    val ok = TextOps.scoreCalibration(df.filter(col("doc_id").isNotNull), "sc")
+      .collect()
+    assert(ok.length == 2)
+  }
+
+  // ---- F47b: containment verdicts (verdict item 2) ----------------------
+
+  /** Planted corpus: A wrapped by W, W wrapped by V (a chain), an
+    * exact-dup family {B1, B2, B3}, and an unrelated doc U. Weights make
+    * B2 the family's best; B2/B3 tie on weight so id breaks it.
+    */
+  private val containCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon", 5L),                      // A
+    (2L, "chrome one two alpha beta gamma delta epsilon tail piece here", 5L), // W ⊃ A
+    (3L, "header junk chrome one two alpha beta gamma delta epsilon tail piece here footer junk extra", 5L), // V ⊃ W
+    (10L, "omega psi chi phi upsilon tau", 1L),                      // B1
+    (11L, "omega psi chi phi upsilon tau", 9L),                      // B2 (best)
+    (12L, "omega psi chi phi upsilon tau", 9L),                      // B3 (ties B2, larger id)
+    (20L, "unrelated totally different words here now", 7L))         // U
+
+  private def verdictsOf(parts: Int): Map[Long, String] =
+    Dedup.containmentVerdicts(spark,
+        containCorpus.toDF("doc_id", "text", "w").repartition(parts),
+        minC = 0.9, col("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("containmentVerdicts: wrapper chain + exact-dup family + unrelated doc") {
+    val got = verdictsOf(4)
+    assert(got == Map(
+      1L -> "contained",  // A ⊂ W (and ⊂ V): strictly contained
+      2L -> "contained",  // W ⊂ V: one-pass — contained even though W contains A
+      3L -> "kept",       // V: the chain's maximal doc
+      10L -> "dup_loser", // B1 loses the mutual family on weight
+      11L -> "kept",      // B2: best weight
+      12L -> "dup_loser", // B3 ties B2 on weight, loses on id
+      20L -> "kept"), got.toString)
+    // partitioning-exact
+    assert(verdictsOf(7) == got)
+  }
+
+  test("dropContained keeps the original schema and exactly the kept set") {
+    val docs = containCorpus.toDF("doc_id", "text", "w")
+    val kept = Dedup.dropContained(spark, docs, minC = 0.9, col("w"))
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "w"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 11L, 20L))
+  }
+
+  test("containmentVerdicts: mutual mirrors with no strict container keep exactly one") {
+    // two exact mirrors and nothing else — the smallest-weight-then-id
+    // pinning must keep exactly one, never zero or both
+    val docs = Seq((7L, "one two three four five six", 3L),
+      (9L, "one two three four five six", 3L)).toDF("doc_id", "text", "w")
+    val got = Dedup.containmentVerdicts(spark, docs, 0.9, col("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(7L -> "kept", 9L -> "dup_loser"), got.toString)
+  }
+
+  // ---- F46b: DSIR resampling (verdict item 1) ---------------------------
+
+  /** Pure-Scala recompute of dsirWeights + the log-space draw — an
+    * independent formulation of the whole pipeline (hash, features,
+    * smoothing, quantization, anchor, draw). */
+  private def dsirRef(raw: Seq[(Long, String)], target: Seq[(Long, String)],
+      buckets: Int, seed: Long): Map[Long, (Long, Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def grams(t: String): Seq[String] = {
+      val toks = t.split(" ", -1).toSeq
+      toks ++ (if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+               else Nil)
+    }
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets
+    val rawB = raw.map { case (id, t) => id -> grams(t).map(bucket) }
+    val tgtB = target.flatMap { case (_, t) => grams(t).map(bucket) }
+    val rc = rawB.flatMap(_._2).groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val tc = tgtB.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val rn = rc.values.sum; val tn = tc.values.sum
+    val lr = (0L until buckets.toLong).map { b =>
+      val pt = (tc.getOrElse(b, 0L) + 1.0) / (tn + buckets)
+      val pr = (rc.getOrElse(b, 0L) + 1.0) / (rn + buckets)
+      b -> math.floor((math.log(pt) - math.log(pr)) * 1e6).toLong
+    }.toMap
+    val w = rawB.map { case (id, bs) => id -> (bs.size.toLong, bs.map(lr).sum) }
+    val m = w.map(_._2._2).max
+    w.flatMap { case (id, (ng, lw)) =>
+      val h = java.lang.Long.parseLong(md5hex(s"$seed:$id").take(8), 16)
+      val lnu = math.floor(math.log((2 * h + 1) / 8589934592.0) * 1e6).toLong
+      if (lnu < lw - m) Some(id -> (ng, lw, lw - m)) else None
+    }.toMap
+  }
+
+  private val dsirTarget = (0 until 15).map(i =>
+    (1000L + i, s"the quick brown fox jumps over dog $i and runs home again"))
+  private val dsirRaw = (0 until 30).map { i =>
+    val t =
+      if (i % 2 == 0) s"the quick brown fox jumps over dog $i and naps at home"
+      else s"zz$i qq ww ee rr tt yy uu oo pp noise$i junk$i"
+    (i.toLong, t)
+  }
+
+  test("dsirResample ≡ the pure-Scala recompute (models → ratios → sums → anchor → draw)") {
+    val got = TextOps.dsirResample(
+        dsirRaw.toDF("doc_id", "text").repartition(7),
+        dsirTarget.toDF("doc_id", "text"), buckets = 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = dsirRef(dsirRaw, dsirTarget, buckets = 64, seed = 0L)
+    assert(got == want, s"got ${got.keySet.toSeq.sorted} want ${want.keySet.toSeq.sorted}")
+    assert(got.nonEmpty)
+  }
+
+  test("dsirResample shifts kept mass toward the target style") {
+    val kept = TextOps.dsirResample(dsirRaw.toDF("doc_id", "text"),
+        dsirTarget.toDF("doc_id", "text"), buckets = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val targetStyle = kept.count(_ % 2 == 0)
+    val noiseStyle = kept.count(_ % 2 == 1)
+    assert(targetStyle > noiseStyle,
+      s"kept $targetStyle target-style vs $noiseStyle noise-style")
+    // the anchor doc (max log ratio) is always kept, so kept is non-empty
+    assert(kept.nonEmpty)
+  }
+
+  test("resampleByLogWeight fails loudly on a frame with no scored rows") {
+    val e = intercept[IllegalArgumentException] {
+      TextOps.resampleByLogWeight(
+        Seq.empty[(Long, Long)].toDF("doc_id", "lw"), "doc_id", "lw")
+    }
+    assert(e.getMessage.contains("anchor"), e.getMessage)
+  }
+
+  test("dsir_resample curation stage ≡ standalone dsirResample on the pool entering it") {
+    val docs = (0 until 60).map { i =>
+      val t =
+        if (i % 2 == 0) s"the quick brown fox jumps over dog $i and naps at home"
+        else s"zz$i qq ww ee rr tt yy uu oo pp noise$i junk$i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val target = dsirTarget.toDF("doc_id", "text")
+    val loose = Graft.QualityGate(minTokens = 1, maxTokens = 100000,
+      stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+    val (packed, audit) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = loose, dsir = Some(Graft.DsirKeep(target, buckets = 64)))
+    assert(audit.map(_.stage) == Seq("input", "exact_dedup", "neardup_dedup",
+      "quality_gate", "dsir_resample", "contamination"), audit.toString)
+    // pool entering the stage = all 60 (unique texts, loose gate), so the
+    // standalone operator on the same pool is the truth
+    val want = TextOps.dsirResample(docs, target, buckets = 64)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  // ---- reliable-checkpoint escape hatches (verdict item 5) --------------
+
+  test("dsirWeights with a reliable checkpointDir ≡ the localCheckpoint default") {
+    val raw = dsirRaw.toDF("doc_id", "text")
+    val tgt = dsirTarget.toDF("doc_id", "text")
+    val dir = tmpDir("dsir_ckpt")
+    val base = TextOps.dsirWeights(raw, tgt, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ckpt = TextOps.dsirWeights(raw, tgt, buckets = 64,
+        checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ckpt == base)
+    assert(new java.io.File(dir).listFiles() != null) // the dir was used
+  }
+
+  test("semanticClustersClustered with a reliable checkpointDir ≡ the default") {
+    val rng = new scala.util.Random(17)
+    val emb = (0 until 40).map { i =>
+      val center = Array.fill(8)(if (i % 4 == 0) 1.0f else -1.0f)
+      (i.toLong, center.map(v => v + rng.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("sem_ckpt")
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = flat(Similarity.semanticClustersClustered(spark, emb,
+      minCos = 0.8, k = 4))
+    val ckpt = flat(Similarity.semanticClustersClustered(spark, emb,
+      minCos = 0.8, k = 4, checkpointDir = Some(dir)))
+    assert(ckpt == base)
+  }
+}
