@@ -164,12 +164,21 @@ object Dedup {
     val t = minC
     // ONE plan instance feeds the prefix side, the index side, and both
     // verify joins (the round-14 shared-instance lesson: fresh subtrees
-    // re-execute the shingle scan)
+    // re-execute the shingle scan) — and it is localCheckpoint'd (round
+    // 17, per the verdict's A/B ask): the shared instance prevented
+    // re-ANALYSIS but the scan + shingle kernel still re-EXECUTED in up
+    // to four sibling subtrees; materializing the slim (id, shs, sz)
+    // rows once (the F46 gram-reuse trick) measured a modest warm win
+    // on q_f47_containment at sf0.1 (6-rep min 1.42 → 1.34 s; cold rep
+    // pays ~0.4 s materialization), identical results — and at 100 TB
+    // the avoided work is four corpus-text re-scans, which dwarfs the
+    // one slim materialization
     val base = docs
       .select(col("doc_id"),
         call_function("shingle_hashes", col("text"), lit(MinHash.GramLen)).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
       .filter(col("sz") > 0)
+      .localCheckpoint(eager = false)
     val sh = base.select(col("doc_id"), col("sz"), explode(col("shs")).as("shh"))
     // global df per shingle: partial-agg collapsed, hot shingles = one row
     val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("__df"))
@@ -355,6 +364,125 @@ object Dedup {
       |LEFT JOIN l ON l.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     containmentVerdicts(s, documents(s, d), minC = 0.75, col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F49 (round 17): paragraph relation from a separator regex — one row
+    * per paragraph, (doc_id, para_idx, para_text), the input shape for
+    * [[paragraphDedupOf]]. The published middle ground between F1
+    * whole-doc and F30 8-gram span dedup (FineWeb/RefinedWeb run
+    * paragraph-level dedup: boilerplate paragraphs repeat across pages
+    * whose documents are NOT near-dups). Per-row explode, zero shuffle.
+    */
+  def paragraphsOf(docs: DataFrame, sepRegex: String = "\n\n+"): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), sepRegex)).as(Seq("para_idx", "para_text")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para_text"))
+
+  /** The paragraph relation for corpora WITHOUT separator structure:
+    * non-overlapping `windowTokens`-token windows (sentence-window
+    * dedup — the q_f17 chunking layout at stride = size). Same output
+    * schema as [[paragraphsOf]]. */
+  def paragraphWindows(docs: DataFrame, windowTokens: Int = 32): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n") - 1, lit(windowTokens))).as("st"))
+      .select(col("doc_id"),
+        floor(col("st") / windowTokens).cast("long").as("para_idx"),
+        concat_ws(" ", slice(col("t"), col("st") + 1, lit(windowTokens)))
+          .as("para_text"))
+  }
+
+  /** F49 core: paragraph-granularity near-dup dedup over a (doc_id,
+    * para_idx, para_text) relation — a paragraph is DUPLICATED iff its
+    * word-3-gram Jaccard against some SMALLER-id paragraph is ≥
+    * `minJaccard` (para_id = doc_id·10⁶ + para_idx, so "smaller" means
+    * earlier doc, then earlier position — the
+    * [[incrementalDedupVerdicts]] smaller-id-wins rule, NOT-EXISTS-
+    * expressible and partitioning-stable; in a chain P₁≈P₂≈P₃ only the
+    * smallest survives, duplicates of dropped paragraphs stay dropped).
+    * Returns one row per document: `n_paras`, `n_dup_paras`, and
+    * `clean_md5` = md5 of the kept paragraphs rejoined with `joiner` in
+    * para_idx order (the q_f17 rule: long strings don't survive the
+    * driver comparator; the hash pins the cleaned text byte-for-byte —
+    * callers wanting the text itself filter the labeled relation).
+    *
+    * Scale: the pair relation is [[jaccardPairsOf]]'s AllPairs prefix-
+    * filter join re-aimed at paragraphs (more units, each far smaller —
+    * the prefix lemma's cost shrinks with set size); the rollup is one
+    * partial agg with a per-DOC collect bound (paragraphs of one doc —
+    * the F11/F30 per-doc bound, never a corpus structure). Paragraphs
+    * with < 3 tokens have no shingles and are never duplicated, by the
+    * same contract as every shingle operator. para_idx must be < 10⁶
+    * (raised loudly per row — a 10⁶-paragraph document is corrupt input).
+    */
+  def paragraphDedupOf(s: SparkSession, paras: DataFrame, minJaccard: Double,
+      joiner: String = " "): DataFrame = {
+    val withId = paras.withColumn("para_id",
+      when(col("para_idx") >= 1000000L || col("para_idx") < 0L,
+        raise_error(lit("paragraphDedupOf: para_idx out of [0, 1e6) — " +
+          "the composite para_id would collide across documents")))
+        .otherwise(col("doc_id") * 1000000L + col("para_idx")))
+    val dups = jaccardPairsOf(s,
+        withId.select(col("para_id").as("doc_id"), col("para_text").as("text")),
+        minJaccard)
+      .select(col("b_id").as("para_id")).distinct()
+      .withColumn("__dup", lit(true))
+    withId.join(dups, Seq("para_id"), "left")
+      .withColumn("__dup", coalesce(col("__dup"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paras"),
+        md5(concat_ws(joiner, transform(
+          array_sort(collect_list(
+            when(!col("__dup"), struct(col("para_idx"), col("para_text"))))),
+          x => x.getField("para_text")))).as("clean_md5"))
+  }
+
+  /** Graded F49 query: 32-token-window paragraphs (this corpus carries
+    * no separator structure), near-dup at Jaccard ≥ 0.6, doc-level
+    * rollup. The oracle recomputes the window slicing, the exact
+    * per-paragraph shingle Jaccard over the FULL paragraph pair space,
+    * the smaller-id-wins verdicts, and the ordered clean-text hash from
+    * scratch — grading the composite-id order, the prefix-filtered pair
+    * join, and the rollup end to end.
+    */
+  val qParagraphDedup = Q(
+    "q_f49_paragraph_dedup",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b AS (SELECT doc_id, t, len(t) AS n FROM sp),
+      |p AS (SELECT doc_id, CAST(floor(s / 32) AS BIGINT) AS pidx,
+      |             t[s+1:s+32] AS pt
+      |      FROM b, unnest(generate_series(0, n - 1, 32)) AS u(s)),
+      |pid AS (SELECT doc_id, pidx, doc_id * 1000000 + pidx AS para_id, pt
+      |        FROM p),
+      |sh AS (SELECT DISTINCT para_id,
+      |              unnest(list_transform(generate_series(1, len(pt) - 2),
+      |                i -> pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2])) AS sh
+      |       FROM pid),
+      |sizes AS (SELECT para_id, count(*) AS sz FROM sh GROUP BY para_id),
+      |inter AS (SELECT a.para_id AS a_id, b.para_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.para_id < b.para_id
+      |          GROUP BY 1, 2),
+      |dups AS (SELECT DISTINCT b_id AS para_id
+      |         FROM inter JOIN sizes sa ON sa.para_id = a_id
+      |                    JOIN sizes sb ON sb.para_id = b_id
+      |         WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6)
+      |SELECT pid.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_paras,
+      |       CAST(sum(CASE WHEN d.para_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_dup_paras,
+      |       md5(coalesce(string_agg(
+      |         CASE WHEN d.para_id IS NULL THEN array_to_string(pt, ' ') END,
+      |         ' ' ORDER BY pidx), '')) AS clean_md5
+      |FROM pid LEFT JOIN dups d USING (para_id)
+      |GROUP BY pid.doc_id ORDER BY pid.doc_id""".stripMargin) { (s, d) =>
+    paragraphDedupOf(s, paragraphWindows(documents(s, d), 32), 0.6)
       .orderBy(col("doc_id"))
   }
 
@@ -1440,5 +1568,5 @@ object Dedup {
 
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
     qIncrementalDedup, qDedupKeepBest, qGroupedSplit, qSoftDedupClustered,
-    qContainment, qContainmentVerdicts)
+    qContainment, qContainmentVerdicts, qParagraphDedup)
 }

@@ -1646,6 +1646,165 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ⌊ln(0.4)·10⁶⌋ — the stupid-backoff weight (Brants et al., EMNLP
+    * 2007), pinned as an integer constant so neither engine ever
+    * evaluates the float. */
+  val BackoffMicros: Long = -916291L
+
+  /** F19b (round 17): hashed BIGRAM back-off LM — the honest next rung
+    * above F19's unigram model toward CCNet's 5-gram KenLM perplexity
+    * filter. Tokens hash into `buckets` (the F46 feature space); the
+    * model is the bucket bigram/context count tables plus the add-one
+    * unigram table, and each bigram position scores by STUPID BACKOFF:
+    *
+    *   score(cur | prev) = ln bc[h(prev cur)] − ln uc[h(prev)]
+    *                         when both bucket counts > 0
+    *                     = ln 0.4 + ln((uc[h(cur)]+1)/(un+B))  otherwise
+    *
+    * (Brants et al. 2007 — the large-LM back-off that skips discounting
+    * arithmetic; the collision guard on BOTH buckets is what hashing
+    * adds: a colliding bigram bucket must not divide by an empty
+    * context bucket.)
+    *
+    * Exactness (the F46 discipline, one step further): every ln is
+    * quantized to integer micros DRIVER-side, PER PIECE — a token's
+    * score is `bq[hb] − pq[hp]` or `BackoffMicros + uq[hu]`, sums and
+    * differences of table integers, so per-doc `nll_micros` is a pure
+    * LONG sum: order-free, partitioning-exact, oracle-checkable. (Two
+    * floored pieces differ from flooring the ratio by ≤ 1 micro — the
+    * contract IS the pieces, on both engines.)
+    *
+    * Scale: the fit collapses to ≤ 2·`buckets` partial-agg rows + one
+    * scalar (the dsirWeights boundary); scoring is a PER-ROW
+    * `aggregate()` over the token array with literal-array lookups —
+    * zero shuffle, zero explode, whole-stage codegen. Token hashes are
+    * computed once per token into an array; only the bigram concat
+    * hashes per position. Docs with < 2 tokens have no bigram positions
+    * and drop (the dsirWeights gramless convention).
+    */
+  final case class BigramLm(buckets: Int, un: Long,
+      uc: IndexedSeq[Long], bc: IndexedSeq[Long],
+      bq: IndexedSeq[Long], pq: IndexedSeq[Long], uq: IndexedSeq[Long]) {
+    private def bkt(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    /** Σ score micros over the row's bigram positions (NULL when < 2
+      * tokens); negate for NLL. A pure per-row expression. */
+    def sumMicrosCol(text: Column): Column = {
+      val t = split(text, " ")
+      val hs = transform(t, w => bkt(w))
+      val step = (i: Column) => {
+        val hp = element_at(hs, (i + 1).cast("int"))
+        val hu = element_at(hs, (i + 2).cast("int"))
+        val hb = bkt(concat_ws(" ",
+          element_at(t, (i + 1).cast("int")), element_at(t, (i + 2).cast("int"))))
+        when(element_at(typedLit(bc), (hb + 1).cast("int")) > 0L &&
+            element_at(typedLit(uc), (hp + 1).cast("int")) > 0L,
+          element_at(typedLit(bq), (hb + 1).cast("int")) -
+            element_at(typedLit(pq), (hp + 1).cast("int")))
+          .otherwise(lit(BackoffMicros) +
+            element_at(typedLit(uq), (hu + 1).cast("int")))
+      }
+      when(size(t) >= 2,
+        aggregate(sequence(lit(0), size(t) - 2), lit(0L), (a, i) => a + step(i)))
+    }
+  }
+
+  /** Fit a [[BigramLm]] on a corpus: one unified gram explode (unigrams
+    * flagged apart from bigrams), ≤ 2·buckets partial-agg rows pulled,
+    * the ln tables quantized driver-side. Fails loudly on a corpus with
+    * no tokens (the dsirWeights convention). */
+  def bigramLmFit(corpus: org.apache.spark.sql.DataFrame,
+      buckets: Int = 1024): BigramLm = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val t = split(col("text"), " ")
+    val grams = corpus.filter(col("text").isNotNull)
+      .select(explode(concat(
+        transform(t, w => struct(lit(false).as("bi"), w.as("g"))),
+        when(size(t) >= 2,
+          transform(sequence(lit(0), (size(t) - 2).cast("int")), i =>
+            struct(lit(true).as("bi"),
+              concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)).as("g"))))
+          .otherwise(array().cast("array<struct<bi:boolean,g:string>>"))))
+        .as("x"))
+      .select(col("x.bi").as("bi"),
+        pmod(conv(substring(md5(col("x.g")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val rows = grams.groupBy(col("bi"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: ≤ 2 × buckets rows (partial-agg collapsed)
+      .map(r => (r.getBoolean(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uc = (0 until buckets).map(b => rows.getOrElse((false, b.toLong), 0L))
+    val bc = (0 until buckets).map(b => rows.getOrElse((true, b.toLong), 0L))
+    val un = uc.sum
+    require(un > 0, "bigramLmFit: corpus has no tokens — the model is " +
+      "undefined (the dsirWeights/nbFit loud-failure convention)")
+    val bq = bc.map(c => if (c > 0) math.floor(math.log(c.toDouble) * 1e6).toLong else 0L)
+    val pq = uc.map(c => if (c > 0) math.floor(math.log(c.toDouble) * 1e6).toLong else 0L)
+    val uq = uc.map(c =>
+      math.floor(math.log((c + 1.0) / (un + buckets)) * 1e6).toLong)
+    BigramLm(buckets, un, uc, bc, bq, pq, uq)
+  }
+
+  /** F19b self-scored form: fit on `docs`, score every doc with ≥ 1
+    * bigram position. Returns (doc_id, n_bigrams, nll_micros). */
+  def lmBigramScores(docs: org.apache.spark.sql.DataFrame,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val lm = bigramLmFit(docs, buckets)
+    docs.filter(col("text").isNotNull)
+      .withColumn("__s", lm.sumMicrosCol(col("text")))
+      .filter(col("__s").isNotNull)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("long").as("n_bigrams"),
+        (-col("__s")).as("nll_micros"))
+  }
+
+  /** Graded F19b query: the corpus self-scored under its own hashed
+    * bigram back-off LM (the q_f19 shape, one model rung up). The oracle
+    * recomputes EVERYTHING from scratch — the unified gram hashing, both
+    * bucket count tables, the driver-grid ln quantization, the per-token
+    * backoff branch (including the collision guard), and the integer
+    * sums — so the hash grades the model fit and the scoring arithmetic
+    * end to end.
+    */
+  val qBigramLm = Q(
+    "q_f19b_bigram_lm",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents WHERE text IS NOT NULL),
+      |toks AS (SELECT doc_id, unnest(t) AS w FROM sp),
+      |ucn AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b,
+      |               count(*) AS c
+      |        FROM toks GROUP BY 1),
+      |un AS (SELECT count(*) AS n FROM toks),
+      |bi AS (SELECT doc_id, t[i] AS p, t[i+1] AS c
+      |       FROM sp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |bcn AS (SELECT ('0x' || substr(md5(p || ' ' || c), 1, 8))::BIGINT % 1024 AS b,
+      |               count(*) AS cnt
+      |        FROM bi GROUP BY 1),
+      |gs AS (SELECT unnest(generate_series(0, 1023)) AS b),
+      |tabs AS (SELECT gs.b, coalesce(ucn.c, 0) AS ucc, coalesce(bcn.cnt, 0) AS bcc,
+      |                CASE WHEN coalesce(bcn.cnt, 0) > 0
+      |                     THEN CAST(floor(ln(bcn.cnt) * 1000000) AS BIGINT) END AS bq,
+      |                CASE WHEN coalesce(ucn.c, 0) > 0
+      |                     THEN CAST(floor(ln(ucn.c) * 1000000) AS BIGINT) END AS pq,
+      |                CAST(floor(ln((coalesce(ucn.c, 0) + 1.0) / (un.n + 1024))
+      |                  * 1000000) AS BIGINT) AS uq
+      |         FROM gs LEFT JOIN ucn ON ucn.b = gs.b
+      |                 LEFT JOIN bcn ON bcn.b = gs.b
+      |                 CROSS JOIN un),
+      |sc AS (SELECT bi.doc_id,
+      |              CASE WHEN tb.bcc > 0 AND tp.ucc > 0 THEN tb.bq - tp.pq
+      |                   ELSE -916291 + tu.uq END AS m
+      |       FROM bi
+      |       JOIN tabs tb ON tb.b = ('0x' || substr(md5(p || ' ' || c), 1, 8))::BIGINT % 1024
+      |       JOIN tabs tp ON tp.b = ('0x' || substr(md5(p), 1, 8))::BIGINT % 1024
+      |       JOIN tabs tu ON tu.b = ('0x' || substr(md5(c), 1, 8))::BIGINT % 1024)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(-sum(m) AS BIGINT) AS nll_micros
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    lmBigramScores(documents(s, d)).orderBy(col("doc_id"))
+  }
+
   /** F40 (round 15): reciprocal-rank fusion — merge N per-query ranked
     * retrieval runs into one list scored Σ_systems 1/(k₀ + rank), the
     * published hybrid-retrieval combiner (Cormack, Clarke & Büttcher,
@@ -3050,5 +3209,5 @@ object TextOps {
     qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense, qDsirWeights,
     qDsirResample,
-    qLmQuality, qPackSequences, qNgramDecontam, qCompressRatio)
+    qLmQuality, qBigramLm, qPackSequences, qNgramDecontam, qCompressRatio)
 }

@@ -72,9 +72,10 @@ class EmptyInputSpec extends SparkSpec {
       // budget table and an empty fill, never a throw
       "q_f48_temperature_budgets", "q_f48b_temperature_mix",
       // round 17: containment verdicts of an empty corpus — no edges, no
-      // docs, empty verdict frame (q_f46b is absent by design: the DSIR
-      // fits fail LOUDLY on empty inputs — the q_f36/nbFit convention)
-      "q_f47b_containment_verdicts")
+      // docs, empty verdict frame (q_f46b and q_f19b are absent by
+      // design: the DSIR and bigram-LM fits fail LOUDLY on empty inputs
+      // — the q_f36/nbFit convention); paragraph dedup of no paragraphs
+      "q_f47b_containment_verdicts", "q_f49_paragraph_dedup")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -58,8 +58,10 @@ class NullInputSpec extends SparkSpec {
       "q_f48_temperature_budgets", "q_f48b_temperature_mix",
       // round 17: containment verdicts label every doc (null text = no
       // shingles = no edges = kept); the DSIR resample scores the docs
-      // that have grams and always keeps its anchor doc
-      "q_f47b_containment_verdicts", "q_f46b_dsir_resample")
+      // that have grams and always keeps its anchor doc; paragraph dedup
+      // and the bigram LM drop null-text (and < 2-token) docs
+      "q_f47b_containment_verdicts", "q_f46b_dsir_resample",
+      "q_f49_paragraph_dedup", "q_f19b_bigram_lm")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

@@ -182,6 +182,123 @@ class Round17OpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  // ---- F49: paragraph-granularity near-dup -------------------------------
+
+  test("paragraphDedupOf over separator paragraphs: cross-doc and within-doc dups drop, first wins") {
+    val p1 = "alpha beta gamma delta epsilon zeta"
+    val p2 = "one two three four five six seven"
+    val p3 = "red green blue yellow purple orange"
+    val docs = Seq(
+      (1L, s"$p1\n\n$p2"),            // both kept (first occurrences)
+      (2L, s"$p1\n\n$p3\n\n$p3"),     // p1 dups doc 1; second p3 dups the first
+      (3L, p3))                       // dups doc 2's p3 (earlier doc wins)
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupOf(spark, Dedup.paragraphsOf(docs), 0.6,
+        joiner = "\n\n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 0L, h(s"$p1\n\n$p2"))), got(1L).toString)
+    assert(got(2L) == ((3L, 2L, h(p3))), got(2L).toString)
+    assert(got(3L) == ((1L, 1L, h(""))), got(3L).toString)
+    // partitioning-exact
+    val got7 = Dedup.paragraphDedupOf(spark,
+        Dedup.paragraphsOf(docs.repartition(7)), 0.6, joiner = "\n\n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got7 == got)
+  }
+
+  test("paragraphWindows slices non-overlapping token windows; short tails survive") {
+    val docs = Seq((5L, (1 to 70).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphWindows(docs, 32)
+      .collect().map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(got(0)._2 == (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(got(2)._2 == (65 to 70).map(i => s"w$i").mkString(" "))
+  }
+
+  test("paragraphDedupOf raises on a para_idx outside [0, 1e6)") {
+    val paras = Seq((1L, 1000000L, "alpha beta gamma delta"))
+      .toDF("doc_id", "para_idx", "para_text")
+    val e = intercept[Exception] {
+      Dedup.paragraphDedupOf(spark, paras, 0.6).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("para_idx")), e.toString)
+  }
+
+  // ---- F19b: hashed bigram back-off LM -----------------------------------
+
+  /** Pure-Scala recompute of the fit + stupid-backoff scoring. */
+  private def bigramRef(corpus: Seq[(Long, String)], score: Seq[(Long, String)],
+      buckets: Int): Map[Long, (Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets
+    val toks = corpus.map { case (_, t) => t.split(" ", -1).toSeq }
+    val uc = Array.fill(buckets)(0L)
+    val bc = Array.fill(buckets)(0L)
+    toks.foreach { ts =>
+      ts.foreach(w => uc(bkt(w).toInt) += 1)
+      ts.sliding(2).filter(_.size == 2).foreach(p => bc(bkt(p.mkString(" ")).toInt) += 1)
+    }
+    val un = uc.sum
+    def fl(d: Double) = math.floor(d * 1e6).toLong
+    score.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1).toSeq
+      if (ts.size < 2) None
+      else {
+        val s = ts.sliding(2).filter(_.size == 2).map { p =>
+          val hb = bkt(p.mkString(" ")).toInt
+          val hp = bkt(p(0)).toInt; val hu = bkt(p(1)).toInt
+          if (bc(hb) > 0 && uc(hp) > 0) fl(math.log(bc(hb).toDouble)) - fl(math.log(uc(hp).toDouble))
+          else TextOps.BackoffMicros + fl(math.log((uc(hu) + 1.0) / (un + buckets)))
+        }.sum
+        Some(id -> ((ts.size - 1).toLong, -s))
+      }
+    }.toMap
+  }
+
+  private val lmCorpus = (0 until 25).map(i =>
+    (i.toLong, s"the cat sat on the mat ${i % 5} and the dog ran away fast"))
+
+  test("lmBigramScores ≡ the pure-Scala recompute (self-scored corpus)") {
+    val got = TextOps.lmBigramScores(
+        lmCorpus.toDF("doc_id", "text").repartition(7), buckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == bigramRef(lmCorpus, lmCorpus, 256), got.toString)
+  }
+
+  test("frozen BigramLm takes the backoff branch on unseen bigrams") {
+    val lm = TextOps.bigramLmFit(lmCorpus.toDF("doc_id", "text"), buckets = 256)
+    // a doc of tokens the corpus never saw — every position must land in
+    // the backoff branch (up to bucket collisions, which the reference
+    // reproduces exactly)
+    val alien = Seq((99L, "zzq xxv qqw wwe eer rrt tty"))
+    val got = alien.toDF("doc_id", "text")
+      .select(col("doc_id"), (-lm.sumMicrosCol(col("text"))).as("nll"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bigramRef(lmCorpus, alien, 256).map { case (k, (_, n)) => k -> n }
+    assert(got == want, s"got $got want $want")
+    // sanity: alien text scores much worse than in-corpus text
+    val inC = lmCorpus.take(1).toDF("doc_id", "text")
+      .select((-lm.sumMicrosCol(col("text"))).as("n")).head().getLong(0)
+    assert(got(99L) / 7 > inC / 13, s"alien per-tok ${got(99L) / 7} vs in-corpus ${inC / 13}")
+  }
+
+  test("bigramLmFit fails loudly on a token-less corpus") {
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bigramLmFit(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
+  }
+
   // ---- reliable-checkpoint escape hatches (verdict item 5) --------------
 
   test("dsirWeights with a reliable checkpointDir ≡ the localCheckpoint default") {
