@@ -399,42 +399,89 @@ object Dedup {
   }
 
   /** F49 core: paragraph-granularity near-dup dedup over a (doc_id,
-    * para_idx, para_text) relation — a paragraph is DUPLICATED iff its
-    * word-3-gram Jaccard against some SMALLER-id paragraph is ≥
-    * `minJaccard` (para_id = doc_id·10⁶ + para_idx, so "smaller" means
-    * earlier doc, then earlier position — the
+    * para_idx, para_text) relation — a paragraph is DUPLICATED iff a
+    * SMALLER-id paragraph has IDENTICAL text, or word-3-gram Jaccard ≥
+    * `minJaccard` against it (para_id = doc_id·10⁶ + para_idx, so
+    * "smaller" means earlier doc, then earlier position — the
     * [[incrementalDedupVerdicts]] smaller-id-wins rule, NOT-EXISTS-
     * expressible and partitioning-stable; in a chain P₁≈P₂≈P₃ only the
     * smallest survives, duplicates of dropped paragraphs stay dropped).
-    * Returns one row per document: `n_paras`, `n_dup_paras`, and
-    * `clean_md5` = md5 of the kept paragraphs rejoined with `joiner` in
-    * para_idx order (the q_f17 rule: long strings don't survive the
-    * driver comparator; the hash pins the cleaned text byte-for-byte —
-    * callers wanting the text itself filter the labeled relation).
+    * The explicit identical-text rule makes exact copies duplicates even
+    * below shingle length (two identical 2-token tails ARE duplicates —
+    * the F1-before-F11 layering of the curation pipeline, applied at
+    * paragraph granularity). Returns one row per document: `n_paras`,
+    * `n_dup_paras`, and `clean_md5` = md5 of the kept paragraphs
+    * rejoined with `joiner` in para_idx order (the q_f17 rule: long
+    * strings don't survive the driver comparator; the hash pins the
+    * cleaned text byte-for-byte — callers wanting the text itself filter
+    * the labeled relation).
     *
-    * Scale: the pair relation is [[jaccardPairsOf]]'s AllPairs prefix-
-    * filter join re-aimed at paragraphs (more units, each far smaller —
-    * the prefix lemma's cost shrinks with set size); the rollup is one
-    * partial agg with a per-DOC collect bound (paragraphs of one doc —
-    * the F11/F30 per-doc bound, never a corpus structure). Paragraphs
-    * with < 3 tokens have no shingles and are never duplicated, by the
-    * same contract as every shingle operator. para_idx must be < 10⁶
-    * (raised loudly per row — a 10⁶-paragraph document is corrupt input).
+    * Scale: an md5 rep-set pre-pass FIRST (the round-14
+    * candidatePairs lesson, re-proved here): boilerplate paragraphs —
+    * the operator's whole reason to exist — repeat millions of times,
+    * and feeding identical texts to any pair join is quadratic in the
+    * hottest group. One representative (the group's min para_id) per
+    * DISTINCT text enters [[jaccardPairsOf]]'s AllPairs prefix-filter
+    * join; group members above their rep are duplicates by the exact
+    * rule, and a rep near-matching a smaller rep marks its whole group.
+    * This rep reduction is EXACT for the smaller-id-wins relation:
+    * J(x, ·) depends only on x's text, and a group contains a paragraph
+    * smaller than id iff its min does. The rollup is one partial agg
+    * with a per-DOC collect bound (paragraphs of one doc — the F11/F30
+    * per-doc bound, never a corpus structure). para_idx must be < 10⁶
+    * (raised loudly per row — a 10⁶-paragraph document is corrupt
+    * input). For corpora where NEAR-identical (not identical)
+    * paragraphs form mega-groups, [[paragraphDedupLsh]] is the banded
+    * scale path with the same output shape.
     */
   def paragraphDedupOf(s: SparkSession, paras: DataFrame, minJaccard: Double,
-      joiner: String = " "): DataFrame = {
-    val withId = paras.withColumn("para_id",
+      joiner: String = " "): DataFrame =
+    paragraphRollup(withParaIds(paras), joiner) { reps =>
+      jaccardPairsOf(s, reps, minJaccard)
+        .select(col("b_id").as("rep_id"))
+    }
+
+  /** F49 banded scale path: [[paragraphDedupOf]] with the rep-level
+    * near-dup relation from [[MinHash.candidatePairsTuned]] banding
+    * (estimated Jaccard ≥ `minEst`) instead of the exact prefix-filter
+    * join — the F2-vs-F11 trade at paragraph granularity, for corpora
+    * whose near-identical paragraphs cluster too heavily for exact
+    * all-pairs. The identical-text rule is unchanged (exact, via the
+    * same md5 rep-set). No oracle (minhash estimates are not
+    * SQL-recomputable) — spec'd against the exact path on planted
+    * corpora, per SURVEY §7.4.7.
+    */
+  def paragraphDedupLsh(s: SparkSession, paras: DataFrame, minEst: Double,
+      joiner: String = " "): DataFrame =
+    paragraphRollup(withParaIds(paras), joiner) { reps =>
+      MinHash.candidatePairsTuned(reps, minEst)
+        .select(col("b_id").as("rep_id"))
+    }
+
+  private def withParaIds(paras: DataFrame): DataFrame =
+    paras.withColumn("para_id",
       when(col("para_idx") >= 1000000L || col("para_idx") < 0L,
         raise_error(lit("paragraphDedupOf: para_idx out of [0, 1e6) — " +
           "the composite para_id would collide across documents")))
         .otherwise(col("doc_id") * 1000000L + col("para_idx")))
-    val dups = jaccardPairsOf(s,
-        withId.select(col("para_id").as("doc_id"), col("para_text").as("text")),
-        minJaccard)
-      .select(col("b_id").as("para_id")).distinct()
-      .withColumn("__dup", lit(true))
-    withId.join(dups, Seq("para_id"), "left")
-      .withColumn("__dup", coalesce(col("__dup"), lit(false)))
+
+  /** Shared F49 skeleton: md5 rep-set, rep-level near-dup via
+    * `ndOf(reps)` (reps = one (doc_id, text) row per distinct paragraph
+    * text, id = group-min para_id; returns dup rep_ids), doc rollup. */
+  private def paragraphRollup(withId: DataFrame, joiner: String)(
+      ndOf: DataFrame => DataFrame): DataFrame = {
+    val withFp = withId.withColumn("__fp", md5(col("para_text")))
+    val reps = withFp.groupBy(col("__fp"))
+      .agg(min(col("para_id")).as("rep_id"),
+        expr("min_by(para_text, para_id)").as("text"))
+      .localCheckpoint(eager = false) // feeds the pair join AND the join-back
+    val ndReps = ndOf(reps.select(col("rep_id").as("doc_id"), col("text")))
+      .distinct().withColumn("__nd", lit(true))
+    withFp
+      .join(reps.select(col("__fp"), col("rep_id")), Seq("__fp"))
+      .join(ndReps, Seq("rep_id"), "left")
+      .withColumn("__dup",
+        col("para_id") > col("rep_id") || coalesce(col("__nd"), lit(false)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paras"),
@@ -446,11 +493,12 @@ object Dedup {
 
   /** Graded F49 query: 32-token-window paragraphs (this corpus carries
     * no separator structure), near-dup at Jaccard ≥ 0.6, doc-level
-    * rollup. The oracle recomputes the window slicing, the exact
-    * per-paragraph shingle Jaccard over the FULL paragraph pair space,
-    * the smaller-id-wins verdicts, and the ordered clean-text hash from
-    * scratch — grading the composite-id order, the prefix-filtered pair
-    * join, and the rollup end to end.
+    * rollup. The oracle recomputes the window slicing, the
+    * identical-text rule (a plain min-over-text window — NOT the
+    * engine's rep-set reduction, so the hash grades the reduction's
+    * exactness), the exact per-paragraph shingle Jaccard over the FULL
+    * paragraph pair space, the smaller-id-wins verdicts, and the ordered
+    * clean-text hash from scratch.
     */
   val qParagraphDedup = Q(
     "q_f49_paragraph_dedup",
@@ -469,7 +517,12 @@ object Dedup {
       |inter AS (SELECT a.para_id AS a_id, b.para_id AS b_id, count(*) AS i
       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.para_id < b.para_id
       |          GROUP BY 1, 2),
-      |dups AS (SELECT DISTINCT b_id AS para_id
+      |ex AS (SELECT para_id,
+      |              min(para_id) OVER (PARTITION BY array_to_string(pt, ' ')) AS mn
+      |       FROM pid),
+      |dups AS (SELECT para_id FROM ex WHERE para_id > mn
+      |         UNION
+      |         SELECT b_id AS para_id
       |         FROM inter JOIN sizes sa ON sa.para_id = a_id
       |                    JOIN sizes sb ON sb.para_id = b_id
       |         WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6)

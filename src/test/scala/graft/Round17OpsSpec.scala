@@ -220,6 +220,36 @@ class Round17OpsSpec extends SparkSpec {
     assert(got(2)._2 == (65 to 70).map(i => s"w$i").mkString(" "))
   }
 
+  test("identical sub-shingle-length paragraphs are duplicates (exact rule below gram length)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta\n\nshort tail"),
+      (2L, "completely different words in this one here\n\nshort tail"))
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupOf(spark, Dedup.paragraphsOf(docs), 0.6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 2's "short tail" (2 tokens, shingle-less) dups doc 1's
+    assert(got == Map(1L -> ((2L, 0L)), 2L -> ((2L, 1L))), got.toString)
+  }
+
+  test("paragraphDedupLsh ≡ the exact path on identical and high-J planted paragraphs") {
+    val p1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val p1near = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // J = 7/11? high
+    val p2 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"$p1\n\n$p2"),
+      (2L, s"$p1\n\n$p1near"),   // exact dup of p1 + near dup of p1
+      (3L, s"$p2\n\n$p2"))       // within-doc exact repeat
+      .toDF("doc_id", "text")
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val exact = flat(Dedup.paragraphDedupOf(spark, Dedup.paragraphsOf(docs), 0.6))
+    val lsh = flat(Dedup.paragraphDedupLsh(spark, Dedup.paragraphsOf(docs), 0.6))
+    assert(lsh == exact, s"lsh $lsh vs exact $exact")
+    // and the planted verdicts are what we think they are (doc 1 carries
+    // the first occurrences of BOTH paragraphs, so docs 2 and 3 lose all)
+    assert(exact.map(t => t._1 -> t._3).toMap == Map(1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("paragraphDedupOf raises on a para_idx outside [0, 1e6)") {
     val paras = Seq((1L, 1000000L, "alpha beta gamma delta"))
       .toDF("doc_id", "para_idx", "para_text")
