@@ -2168,7 +2168,11 @@ object TextOps {
   def resampleByLogWeight(df: org.apache.spark.sql.DataFrame, idCol: String,
       logWeightCol: String, seed: Long = 0L)
       : org.apache.spark.sql.DataFrame = {
-    val mRow = df.agg(max(col(logWeightCol).cast("long"))).head()
+    // the anchor pull and the draw share ONE materialization of the
+    // (usually expensive — a full DSIR scoring pass) weight frame; the
+    // checkpointed rows are slim (id + weight), the d1 discipline
+    val base = df.localCheckpoint(eager = false)
+    val mRow = base.agg(max(col(logWeightCol).cast("long"))).head()
     require(!mRow.isNullAt(0),
       s"resampleByLogWeight: no row with a non-NULL $logWeightCol — the " +
         "self-normalizing anchor is undefined (the calibrationFit " +
@@ -2176,7 +2180,7 @@ object TextOps {
     val m = mRow.getLong(0)
     val h = conv(substring(md5(concat(lit(s"$seed:"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-    df.filter(col(logWeightCol).isNotNull)
+    base.filter(col(logWeightCol).isNotNull)
       .withColumn("p_log_micros", col(logWeightCol).cast("long") - lit(m))
       .filter(floor(log((h * 2 + 1) / lit(8589934592.0)) * 1e6).cast("long")
         < col("p_log_micros"))

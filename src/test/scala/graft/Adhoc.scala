@@ -2526,6 +2526,202 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("dsir17")) {
+      // F46b certification (round 17): the dsir16 corpus (1M raw docs,
+      // two interleaved styles; 50k book-style target) taken through the
+      // RESAMPLE — the paper's consumption. Asserts the corpus shift the
+      // operator exists for: every kept doc is book-style (web docs sit
+      // ~25 ln units under the anchor — censored below 10⁻¹⁰), the kept
+      // set is non-empty (the anchor doc is kept w.p. 1), and the draw
+      // is rep-deterministic.
+      val n = 1000000L
+      def textOf(idc: org.apache.spark.sql.Column, style: String) =
+        concat_ws(" ", transform(sequence(lit(0),
+            (pmod(hash(idc), lit(8)) + lit(9)).cast("int")),
+          i => concat(lit(style),
+            pmod(hash(idc * 31 + i), lit(3000)).cast("string"))))
+      val raw = spark.range(0, n).select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, textOf(col("id"), "web"))
+            .otherwise(textOf(col("id"), "book")).as("text"))
+        .localCheckpoint(eager = true)
+      val target = spark.range(0, 100000L)
+        .select((col("id") * 2 + 1 + 10000000L).as("doc_id"),
+          textOf(col("id") * 2 + 1, "book").as("text"))
+        .filter(col("doc_id") % 4 === 1).localCheckpoint(eager = true)
+      println(s"ADHOC dsir17 raw=${raw.count()} target=${target.count()}")
+      var kept: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"dsir17 rep=$rep") {
+          kept = TextOps.dsirResample(raw, target, buckets = 16384)
+            .localCheckpoint(eager = true)
+          kept.count()
+        }
+      }
+      val nKept = kept.count()
+      val webKept = kept.filter(col("doc_id") % 2 === 0).count()
+      val kept2 = TextOps.dsirResample(raw, target, buckets = 16384).count()
+      println(s"ADHOC dsir17 kept=$nKept web_kept=$webKept rerun=$kept2")
+      assert(nKept > 0 && webKept == 0 && kept2 == nKept,
+        s"resample shift failed: kept=$nKept web=$webKept rerun=$kept2")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("contain17")) {
+      // F47b certification (round 17): the contain16 corpus (1M unique
+      // bases + 100k boilerplate wrappers of every 10th base) plus 50k
+      // exact MIRRORS of the id%20==5 bases (disjoint from the wrapped
+      // set) — the dedup-verdict ground truth is exact: wrapped bases are
+      // `contained` (strictly, in their wrapper), mirrors lose their
+      // mutual family to the smaller id at equal weight (`dup_loser`),
+      // everything else is `kept`.
+      val n = 1000000L
+      def textOf(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+        transform(sequence(lit(0), (pmod(hash(idc), lit(8)) + lit(11)).cast("int")),
+          i => concat(lit("u"), idc, lit("_"), pmod(hash(idc * 31 + i), lit(997)))))
+      val bases = spark.range(0, n).select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+      val wrapped = spark.range(0, n).filter(col("id") % 10 === 0)
+        .select((col("id") + 10000000L).as("doc_id"),
+          concat(lit("hdr nav chrome menu "), textOf(col("id")),
+            lit(" footer links legal copyright")).as("text"))
+      val mirrors = spark.range(0, n).filter(col("id") % 20 === 5)
+        .select((col("id") + 20000000L).as("doc_id"), textOf(col("id")).as("text"))
+      val docs = bases.unionByName(wrapped).unionByName(mirrors)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC contain17 corpus=${docs.count()}")
+      var v: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"contain17 rep=$rep") {
+          v = Dedup.containmentVerdicts(spark, docs, minC = 0.9,
+              octet_length(col("text")).cast("long"))
+            .localCheckpoint(eager = true)
+          v.count()
+        }
+      }
+      val byV = v.groupBy(col("verdict")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"ADHOC contain17 verdicts=$byV")
+      assert(byV == Map("contained" -> n / 10, "dup_loser" -> n / 20,
+        "kept" -> n), s"verdict counts off: $byV")
+      // spot the direction: wrapped bases contained, their wrappers kept,
+      // mirrors lost, mirror-bases kept
+      val spot = v.filter(col("doc_id").isin(0L, 10000000L, 5L, 20000005L))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(spot == Map(0L -> "contained", 10000000L -> "kept",
+        5L -> "kept", 20000005L -> "dup_loser"), spot.toString)
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("para17")) {
+      // F49 certification (round 17): 1M docs of [unique ¶][pool ¶ from
+      // 1000 identical boilerplates][unique ¶], every 10th doc appending
+      // a one-token-extended copy of its own first paragraph (J ≈ 0.92).
+      // Ground truth is exact: pool ¶s dup for ids ≥ 1000 (first carrier
+      // of each boilerplate wins), appended copies dup within-doc, unique
+      // ¶s never dup. The md5 rep-set keeps the 1000×1000-member
+      // boilerplate groups out of the pair join entirely — the quadratic
+      // hazard this operator is FOR. The LSH path must agree on every
+      // identical-rule verdict and ≥ 99.8% of docs overall (banding can
+      // miss ~3·10⁻⁵ of the J≈0.92 appended pairs).
+      val n = 1000000L
+      def uniq(idc: org.apache.spark.sql.Column, salt: Int) = concat_ws(" ",
+        transform(sequence(lit(0), (pmod(hash(idc * 7 + salt), lit(5)) + lit(9)).cast("int")),
+          i => concat(lit(s"u${salt}_"), idc, lit("_"),
+            pmod(hash(idc * 31 + i * 13 + salt), lit(997)))))
+      def pool(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+        transform(sequence(lit(0), lit(5)),
+          i => concat(lit("p"), pmod(idc, lit(1000)), lit("_"), i)))
+      val first = uniq(col("id"), 1)
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          // concat_ws SKIPS the null 4th slot (no otherwise), so docs
+          // without the appended copy get exactly three paragraphs
+          concat_ws("\n\n",
+            first, pool(col("id")), uniq(col("id"), 2),
+            when(col("id") % 10 === 0, concat(first, lit(" extratok"))))
+            .as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC para17 corpus=${docs.count()}")
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"para17_exact rep=$rep") {
+          out = Dedup.paragraphDedupOf(spark, Dedup.paragraphsOf(docs), 0.6,
+              joiner = "\n\n")
+            .localCheckpoint(eager = true)
+          out.count()
+        }
+      }
+      val hist = out.groupBy(col("n_dup_paras")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"ADHOC para17 exact_hist=$hist")
+      // 0: ids 1–999 not ÷10 (900); 1: ids<1000 ÷10 (100) + ids≥1000
+      // not ÷10 (899100); 2: ids≥1000 ÷10 (99900)
+      assert(hist == Map(0L -> 900L, 1L -> 899200L, 2L -> 99900L),
+        s"planted verdicts off: $hist")
+      var lsh: DataFrame = null
+      time("para17_lsh rep=1") {
+        lsh = Dedup.paragraphDedupLsh(spark, Dedup.paragraphsOf(docs), 0.6,
+            joiner = "\n\n")
+          .localCheckpoint(eager = true)
+        lsh.count()
+      }
+      val disagree = out.select(col("doc_id"), col("n_dup_paras").as("a"))
+        .join(lsh.select(col("doc_id"), col("n_dup_paras").as("b")), Seq("doc_id"))
+        .filter(col("a") =!= col("b")).count()
+      println(s"ADHOC para17 lsh_disagree=$disagree")
+      assert(disagree <= n / 500, s"LSH path disagrees on $disagree docs")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("bigram17")) {
+      // F19b certification (round 17): 1M docs, two styles — 'book' from
+      // a 20-token vocabulary (repetitive, high bigram probability) vs
+      // 'web' from 100 tokens (10⁴ bigram types — diffuse) — self-fit
+      // and self-scored. Vocabularies are sized so bigram TYPE counts sit
+      // under the 16384 buckets: hashing a type space far above the
+      // bucket count (e.g. 3000² types) inflates every colliding
+      // bigram's probability and DESTROYS the signal — the honest
+      // documented limit of a hashed LM (KenMLM-style filters use real
+      // n-grams; buckets must track the corpus bigram vocabulary).
+      // Asserts the filter's signal: per-bigram NLL of the repetitive
+      // style ≥ 1 nat below the diffuse style's, every doc scores, and
+      // the fit stays two bounded pulls + a per-row scoring pass.
+      val n = 1000000L
+      def textOf(idc: org.apache.spark.sql.Column, style: String, vocab: Int) =
+        concat_ws(" ", transform(sequence(lit(0),
+            (pmod(hash(idc), lit(8)) + lit(9)).cast("int")),
+          i => concat(lit(style),
+            pmod(hash(idc * 31 + i), lit(vocab)).cast("string"))))
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, textOf(col("id"), "web", 100))
+            .otherwise(textOf(col("id"), "book", 20)).as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC bigram17 corpus=${docs.count()}")
+      var sc: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"bigram17 rep=$rep") {
+          sc = TextOps.lmBigramScores(docs, buckets = 16384)
+            .localCheckpoint(eager = true)
+          sc.count()
+        }
+      }
+      val avg = sc.withColumn("per",
+          (col("nll_micros").cast("double") / col("n_bigrams")))
+        .withColumn("is_book", col("doc_id") % 2 === 1)
+        .localCheckpoint(eager = true)
+      def med(book: Boolean) = avg.filter(col("is_book") === book)
+        .stat.approxQuantile("per", Array(0.5), 0.001)(0)
+      val (mb, mw) = (med(true), med(false))
+      val nScored = sc.count()
+      println(f"ADHOC bigram17 scored=$nScored med_book=$mb%.0f med_web=$mw%.0f")
+      assert(nScored == n, s"every doc has >= 2 tokens; scored $nScored")
+      assert(mb + 1000000 < mw,
+        f"repetitive style must score >=1 nat/bigram below sparse: $mb%.0f vs $mw%.0f")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded

@@ -267,4 +267,33 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(p47.contains("sorted_intersect_count"),
       s"F47 must verify via the merge kernel:\n$p47")
   }
+
+  test("round-17 ops execute with the promised plan shapes (per-row folds, rep-sets, slim joins)") {
+    val docs = Tables.documents(spark, sf001)
+    def executed(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    // F19b: scoring is ONE per-row projection — no exchange, join,
+    // window, or explode may appear (the fit ran eagerly before)
+    val p19b = executed(TextOps.lmBigramScores(docs))
+    assert(!p19b.contains("Exchange") && !p19b.contains("Join") &&
+      !p19b.contains("Window") && !p19b.contains("Generate"),
+      s"F19b scoring must be a bare per-row fold:\n$p19b")
+    // F46b: the resample adds no join/window beyond F46's scoring agg
+    val p46b = executed(TextOps.dsirResample(docs, docs.filter(col("lang") === "en")))
+    assert(!p46b.contains("Join") && !p46b.contains("Window"),
+      s"F46b draw must stay join- and window-free:\n$p46b")
+    // F49: the verdict projection must ride the rep-set join-back
+    // (rep_id appears; the min_by collapse itself lives behind the
+    // checkpointed reps frame), and the rollup never ranks through a
+    // window
+    val p49 = executed(Dedup.paragraphDedupOf(spark,
+      Dedup.paragraphWindows(docs, 32), 0.6))
+    assert(p49.contains("rep_id") && !p49.contains("Window"),
+      s"F49 must label via the rep-set join-back, window-free:\n$p49")
+    // F47b: verdict derivation is window-free (slim-edge joins + distincts)
+    val p47b = executed(Dedup.containmentVerdicts(spark, docs, 0.75, col("n_chars")))
+    assert(!p47b.contains("Window"),
+      s"F47b verdicts must stay window-free:\n$p47b")
+  }
 }
