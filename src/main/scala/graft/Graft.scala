@@ -607,15 +607,30 @@ object Graft {
     * corpus instead would let already-dropped junk shape the importance
     * model). The published alternative to classifier gating when the
     * "good" corpus is small: Wikipedia/books as `target`, the crawl as
-    * raw. Batch-only: the raw fit needs the whole pool (stream arrivals
-    * would need a fit→freeze raw reference — the CalibratedKeep frozen
-    * arm, not built until a user needs it). Unscorable docs (gramless
-    * text) drop — the CalibratedKeep conservative direction. See
-    * [[TextOps.dsirResample]] for the draw's exactness contract.
+    * raw. Unscorable docs (gramless text) drop — the CalibratedKeep
+    * conservative direction. See [[TextOps.dsirResample]] for the
+    * draw's exactness contract.
+    *
+    * Two modes, one knob (the CalibratedKeep shape, round 17):
+    *  - `rawReference = None` (batch default): fit on the pool entering
+    *    the stage, the exact paper pipeline;
+    *  - `rawReference = Some(ref)` (required for streaming, optional
+    *    for batch): fit→freeze a [[TextOps.DsirModel]] ONCE on the
+    *    (reference, target) pair; the gate becomes a stateless per-row
+    *    fold + draw — gate today's arrivals against last month's
+    *    importance model.
     */
   final case class DsirKeep(target: DataFrame, buckets: Int = 1024,
-      seed: Long = 0L, checkpointDir: Option[String] = None) {
+      seed: Long = 0L, checkpointDir: Option[String] = None,
+      rawReference: Option[DataFrame] = None) {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    /** The frozen model (lazy; only forced in frozen/streaming mode). */
+    lazy val model: TextOps.DsirModel = {
+      val ref = rawReference.getOrElse(throw new IllegalArgumentException(
+        "DsirKeep needs `rawReference` (the frozen raw-model fit corpus) " +
+          "in a streaming pipeline — the pool fit needs the whole pool"))
+      TextOps.dsirFit(ref, target, buckets, seed, checkpointDir)
+    }
   }
 
   /** Calibrated per-source quality gate (F44 wired into curation — round
@@ -871,7 +886,8 @@ object Graft {
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
       corpusFp: Option[DataFrame] = None,
-      calibrated: Option[CalibratedKeep] = None): DataFrame = {
+      calibrated: Option[CalibratedKeep] = None,
+      dsir: Option[DsirKeep] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
@@ -903,8 +919,17 @@ object Graft {
     // on the driver (lazy val on the ClassifierGate) against its labeled
     // seed — a stateless per-row kernel filter, identical semantics to
     // the batch pipeline's classifier_gate stage
-    val gated = classifier.fold(lGated) { cg =>
+    val cGated = classifier.fold(lGated) { cg =>
       lGated.filter(cg.model.predictCol(col("text")).isin(cg.keep.toSeq: _*))
+    }
+    // DSIR gate (F46c fit→freeze, round 17): the frozen importance model
+    // scores each arrival with a per-row fold against the literal ratio
+    // table and draws in log space — stateless, stream-safe, identical
+    // semantics to the batch stage's frozen mode. Forcing `model` fails
+    // loudly when no rawReference was given — a pool fit needs the whole
+    // pool, which an unbounded stream never has.
+    val gated = dsir.fold(cGated) { dk =>
+      cGated.filter(dk.model.keepCol(col("text"), col("doc_id")))
     }
     // standing-corpus screen (round 14, the streaming sibling of F28's
     // exact path): drop arrivals whose md5 fingerprint is already in the
@@ -974,11 +999,12 @@ object Graft {
       langGate: Option[LangGate] = None,
       classifier: Option[ClassifierGate] = None,
       corpusFp: Option[DataFrame] = None,
-      calibrated: Option[CalibratedKeep] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      calibrated: Option[CalibratedKeep] = None,
+      dsir: Option[DsirKeep] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
       watermarkDelay, useTws, twsTtl, normalize, langGate, classifier,
-      corpusFp, calibrated)
+      corpusFp, calibrated, dsir)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)
@@ -1096,12 +1122,19 @@ object Graft {
     // round-17 DSIR importance-resampling gate (F46b): target-vs-pool
     // importance weights over the docs still alive, then the log-space
     // exp-weight draw — the paper's resampling as a curation stage. The
-    // raw model fits on the POOL entering the stage (see DsirKeep).
+    // raw model fits on the POOL entering the stage (see DsirKeep);
+    // frozen mode (rawReference given) is the stateless per-row model
+    // gate, identical to the streaming stage.
     val d3e = dsir.fold(d3d) { dk =>
-      d3d.join(
-        TextOps.dsirResample(d3d, dk.target, dk.buckets, dk.seed,
-          dk.checkpointDir).select("doc_id"),
-        Seq("doc_id"), "left_semi")
+      dk.rawReference match {
+        case None =>
+          d3d.join(
+            TextOps.dsirResample(d3d, dk.target, dk.buckets, dk.seed,
+              dk.checkpointDir).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        case Some(_) =>
+          d3d.filter(dk.model.keepCol(col("text"), col("doc_id")))
+      }
     }
     val clean = TextOps.contaminationScanAC(d3e, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")

@@ -2023,7 +2023,16 @@ object TextOps {
   def dsirWeights(raw: org.apache.spark.sql.DataFrame,
       target: org.apache.spark.sql.DataFrame, buckets: Int = 1024,
       checkpointDir: Option[String] = None)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    dsirRatios(raw, target, buckets, checkpointDir)._2
+
+  /** The shared DSIR fit: both bucket models, the micro-quantized ratio
+    * table, and the scored raw frame — [[dsirWeights]] returns the
+    * frame, [[dsirFit]] additionally freezes the table + anchor. */
+  private def dsirRatios(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, buckets: Int,
+      checkpointDir: Option[String])
+      : (IndexedSeq[Long], org.apache.spark.sql.DataFrame) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     def gramBuckets(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("text").isNotNull)
@@ -2058,16 +2067,76 @@ object TextOps {
     require(tn > 0, "dsirWeights: target corpus has no grams — the " +
       "importance model is undefined (the nbFit/LangGate loud-failure convention)")
     require(rn > 0, "dsirWeights: raw corpus has no grams")
-    val lr: Seq[Long] = (0L until buckets.toLong).map { b =>
+    val lr: IndexedSeq[Long] = (0L until buckets.toLong).map { b =>
       val pt = (tc.getOrElse(b, 0L) + 1.0) / (tn + buckets)
       val pr = (rc.getOrElse(b, 0L) + 1.0) / (rn + buckets)
       math.floor((math.log(pt) - math.log(pr)) * 1e6).toLong
     }
-    rawGrams
+    (lr, rawGrams
       .select(col("doc_id"),
         element_at(typedLit(lr), (col("b") + 1).cast("int")).as("lr"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("logratio_micros"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("logratio_micros")))
+  }
+
+  /** F46c (round 17): the FROZEN DSIR gate — [[dsirResample]] as a
+    * stateless per-row model, the fit→freeze shape every other curation
+    * gate already has (LangGate/ClassifierGate/CalibrationModel): fit
+    * ONCE on a (raw reference, target) pair, then gate ANY arrival —
+    * batch or stream — by the same log-space draw, with zero shuffle,
+    * zero explode, and no corpus pass at serving time. The per-row
+    * log-ratio is an `aggregate()` fold over the token array (unigrams
+    * + bigrams, the exact gramBuckets feature build) against the frozen
+    * literal table — LONG sums, so a frozen score of a reference doc is
+    * bit-identical to the batch explode-and-agg score (order-free
+    * integers; spec-pinned kept-set equality). The anchor is the raw
+    * reference's max log ratio: an arrival scoring ABOVE the reference
+    * anchor keeps w.p. 1 (p_log > 0 — more target-like than anything
+    * the reference saw; the draw test is strict ln(u) < p_log with
+    * ln(u) < 0 always).
+    */
+  final case class DsirModel(buckets: Int, lr: IndexedSeq[Long],
+      anchorMicros: Long, seed: Long = 0L) {
+    private def bkt(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    private def look(c: Column): Column =
+      element_at(typedLit(lr), (bkt(c) + 1).cast("int"))
+    /** Σ frozen ratio micros over the row's {uni,bi}grams (NULL text →
+      * NULL — an unscorable row gates out downstream). */
+    def logRatioCol(text: Column): Column = {
+      val t = split(text, " ")
+      val uni = aggregate(t, lit(0L), (a, w) => a + look(w))
+      val bi = when(size(t) >= 2,
+        aggregate(sequence(lit(0), size(t) - 2), lit(0L), (a, i) =>
+          a + look(concat_ws(" ",
+            element_at(t, (i + 1).cast("int")),
+            element_at(t, (i + 2).cast("int"))))))
+        .otherwise(lit(0L))
+      uni + bi
+    }
+    /** ln(keep probability)·10⁶ vs the frozen anchor (exact integer). */
+    def pLogCol(text: Column): Column = logRatioCol(text) - lit(anchorMicros)
+    /** The frozen keep decision for a (text, id) row — the same md5
+      * log-space draw as [[resampleByLogWeight]]. */
+    def keepCol(text: Column, id: Column): Column = {
+      val h = conv(substring(md5(concat(lit(s"$seed:"),
+        id.cast("string"))), 1, 8), 16, 10).cast("long")
+      floor(log((h * 2 + 1) / lit(8589934592.0)) * 1e6).cast("long") <
+        pLogCol(text)
+    }
+  }
+
+  /** Fit a [[DsirModel]] on a (raw reference, target) pair: the shared
+    * F46 fits (two bounded ≤ buckets pulls) plus ONE anchor agg over the
+    * reference's per-doc sums. Fails loudly on gramless inputs (the
+    * dsirWeights convention). */
+  def dsirFit(rawRef: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, buckets: Int = 1024,
+      seed: Long = 0L, checkpointDir: Option[String] = None): DsirModel = {
+    val (lr, w) = dsirRatios(rawRef, target, buckets, checkpointDir)
+    val m = w.agg(max(col("logratio_micros"))).head().getLong(0)
+    DsirModel(buckets, lr, m, seed)
   }
 
   /** Graded F46 query: target = the English slice of the corpus, raw =

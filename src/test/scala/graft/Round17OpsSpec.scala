@@ -329,6 +329,60 @@ class Round17OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("no tokens"), e.getMessage)
   }
 
+  // ---- F46c: frozen DSIR model (fit→freeze symmetry) ---------------------
+
+  test("frozen DsirModel ≡ dsirResample when fit on the scored corpus itself") {
+    val raw = dsirRaw.toDF("doc_id", "text")
+    val tgt = dsirTarget.toDF("doc_id", "text")
+    val model = TextOps.dsirFit(raw, tgt, buckets = 64)
+    val frozen = raw.filter(model.keepCol(col("text"), col("doc_id")))
+      .select(col("doc_id"), model.pLogCol(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = TextOps.dsirResample(raw, tgt, buckets = 64)
+      .select(col("doc_id"), col("p_log_micros"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the per-row fold and the explode+agg sum are both exact LONG sums
+    // of the same table lookups — kept sets AND p_log values identical
+    assert(frozen == batch && frozen.nonEmpty, s"frozen $frozen vs batch $batch")
+  }
+
+  test("curateStream applies the frozen DSIR gate; no-rawReference streaming use fails loudly") {
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val raw = dsirRaw.toDF("doc_id", "text")
+    val tgt = dsirTarget.toDF("doc_id", "text")
+    val stream = dsirRaw.toDF("doc_id", "text")
+      .withColumn("ts", lit(t0)).select("doc_id", "ts", "text")
+    val loose = Graft.QualityGate(minTokens = 1, maxTokens = 100000,
+      stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+    val dk = Graft.DsirKeep(tgt, buckets = 64, rawReference = Some(raw))
+    val out = Graft.curateStream(stream, Nil, quality = loose,
+      minEst = 0.99, dsir = Some(dk))
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = raw.filter(dk.model.keepCol(col("text"), col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty, s"stream kept $got, want $want")
+    // rawReference omitted: forcing the model must throw descriptively
+    val e = intercept[IllegalArgumentException] {
+      Graft.DsirKeep(tgt, buckets = 64).model
+    }
+    assert(e.getMessage.contains("rawReference"))
+  }
+
+  test("dsir_resample stage (frozen mode) ≡ the standalone frozen filter") {
+    val docs = dsirRaw.toDF("doc_id", "text")
+    val tgt = dsirTarget.toDF("doc_id", "text")
+    val loose = Graft.QualityGate(minTokens = 1, maxTokens = 100000,
+      stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+    val dk = Graft.DsirKeep(tgt, buckets = 64, rawReference = Some(docs))
+    val (packed, audit) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = loose, dsir = Some(dk))
+    assert(audit.map(_.stage).contains("dsir_resample"))
+    val want = docs.filter(dk.model.keepCol(col("text"), col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   // ---- reliable-checkpoint escape hatches (verdict item 5) --------------
 
   test("dsirWeights with a reliable checkpointDir ≡ the localCheckpoint default") {
