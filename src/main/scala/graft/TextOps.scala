@@ -1689,24 +1689,37 @@ object TextOps {
       pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
         lit(buckets.toLong))
     /** Σ score micros over the row's bigram positions (NULL when < 2
-      * tokens); negate for NLL. A pure per-row expression. */
+      * tokens); negate for NLL. A pure per-row expression.
+      *
+      * Shape matters: the (prev, cur) pairs come from `zip_with` over
+      * two slices, so each lambda step touches ONLY its own two
+      * elements. The first cut indexed an outer token-hash array from
+      * inside `aggregate()`'s lambda — higher-order-function lambdas
+      * re-evaluate captured expressions PER STEP, so every step rebuilt
+      * the whole array: O(n²) md5s per doc, measured 48 s on the sf0.1
+      * bench where this form takes ~1 s. */
     def sumMicrosCol(text: Column): Column = {
       val t = split(text, " ")
+      val n = size(t)
+      // hash each token ONCE (hs), each bigram once (hb) — both arrays
+      // built in argument position, so lambdas never capture an outer
+      // array expression
       val hs = transform(t, w => bkt(w))
-      val step = (i: Column) => {
-        val hp = element_at(hs, (i + 1).cast("int"))
-        val hu = element_at(hs, (i + 2).cast("int"))
-        val hb = bkt(concat_ws(" ",
-          element_at(t, (i + 1).cast("int")), element_at(t, (i + 2).cast("int"))))
-        when(element_at(typedLit(bc), (hb + 1).cast("int")) > 0L &&
+      val hb = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (p, c) => bkt(concat_ws(" ", p, c)))
+      val hpc = zip_with(slice(hs, lit(1), n - 1), slice(hs, lit(2), n - 1),
+        (a, b) => struct(a.as("hp"), b.as("hu")))
+      val pairs = zip_with(hpc, hb, (pc, b) => {
+        val hp = pc.getField("hp")
+        val hu = pc.getField("hu")
+        when(element_at(typedLit(bc), (b + 1).cast("int")) > 0L &&
             element_at(typedLit(uc), (hp + 1).cast("int")) > 0L,
-          element_at(typedLit(bq), (hb + 1).cast("int")) -
+          element_at(typedLit(bq), (b + 1).cast("int")) -
             element_at(typedLit(pq), (hp + 1).cast("int")))
           .otherwise(lit(BackoffMicros) +
             element_at(typedLit(uq), (hu + 1).cast("int")))
-      }
-      when(size(t) >= 2,
-        aggregate(sequence(lit(0), size(t) - 2), lit(0L), (a, i) => a + step(i)))
+      })
+      when(n >= 2, aggregate(pairs, lit(0L), (a, x) => a + x))
     }
   }
 
@@ -1717,14 +1730,19 @@ object TextOps {
   def bigramLmFit(corpus: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): BigramLm = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val t = split(col("text"), " ")
+    // the token array is materialized as a COLUMN before any lambda
+    // touches it (the gramBuckets shape): an inlined split() expression
+    // referenced from inside transform() re-evaluates PER ELEMENT —
+    // O(n²) splits per doc, measured 4.4 s → 1.1 s on the sf0.1 bench
     val grams = corpus.filter(col("text").isNotNull)
+      .select(split(col("text"), " ").as("t"))
       .select(explode(concat(
-        transform(t, w => struct(lit(false).as("bi"), w.as("g"))),
-        when(size(t) >= 2,
-          transform(sequence(lit(0), (size(t) - 2).cast("int")), i =>
+        transform(col("t"), w => struct(lit(false).as("bi"), w.as("g"))),
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(0), (size(col("t")) - 2).cast("int")), i =>
             struct(lit(true).as("bi"),
-              concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)).as("g"))))
+              concat_ws(" ", element_at(col("t"), i + 1),
+                element_at(col("t"), i + 2)).as("g"))))
           .otherwise(array().cast("array<struct<bi:boolean,g:string>>"))))
         .as("x"))
       .select(col("x.bi").as("bi"),
@@ -1747,16 +1765,40 @@ object TextOps {
   }
 
   /** F19b self-scored form: fit on `docs`, score every doc with ≥ 1
-    * bigram position. Returns (doc_id, n_bigrams, nll_micros). */
+    * bigram position. Returns (doc_id, n_bigrams, nll_micros).
+    *
+    * Batch scoring EXPLODES the (prev, cur) pairs and runs the hash +
+    * table lookups in a plain projection + one doc-keyed partial agg —
+    * whole-stage codegen end to end (the dsirWeights shape). The
+    * per-row [[BigramLm.sumMicrosCol]] fold computes the identical LONG
+    * sum (spec-pinned) but runs on Spark's INTERPRETED higher-order-
+    * function path, measured ~4× slower on the sf0.1 bench — it stays
+    * the serving form where statelessness matters (the frozen/stream
+    * gate), while batch jobs take the codegen plan. */
   def lmBigramScores(docs: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     val lm = bigramLmFit(docs, buckets)
-    docs.filter(col("text").isNotNull)
-      .withColumn("__s", lm.sumMicrosCol(col("text")))
-      .filter(col("__s").isNotNull)
-      .select(col("doc_id"),
-        (size(split(col("text"), " ")) - 1).cast("long").as("n_bigrams"),
-        (-col("__s")).as("nll_micros"))
+    val t = split(col("text"), " ")
+    def bkt(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    def at(tab: IndexedSeq[Long], b: Column): Column =
+      element_at(typedLit(tab), (b + 1).cast("int"))
+    docs.filter(col("text").isNotNull && size(t) >= 2)
+      .select(col("doc_id"), (size(t) - 1).cast("long").as("n_bigrams"),
+        explode(zip_with(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (p, c) => struct(p.as("p"), c.as("c")))).as("pr"))
+      .select(col("doc_id"), col("n_bigrams"),
+        bkt(concat_ws(" ", col("pr.p"), col("pr.c"))).as("hb"),
+        bkt(col("pr.p")).as("hp"), bkt(col("pr.c")).as("hu"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(at(lm.bc, col("hb")) > 0L && at(lm.uc, col("hp")) > 0L,
+          at(lm.bq, col("hb")) - at(lm.pq, col("hp")))
+          .otherwise(lit(BackoffMicros) + at(lm.uq, col("hu"))).as("m"))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg((-sum(col("m"))).as("nll_micros"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micros"))
   }
 
   /** Graded F19b query: the corpus self-scored under its own hashed
@@ -2103,15 +2145,17 @@ object TextOps {
     private def look(c: Column): Column =
       element_at(typedLit(lr), (bkt(c) + 1).cast("int"))
     /** Σ frozen ratio micros over the row's {uni,bi}grams (NULL text →
-      * NULL — an unscorable row gates out downstream). */
+      * NULL — an unscorable row gates out downstream). Bigram pairs via
+      * `zip_with` over two slices — indexing an outer array from a
+      * higher-order lambda re-evaluates it per step (the BigramLm
+      * O(n²) lesson). */
     def logRatioCol(text: Column): Column = {
       val t = split(text, " ")
       val uni = aggregate(t, lit(0L), (a, w) => a + look(w))
       val bi = when(size(t) >= 2,
-        aggregate(sequence(lit(0), size(t) - 2), lit(0L), (a, i) =>
-          a + look(concat_ws(" ",
-            element_at(t, (i + 1).cast("int")),
-            element_at(t, (i + 2).cast("int"))))))
+        aggregate(zip_with(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (p, c) => look(concat_ws(" ", p, c))), lit(0L), (a, x) => a + x))
         .otherwise(lit(0L))
       uni + bi
     }

@@ -303,6 +303,13 @@ class Round17OpsSpec extends SparkSpec {
         lmCorpus.toDF("doc_id", "text").repartition(7), buckets = 256)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == bigramRef(lmCorpus, lmCorpus, 256), got.toString)
+    // the batch explode+agg plan and the frozen per-row fold compute the
+    // IDENTICAL LONG sums (order-free integers — plan shape cannot matter)
+    val lm = TextOps.bigramLmFit(lmCorpus.toDF("doc_id", "text"), 256)
+    val fold = lmCorpus.toDF("doc_id", "text")
+      .select(col("doc_id"), (-lm.sumMicrosCol(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold == got.map { case (k, (_, n)) => k -> n }, fold.toString)
   }
 
   test("frozen BigramLm takes the backoff branch on unseen bigrams") {

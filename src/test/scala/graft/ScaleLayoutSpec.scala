@@ -273,12 +273,18 @@ class ScaleLayoutSpec extends SparkSpec {
     def executed(df: org.apache.spark.sql.DataFrame): String = {
       df.collect(); df.queryExecution.executedPlan.toString
     }
-    // F19b: scoring is ONE per-row projection — no exchange, join,
-    // window, or explode may appear (the fit ran eagerly before)
+    // F19b batch: codegen explode + doc-keyed partial agg — no join or
+    // window (the fit ran eagerly before); the frozen serving fold is
+    // a BARE per-row projection (no exchange/join/generate at all)
     val p19b = executed(TextOps.lmBigramScores(docs))
-    assert(!p19b.contains("Exchange") && !p19b.contains("Join") &&
-      !p19b.contains("Window") && !p19b.contains("Generate"),
-      s"F19b scoring must be a bare per-row fold:\n$p19b")
+    assert(!p19b.contains("Join") && !p19b.contains("Window"),
+      s"F19b batch scoring must be join- and window-free:\n$p19b")
+    val lm = TextOps.bigramLmFit(docs)
+    val p19f = executed(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), lm.sumMicrosCol(col("text")).as("s")))
+    assert(!p19f.contains("Exchange") && !p19f.contains("Join") &&
+      !p19f.contains("Window") && !p19f.contains("Generate"),
+      s"F19b frozen serving must be a bare per-row fold:\n$p19f")
     // F46b: the resample adds no join/window beyond F46's scoring agg
     val p46b = executed(TextOps.dsirResample(docs, docs.filter(col("lang") === "en")))
     assert(!p46b.contains("Join") && !p46b.contains("Window"),
