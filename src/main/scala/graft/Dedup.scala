@@ -467,8 +467,9 @@ object Dedup {
 
   /** Shared F49 skeleton: md5 rep-set, rep-level near-dup via
     * `ndOf(reps)` (reps = one (doc_id, text) row per distinct paragraph
-    * text, id = group-min para_id; returns dup rep_ids), doc rollup. */
-  private def paragraphRollup(withId: DataFrame, joiner: String)(
+    * text, id = group-min para_id; returns dup rep_ids), then the
+    * per-paragraph `__dup` label. */
+  private def paragraphLabeled(withId: DataFrame)(
       ndOf: DataFrame => DataFrame): DataFrame = {
     val withFp = withId.withColumn("__fp", md5(col("para_text")))
     val reps = withFp.groupBy(col("__fp"))
@@ -482,6 +483,11 @@ object Dedup {
       .join(ndReps, Seq("rep_id"), "left")
       .withColumn("__dup",
         col("para_id") > col("rep_id") || coalesce(col("__nd"), lit(false)))
+  }
+
+  private def paragraphRollup(withId: DataFrame, joiner: String)(
+      ndOf: DataFrame => DataFrame): DataFrame =
+    paragraphLabeled(withId)(ndOf)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paras"),
@@ -489,6 +495,75 @@ object Dedup {
           array_sort(collect_list(
             when(!col("__dup"), struct(col("para_idx"), col("para_text"))))),
           x => x.getField("para_text")))).as("clean_md5"))
+
+  /** F49b (round 17): paragraph CLEANUP — the consumption that
+    * paragraph dedup is published FOR (FineWeb/RefinedWeb strip the
+    * repeated boilerplate paragraphs and keep the page): every document
+    * rewritten with its duplicated paragraphs REMOVED, first global
+    * occurrence kept (the [[paragraphDedupOf]] verdicts applied as a
+    * text rewrite, the F30 stripDuplicatedSpans shape one granularity
+    * up). Returns (doc_id, n_paras, n_removed, clean_text); a doc whose
+    * every paragraph is duplicated comes back with empty clean_text —
+    * the curation quality gate's minTokens is the intended executioner.
+    * Same md5 rep-set scale path as [[paragraphDedupOf]]; the rebuild
+    * is the same per-DOC bounded collect.
+    */
+  def paragraphClean(s: SparkSession, paras: DataFrame, minJaccard: Double,
+      joiner: String = " "): DataFrame =
+    paragraphLabeled(withParaIds(paras)) { reps =>
+      jaccardPairsOf(s, reps, minJaccard).select(col("b_id").as("rep_id"))
+    }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(joiner, transform(
+          array_sort(collect_list(
+            when(!col("__dup"), struct(col("para_idx"), col("para_text"))))),
+          x => x.getField("para_text"))).as("clean_text"))
+
+  /** Graded F49b query: 32-token-window paragraphs cleaned at Jaccard ≥
+    * 0.6 — q_f49's verdicts applied as the text rewrite. The oracle
+    * recomputes the full relation (identical rule + exact Jaccard) and
+    * rebuilds the text with an ordered string_agg, so the hash grades
+    * the rewrite byte-for-byte including the all-removed empty case.
+    */
+  val qParagraphClean = Q(
+    "q_f49b_paragraph_clean",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b AS (SELECT doc_id, t, len(t) AS n FROM sp),
+      |p AS (SELECT doc_id, CAST(floor(s / 32) AS BIGINT) AS pidx,
+      |             t[s+1:s+32] AS pt
+      |      FROM b, unnest(generate_series(0, n - 1, 32)) AS u(s)),
+      |pid AS (SELECT doc_id, pidx, doc_id * 1000000 + pidx AS para_id, pt
+      |        FROM p),
+      |sh AS (SELECT DISTINCT para_id,
+      |              unnest(list_transform(generate_series(1, len(pt) - 2),
+      |                i -> pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2])) AS sh
+      |       FROM pid),
+      |sizes AS (SELECT para_id, count(*) AS sz FROM sh GROUP BY para_id),
+      |inter AS (SELECT a.para_id AS a_id, b.para_id AS b_id, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.para_id < b.para_id
+      |          GROUP BY 1, 2),
+      |ex AS (SELECT para_id,
+      |              min(para_id) OVER (PARTITION BY array_to_string(pt, ' ')) AS mn
+      |       FROM pid),
+      |dups AS (SELECT para_id FROM ex WHERE para_id > mn
+      |         UNION
+      |         SELECT b_id AS para_id
+      |         FROM inter JOIN sizes sa ON sa.para_id = a_id
+      |                    JOIN sizes sb ON sb.para_id = b_id
+      |         WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6)
+      |SELECT pid.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_paras,
+      |       CAST(sum(CASE WHEN d.para_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_removed,
+      |       coalesce(string_agg(
+      |         CASE WHEN d.para_id IS NULL THEN array_to_string(pt, ' ') END,
+      |         ' ' ORDER BY pidx), '') AS clean_text
+      |FROM pid LEFT JOIN dups d USING (para_id)
+      |GROUP BY pid.doc_id ORDER BY pid.doc_id""".stripMargin) { (s, d) =>
+    paragraphClean(s, paragraphWindows(documents(s, d), 32), 0.6)
+      .orderBy(col("doc_id"))
   }
 
   /** Graded F49 query: 32-token-window paragraphs (this corpus carries
@@ -1621,5 +1696,5 @@ object Dedup {
 
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
     qIncrementalDedup, qDedupKeepBest, qGroupedSplit, qSoftDedupClustered,
-    qContainment, qContainmentVerdicts, qParagraphDedup)
+    qContainment, qContainmentVerdicts, qParagraphDedup, qParagraphClean)
 }

@@ -676,6 +676,24 @@ object Graft {
     }
   }
 
+  /** Paragraph-cleanup rewrite stage (F49b wired into curation — round
+    * 17): before any doc-level stage, every document is rewritten with
+    * its corpus-duplicated paragraphs REMOVED (first global occurrence
+    * kept) — the FineWeb/RefinedWeb boilerplate-stripping step, which
+    * doc-level dedup cannot express (two pages sharing a footer are not
+    * near-dups). Like Normalize it drops no rows: a doc whose every
+    * paragraph was duplicated continues with empty text and dies at the
+    * quality gate's minTokens. Runs AFTER unicode normalization (so
+    * paragraph fingerprints see canonical bytes) and BEFORE exact dedup
+    * (cleaned text is what should be fingerprinted — the published
+    * paragraph-then-document order). See [[Dedup.paragraphClean]].
+    */
+  final case class ParagraphClean(minJaccard: Double = 0.6,
+      sepRegex: String = "\n\n+", joiner: String = "\n\n") {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+  }
+
   /** The quality gate as a row predicate over `text` — one definition
     * shared by the batch pipeline ([[curateCorpus]]) and the streaming
     * entry point ([[curateStream]]) so the two gates can never drift.
@@ -729,6 +747,10 @@ object Graft {
     *     composition (+ optional accent stripping) so composed/decomposed
     *     renderings of one visible string hash identically in every
     *     later stage (F27)
+    *  0b. paragraph cleanup (when `paragraphs` is given, round 17) —
+    *     corpus-duplicated paragraphs stripped from every doc, first
+    *     occurrence kept ([[ParagraphClean]]); a text REWRITE, no rows
+    *     drop (all-boilerplate docs die at the quality gate)
     *  1. exact dedup  — min-doc_id representative per md5(text)
     *  2. near-dup dedup — connected components over the prefix-filtered
     *     Jaccard edge list; keep each cluster's min-id representative
@@ -771,13 +793,15 @@ object Graft {
       classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None,
       calibrated: Option[CalibratedKeep] = None,
-      dsir: Option[DsirKeep] = None): DataFrame =
+      dsir: Option[DsirKeep] = None,
+      paragraphs: Option[ParagraphClean] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
         normalize = normalize, langGate = langGate,
         classifier = classifier, weighted = weighted,
-        calibrated = calibrated, dsir = dsir).last._2)
+        calibrated = calibrated, dsir = dsir,
+        paragraphs = paragraphs).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -809,12 +833,13 @@ object Graft {
       classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None,
       calibrated: Option[CalibratedKeep] = None,
-      dsir: Option[DsirKeep] = None): (DataFrame, Seq[StageCount]) = {
+      dsir: Option[DsirKeep] = None,
+      paragraphs: Option[ParagraphClean] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
       normalize = normalize, langGate = langGate,
       classifier = classifier, weighted = weighted,
-      calibrated = calibrated, dsir = dsir)
+      calibrated = calibrated, dsir = dsir, paragraphs = paragraphs)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -1030,7 +1055,8 @@ object Graft {
       classifier: Option[ClassifierGate] = None,
       weighted: Option[WeightedKeep] = None,
       calibrated: Option[CalibratedKeep] = None,
-      dsir: Option[DsirKeep] = None): Seq[(String, DataFrame)] = {
+      dsir: Option[DsirKeep] = None,
+      paragraphs: Option[ParagraphClean] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
@@ -1043,7 +1069,17 @@ object Graft {
     // strings, so without this fold every hash-keyed stage double-counts
     // them. Per-row codegen kernels, zero shuffle, no rows dropped (its
     // effect shows up as extra drops in exact_dedup's audit row).
-    val base = normalize.fold(raw)(nz => raw.withColumn("text", nz(col("text"))))
+    val base0 = normalize.fold(raw)(nz => raw.withColumn("text", nz(col("text"))))
+    // round-17 F49b stage: strip corpus-duplicated paragraphs (first
+    // occurrence kept) — a text REWRITE like F27, no rows dropped; docs
+    // cleaned down to nothing die at the quality gate's minTokens
+    val base = paragraphs.fold(base0) { pc =>
+      base0.drop("text").join(
+        Dedup.paragraphClean(spark,
+            Dedup.paragraphsOf(base0, pc.sepRegex), pc.minJaccard, pc.joiner)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    }
     val reps1 = base.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     // consumed by CC's node list, CC's edge list, AND the later semi-joins
@@ -1140,7 +1176,8 @@ object Graft {
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
     val d4 = d3e.join(clean, Seq("doc_id"), "left_semi")
     val core = Seq("input" -> raw) ++
-      normalize.map(_ => "unicode_normalize" -> base).toSeq ++
+      normalize.map(_ => "unicode_normalize" -> base0).toSeq ++
+      paragraphs.map(_ => "paragraph_clean" -> base).toSeq ++
       Seq("exact_dedup" -> d1, "neardup_dedup" -> d2) ++
       semantic.map(_ => "semantic_dedup" -> dSem).toSeq ++
       Seq("quality_gate" -> d3) ++

@@ -75,7 +75,8 @@ class EmptyInputSpec extends SparkSpec {
       // docs, empty verdict frame (q_f46b and q_f19b are absent by
       // design: the DSIR and bigram-LM fits fail LOUDLY on empty inputs
       // — the q_f36/nbFit convention); paragraph dedup of no paragraphs
-      "q_f47b_containment_verdicts", "q_f49_paragraph_dedup")
+      "q_f47b_containment_verdicts", "q_f49_paragraph_dedup",
+      "q_f49b_paragraph_clean")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")

@@ -83,6 +83,54 @@ class Round17OpsSpec extends SparkSpec {
     assert(got == Map(7L -> "kept", 9L -> "dup_loser"), got.toString)
   }
 
+  test("paragraphClean rewrites docs with duplicated paragraphs stripped, first occurrence kept") {
+    val boiler = "subscribe to our newsletter for daily updates now"
+    val p1 = "alpha beta gamma delta epsilon zeta"
+    val p2 = "one two three four five six seven"
+    val docs = Seq(
+      (1L, s"$p1\n\n$boiler"),
+      (2L, s"$p2\n\n$boiler"),      // loses the boilerplate (doc 1 keeps it)
+      (3L, boiler))                 // cleaned to nothing
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphClean(spark, Dedup.paragraphsOf(docs), 0.6,
+        joiner = "\n\n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 0L, s"$p1\n\n$boiler")),
+      2L -> ((2L, 1L, p2)),
+      3L -> ((1L, 1L, ""))), got.toString)
+  }
+
+  test("paragraph_clean curation stage: boilerplate stripped before doc-level dedup; empty docs die at the gate") {
+    val boiler = "subscribe to our newsletter for daily updates now"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta\n\n$boiler"),
+      (2L, s"one two three four five six seven\n\n$boiler"),
+      // doc 4 repeats doc 3's first paragraph: paragraph dedup empties
+      // it entirely (both its content AND its boilerplate are seen
+      // earlier) — doc-level dedup alone would keep it, the texts differ
+      (3L, s"red green blue yellow purple orange\n\n$boiler"),
+      (4L, "red green blue yellow purple orange"),
+      (5L, boiler))                 // all-boilerplate: cleaned empty, gated out
+      .toDF("doc_id", "text")
+    // minTokens = 2: an emptied doc splits to one "" token and must die
+    val loose = Graft.QualityGate(minTokens = 2, maxTokens = 100000,
+      stopwords = Seq("zzz"), maxStopwordRatio = 1.0)
+    val (packed, audit) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = loose, paragraphs = Some(Graft.ParagraphClean()))
+    assert(audit.map(_.stage) == Seq("input", "paragraph_clean",
+      "exact_dedup", "neardup_dedup", "quality_gate", "contamination"),
+      audit.toString)
+    // the rewrite drops no rows; doc 4 then exact-dups the CLEANED doc 3
+    assert(audit.find(_.stage == "paragraph_clean").get.dropped == 0)
+    val kept = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L), s"kept $kept")
+    // doc 2's packed token count reflects the cleaned text (7 tokens)
+    val n2 = packed.filter(col("doc_id") === 2L).select("n_toks").head().getLong(0)
+    assert(n2 == 7L, s"doc 2 packed n_toks $n2")
+  }
+
   // ---- F46b: DSIR resampling (verdict item 1) ---------------------------
 
   /** Pure-Scala recompute of dsirWeights + the log-space draw — an
