@@ -378,6 +378,12 @@ object Dedup {
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(col("text"), sepRegex)).as(Seq("para_idx", "para_text")))
+      // leading/trailing separators split off EMPTY paragraphs — drop
+      // them (they are separator artifacts, not content; corpus-wide
+      // identical "" paragraphs would otherwise all dup against the
+      // first and pollute n_dup counts and the rejoined clean text).
+      // para_idx keeps the ORIGINAL split position.
+      .filter(col("para_text") =!= "")
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         col("para_text"))
 

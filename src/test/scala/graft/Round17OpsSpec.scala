@@ -131,6 +131,42 @@ class Round17OpsSpec extends SparkSpec {
     assert(n2 == 7L, s"doc 2 packed n_toks $n2")
   }
 
+  test("paragraphsOf drops separator-artifact empty paragraphs") {
+    val docs = Seq((1L, "alpha beta gamma\n\n\n\nomega psi chi\n\n"))
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphsOf(docs).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, "alpha beta gamma"), (1L, "omega psi chi")),
+      got.mkString(","))
+  }
+
+  // ---- F19b ⊕ F44: the CCNet composition ---------------------------------
+
+  test("CCNet shape: frozen bigram-LM score calibrated per source keeps the top q% of EACH source") {
+    // two sources with different LM-score distributions (different doc
+    // lengths → different NLL sums) — a global cut would keep only one
+    // source; the published CCNet step is per-shard quantile gating of
+    // the LM score, which is exactly CalibratedKeep over the frozen
+    // BigramLm column
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "crawl" else "curated"
+      val len = if (i % 2 == 0) 6 else 18
+      (i.toLong, src,
+        (0 until len).map(j => s"tok${(i * 7 + j) % 9}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val lm = TextOps.bigramLmFit(docs, buckets = 256)
+    // sumMicros = Σ ln p (≤ 0): HIGHER = more probable = CCNet's "head"
+    val kept = docs
+      .withColumn("__s", lm.sumMicrosCol(col("text")))
+      .transform(d => TextOps.scoreCalibration(d, "__s")
+        .filter(col("pct_millionths") >= 500000L).select("doc_id")
+        .join(d, Seq("doc_id")))
+    val bySrc = kept.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set("crawl", "curated") &&
+      bySrc.values.forall(_ == 10), s"per-source keeps: $bySrc")
+  }
+
   // ---- F46b: DSIR resampling (verdict item 1) ---------------------------
 
   /** Pure-Scala recompute of dsirWeights + the log-space draw — an
