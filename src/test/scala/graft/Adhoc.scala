@@ -2563,6 +2563,20 @@ object Adhoc {
       println(s"ADHOC dsir17 kept=$nKept web_kept=$webKept rerun=$kept2")
       assert(nKept > 0 && webKept == 0 && kept2 == nKept,
         s"resample shift failed: kept=$nKept web=$webKept rerun=$kept2")
+      // frozen-model arm at scale: the per-row fold + draw must keep the
+      // IDENTICAL set when fit on the same corpus (and this measures the
+      // interpreted-HOF serving cost honestly at 1M)
+      val model = TextOps.dsirFit(raw, target, buckets = 16384)
+      var frozen: DataFrame = null
+      time("dsir17_frozen rep=1") {
+        frozen = raw.filter(model.keepCol(col("text"), col("doc_id")))
+          .select("doc_id").localCheckpoint(eager = true)
+        frozen.count()
+      }
+      val diff = frozen.unionByName(kept.select("doc_id"))
+        .groupBy(col("doc_id")).count().filter(col("count") =!= 2).count()
+      println(s"ADHOC dsir17 frozen=${frozen.count()} set_diff=$diff")
+      assert(diff == 0, s"frozen arm diverged on $diff docs")
       spark.stop()
       return
     }
@@ -2670,6 +2684,19 @@ object Adhoc {
         .filter(col("a") =!= col("b")).count()
       println(s"ADHOC para17 lsh_disagree=$disagree")
       assert(disagree <= n / 500, s"LSH path disagrees on $disagree docs")
+      // F49b: the clean REWRITE at 1M — removal counts must match the
+      // verdict histogram exactly (Σ n_removed = Σ n_dup_paras)
+      var cleaned: DataFrame = null
+      time("para17_clean rep=1") {
+        cleaned = Dedup.paragraphClean(spark, Dedup.paragraphsOf(docs), 0.6,
+            joiner = "\n\n")
+          .localCheckpoint(eager = true)
+        cleaned.count()
+      }
+      val removed = cleaned.agg(sum(col("n_removed"))).head().getLong(0)
+      val wantRemoved = hist.map { case (d, c) => d * c }.sum
+      println(s"ADHOC para17 clean_removed=$removed want=$wantRemoved")
+      assert(removed == wantRemoved, s"clean removed $removed, want $wantRemoved")
       spark.stop()
       return
     }
