@@ -272,6 +272,16 @@ object Graft {
   /** F42: leakage-safe grouped split — train/test assigned at the GROUP
     * level (near-dup cluster, URL family, source) by an exact integer
     * md5 draw on the group id, so duplicates never straddle the split. */
+  /** F51: D4 / SSL-prototype diversification — k-means the embedding
+    * space and drop the `dropMillionths` fraction of each cluster closest
+    * to its centroid. See [[Similarity.prototypeDiversify]].
+    */
+  def diversify(spark: SparkSession, emb: DataFrame, dropMillionths: Long,
+      k: Int = 0, iters: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame =
+    Similarity.prototypeDiversify(spark, emb, dropMillionths, k, iters,
+      checkpointDir = checkpointDir)
+
   def splitByGroup(labeled: DataFrame, testMillionths: Long,
       groupCol: String = "cluster_id", seed: Long = 0L): DataFrame =
     Dedup.splitByGroup(labeled, testMillionths, groupCol, seed)
@@ -694,6 +704,21 @@ object Graft {
       s"minJaccard must be in (0, 1], got $minJaccard")
   }
 
+  /** C4 heuristic-cleaning knobs for [[curateCorpus]] (round 17, F50):
+    * the published line-level rewrite + page-level drop rules (Raffel et
+    * al. 2020 §2.2) applied FIRST — before any fingerprinting — so dedup
+    * and every later gate see the cleaned text (the C4 pipeline's own
+    * order: heuristics, then dedup). Docs whose verdict is not `kept`
+    * (lorem ipsum / curly brace / bad word / too few sentences) DROP at
+    * this stage; survivors continue with their kept lines rejoined. See
+    * [[TextOps.c4Clean]] for the pinned rules.
+    */
+  final case class C4Clean(minWords: Int = 3, minSentences: Int = 5,
+      badWords: Seq[String] = Nil, sepRegex: String = "\n") {
+    require(minWords >= 0 && minSentences >= 0,
+      s"minWords/minSentences must be >= 0, got $minWords/$minSentences")
+  }
+
   /** The quality gate as a row predicate over `text` — one definition
     * shared by the batch pipeline ([[curateCorpus]]) and the streaming
     * entry point ([[curateStream]]) so the two gates can never drift.
@@ -747,6 +772,9 @@ object Graft {
     *     composition (+ optional accent stripping) so composed/decomposed
     *     renderings of one visible string hash identically in every
     *     later stage (F27)
+    *  0a. C4 heuristic cleaning (when `c4` is given, round 17) — the
+    *     published line rewrite + page drops ([[C4Clean]]); non-kept
+    *     pages DROP, survivors continue with their kept lines (F50)
     *  0b. paragraph cleanup (when `paragraphs` is given, round 17) —
     *     corpus-duplicated paragraphs stripped from every doc, first
     *     occurrence kept ([[ParagraphClean]]); a text REWRITE, no rows
@@ -794,14 +822,15 @@ object Graft {
       weighted: Option[WeightedKeep] = None,
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
-      paragraphs: Option[ParagraphClean] = None): DataFrame =
+      paragraphs: Option[ParagraphClean] = None,
+      c4: Option[C4Clean] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
         normalize = normalize, langGate = langGate,
         classifier = classifier, weighted = weighted,
         calibrated = calibrated, dsir = dsir,
-        paragraphs = paragraphs).last._2)
+        paragraphs = paragraphs, c4 = c4).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -834,12 +863,14 @@ object Graft {
       weighted: Option[WeightedKeep] = None,
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
-      paragraphs: Option[ParagraphClean] = None): (DataFrame, Seq[StageCount]) = {
+      paragraphs: Option[ParagraphClean] = None,
+      c4: Option[C4Clean] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
       normalize = normalize, langGate = langGate,
       classifier = classifier, weighted = weighted,
-      calibrated = calibrated, dsir = dsir, paragraphs = paragraphs)
+      calibrated = calibrated, dsir = dsir, paragraphs = paragraphs,
+      c4 = c4)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -1041,9 +1072,11 @@ object Graft {
   }
 
   /** The named intermediate frames of the curation pipeline, in order:
-    * input → [unicode_normalize] → exact_dedup → neardup_dedup →
-    * [semantic_dedup] → quality_gate → [lang_gate] → [classifier_gate] →
-    * contamination → [eval_decontam] → [weighted_sample].
+    * input → [unicode_normalize] → [c4_clean] → [paragraph_clean] →
+    * exact_dedup → neardup_dedup → [semantic_dedup] → quality_gate →
+    * [lang_gate] → [classifier_gate] → [calibrated_keep] →
+    * [dsir_resample] → contamination → [eval_decontam] →
+    * [weighted_sample].
     */
   private def curationStages(spark: SparkSession, docs: DataFrame,
       screenPhrases: Seq[String], minJaccard: Double,
@@ -1056,7 +1089,8 @@ object Graft {
       weighted: Option[WeightedKeep] = None,
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
-      paragraphs: Option[ParagraphClean] = None): Seq[(String, DataFrame)] = {
+      paragraphs: Option[ParagraphClean] = None,
+      c4: Option[C4Clean] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
@@ -1070,13 +1104,25 @@ object Graft {
     // them. Per-row codegen kernels, zero shuffle, no rows dropped (its
     // effect shows up as extra drops in exact_dedup's audit row).
     val base0 = normalize.fold(raw)(nz => raw.withColumn("text", nz(col("text"))))
+    // round-17 F50 stage: C4 heuristic cleaning FIRST (the C4 pipeline's
+    // own order) — non-`kept` pages DROP here (the inner join carries
+    // only kept docs' clean_text), survivors continue with kept lines
+    // rejoined so every fingerprint downstream sees cleaned text
+    val baseC4 = c4.fold(base0) { cf =>
+      base0.drop("text").join(
+        TextOps.c4Clean(Dedup.paragraphsOf(base0, cf.sepRegex),
+            cf.minWords, cf.minSentences, cf.badWords)
+          .filter(col("verdict") === "kept")
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    }
     // round-17 F49b stage: strip corpus-duplicated paragraphs (first
     // occurrence kept) — a text REWRITE like F27, no rows dropped; docs
     // cleaned down to nothing die at the quality gate's minTokens
-    val base = paragraphs.fold(base0) { pc =>
-      base0.drop("text").join(
+    val base = paragraphs.fold(baseC4) { pc =>
+      baseC4.drop("text").join(
         Dedup.paragraphClean(spark,
-            Dedup.paragraphsOf(base0, pc.sepRegex), pc.minJaccard, pc.joiner)
+            Dedup.paragraphsOf(baseC4, pc.sepRegex), pc.minJaccard, pc.joiner)
           .select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id"))
     }
@@ -1177,6 +1223,7 @@ object Graft {
     val d4 = d3e.join(clean, Seq("doc_id"), "left_semi")
     val core = Seq("input" -> raw) ++
       normalize.map(_ => "unicode_normalize" -> base0).toSeq ++
+      c4.map(_ => "c4_clean" -> baseC4).toSeq ++
       paragraphs.map(_ => "paragraph_clean" -> base).toSeq ++
       Seq("exact_dedup" -> d1, "neardup_dedup" -> d2) ++
       semantic.map(_ => "semantic_dedup" -> dSem).toSeq ++

@@ -1101,6 +1101,89 @@ object Similarity {
     semanticClustersClustered(s, embeddings(s, d), minCos = 0.35, k = 8)
   }
 
+  /** F51 (round 17): prototype-proximity diversification — SSL-prototype
+    * pruning (Sorscher et al., NeurIPS 2022 "Beyond neural scaling laws")
+    * as applied by D4 (Tirumala et al. 2023) AFTER SemDeDup: k-means the
+    * embedding space with the deterministic [[kmeansFitExact]], rank every
+    * vector WITHIN its cluster by exact integer squared distance to its
+    * centroid, and mark the closest `dropMillionths` fraction of each
+    * cluster as `prototype` (dropped — the most prototypical points carry
+    * the least marginal information), `kept` otherwise. The published D4
+    * pipeline is [[semanticClustersClustered]] (dedup) THEN this operator
+    * (diversify) over the survivors.
+    *
+    * Verdict rule (pinned): a vector is a prototype iff its per-cluster
+    * percent rank `pct_millionths` < `dropMillionths`, where pct is the
+    * F44 integer formula `(rank−1)·10⁶ div (n−1)` over (dist ASC, id ASC)
+    * order within the cluster (singleton clusters get 10⁶ — never
+    * dropped, matching the F44 contract). `drop = 0` keeps everything;
+    * `drop = 10⁶` keeps only each cluster's farthest vector (pct = 10⁶
+    * exactly) and singletons. Monotone: raising `drop` only shrinks the
+    * kept set.
+    *
+    * Scale: the fit is F36's bounded k×dim pull; assignment is the
+    * zero-shuffle `kmeans_best_q` kernel; the within-cluster rank is F44's
+    * [[TextOps.scoreCalibration]] three-level cascade (cluster = source,
+    * dist = score), so NO corpus-sized — and no cluster-sized — window
+    * partition exists for any cluster-size distribution. The assigned
+    * frame feeds the calibration's three subtrees once via
+    * `localCheckpoint` (or reliable `checkpointDir`, the round-17
+    * fault-tolerance convention).
+    */
+  def prototypeDiversify(s: SparkSession, emb: DataFrame,
+      dropMillionths: Long, k: Int = 0, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(dropMillionths >= 0L && dropMillionths <= 1000000L,
+      s"dropMillionths must be in [0, 1e6], got $dropMillionths")
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    val kk = if (k > 0) k else
+      math.ceil(math.sqrt(nonNull.count().toDouble)).toInt.max(1)
+    val model = kmeansFitExact(nonNull, kk, iters, vecCol, idCol)
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    val assignedRaw = nonNull
+      .select(col(idCol), model.bestCol(col(vecCol)).as("best"))
+      .select(col(idCol), col("best.i").as("cluster"),
+        col("best.d").as("dist_sq"))
+    val assigned =
+      if (checkpointDir.isDefined) assignedRaw.checkpoint(eager = false)
+      else assignedRaw.localCheckpoint(eager = false)
+    TextOps.scoreCalibration(assigned, "dist_sq", sourceCol = "cluster",
+      idCol = idCol)
+      .select(col(idCol), col("cluster"),
+        col("score").cast("long").as("dist_sq"), col("pct_millionths"),
+        when(col("pct_millionths") < dropMillionths, lit("prototype"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
+  /** Graded F51 query: k = 8, 2 Lloyd iterations (the q_f36 fit, so the
+    * oracle reuses its unrolled CTEs), drop the closest 25% of each
+    * cluster. The oracle recomputes the fit, the final assignment, the
+    * one-window per-cluster (dist, id) rank, the integer pct, and the
+    * verdict from scratch — so the hash grades the fit, the F44 cascade's
+    * rank exactness on this distribution, and the threshold rule end to
+    * end.
+    */
+  val qPrototypeDiversify = Q(
+    "q_f51_prototype_diversify",
+    s"""WITH $kmeansOracleCtes,
+      |fin AS (SELECT vec_id, c, dist FROM a3 WHERE rn = 1),
+      |cn AS (SELECT c, count(*) AS n FROM fin GROUP BY c),
+      |r AS (SELECT vec_id, c, dist, row_number() OVER (
+      |          PARTITION BY c ORDER BY dist, vec_id) AS rk
+      |      FROM fin),
+      |p AS (SELECT r.vec_id, r.c, r.dist,
+      |             CASE WHEN cn.n = 1 THEN 1000000
+      |                  ELSE ((rk - 1) * 1000000) // (cn.n - 1) END AS pct
+      |      FROM r JOIN cn USING (c))
+      |SELECT vec_id, c AS cluster, dist AS dist_sq, pct AS pct_millionths,
+      |       CASE WHEN pct < 250000 THEN 'prototype' ELSE 'kept' END
+      |         AS verdict
+      |FROM p ORDER BY vec_id""".stripMargin) { (s, d) =>
+    prototypeDiversify(s, embeddings(s, d), dropMillionths = 250000L, k = 8)
+      .orderBy(col("vec_id"))
+  }
+
   /** F36b (round 14): SemDeDup proper (Abbas et al. 2023) — k-means the
     * embedding space with the deterministic [[kmeansFitExact]], then run
     * semantic dedup WITHIN each cluster only. The candidate build
@@ -1342,5 +1425,5 @@ object Similarity {
 
   def all: Seq[Q] = Seq(qCosineTopk, qCosineNeardup, qKnn, qIvfAnn, qLshNeardup,
     qQuantize, qSemanticDedup, qSemanticDedupLsh, qKmeans, qSemDedupClustered,
-    qHardNegatives, qHardNegativesClustered)
+    qPrototypeDiversify, qHardNegatives, qHardNegativesClustered)
 }

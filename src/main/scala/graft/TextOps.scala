@@ -813,6 +813,141 @@ object TextOps {
     gopherRepetitionReport(documents(s, d))
   }
 
+  /** F50 (round 17): C4 heuristic cleaning (Raffel et al., JMLR 2020
+    * §2.2) — the published line-level rewrite + page-level drop rules
+    * applied over a (doc_id, para_idx, para_text) LINE relation (the
+    * [[Dedup.paragraphsOf]] shape; real corpora build it with
+    * `paragraphsOf(docs, "\n")`). Per line, KEEP iff all of:
+    *   - the right-trimmed line ends in a terminal punctuation mark
+    *     (`. ! ? " '` — the paper's "terminal punctuation incl. end
+    *     quotation mark"),
+    *   - it has ≥ `minWords` whitespace-separated words (paper: 3),
+    *   - it does not contain the word "javascript" (case-insensitive
+    *     substring — the paper drops any line with the word Javascript).
+    * Per document, the verdict (pinned precedence):
+    *   1. `lorem_ipsum` — some line contains "lorem ipsum" (lowercased),
+    *   2. `brace` — some line contains `{` (the paper drops pages with a
+    *      curly bracket: code),
+    *   3. `bad_word` — some line has a whitespace token in `badWords`
+    *      (lowercased token match; the paper's blocklist is external, so
+    *      the list is a caller parameter, default empty),
+    *   4. `too_few_sentences` — the CLEANED text has fewer than
+    *      `minSentences` sentences (paper: 5), where the sentence count
+    *      is pinned as the number of `.`/`!`/`?` characters in the kept
+    *      lines,
+    *   5. `kept` otherwise.
+    * Returns (doc_id, n_lines, n_kept, n_sentences, verdict, clean_text)
+    * — clean_text is the kept lines rejoined with `\n` in para_idx order,
+    * NULL unless the verdict is `kept` (C4 discards the page whole).
+    *
+    * Scale: the line rules are per-row predicates (whole-stage codegen,
+    * zero shuffle); the rollup is one doc-keyed partial agg whose
+    * collect bound is one DOCUMENT's lines (the F49 rollup bound — never
+    * a corpus structure). All counts are LONG; the only text rebuild is
+    * the same ordered per-doc transform [[Dedup.paragraphClean]] uses.
+    */
+  def c4Clean(lines: org.apache.spark.sql.DataFrame, minWords: Int = 3,
+      minSentences: Int = 5, badWords: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    require(minWords >= 0 && minSentences >= 0,
+      s"minWords/minSentences must be >= 0, got $minWords/$minSentences")
+    val line = col("para_text")
+    val words = when(trim(line) === "", lit(0))
+      .otherwise(size(split(trim(line), " +")))
+    val keepLine = rtrim(line).rlike("[.!?\"']$") &&
+      words >= minWords && !lower(line).contains("javascript")
+    val badTok =
+      if (badWords.isEmpty) lit(false)
+      else arrays_overlap(split(lower(trim(line)), " +"),
+        typedLit(badWords.map(_.toLowerCase)))
+    val agg = lines
+      .withColumn("__keep", keepLine)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("para_idx"), line)))),
+          x => x.getField("para_text"))).as("__clean"),
+        max(lower(line).contains("lorem ipsum")).as("__lorem"),
+        max(line.contains("{")).as("__brace"),
+        max(badTok).as("__bad"))
+      .withColumn("n_sentences",
+        (length(col("__clean")) -
+          length(regexp_replace(col("__clean"), "[.!?]", ""))).cast("long"))
+    agg.select(col("doc_id"), col("n_lines"), col("n_kept"),
+      col("n_sentences"),
+      when(col("__lorem"), lit("lorem_ipsum"))
+        .when(col("__brace"), lit("brace"))
+        .when(col("__bad"), lit("bad_word"))
+        .when(col("n_sentences") < minSentences, lit("too_few_sentences"))
+        .otherwise(lit("kept")).as("verdict"),
+      when(!col("__lorem") && !col("__brace") && !col("__bad") &&
+        col("n_sentences") >= minSentences, col("__clean")).as("clean_text"))
+  }
+
+  /** Graded F50 query. This corpus carries no line structure or
+    * punctuation (the F49 situation), so the query manufactures both
+    * deterministically IN-QUERY: lines are 10-token windows
+    * ([[Dedup.paragraphWindows]]), and each line's terminal character is
+    * an md5 draw over its text — `['.','!','?','']` indexed by the
+    * line's first md5 byte mod 4 (the house seeded-draw idiom), computed
+    * identically by the oracle. minWords = 3 (the paper), minSentences =
+    * 2 (the paper's 5 would drop every ≤3-line doc here — degenerate
+    * grading). The oracle recomputes the windows, the draw, every line
+    * rule, the ordered rebuild, the sentence count, and the verdict
+    * lattice from scratch, so the hash grades the rewrite byte-for-byte.
+    */
+  val qC4Clean = Q(
+    "q_f50_c4_clean",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT doc_id, t, len(t) AS n FROM sp),
+      |p AS (SELECT doc_id, CAST(floor(s / 10) AS BIGINT) AS pidx,
+      |             array_to_string(t[s+1:s+10], ' ') AS base
+      |      FROM b, unnest(generate_series(0, n - 1, 10)) AS u(s)),
+      |ln AS (SELECT doc_id, pidx,
+      |              base || (['.', '!', '?', ''])[
+      |                CAST(('0x' || substr(md5(base), 1, 2))::INT % 4 AS INT) + 1]
+      |                AS line
+      |       FROM p),
+      |k AS (SELECT doc_id, pidx, line,
+      |             regexp_matches(rtrim(line), '[.!?"'']$')
+      |               AND (CASE WHEN trim(line) = '' THEN 0
+      |                         ELSE len(string_split_regex(trim(line), ' +')) END) >= 3
+      |               AND NOT contains(lower(line), 'javascript') AS kept
+      |      FROM ln),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+      |                 AS n_kept,
+      |               coalesce(string_agg(CASE WHEN kept THEN line END,
+      |                 chr(10) ORDER BY pidx), '') AS clean,
+      |               bool_or(contains(lower(line), 'lorem ipsum')) AS lorem,
+      |               bool_or(contains(line, '{')) AS brace
+      |        FROM k GROUP BY doc_id),
+      |sn AS (SELECT *, CAST(length(clean) -
+      |                 length(regexp_replace(clean, '[.!?]', '', 'g'))
+      |               AS BIGINT) AS n_sentences
+      |       FROM agg)
+      |SELECT doc_id, n_lines, n_kept, n_sentences,
+      |       CASE WHEN lorem THEN 'lorem_ipsum'
+      |            WHEN brace THEN 'brace'
+      |            WHEN n_sentences < 2 THEN 'too_few_sentences'
+      |            ELSE 'kept' END AS verdict,
+      |       CASE WHEN NOT lorem AND NOT brace AND n_sentences >= 2
+      |            THEN clean END AS clean_text
+      |FROM sn ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val wins = Dedup.paragraphWindows(documents(s, d), 10)
+    val punct = element_at(
+      array(lit("."), lit("!"), lit("?"), lit("")),
+      (conv(substring(md5(col("para_text")), 1, 2), 16, 10).cast("int") % 4)
+        + 1)
+    c4Clean(
+      wins.withColumn("para_text", concat(col("para_text"), punct)),
+      minWords = 3, minSentences = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** F44 (round 15): cross-source score calibration — per-source percent
     * rank of a quality score, in integer millionths. The published
     * mixture-curation step behind "keep the top q% of every source": raw
@@ -1809,9 +1944,12 @@ object TextOps {
     * sums — so the hash grades the model fit and the scoring arithmetic
     * end to end.
     */
-  val qBigramLm = Q(
-    "q_f19b_bigram_lm",
-    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t
+  /** The F19b fit + scoring recomputed in SQL — shared by q_f19b and
+    * q_f19c's CCNet-bucket oracle. `sc` is the per-(doc, position) score
+    * piece relation; sum and negate per doc for the NLL.
+    */
+  private val bigramLmOracleCtes =
+    """sp AS (SELECT doc_id, string_split(text, ' ') AS t
       |            FROM documents WHERE text IS NOT NULL),
       |toks AS (SELECT doc_id, unnest(t) AS w FROM sp),
       |ucn AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b,
@@ -1840,11 +1978,68 @@ object TextOps {
       |       FROM bi
       |       JOIN tabs tb ON tb.b = ('0x' || substr(md5(p || ' ' || c), 1, 8))::BIGINT % 1024
       |       JOIN tabs tp ON tp.b = ('0x' || substr(md5(p), 1, 8))::BIGINT % 1024
-      |       JOIN tabs tu ON tu.b = ('0x' || substr(md5(c), 1, 8))::BIGINT % 1024)
+      |       JOIN tabs tu ON tu.b = ('0x' || substr(md5(c), 1, 8))::BIGINT % 1024)""".stripMargin
+
+  val qBigramLm = Q(
+    "q_f19b_bigram_lm",
+    s"""WITH $bigramLmOracleCtes
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |       CAST(-sum(m) AS BIGINT) AS nll_micros
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     lmBigramScores(documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Graded F19c query (round 17): the CCNet bucket assignment
+    * (Wenzek et al., LREC 2020) — every document's LM score
+    * rank-normalized WITHIN ITS LANGUAGE (the per-shard perplexity
+    * quantiles CCNet computes) and cut into the paper's three buckets:
+    * `head` = the most-probable (lowest-NLL) third of each language,
+    * `middle` the next, `tail` the rest. The composition is F19b's
+    * hashed bigram back-off LM ⊕ F44's scoreCalibration (lang = source,
+    * NLL = score); the bucket rule is pinned integer arithmetic —
+    * head iff pct·3 ≤ 10⁶, middle iff pct·3 ≤ 2·10⁶, else tail (a
+    * singleton language's one doc has pct = 10⁶ → `tail`: a frozen
+    * one-doc distribution has no evidence the doc is head material —
+    * the F44 singleton contract read through CCNet's cut). The oracle
+    * recomputes the LM
+    * fit, the per-doc sums, the per-language (nll, id) rank, the integer
+    * pct, and the bucket lattice from scratch.
+    *
+    * Scale: the LM fit is one ≤ 2·buckets pull; scoring is the F19b
+    * codegen explode; the per-language rank is the F44 cascade — no
+    * corpus-sized window for any language-size distribution.
+    */
+  val qCcnetBuckets = Q(
+    "q_f19c_ccnet_buckets",
+    s"""WITH $bigramLmOracleCtes,
+      |nll AS (SELECT doc_id, CAST(-sum(m) AS BIGINT) AS nll_micros
+      |        FROM sc GROUP BY doc_id),
+      |lb AS (SELECT n.doc_id, d.lang, n.nll_micros
+      |       FROM nll n JOIN documents d USING (doc_id)),
+      |ln2 AS (SELECT lang, count(*) AS n FROM lb GROUP BY lang),
+      |r AS (SELECT lb.doc_id, lb.lang, lb.nll_micros, row_number() OVER (
+      |          PARTITION BY lb.lang ORDER BY lb.nll_micros, lb.doc_id)
+      |          AS rk
+      |      FROM lb),
+      |p AS (SELECT r.doc_id, r.lang, r.nll_micros,
+      |             CASE WHEN ln2.n = 1 THEN 1000000
+      |                  ELSE ((rk - 1) * 1000000) // (ln2.n - 1) END AS pct
+      |      FROM r JOIN ln2 USING (lang))
+      |SELECT doc_id, lang, nll_micros, pct AS pct_millionths,
+      |       CASE WHEN pct * 3 <= 1000000 THEN 'head'
+      |            WHEN pct * 3 <= 2000000 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val scored = lmBigramScores(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    scoreCalibration(scored, "nll_micros", sourceCol = "lang")
+      .select(col("doc_id"), col("lang"),
+        col("score").cast("long").as("nll_micros"), col("pct_millionths"),
+        when(col("pct_millionths") * 3 <= 1000000L, lit("head"))
+          .when(col("pct_millionths") * 3 <= 2000000L, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
   }
 
   /** F40 (round 15): reciprocal-rank fusion — merge N per-query ranked
@@ -3319,12 +3514,13 @@ object TextOps {
     qUnicodeNormalize, qQualityScore,
     qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
-    qRepetition, qGopherRep, qScoreCalibration, qSoftDedup, qPiiRedact,
+    qRepetition, qGopherRep, qC4Clean, qScoreCalibration, qSoftDedup, qPiiRedact,
     qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qTemperatureBudgets, qTemperatureMix,
     qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense, qDsirWeights,
     qDsirResample,
-    qLmQuality, qBigramLm, qPackSequences, qNgramDecontam, qCompressRatio)
+    qLmQuality, qBigramLm, qCcnetBuckets, qPackSequences, qNgramDecontam,
+    qCompressRatio)
 }

@@ -504,4 +504,165 @@ class Round17OpsSpec extends SparkSpec {
       minCos = 0.8, k = 4, checkpointDir = Some(dir)))
     assert(ckpt == base)
   }
+
+  // ---- F51: prototype-proximity diversification (D4 / SSL prototypes) ---
+
+  /** k = 1, iters = 2 on {0.2, 0.3, 0.4} (1-dim): quantized micros are
+    * 1.2e6/1.3e6/1.4e6, the mean is EXACTLY 1.3e6 (sum 3.9e6 div 3), so
+    * v2 sits ON the centroid (dist 0, pct 0), and v1/v3 tie at dist 1e10
+    * → id order ranks v1 before v3 (pct 5e5 and 1e6).
+    */
+  private def protoCorpus = Seq(
+    (1L, Array(0.2f)), (2L, Array(0.3f)), (3L, Array(0.4f)))
+    .toDF("vec_id", "embedding")
+
+  test("prototypeDiversify: the centroid-coincident point is the first prototype; ties rank by id") {
+    val got = Similarity
+      .prototypeDiversify(spark, protoCorpus, dropMillionths = 600000L, k = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got(2L) == ((0L, 0L, "prototype")), got.toString)       // on-centroid
+    assert(got(1L) == ((10000000000L, 500000L, "prototype")), got.toString)
+    assert(got(3L) == ((10000000000L, 1000000L, "kept")), got.toString)
+  }
+
+  test("prototypeDiversify: drop = 0 keeps all; drop = 1e6 keeps only each cluster's farthest; monotone") {
+    def kept(d: Long): Set[Long] = Similarity
+      .prototypeDiversify(spark, protoCorpus, dropMillionths = d, k = 1)
+      .filter(col("verdict") === "kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(0L) == Set(1L, 2L, 3L))
+    assert(kept(1000000L) == Set(3L)) // pct = 1e6 exactly: never < drop
+    val ks = Seq(0L, 200000L, 600000L, 1000000L).map(kept)
+    assert(ks.sliding(2).forall { case Seq(a, b) => b.subsetOf(a) })
+  }
+
+  test("prototypeDiversify: singleton clusters are never dropped; partitioning-invariant") {
+    // two far-apart blobs, k = 2: one blob is a singleton (pct = 1e6)
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(0.98f, 1.0f)),
+      (3L, Array(1.0f, 0.98f)), (4L, Array(-1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val base = Similarity
+      .prototypeDiversify(spark, emb, dropMillionths = 900000L, k = 2)
+    val rows = base.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // v4 is alone in its cluster → pct 1e6 → kept even at drop 0.9e6
+    assert(byId(4L)._3 == 1000000L && byId(4L)._4 == "kept", rows.mkString(","))
+    // the 3-blob drops its two closest (pct 0 and 5e5 < 9e5)
+    assert(rows.count(_._4 == "prototype") == 2, rows.mkString(","))
+    val re = Similarity
+      .prototypeDiversify(spark, emb.repartition(7), dropMillionths = 900000L,
+        k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    assert(re.toSet == rows.toSet)
+  }
+
+  // ---- F50: C4 heuristic cleaning ----------------------------------------
+
+  private def c4Lines(rows: (Long, Long, String)*) =
+    rows.toSeq.toDF("doc_id", "para_idx", "para_text")
+
+  test("c4Clean: line rules (terminal punct, min words, javascript) and the ordered rebuild") {
+    val got = TextOps.c4Clean(c4Lines(
+      (1L, 0L, "This is a good first line."),
+      (1L, 1L, "short."),                        // < 3 words
+      (1L, 2L, "no terminal punctuation here"),  // no terminal
+      (1L, 3L, "Another fine line!"),
+      (1L, 4L, "this line uses JavaScript badly.")), // js
+      minWords = 3, minSentences = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.length == 1)
+    assert(got.head == ((5L, 2L, 2L, "kept",
+      "This is a good first line.\nAnother fine line!")), got.head.toString)
+  }
+
+  test("c4Clean: page-level verdict lattice — lorem > brace > bad_word > sentences; bad words match tokens, not substrings") {
+    val lines = c4Lines(
+      (1L, 0L, "Lorem ipsum dolor sit amet."), (1L, 1L, "And a brace { too."),
+      (2L, 0L, "A config snippet { appears here."),
+      (3L, 0L, "The badger walks at night."),
+      (4L, 0L, "Many badgers walk at night."),   // token ≠ "badger"
+      (4L, 1L, "They are fine animals indeed!"),
+      (5L, 0L, "Only one sentence lives here."))
+    val got = TextOps.c4Clean(lines, minWords = 3, minSentences = 2,
+      badWords = Seq("badger"))
+      .collect().map(r => r.getLong(0) -> (r.getString(4),
+        Option(r.getString(5)))).toMap
+    assert(got(1L)._1 == "lorem_ipsum" && got(1L)._2.isEmpty, got.toString)
+    assert(got(2L)._1 == "brace" && got(2L)._2.isEmpty, got.toString)
+    assert(got(3L)._1 == "bad_word", got.toString)
+    assert(got(4L)._1 == "kept" &&
+      got(4L)._2.contains(
+        "Many badgers walk at night.\nThey are fine animals indeed!"),
+      got.toString)
+    assert(got(5L)._1 == "too_few_sentences" && got(5L)._2.isEmpty, got.toString)
+  }
+
+  test("c4Clean: a doc with zero kept lines reports empty clean and too_few_sentences; empty input returns empty") {
+    val got = TextOps.c4Clean(
+      c4Lines((9L, 0L, "no punct no luck")), minWords = 3, minSentences = 1)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(2) == 0L &&
+      got.head.getString(4) == "too_few_sentences")
+    assert(TextOps.c4Clean(c4Lines(), minWords = 3).collect().isEmpty)
+  }
+
+  test("c4_clean curation stage: non-kept pages drop, survivors continue with kept lines, audit counts the drops") {
+    // doc 1: two good lines + one junk line → kept, junk line stripped
+    // doc 2: a brace page → drops at c4_clean
+    // doc 3: one sentence only → drops at c4_clean (minSentences = 2)
+    val docs = Seq(
+      (1L, "A first fine sentence.\njunk line no punct\nA second fine sentence."),
+      (2L, "Valid text until a { appears.\nAnother good line here."),
+      (3L, "Just the one sentence here.")).toDF("doc_id", "text")
+    val (_, audit) = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = Graft.QualityGate(minTokens = 1, maxTokens = 1000),
+      c4 = Some(Graft.C4Clean(minSentences = 2)))
+    val byStage = audit.map(sc => sc.stage -> sc).toMap
+    assert(byStage("c4_clean").kept == 1 && byStage("c4_clean").dropped == 2,
+      audit.toString)
+    // the survivor's text entering exact_dedup is the REWRITE
+    val stageText = Graft.curateCorpusAudited(spark, docs, Nil,
+      quality = Graft.QualityGate(minTokens = 1, maxTokens = 1000),
+      c4 = Some(Graft.C4Clean(minSentences = 2)))._1
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stageText == Set(1L))
+    val standalone = TextOps.c4Clean(
+      Dedup.paragraphsOf(docs, "\n"), minWords = 3, minSentences = 2)
+      .filter(col("verdict") === "kept")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(standalone == Map(
+      1L -> "A first fine sentence.\nA second fine sentence."))
+  }
+
+  // ---- F19c: CCNet head/middle/tail buckets ------------------------------
+
+  test("ccnet buckets: each language is cut into its own thirds regardless of score scale") {
+    // 3 docs per lang with distinct NLLs (different lengths); the cut is
+    // per-lang → every lang gets exactly one head, one middle, one tail
+    val docs = (0 until 6).map { i =>
+      val lang = if (i < 3) "en" else "de"
+      val len = 4 + (i % 3) * 6 + (if (i < 3) 0 else 2)
+      (i.toLong, lang,
+        (0 until len).map(j => s"w${(i * 3 + j) % 7}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val scored = TextOps.lmBigramScores(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val bucketed = TextOps.scoreCalibration(scored, "nll_micros",
+        sourceCol = "lang")
+      .select(col("doc_id"), col("lang"),
+        when(col("pct_millionths") * 3 <= 1000000L, lit("head"))
+          .when(col("pct_millionths") * 3 <= 2000000L, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    val counts = bucketed.groupBy(col("lang"), col("bucket")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    for (l <- Seq("en", "de"); b <- Seq("head", "middle", "tail"))
+      assert(counts.get((l, b)).contains(1L), counts.toString)
+  }
 }
