@@ -948,6 +948,121 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** F52 (round 17): byte-pair-encoding tokenizer (Sennrich, Haddow &
+    * Birch, ACL 2016) in the fit→freeze shape — the real-merge upgrade
+    * over F6's whitespace tokens and the BPE-ish regex count, and the
+    * token meter the budget operators (F33/F48) are published against.
+    * A FROZEN ordered merge list; encoding applies merges in RANK ORDER,
+    * each exhaustively leftmost-first — the learner-consistent variant
+    * (see [[graft.functions.BpeTable]] for the pinned semantics and the
+    * per-thread memo cache that makes corpus encoding ~O(text) under
+    * Zipf). Symbols are Unicode code points, so concat(tokens) == word
+    * for ANY input — seen or unseen — and token counts are monotonically
+    * non-increasing in the merge count (both spec laws).
+    */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    /** Token array for a text column — a zero-shuffle per-row kernel
+      * (requires [[graft.functions.VectorFunctions.register]], which
+      * every entry point calls). */
+    def encodeCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("bpe_encode", text,
+        typedLit(merges.map(_._1)), typedLit(merges.map(_._2)))
+    /** BPE token count — the drop-in meter for F33/F48 budgets. */
+    def countCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      size(encodeCol(text)).cast("long")
+  }
+
+  /** Fit a [[BpeModel]]: ONE corpus pass for word counts (partial-agg
+    * collapsed), a bounded top-`vocabN` pull by (count DESC, word ASC) —
+    * the published practice of learning merges on the frequency table,
+    * and the nbFit/langIdFit model-fit boundary: merges never touch the
+    * corpus again — then `numMerges` driver-side learning iterations
+    * over the ≤ vocabN weighted words. Each iteration counts adjacent
+    * symbol pairs weighted by word frequency, adopts the argmax
+    * ((count DESC, left ASC, right ASC) — pinned tie order), and applies
+    * it exhaustively leftmost-first. Stops early when no pair repeats.
+    * Fails loudly on a corpus with no words (the bigramLmFit convention).
+    */
+  def bpeFit(corpus: org.apache.spark.sql.DataFrame, numMerges: Int,
+      vocabN: Int = 50000): BpeModel = {
+    require(numMerges >= 0 && vocabN > 0,
+      s"need numMerges >= 0, vocabN > 0; got $numMerges, $vocabN")
+    val vocab = corpus.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabN)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(vocab.nonEmpty, "bpeFit: corpus has no words — the merge " +
+      "table is undefined (the bigramLmFit loud-failure convention)")
+    def codePoints(w: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.result()
+    }
+    var words = vocab.map { case (w, c) => (codePoints(w), c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val k = (syms(j), syms(j + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c); j += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((l, r))
+        words = words.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        m += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Graded F52 query: fit 50 merges on the corpus's top-500 words
+    * (the corpus vocabulary is 31 words / 138 code points, so 50 merges
+    * leave most words split into 2–3 sub-word tokens — full collapse at
+    * ~107 merges would make n_tokens ≡ n_words, a degenerate grading
+    * column), encode every document, report whitespace vs BPE token
+    * counts and an md5 over the token stream (0x1F-joined — long token
+    * arrays don't survive the driver comparator, the q_f17/F49 hashing
+    * rule). No DuckDB oracle (SURVEY §7.4.7: the iterative merge
+    * application has no SQL twin) — covered by the pure-Scala
+    * reference-equality spec, the losslessness/monotonicity laws, a
+    * committed sf0.001 golden, and the 1M-doc cert.
+    */
+  val qBpeTokens = Q.noOracle("q_f52_bpe_tokens") { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    val docs = documents(s, d)
+    val model = bpeFit(docs, numMerges = 50, vocabN = 500)
+    val toks = model.encodeCol(col("text"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(toks).cast("long").as("n_tokens"),
+        md5(concat_ws("\u001f", toks)).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F44 (round 15): cross-source score calibration — per-source percent
     * rank of a quality score, in integer millionths. The published
     * mixture-curation step behind "keep the top q% of every source": raw
@@ -3512,7 +3627,7 @@ object TextOps {
     qDedupCount, qDedupFirst, qTokenize, qTfidf, qTfidfTop, qKeywordScore,
     qDocStats, qDocHistogram, qMultimodalJoin, qLangId, qLangIdProfile,
     qUnicodeNormalize, qQualityScore,
-    qTokenCount, qFingerprint, qRollingFingerprint, qMultimodalMeta,
+    qTokenCount, qBpeTokens, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
     qRepetition, qGopherRep, qC4Clean, qScoreCalibration, qSoftDedup, qPiiRedact,
     qDupSubstrings, qChunking, qStratifiedSample,

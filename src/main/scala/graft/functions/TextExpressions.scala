@@ -1014,3 +1014,128 @@ case class NbScore(child: Expression, model: NbModel)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Driver-held frozen BPE merge table (SURVEY §2.F F52 — Sennrich,
+  * Haddow & Birch, ACL 2016): an ordered list of learned symbol merges.
+  * Encoding is pinned to the LEARNER-CONSISTENT variant: merges apply in
+  * RANK ORDER, each exhaustively (leftmost-first within a word), exactly
+  * the state evolution `bpeFit` itself performs — so a training-vocab
+  * word encodes to precisely the symbol state the fit left it in. (The
+  * other published variant — repeatedly merge the lowest-rank pair
+  * PRESENT — differs only when a later merge re-creates an earlier
+  * merge's pair; the choice is pinned here and in the pure-Scala spec
+  * reference.) Symbols start as Unicode CODE POINTS (surrogate-safe), so
+  * concat(tokens) == word for any input, seen or unseen — the
+  * losslessness law the spec asserts.
+  *
+  * Size is bounded by the merge count (KBs–MBs), so the model rides to
+  * executors inside the serialized expression (the NbModel pattern). A
+  * per-thread memo cache (Zipf: the same words dominate every corpus)
+  * caps at 64k entries and is cleared, not LRU-evicted, when full —
+  * allocation-free on the hit path.
+  */
+final class BpeTable(val lefts: Array[String], val rights: Array[String])
+    extends Serializable {
+  require(lefts.length == rights.length, "bpe_encode: ragged merge table")
+
+  @transient private lazy val cache =
+    new ThreadLocal[java.util.HashMap[String, Array[UTF8String]]] {
+      override def initialValue() =
+        new java.util.HashMap[String, Array[UTF8String]](1 << 12)
+    }
+
+  /** One word → its BPE tokens (rank-order merge application). */
+  def encodeWord(word: String): Array[UTF8String] = {
+    val c = cache.get()
+    val hit = c.get(word)
+    if (hit != null) return hit
+    // split into code points
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    var m = 0
+    while (m < lefts.length && syms.size > 1) {
+      val l = lefts(m); val r = rights(m)
+      var j = 0
+      var out: java.util.ArrayList[String] = null
+      while (j < syms.size) {
+        if (j + 1 < syms.size && syms.get(j) == l && syms.get(j + 1) == r) {
+          if (out == null) {
+            out = new java.util.ArrayList[String](syms.size)
+            var k = 0
+            while (k < j) { out.add(syms.get(k)); k += 1 }
+          }
+          out.add(l + r)
+          j += 2 // leftmost-first: the merged symbol cannot re-pair with
+                 // the next occurrence's left in the SAME merge pass
+        } else {
+          if (out != null) out.add(syms.get(j))
+          j += 1
+        }
+      }
+      if (out != null) syms = out
+      m += 1
+    }
+    val arr = new Array[UTF8String](syms.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = UTF8String.fromString(syms.get(k)); k += 1 }
+    if (c.size >= (1 << 16)) c.clear()
+    c.put(word, arr)
+    arr
+  }
+
+  /** Whole text → token array: words are the non-empty segments between
+    * single 0x20 bytes (`split(text, ' ')` minus empties — an empty word
+    * has no symbols), each encoded independently, concatenated in order.
+    */
+  def encode(t: UTF8String): ArrayData = {
+    val s = t.toString
+    val out = new java.util.ArrayList[UTF8String](s.length / 4 + 4)
+    var start = 0
+    var off = 0
+    while (off <= s.length) {
+      if (off == s.length || s.charAt(off) == ' ') {
+        if (off > start) {
+          val toks = encodeWord(s.substring(start, off))
+          var k = 0
+          while (k < toks.length) { out.add(toks(k)); k += 1 }
+        }
+        start = off + 1
+      }
+      off += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+}
+
+/** `bpe_encode(text, lefts, rights)` → array<string>: per-row BPE
+  * encoding against a driver-held [[BpeTable]] (the literal args fold
+  * once at registration-call time — the langid_score/nb_score pattern).
+  * Tokenizing a corpus is a pure per-row map with zero shuffle: fit once
+  * (one corpus word-count pass + a bounded vocab pull), encode anywhere.
+  */
+case class BpeEncode(child: Expression, model: BpeTable)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeTable", model, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$mRef.encode($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

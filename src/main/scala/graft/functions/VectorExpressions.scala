@@ -528,6 +528,18 @@ object VectorFunctions {
         NbScore(exprs.head, new NbModel(strs(exprs(1)), longs(exprs(2)),
           strs(exprs(3)), cond, longs(exprs(5))))
       }, "built-in")
+    // F52 scale tokenizer: the learned merge table arrives as two
+    // foldable string-array literals, folded once here into a
+    // driver-held BpeTable the generated code references — the
+    // langid_score/nb_score pattern, so encoding a corpus is a pure
+    // per-row map with zero shuffle
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode", (exprs: Seq[Expression]) => {
+        def strs(e: Expression): Array[String] =
+          e.eval().asInstanceOf[ArrayData].toObjectArray(StringType)
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        BpeEncode(exprs.head, new BpeTable(strs(exprs(1)), strs(exprs(2))))
+      }, "built-in")
     // PQ kernels: codebook/m/ksub are foldable literals, evaluated once
     // here (the minhash_sig pattern) so the expression holds a plain
     // float[] that codegen references instead of re-evaluating per row

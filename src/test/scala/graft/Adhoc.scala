@@ -2749,6 +2749,229 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("c417")) {
+      // F50 certification (round 17): 1M pages / ~6M lines through the C4
+      // heuristic cleaner, with every page-level verdict planted at a
+      // known count (disjoint residues mod 1000) and the line rules
+      // exercised on every page. Asserts the EXACT verdict histogram,
+      // rerun determinism (bit_xor checksum over the full output incl.
+      // the rebuilt text), and records the warm wall.
+      val n = 1000000L
+      val r = pmod(col("id"), lit(1000L))
+      def filler(i: Int) = concat(lit("alpha beta tok"),
+        pmod(hash(col("id") * 17 + i), lit(9999)).cast("string"),
+        lit(" gamma delta."))
+      val l1 = concat(lit("Bravo charlie line number "),
+        pmod(hash(col("id") + 1), lit(997)).cast("string"), lit("!"))
+      val junk1 = lit("short.")
+      val junk2 = lit("no terminal punct line")
+      val junk3 = lit("this page uses javascript heavily.")
+      val special = when(r === 0, lit("Some lorem ipsum text appears here."))
+        .when(r === 1, lit("A brace { hides in this line."))
+        .when(r === 2, lit("The zmutx token is banned here."))
+        .otherwise(filler(5))
+      val text = when(r === 3, concat_ws("\n", junk1, filler(0), junk2))
+        .otherwise(concat_ws("\n",
+          filler(0), junk1, l1, junk2, junk3, special))
+      val docs = spark.range(0, n)
+        .select(col("id").as("doc_id"), text.as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC c417 corpus=${docs.count()}")
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"c417 rep=$rep") {
+          out = TextOps.c4Clean(Dedup.paragraphsOf(docs, "\n"),
+              minWords = 3, minSentences = 2, badWords = Seq("zmutx"))
+            .localCheckpoint(eager = true)
+          out.count()
+        }
+      }
+      val byV = out.groupBy(col("verdict")).count().collect()
+        .map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+      println(s"ADHOC c417 verdicts=$byV")
+      assert(byV == Map("kept" -> 996000L, "lorem_ipsum" -> 1000L,
+        "brace" -> 1000L, "bad_word" -> 1000L,
+        "too_few_sentences" -> 1000L), byV.toString)
+      def sum(df: DataFrame): Long = df.agg(bit_xor(xxhash64(col("doc_id"),
+        col("verdict"), col("n_kept"), coalesce(col("clean_text"), lit("")))))
+        .head().getLong(0)
+      val (s1, s2) = (sum(out),
+        sum(TextOps.c4Clean(Dedup.paragraphsOf(docs, "\n"),
+          minWords = 3, minSentences = 2, badWords = Seq("zmutx"))))
+      assert(s1 == s2, s"rerun checksum drifted: $s1 vs $s2")
+      println(s"ADHOC c417 checksum=$s1")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("proto17")) {
+      // F51 certification (round 17): 1M 16-dim vectors in 8 planted
+      // orthogonal blobs through prototypeDiversify at drop = 0.5e6.
+      // The binding assert is the RANK-COUNT LAW, which holds for ANY
+      // clustering the fit produces: per cluster of size n_c, exactly
+      // min(n_c, ceil(drop·(n_c−1)/10⁶)) vectors have pct < drop (the
+      // F44 integer-rank arithmetic end to end at corpus scale). Plus
+      // rerun determinism and the warm wall.
+      val n = 1000000L
+      val emb = spark.range(0, n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            (when(i === pmod(col("id"), lit(8)).cast("int") * 2, lit(1.0))
+              .otherwise(lit(0.0)) +
+              pmod(hash(col("id") * 13 + i), lit(1000)).cast("double") /
+                lit(100000.0)).cast("float")).as("embedding"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC proto17 corpus=${emb.count()}")
+      val drop = 500000L
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"proto17 rep=$rep") {
+          out = Similarity.prototypeDiversify(spark, emb, drop, k = 8)
+            .localCheckpoint(eager = true)
+          out.count()
+        }
+      }
+      val perC = out.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("verdict") === "prototype", 1L).otherwise(0L)).as("p"))
+        .collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+      println(s"ADHOC proto17 clusters=${perC.sortBy(_._1).mkString(",")}")
+      assert(perC.map(_._2).sum == n)
+      perC.foreach { case (c, nc, p) =>
+        val want = if (nc == 1) 0L
+          else math.min(nc, (drop * (nc - 1) + 999999L) / 1000000L)
+        assert(p == want, s"cluster $c: n=$nc prototypes=$p want=$want")
+      }
+      def sum2(df: DataFrame): Long = df.agg(bit_xor(xxhash64(col("vec_id"),
+        col("cluster"), col("dist_sq"), col("pct_millionths"),
+        col("verdict")))).head().getLong(0)
+      val (s1, s2) = (sum2(out),
+        sum2(Similarity.prototypeDiversify(spark, emb, drop, k = 8)))
+      assert(s1 == s2, s"rerun checksum drifted: $s1 vs $s2")
+      println(s"ADHOC proto17 checksum=$s1")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("ccnet17")) {
+      // F19c certification (round 17): 1M docs across 4 languages with
+      // different length regimes through the bigram-LM fit + per-language
+      // calibration + head/middle/tail cut. The binding assert is the
+      // closed-form THIRDS LAW — per language of size n_l, the bucket
+      // counts follow the integer pct arithmetic exactly (head =
+      // #{pct ≤ 333333} = min(n_l, ceil(333334·(n_l−1)/10⁶)), etc.),
+      // independent of score ties. Plus rerun determinism and the wall.
+      val n = 1000000L
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          concat(lit("lang"), pmod(col("id"), lit(4)).cast("string")).as("lang"),
+          concat_ws(" ", transform(sequence(lit(0),
+              (pmod(hash(col("id")), lit(7)) + lit(7) +
+                pmod(col("id"), lit(4)) * 3).cast("int")),
+            i => concat(lit("tk"),
+              pmod(hash(col("id") * 29 + i), lit(4000)).cast("string"))))
+            .as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC ccnet17 corpus=${docs.count()}")
+      def run(): DataFrame = {
+        val scored = TextOps.lmBigramScores(docs)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        TextOps.scoreCalibration(scored, "nll_micros", sourceCol = "lang")
+          .select(col("doc_id"), col("lang"), col("pct_millionths"),
+            when(col("pct_millionths") * 3 <= 1000000L, lit("head"))
+              .when(col("pct_millionths") * 3 <= 2000000L, lit("middle"))
+              .otherwise(lit("tail")).as("bucket"))
+      }
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"ccnet17 rep=$rep") {
+          out = run().localCheckpoint(eager = true); out.count()
+        }
+      }
+      val counts = out.groupBy(col("lang"), col("bucket")).count().collect()
+        .map(rw => (rw.getString(0), rw.getString(1)) -> rw.getLong(2)).toMap
+      val nl = out.groupBy(col("lang")).count().collect()
+        .map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+      println(s"ADHOC ccnet17 counts=${counts.toSeq.sorted.mkString(",")}")
+      assert(nl.values.sum == n, s"every doc scored: ${nl.values.sum}")
+      def upto(le: Long, nn: Long): Long =
+        if (nn == 1) (if (le >= 1000000L) 1L else 0L)
+        else math.min(nn, ((le + 1) * (nn - 1) + 999999L) / 1000000L)
+      nl.foreach { case (l, nn) =>
+        val head = upto(333333L, nn)
+        val mid = upto(666666L, nn) - head
+        val tail = nn - head - mid
+        assert(counts.getOrElse((l, "head"), 0L) == head &&
+          counts.getOrElse((l, "middle"), 0L) == mid &&
+          counts.getOrElse((l, "tail"), 0L) == tail,
+          s"$l: n=$nn got=${counts.filter(_._1._1 == l)} want=($head,$mid,$tail)")
+      }
+      def sum3(df: DataFrame): Long = df.agg(bit_xor(xxhash64(col("doc_id"),
+        col("lang"), col("pct_millionths"), col("bucket")))).head().getLong(0)
+      val (s1, s2) = (sum3(out), sum3(run()))
+      assert(s1 == s2, s"rerun checksum drifted: $s1 vs $s2")
+      println(s"ADHOC ccnet17 checksum=$s1")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("bpe17")) {
+      // F52 certification (round 17): 1M docs over a 50k-word synthetic
+      // vocabulary — fit 2000 merges on the top-20k words (one corpus
+      // pass + bounded pull + driver learning), then encode all 1M docs
+      // with the frozen kernel. Binding asserts: the LOSSLESSNESS LAW at
+      // corpus scale (concat(tokens) per doc == text minus spaces, as a
+      // full-corpus checksum equality), token counts bounded by
+      // [n_words, n_codepoints], rerun determinism, and the walls for
+      // fit and encode separately (the memo cache is what makes encode
+      // ~O(text): only ~50k distinct words ever run the merge loop).
+      val n = 1000000L
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0),
+              (pmod(hash(col("id")), lit(8)) + lit(9)).cast("int")),
+            i => concat(lit("w"),
+              lower(conv(pmod(hash(col("id") * 31 + i), lit(50000))
+                .cast("string"), 10, 36))))).as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC bpe17 corpus=${docs.count()}")
+      var model: TextOps.BpeModel = null
+      time("bpe17 fit") {
+        model = TextOps.bpeFit(docs, numMerges = 2000, vocabN = 20000)
+        model.merges.length.toLong
+      }
+      println(s"ADHOC bpe17 merges=${model.merges.length}")
+      var out: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"bpe17 encode rep=$rep") {
+          out = docs.select(col("doc_id"), col("text"),
+              model.encodeCol(col("text")).as("toks"))
+            .select(col("doc_id"), col("text"),
+              size(col("toks")).cast("long").as("n_toks"),
+              concat_ws("", col("toks")).as("joined"))
+            .localCheckpoint(eager = true)
+          out.count()
+        }
+      }
+      val law = out.agg(
+        sum(when(col("joined") === regexp_replace(col("text"), " ", ""), 0L)
+          .otherwise(1L)).as("viol"),
+        sum(when(col("n_toks") >= size(split(col("text"), " ")) &&
+          col("n_toks") <= length(regexp_replace(col("text"), " ", "")), 0L)
+          .otherwise(1L)).as("bviol"),
+        sum(col("n_toks"))).head()
+      println(s"ADHOC bpe17 lossless_viol=${law.getLong(0)} " +
+        s"bound_viol=${law.getLong(1)} total_tokens=${law.getLong(2)}")
+      assert(law.getLong(0) == 0L && law.getLong(1) == 0L)
+      def sum4(df: DataFrame): Long = df.agg(bit_xor(xxhash64(col("doc_id"),
+        col("n_toks"), col("joined")))).head().getLong(0)
+      val s2 = sum4(docs.select(col("doc_id"), col("text"),
+        model.encodeCol(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          concat_ws("", col("toks")).as("joined")))
+      assert(sum4(out) == s2, "rerun checksum drifted")
+      println(s"ADHOC bpe17 checksum=$s2")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded

@@ -29,7 +29,7 @@ object Golden {
     "q_f2_minhash_pairs", "q_f2_simhash", "q_f5_lsh_neardup",
     "q_rolling_fingerprint", "q_f21b_semantic_dedup_lsh",
     "q_compress_ratio", "q_cms_heavy_hitters", "q_f2_simhash_pairs",
-    "q_simhash_dedup_groups")
+    "q_simhash_dedup_groups", "q_f52_bpe_tokens")
 
   /** Every query with a committed golden. */
   val All: Seq[String] = Flagships ++ NoOracleGoldens

@@ -640,6 +640,128 @@ class Round17OpsSpec extends SparkSpec {
       1L -> "A first fine sentence.\nA second fine sentence."))
   }
 
+  // ---- F52: BPE tokenizer -------------------------------------------------
+
+  /** Independent pure-Scala recompute of the pinned BPE algorithm (fit
+    * tie order, rank-order exhaustive leftmost-first application). */
+  private def bpeRefFit(corpus: Seq[String], numMerges: Int,
+      vocabN: Int): Seq[(String, String)] = {
+    def cps(w: String): Vector[String] = {
+      var i = 0; val b = Vector.newBuilder[String]
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    var words = corpus.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(vocabN)
+      .map { case (w, c) => (cps(w), c) }
+    val out = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to numMerges) {
+      val pc = words.flatMap { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      if (pc.nonEmpty) {
+        val (l, r) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        out += ((l, r))
+        words = words.map { case (s, c) => (bpeRefMerge(s, l, r), c) }
+      }
+    }
+    out.result()
+  }
+  private def bpeRefMerge(s: Vector[String], l: String, r: String)
+      : Vector[String] = {
+    val b = Vector.newBuilder[String]; var j = 0
+    while (j < s.size) {
+      if (j + 1 < s.size && s(j) == l && s(j + 1) == r) { b += (l + r); j += 2 }
+      else { b += s(j); j += 1 }
+    }
+    b.result()
+  }
+  private def bpeRefEncode(merges: Seq[(String, String)], w: String)
+      : Vector[String] = {
+    var s = {
+      var i = 0; val b = Vector.newBuilder[String]
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    merges.foreach { case (l, r) => s = bpeRefMerge(s, l, r) }
+    s
+  }
+
+  test("bpeFit + bpe_encode ≡ the pure-Scala reference (fit tie order, rank-order application)") {
+    graft.functions.VectorFunctions.register(spark)
+    val corpus = Seq("the quick brown fox", "the the quick fox fox fox",
+      "thequickbrownfox jumps", "ab ab ab aab")
+    val model = TextOps.bpeFit(corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      numMerges = 12, vocabN = 100)
+    assert(model.merges == bpeRefFit(corpus, 12, 100), model.merges.toString)
+    val probe = Seq("the", "fox", "thequickbrownfox", "unseen", "aab")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = probe.select(col("doc_id"), model.encodeCol(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    Seq("the", "fox", "thequickbrownfox", "unseen", "aab").zipWithIndex
+      .foreach { case (w, i) =>
+        assert(got(i.toLong) == bpeRefEncode(model.merges, w),
+          s"$w: ${got(i.toLong)}")
+      }
+  }
+
+  test("bpe: hand example, losslessness on multibyte/surrogate words, zero merges = code points") {
+    graft.functions.VectorFunctions.register(spark)
+    val fit = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val model = TextOps.bpeFit(fit, numMerges = 2, vocabN = 10)
+    assert(model.merges == Seq(("a", "a"), ("a", "b")), model.merges.toString)
+    val words = Seq("aab", "héllo", "a😀b", "aa", "ab")
+    val enc = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), model.encodeCol(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(enc(0L) == Vector("aa", "b")) // rank order: (a,a) fires first
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(enc(i.toLong).mkString == w, s"lossless: $w -> ${enc(i.toLong)}")
+    }
+    val m0 = TextOps.bpeFit(fit, numMerges = 0, vocabN = 10)
+    val cp = Seq((1L, "a😀b")).toDF("doc_id", "text")
+      .select(m0.encodeCol(col("text"))).head().getSeq[String](0)
+    assert(cp == Seq("a", "😀", "b"), cp.toString)
+  }
+
+  test("bpe: merge lists are prefix-stable and token counts are monotone in the merge count") {
+    graft.functions.VectorFunctions.register(spark)
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 5} shared shared tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val m20 = TextOps.bpeFit(corpus, numMerges = 20, vocabN = 100)
+    val m5 = TextOps.bpeFit(corpus, numMerges = 5, vocabN = 100)
+    assert(m20.merges.take(5) == m5.merges, "prefix law")
+    val counts = Seq(0, 5, 20).map { k =>
+      val m = TextOps.bpeFit(corpus, numMerges = k, vocabN = 100)
+      corpus.agg(sum(m.countCol(col("text")))).head().getLong(0)
+    }
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts.toString)
+    // partitioning invariance of the graded shape
+    val a = corpus.select(col("doc_id"), m20.countCol(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = corpus.repartition(7)
+      .select(col("doc_id"), m20.countCol(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("bpeFit fails loudly on a word-less corpus") {
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeFit(Seq.empty[(Long, String)].toDF("doc_id", "text"), 5)
+    }
+    assert(e.getMessage.contains("no words"), e.getMessage)
+  }
+
   // ---- F19c: CCNet head/middle/tail buckets ------------------------------
 
   test("ccnet buckets: each language is cut into its own thirds regardless of score scale") {
