@@ -755,6 +755,27 @@ class Round17OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("tokenBudgetMix with the BPE meter ≡ the default fill over pre-tokenized text (F52 ⊕ F33)") {
+    graft.functions.VectorFunctions.register(spark)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"s${i % 3}",
+        (0 until 4 + i % 5).map(j => s"word${(i + j) % 11}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val model = TextOps.bpeFit(docs, numMerges = 15, vocabN = 100)
+    val budgets = Map("s0" -> 120L, "s1" -> 60L, "s2" -> 0L)
+    val viaMeter = TextOps.tokenBudgetMix(docs, budgets,
+        tokenCount = Some(model.countCol(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val pretok = docs.select(col("doc_id"), col("source"),
+      concat_ws(" ", model.encodeCol(col("text"))).as("text"))
+    val viaText = TextOps.tokenBudgetMix(pretok, budgets)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(viaMeter == viaText && viaMeter.nonEmpty, s"$viaMeter vs $viaText")
+    // the fill is in BPE tokens: per-source kept mass obeys the greedy
+    // boundary rule (cum_before < budget for every kept doc)
+    assert(viaMeter.forall { case (_, _, cumBefore) => cumBefore < 120L })
+  }
+
   test("bpeFit fails loudly on a word-less corpus") {
     val e = intercept[IllegalArgumentException] {
       TextOps.bpeFit(Seq.empty[(Long, String)].toDF("doc_id", "text"), 5)
