@@ -269,6 +269,23 @@ object Graft {
       corpus: DataFrame, k: Int): DataFrame =
     Similarity.hardNegatives(spark, queries, corpus, k)
 
+  /** F52: fit a frozen BPE merge table (one corpus word-count pass +
+    * bounded pull + driver learning); `model.countCol`/`encodeCol` are
+    * zero-shuffle per-row kernels. See [[TextOps.bpeFit]]. */
+  def bpeFit(corpus: DataFrame, numMerges: Int,
+      vocabN: Int = 50000): TextOps.BpeModel =
+    TextOps.bpeFit(corpus, numMerges, vocabN)
+
+  /** F53: perceptual-dHash image near-dup pairs / dedup groups over a
+    * media-record corpus. See [[Multimodal.imageNearDupPairs]]. */
+  def imageNearDupPairs(records: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      maxHamming: Int = 3): DataFrame =
+    Multimodal.imageNearDupPairs(records, maxHamming)
+  def imageDedupGroups(spark: SparkSession,
+      records: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      maxHamming: Int = 3): DataFrame =
+    Multimodal.imageDedupGroups(spark, records, maxHamming)
+
   /** F42: leakage-safe grouped split — train/test assigned at the GROUP
     * level (near-dup cluster, URL family, source) by an exact integer
     * md5 draw on the group id, so duplicates never straddle the split. */

@@ -295,16 +295,7 @@ object MinHash {
     */
   private def simhashRepPairs(docs: org.apache.spark.sql.DataFrame,
       maxHamming: Int): (DataFrame, DataFrame) = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming must be in [0, 7] (band width >= 8 bits keeps the band " +
-        s"join skew-bounded), got $maxHamming")
     VectorFunctions.register(docs.sparkSession)
-    val nBands = maxHamming + 1
-    val base = 64 / nBands
-    val rem = 64 % nBands
-    // band b: width base (+1 for the first `rem` bands), cumulative offset
-    val widths = Seq.tabulate(nBands)(b => base + (if (b < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
     // localCheckpoint: the scan + md5 + simhash kernel feed the band join
     // AND the expansion joins — lazy cut so Spark does not re-execute the
     // subtree per consumer (the candidatePairs precedent)
@@ -315,25 +306,53 @@ object MinHash {
     // sig is a pure function of text, so first() within a tkey group is
     // deterministic
     val groups = sigs.groupBy(col("tkey")).agg(first(col("sig")).as("sig"))
-    val banded = groups.select(col("tkey"), col("sig"),
+    val repPairs = hammingPairs64(groups, maxHamming, idCol = "tkey")
+      .select(col("a_id").as("a_key"), col("b_id").as("b_key"), col("hamming"))
+    (sigs.select(col("tkey"), col("doc_id")), repPairs)
+  }
+
+  /** Manku (WWW '07) pigeonhole banding over ARBITRARY 64-bit signatures
+    * (round 17: factored out of the SimHash family so the image dHash
+    * path — [[Multimodal.imageNearDupPairs]] — rides the identical,
+    * spec-proven join). `sigs` is one row per item (`idCol`, `sig:
+    * long`); returns every (a_id, b_id, hamming ≤ maxHamming) pair with
+    * a_id < b_id, hamming exact. Recall is EXACT by the pigeonhole
+    * theorem: two sigs within `maxHamming` bits differ in at most
+    * maxHamming of the maxHamming+1 bands, so they COLLIDE in ≥ 1 band
+    * and one `bit_count(xor)` verifies. The only shuffle is the (band,
+    * key) equi-join — callers feeding duplicate-heavy corpora must
+    * rep-collapse first (identical sigs share every band key — the
+    * quadratic hazard simhashRepPairs' md5 pre-pass exists for).
+    */
+  private[graft] def hammingPairs64(sigs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (band width >= 8 bits keeps the band " +
+        s"join skew-bounded), got $maxHamming")
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    // band b: width base (+1 for the first `rem` bands), cumulative offset
+    val widths = Seq.tabulate(nBands)(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val banded = sigs.select(col(idCol).as("__id"), col("sig"),
       explode(array(Seq.tabulate(nBands) { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
-      .select(col("tkey"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val repPairs = banded.select(col("tkey").as("a_key"), col("sig").as("sa"),
+      .select(col("__id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("__id").as("a_id"), col("sig").as("sa"),
         col("band"), col("key"))
-      .join(banded.select(col("tkey").as("b_key"), col("sig").as("sb"),
+      .join(banded.select(col("__id").as("b_id"), col("sig").as("sb"),
         col("band"), col("key")), Seq("band", "key"))
-      .filter(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("b_key"),
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       // a pair colliding in several bands appears once per band — same
       // hamming each time; the groupBy is the dedup
-      .groupBy(col("a_key"), col("b_key")).agg(min(col("hamming")).as("hamming"))
-    (sigs.select(col("tkey"), col("doc_id")), repPairs)
+      .groupBy(col("a_id"), col("b_id")).agg(min(col("hamming")).as("hamming"))
   }
 
   // F2c graded query: SimHash pair join at hamming ≤ 3 (no oracle —

@@ -56,20 +56,23 @@ object Multimodal {
     * CLAIMED format — a valid GIF labeled `image/png` is a
     * format-corrupted record, not a decode success.
     */
-  private def decodeImage(payload: Array[Byte], claimed: String): Option[(Long, Int, Int)] =
+  /** Image payload → verified decoded image: the sniffed reader's format
+    * name must match the CLAIMED format. Scans ALL sniff-matched readers
+    * for one carrying the claimed name (round-10 ADVICE): a host app that
+    * registers extra readers (e.g. TwelveMonkeys) can put a
+    * differently-named reader FIRST for the same bytes — a
+    * correctly-labeled payload must not fail closed just because of
+    * registry ordering. A mislabeled payload still fails: no reader that
+    * sniffs the bytes carries the claimed format's name.
+    */
+  private def readVerifiedImage(payload: Array[Byte],
+      claimed: String): Option[java.awt.image.BufferedImage] =
     try {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         val expected = ImageFormatNames.getOrElse(claimed, Set.empty)
-        // scan ALL sniff-matched readers for one whose format name matches
-        // the CLAIMED format (round-10 ADVICE): a host app that registers
-        // extra readers (e.g. TwelveMonkeys) can put a differently-named
-        // reader FIRST for the same bytes — a correctly-labeled payload
-        // must not fail closed just because of registry ordering. A
-        // mislabeled payload still fails: no reader that sniffs the bytes
-        // carries the claimed format's name.
         var matched: Option[javax.imageio.ImageReader] = None
         while (matched.isEmpty && readers.hasNext) {
           val r = readers.next()
@@ -77,28 +80,27 @@ object Multimodal {
             matched = Some(r)
           else r.dispose()
         }
-        matched match {
-          case None => None
-          case Some(reader) =>
-            try {
-              reader.setInput(iis)
-              val img = reader.read(0)
-              val w = img.getWidth
-              val ht = img.getHeight
-              var h = 1125899906842597L // deterministic FNV-ish pixel hash
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < ht) {
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) { h = h * 31 + row(x); x += 1 }
-                y += 1
-              }
-              Some((h, w, ht))
-            } finally reader.dispose()
+        matched.map { reader =>
+          try { reader.setInput(iis); reader.read(0) } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
+
+  private def decodeImage(payload: Array[Byte], claimed: String): Option[(Long, Int, Int)] =
+    readVerifiedImage(payload, claimed).map { img =>
+      val w = img.getWidth
+      val ht = img.getHeight
+      var h = 1125899906842597L // deterministic FNV-ish pixel hash
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < ht) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) { h = h * 31 + row(x); x += 1 }
+        y += 1
+      }
+      (h, w, ht)
+    }
 
   /** `javax.sound.sampled` file types accepted per claimed audio MIME —
     * same one-source-of-truth shape as [[ImageFormatNames]]: decoding
@@ -245,6 +247,184 @@ object Multimodal {
         r.copy(payload = out, meta = r.meta.copy(declaredWidth = nw, declaredHeight = nh))
       }
     }
+  }
+
+  // ---- F53 (round 17): image near-dup via perceptual dHash ---------------
+
+  /** 64-bit perceptual DIFFERENCE hash (dHash — the LAION/DataComp-style
+    * image-dedup fingerprint: robust to re-encoding and mild resizing
+    * because it keys on the gradient STRUCTURE, not the bytes). REAL for
+    * PNG/JPEG — pixels come from the verified `javax.imageio` decode —
+    * with pinned integer arithmetic so the hash is engine- and
+    * platform-deterministic:
+    *   - luma = (299·R + 587·G + 114·B) div 1000 per pixel,
+    *   - a 9×8 grid of cells, cell (r, c) = Σ luma over the pixel block
+    *     rows [r·H div 8, (r+1)·H div 8) × cols [c·W div 9, (c+1)·W div 9)
+    *     div the block's pixel count (empty blocks on tiny images clamp
+    *     to one pixel),
+    *   - bit r·8 + c = 1 iff cell(r, c+1) > cell(r, c).
+    * Stub-format payloads (no codec in this container) hash their raw
+    * byte stream through the same grid — 72 contiguous byte ranges
+    * row-major, same comparison rule — the [[decodeOne]] stub convention:
+    * a deterministic stand-in with the production plumbing around it
+    * real. None for undecodable/mislabeled real-format payloads and
+    * empty stubs (no signature — the F2 NULL-sig rule: absent, never a
+    * sentinel that would false-pair all failures).
+    */
+  def dHash64(payload: Array[Byte], meta: MediaMeta): Option[Long] =
+    if (RealImageFormats(meta.format))
+      readVerifiedImage(payload, meta.format).map(dHashPixels)
+    else if (payload.isEmpty) None
+    else Some(dHashBytes(payload))
+
+  private def dHashPixels(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lumaRow = new Array[Int](w)
+    // cell sums/counts, 8 rows × 9 cols
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    val rgb = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rgb, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = rgb(x)
+        lumaRow(x) = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        x += 1
+      }
+      val gr = math.min(7, y * 8 / h)
+      x = 0
+      while (x < w) {
+        val gc = math.min(8, x * 9 / w)
+        sums(gr)(gc) += lumaRow(x); cnts(gr)(gc) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // empty blocks (w < 9 or h < 8): clamp to the nearest filled cell's
+    // value by borrowing the previous column/row — deterministic and
+    // only reachable on tiny images
+    val cell = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        cell(r)(c) =
+          if (cnts(r)(c) > 0) sums(r)(c) / cnts(r)(c)
+          else if (c > 0) cell(r)(c - 1)
+          else if (r > 0) cell(r - 1)(c)
+          else 0L
+        c += 1
+      }
+      r += 1
+    }
+    gridBits(cell)
+  }
+
+  private def dHashBytes(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val cell = Array.ofDim[Long](8, 9)
+    var i = 0 // cell index row-major over 72 contiguous byte ranges
+    while (i < 72) {
+      val lo = (i.toLong * n / 72).toInt
+      val hi = math.max(lo + 1, ((i + 1).toLong * n / 72).toInt) min n
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += bytes(j) & 0xff; j += 1 }
+      cell(i / 9)(i % 9) = if (hi > lo) s / (hi - lo) else cell(i / 9)(0)
+      i += 1
+    }
+    gridBits(cell)
+  }
+
+  private def gridBits(cell: Array[Array[Long]]): Long = {
+    var sig = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cell(r)(c + 1) > cell(r)(c)) sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  /** Per-record dHash signatures: (id, sig) — a partition-wise map, zero
+    * shuffle (the decodeFeatures shape); records with no signature drop.
+    */
+  def imageHashes(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap(r => dHash64(r.payload, r.meta).map(s => (r.id, s)))
+    }.toDF("doc_id", "sig")
+  }
+
+  /** F53: image near-dup pairs at hamming ≤ `maxHamming` over the dHash
+    * signatures — the [[MinHash.hammingPairs64]] Manku banding (recall
+    * exact by the pigeonhole theorem), with the same sig-level
+    * rep-collapse the SimHash family carries: exact byte-copies (and any
+    * re-encodes that hash identically) share EVERY band key, so one
+    * representative per distinct signature enters the band join and
+    * members expand back afterwards (within-sig pairs are hamming 0 by
+    * construction) — a 10⁶-copy hot image costs one banded row, not 10¹²
+    * join rows. Returns (a_id, b_id, hamming), a_id < b_id.
+    */
+  def imageNearDupPairs(records: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = imageHashes(records).localCheckpoint(eager = false)
+    val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    val repPairs = MinHash.hammingPairs64(
+      groups.select(col("rep").as("doc_id"), col("sig")), maxHamming)
+    // expansion, the simhashPairsOf scheme: cross-group pairs inherit
+    // their reps' hamming (the hash is a pure function of the payload
+    // bytes), within-group pairs are hamming 0
+    val members = sigs
+    val crossPairs = repPairs
+      .join(members.select(col("sig").as("siga"), col("doc_id").as("ma"))
+        .join(groups.select(col("sig").as("siga"), col("rep").as("a_id")), Seq("siga")),
+        Seq("a_id"))
+      .join(members.select(col("sig").as("sigb"), col("doc_id").as("mb"))
+        .join(groups.select(col("sig").as("sigb"), col("rep").as("b_id")), Seq("sigb")),
+        Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    val within = members.select(col("sig"), col("doc_id").as("a_id"))
+      .join(members.select(col("sig"), col("doc_id").as("b_id")), Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    crossPairs.unionByName(within)
+  }
+
+  /** F53 composed with F11's clustering: image dedup GROUPS — connected
+    * components over the banded hamming relation (near-dup images CHAIN,
+    * the same reason every other near-dup family ships a groups
+    * composition), every record labeled (doc_id, cluster_id,
+    * cluster_size). Records with no signature (undecodable) label
+    * themselves — every input id gets a cluster row. Edges are the
+    * simhashDedupGroups LINEAR form, not the all-pairs expansion: rep
+    * pairs over distinct signatures PLUS member→rep star edges, so a
+    * 10⁶-copy hot image contributes 10⁶ − 1 star edges (one CC group),
+    * never 10¹² pair rows — labels identical, spec-pinned.
+    */
+  def imageDedupGroups(spark: SparkSession, records: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ids = records.map(_.id).toDF("doc_id")
+    val sigs = imageHashes(records).localCheckpoint(eager = false)
+    val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    val repPairs = MinHash.hammingPairs64(
+      groups.select(col("rep").as("doc_id"), col("sig")), maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val star = sigs.join(groups, Seq("sig"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a_id"), col("rep").as("b_id"))
+    Dedup.withClusterSize(Dedup.connectedComponents(spark, ids,
+      repPairs.unionByName(star)))
   }
 
   final case class FrameSample(id: Long, frameIdx: Int, checksum: Long)

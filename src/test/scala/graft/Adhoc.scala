@@ -2972,6 +2972,109 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("img17")) {
+      // F53 certification (round 17): 1M stub-format images (720-byte
+      // pseudo-random payloads) + 100k one-cell-dented twins + a
+      // 2000-copy exact blob (the rep-collapse hazard), plus a 1.1k
+      // REAL-PNG side corpus exercising the javax.imageio decode path.
+      // Binding asserts: planted twin pairs found EXACTLY (banding
+      // recall is exact by pigeonhole; random 64-bit sigs at 1M yield ~0
+      // chance pairs), the blob collapses to one banded row but labels
+      // one 2000-member cluster, the groups histogram is exact, and the
+      // real-PNG perturbed twins pair at ≤ 3 bits. Reruns identical.
+      import spark.implicits._
+      val n = 1000000L
+      def payload(seed: Long): Array[Byte] =
+        Array.tabulate(720) { j =>
+          // full avalanche per (seed, j): without it consecutive j's give
+          // near-identical bytes, every base shares ~one signature, and
+          // the band join degenerates quadratic (measured: filled the
+          // disk at 1M rows before this mix)
+          var v = seed * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (v % 256).toByte
+        }
+      def dent(b: Array[Byte]): Array[Byte] = {
+        val o = b.clone(); (100 until 110).foreach(i => o(i) = 250.toByte); o
+      }
+      val meta = Multimodal.MediaMeta("fake/raw", 9, 8)
+      val base = spark.range(0, n).as[Long]
+        .map(i => Multimodal.MediaRecord(i, "image", payload(i), meta))
+      val twins = spark.range(0, n).as[Long].filter(_ % 10 == 0)
+        .map(i => Multimodal.MediaRecord(10000000L + i, "image",
+          dent(payload(i)), meta))
+      val blob = spark.range(0, 2000).as[Long]
+        .map(i => Multimodal.MediaRecord(20000000L + i, "image",
+          payload(-1L), meta))
+      val recs = base.unionByName(twins).unionByName(blob)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC img17 corpus=${recs.count()}")
+      var pairs: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"img17 pairs rep=$rep") {
+          pairs = Multimodal.imageNearDupPairs(recs, maxHamming = 3)
+            .localCheckpoint(eager = true)
+          pairs.count()
+        }
+      }
+      val twinPlanted = pairs
+        .filter(col("b_id") === col("a_id") + 10000000L).count()
+      val blobPairs = pairs.filter(col("a_id") >= 20000000L).count()
+      val crossNoise = pairs.filter(col("a_id") < 10000000L &&
+        col("b_id") < 10000000L).count()
+      println(s"ADHOC img17 planted_twin_pairs=$twinPlanted " +
+        s"blob_pairs=$blobPairs base_chance_pairs=$crossNoise " +
+        s"total=${pairs.count()}")
+      // recall is EXACT (pigeonhole): every planted twin pair must
+      // surface; a handful of 64-bit chance pairs among 1.1M random sigs
+      // (measured: ~20) are correct output, not noise
+      assert(twinPlanted == 100000L, s"planted twins: $twinPlanted")
+      assert(blobPairs == 2000L * 1999 / 2, s"blob all-pairs: $blobPairs")
+      var groups: DataFrame = null
+      time("img17 groups") {
+        groups = Multimodal.imageDedupGroups(spark, recs, maxHamming = 3)
+          .localCheckpoint(eager = true)
+        groups.count()
+      }
+      val hist = groups.groupBy(col("cluster_size")).agg(
+        countDistinct(col("cluster_id")).as("k")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"ADHOC img17 cluster_histogram=$hist")
+      assert(hist.get(2000L).contains(1L), hist.toString)
+      assert(hist.getOrElse(2L, 0L) >= 100000L - crossNoise - 10, hist.toString)
+      // real-decode side corpus: 1000 gradient PNGs + 100 perturbed twins
+      def png(i: Long, perturb: Boolean): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(64, 64,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 64; x <- 0 until 64) {
+          val v0 = (x * 4 + (i % 7).toInt * 9) & 0xff
+          val v = if (perturb && x < 8 && y < 8) 128 else v0
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val realMeta = Multimodal.MediaMeta("image/png", 0, 0)
+      val reals = spark.range(0, 1000).as[Long]
+        .map(i => Multimodal.MediaRecord(i, "image", png(i, perturb = false), realMeta))
+      val realTwins = spark.range(0, 100).as[Long]
+        .map(i => Multimodal.MediaRecord(1000000L + i, "image",
+          png(i, perturb = true), realMeta))
+      var realPairs = 0L
+      time("img17 real_png_pairs") {
+        realPairs = Multimodal.imageNearDupPairs(
+          reals.unionByName(realTwins), maxHamming = 3)
+          .filter(col("b_id") >= 1000000L && col("a_id") === col("b_id") - 1000000L)
+          .count()
+        realPairs
+      }
+      println(s"ADHOC img17 real_twin_pairs=$realPairs")
+      assert(realPairs == 100L, s"real-decode twins: $realPairs")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded

@@ -139,4 +139,129 @@ class MultimodalSpec extends SparkSpec {
     // every frame checksum bounded by frame size
     assert(frames.forall(f => f.checksum >= 0 && f.checksum <= 16L * 255))
   }
+
+  // ---- F53: perceptual dHash near-dup (round 17) --------------------------
+
+  private def gradientImg(w: Int, h: Int,
+      f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+  private def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+  private def rec(id: Long, bytes: Array[Byte], mime: String) =
+    Multimodal.MediaRecord(id, "image", bytes, Multimodal.MediaMeta(mime, 0, 0))
+
+  test("dHash: real-decode path — exact copy 0 bits, re-encode/perturbation close, inversion far, failures drop") {
+    val base = gradientImg(64, 64, (x, _) => x * 4)           // L→R ramp
+    val perturbed = gradientImg(64, 64, (x, y) =>
+      if (x < 8 && y < 8) 128 else x * 4)                     // one cell dented
+    val inverted = gradientImg(64, 64, (x, _) => 255 - x * 4) // every gradient flips
+    val recs = Seq(
+      rec(1L, enc(base, "png"), "image/png"),
+      rec(2L, enc(base, "png"), "image/png"),                 // exact copy
+      rec(3L, enc(perturbed, "png"), "image/png"),
+      rec(4L, enc(inverted, "png"), "image/png"),
+      rec(5L, enc(base, "jpg"), "image/jpeg"),                // lossy re-encode
+      rec(6L, Array[Byte](1, 2, 3), "image/png"),             // corrupt: drops
+      rec(7L, enc(gradientImg(1, 1, (_, _) => 9), "png"), "image/png"), // tiny
+      rec(8L, enc(gradientImg(3, 2, (x, y) => x * 40 + y), "png"), "image/png"))
+      .toDS()
+    val sigs = Multimodal.imageHashes(recs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!sigs.contains(6L), "undecodable payload must drop, not hash")
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L, 5L, 7L, 8L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) <= 3, s"dented cell moved ${ham(1L, 3L)} bits")
+    assert(ham(1L, 5L) <= 3, s"jpeg re-encode moved ${ham(1L, 5L)} bits")
+    assert(ham(1L, 4L) > 30, s"inverted gradient only ${ham(1L, 4L)} bits away")
+    // banding ≡ brute force at the threshold (recall exact by pigeonhole)
+    val got = Multimodal.imageNearDupPairs(recs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = sigs.keySet.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      h = ham(i, j) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got == brute, s"got $got want $brute")
+    assert(got.contains((1L, 2L, 0L)) && got.exists(p => p._1 == 1L && p._2 == 5L))
+  }
+
+  test("dHash: stub-format byte-stream branch pairs near-identical payloads; partitioning-invariant") {
+    val b0 = Array.tabulate(720)(i => (i % 251).toByte)
+    val b1 = b0.clone(); b1(5) = (b1(5) + 1).toByte // one byte off
+    val far = Array.tabulate(720)(i => (i * 37 % 251).toByte)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", b0, Multimodal.MediaMeta("fake/raw", 9, 8)),
+      Multimodal.MediaRecord(2L, "image", b0.clone(), Multimodal.MediaMeta("fake/raw", 9, 8)),
+      Multimodal.MediaRecord(3L, "image", b1, Multimodal.MediaMeta("fake/raw", 9, 8)),
+      Multimodal.MediaRecord(4L, "image", far, Multimodal.MediaMeta("fake/raw", 9, 8)),
+      Multimodal.MediaRecord(5L, "image", Array.empty[Byte],
+        Multimodal.MediaMeta("fake/raw", 0, 0))) // empty stub: no signature
+      .toDS()
+    val sigs = Multimodal.imageHashes(recs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L))
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 3)
+    val got = Multimodal.imageNearDupPairs(recs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    val ids = sigs.keySet.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      h = ham(i, j) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got == brute, s"got $got want $brute")
+    val re = Multimodal.imageNearDupPairs(recs.repartition(7), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == got)
+  }
+
+  test("imageDedupGroups: chained near-dups form one cluster; undecodable records label themselves") {
+    // stub-branch bytes engineered to chain: each step dents a different
+    // region enough for ≤3 bits but A→C accumulates past the threshold
+    def bytesOf(dents: Seq[(Int, Int)]): Array[Byte] = {
+      val b = Array.tabulate(720)(i => (i % 199).toByte)
+      // a 10-byte dent = exactly one 720/72-byte grid cell → flips at
+      // most its two adjacent comparisons, keeping every hop ≤ 3
+      dents.foreach { case (lo, v) =>
+        (lo until math.min(720, lo + 10)).foreach(i => b(i) = v.toByte) }
+      b
+    }
+    // one NEW dent per hop, disjoint regions → distinct grid cells, so
+    // hamming accumulates along the chain while each hop stays small
+    val dents = Seq((0, 250), (100, 250), (200, 250), (300, 250), (400, 250))
+    val chain = (0 to 5).map(k => bytesOf(dents.take(k)))
+    val recs = (chain.zipWithIndex.map { case (b, i) =>
+      Multimodal.MediaRecord(i + 1L, "image", b,
+        Multimodal.MediaMeta("fake/raw", 9, 8))
+    } :+ Multimodal.MediaRecord(9L, "image", Array.empty[Byte],
+      Multimodal.MediaMeta("fake/raw", 0, 0))).toDS()
+    val sigs = Multimodal.imageHashes(recs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(sigs(x) ^ sigs(y))
+    // the planted chain: every hop ≤ 3, the end-to-end hop > 3 (else the
+    // test proves nothing about chaining)
+    (1L to 5L).foreach(i =>
+      assert(ham(i, i + 1) <= 3, s"hop $i: ${ham(i, i + 1)}"))
+    assert(ham(1L, 6L) > 3, s"ends must exceed the threshold: ${ham(1L, 6L)}")
+    val groups = Multimodal.imageDedupGroups(spark, recs, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the chain is fully adjacent-linked → all six cluster; the binding
+    // asserts: the ends share a cluster DESPITE ham > 3 (chaining), and
+    // the unhashable record is its own singleton
+    assert(groups(1L)._1 == groups(6L)._1, groups.toString)
+    assert(groups(1L) == ((1L, 6L)), groups.toString)
+    assert(groups(9L) == ((9L, 1L)), groups.toString)
+  }
 }
