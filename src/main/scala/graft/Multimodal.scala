@@ -155,6 +155,139 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  // ---- F54 (round 17): audio near-dup via an energy-envelope hash --------
+
+  /** 64-bit ENERGY-ENVELOPE difference hash for audio — the dHash idea
+    * applied along time (the shape audio fingerprinting keys on:
+    * Chromaprint/Shazam-family prints compare energy across adjacent
+    * windows; this is the deterministic integer skeleton of that):
+    * the decoded PCM sample stream's |amplitude| is averaged over 65
+    * equal time ranges, bit i = cell(i+1) > cell(i). REAL for WAV/AIFF —
+    * samples come from the verified `javax.sound.sampled` decode (16-bit
+    * samples read as signed little/big per the stream format, 8-bit as
+    * unsigned-centered) — with the same pinned arithmetic everywhere:
+    * cell = Σ|sample| div count (empty ranges clamp left). Compressed
+    * formats (no codec in this container) hash their raw byte stream
+    * through the same envelope — the [[decodeOne]] stub convention. None
+    * for undecodable/mislabeled real-format payloads and empty stubs
+    * (the F2 NULL-sig rule).
+    */
+  def audioHash64(payload: Array[Byte], meta: MediaMeta): Option[Long] =
+    if (RealAudioFormats(meta.format)) readPcmAbs(payload, meta.format)
+      .filter(_.nonEmpty).map(envelopeBits)
+    else if (payload.isEmpty) None
+    else Some(envelopeBits(payload.map(b => (b & 0xff).toLong)))
+
+  /** Verified decode → |sample| stream (all channels interleaved — a
+    * stereo copy of a mono signal keeps its envelope shape). */
+  private def readPcmAbs(payload: Array[Byte],
+      claimed: String): Option[Array[Long]] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val expected = AudioFileTypes.getOrElse(claimed, Set.empty)
+      val sniffed = AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+        .getType.toString.toLowerCase(java.util.Locale.ROOT)
+      if (!expected.contains(sniffed)) None
+      else {
+        val ais = AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          val bytes = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = ais.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = ais.read(buf) }
+            bos.toByteArray
+          }
+          val bits = fmt.getSampleSizeInBits
+          val out =
+            if (bits == 16) {
+              val n = bytes.length / 2
+              val a = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                val lo = bytes(2 * i) & 0xff
+                val hi = bytes(2 * i + 1) & 0xff
+                val s =
+                  if (fmt.isBigEndian) ((bytes(2 * i) << 8) | hi).toShort
+                  else ((bytes(2 * i + 1) << 8) | lo).toShort
+                a(i) = math.abs(s.toLong)
+                i += 1
+              }
+              a
+            } else bytes.map(b => math.abs((b & 0xff) - 128).toLong)
+          Some(out)
+        } finally ais.close()
+      }
+    } catch { case _: Exception => None }
+
+  /** Shared 1-D envelope → 64 bits: 65 equal ranges over the stream,
+    * cell = Σ value div count, bit i = cell(i+1) > cell(i). */
+  private def envelopeBits(vals: Array[Long]): Long = {
+    val n = vals.length
+    val cell = new Array[Long](65)
+    var i = 0
+    while (i < 65) {
+      val lo = (i.toLong * n / 65).toInt
+      val hi = math.max(lo + 1, ((i + 1).toLong * n / 65).toInt) min n
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += vals(j); j += 1 }
+      cell(i) = if (hi > lo) s / (hi - lo) else (if (i > 0) cell(i - 1) else 0L)
+      i += 1
+    }
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if (cell(i + 1) > cell(i)) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Per-record audio signatures: (id, sig) — partition-wise, zero
+    * shuffle; records with no signature drop (the imageHashes shape). */
+  def audioHashes(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap(r => audioHash64(r.payload, r.meta).map(s => (r.id, s)))
+    }.toDF("doc_id", "sig")
+  }
+
+  /** F54: audio near-dup pairs at hamming ≤ `maxHamming` — the identical
+    * sig-level rep-collapse + [[MinHash.hammingPairs64]] banding +
+    * member expansion as [[imageNearDupPairs]]; one shared, spec-proven
+    * join for every 64-bit perceptual family. */
+  def audioNearDupPairs(records: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame =
+    sigNearDupPairs(audioHashes(records), maxHamming)
+
+  /** The shared pair machinery over ANY (doc_id, sig) frame. */
+  private[graft] def sigNearDupPairs(raw: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val sigs = raw.localCheckpoint(eager = false)
+    val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    val repPairs = MinHash.hammingPairs64(
+      groups.select(col("rep").as("doc_id"), col("sig")), maxHamming)
+    val members = sigs
+    val crossPairs = repPairs
+      .join(members.select(col("sig").as("siga"), col("doc_id").as("ma"))
+        .join(groups.select(col("sig").as("siga"), col("rep").as("a_id")), Seq("siga")),
+        Seq("a_id"))
+      .join(members.select(col("sig").as("sigb"), col("doc_id").as("mb"))
+        .join(groups.select(col("sig").as("sigb"), col("rep").as("b_id")), Seq("sigb")),
+        Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    val within = members.select(col("sig"), col("doc_id").as("a_id"))
+      .join(members.select(col("sig"), col("doc_id").as("b_id")), Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    crossPairs.unionByName(within)
+  }
+
   final case class AudioFeatures(id: Long, n_bytes: Long, sample_rate: Int,
       channels: Int, frames: Long, sample_hash: Long, ok: Boolean)
 
@@ -375,30 +508,8 @@ object Multimodal {
     * join rows. Returns (a_id, b_id, hamming), a_id < b_id.
     */
   def imageNearDupPairs(records: Dataset[MediaRecord],
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = imageHashes(records).localCheckpoint(eager = false)
-    val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
-    val repPairs = MinHash.hammingPairs64(
-      groups.select(col("rep").as("doc_id"), col("sig")), maxHamming)
-    // expansion, the simhashPairsOf scheme: cross-group pairs inherit
-    // their reps' hamming (the hash is a pure function of the payload
-    // bytes), within-group pairs are hamming 0
-    val members = sigs
-    val crossPairs = repPairs
-      .join(members.select(col("sig").as("siga"), col("doc_id").as("ma"))
-        .join(groups.select(col("sig").as("siga"), col("rep").as("a_id")), Seq("siga")),
-        Seq("a_id"))
-      .join(members.select(col("sig").as("sigb"), col("doc_id").as("mb"))
-        .join(groups.select(col("sig").as("sigb"), col("rep").as("b_id")), Seq("sigb")),
-        Seq("b_id"))
-      .select(least(col("ma"), col("mb")).as("a_id"),
-        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
-    val within = members.select(col("sig"), col("doc_id").as("a_id"))
-      .join(members.select(col("sig"), col("doc_id").as("b_id")), Seq("sig"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
-    crossPairs.unionByName(within)
-  }
+      maxHamming: Int = 3): DataFrame =
+    sigNearDupPairs(imageHashes(records), maxHamming)
 
   /** F53 composed with F11's clustering: image dedup GROUPS — connected
     * components over the banded hamming relation (near-dup images CHAIN,
@@ -414,8 +525,23 @@ object Multimodal {
   def imageDedupGroups(spark: SparkSession, records: Dataset[MediaRecord],
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val ids = records.map(_.id).toDF("doc_id")
-    val sigs = imageHashes(records).localCheckpoint(eager = false)
+    sigDedupGroups(spark, records.map(_.id).toDF("doc_id"),
+      imageHashes(records), maxHamming)
+  }
+
+  /** F54 groups: the audio sibling — same linear rep+star CC shape. */
+  def audioDedupGroups(spark: SparkSession, records: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    sigDedupGroups(spark, records.map(_.id).toDF("doc_id"),
+      audioHashes(records), maxHamming)
+  }
+
+  /** Shared groups machinery over ANY (doc_id, sig) frame + the full id
+    * list (unhashable records label themselves). */
+  private[graft] def sigDedupGroups(spark: SparkSession, ids: DataFrame,
+      raw: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = raw.localCheckpoint(eager = false)
     val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
     val repPairs = MinHash.hammingPairs64(
       groups.select(col("rep").as("doc_id"), col("sig")), maxHamming)

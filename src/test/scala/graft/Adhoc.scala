@@ -3075,6 +3075,95 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("curate17")) {
+      // Round-17 composed curation stress: 100k docs through C4 line
+      // cleaning (F50) + paragraph cleanup (F49b) + exact/near dedup +
+      // quality gate + calibrated per-source keep (F44b) + DSIR
+      // resampling (F46b) + the AC screen, audited. Planted structure
+      // with known stage-level outcomes; kept set rerun-identical.
+      val n = 100000L
+      val r1k = pmod(col("id"), lit(1000L))
+      // mostly-unique tokens per line: a doc whose shingles are largely
+      // corpus-common would be >60% boilerplate, where prefix-filtered
+      // set-similarity is quadratic BY NATURE (the documented AllPairs
+      // hazard — the first cut of this cert planted exactly that and the
+      // near-dup stage exploded; boilerplate removal BEFORE dedup is the
+      // published order for this reason)
+      // hash() fillers, not linear mods: the second cut used
+      // (k·id + i) mod 9973 and ids exactly 9973 apart collided on ALL
+      // three fillers at once — their paragraphs were GENUINE J = 0.6
+      // near-dups and the cleanup emptied 90% of the corpus (correct
+      // behavior, wrong plant)
+      def lineOf(tag: String, i: Int) = concat(
+        lit(tag), col("id").cast("string"),
+        lit(" alpha"), pmod(hash(col("id") * 31 + i), lit(99991)).cast("string"),
+        lit(" beta"), pmod(hash(col("id") * 37 + i), lit(99991)).cast("string"),
+        lit(" gamma"), pmod(hash(col("id") * 41 + i), lit(99991)).cast("string"),
+        lit(" ends cleanly."))
+      val boiler = lit("Subscribe to our newsletter for daily updates today.")
+      // every doc: 3 unique good lines + 1 junk line + the shared
+      // boilerplate line; docs ≡ 0 mod 1000 carry a brace (C4 drops
+      // them); docs ≡ 1 mod 1000 share ONE fixed body (paragraph cleanup
+      // empties all but the first; the empties exact-dedup to one rep,
+      // which dies at the quality gate)
+      val bodyBase = concat_ws("\n",
+        lineOf("alpha", 0), lit("no terminal punct junk"),
+        lineOf("beta", 1), boiler, lineOf("gamma", 2))
+      val body = when(r1k === 1L,
+        concat_ws("\n",
+          lit("copyblob one fixed page body line here today."),
+          boiler))
+        .otherwise(bodyBase)
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          when(r1k === 0L, concat(body, lit("\nA brace { appears.")))
+            .otherwise(body).as("text"),
+          concat(lit("s"), pmod(col("id"), lit(4)).cast("string")).as("source"))
+        .localCheckpoint(eager = true)
+      val target = spark.range(0, 2000).select(
+        (col("id") + 5000000L).as("doc_id"),
+        concat(lit("tgt"), col("id").cast("string"),
+          lit(" alpha"), pmod(col("id") * 7, lit(9973)).cast("string"),
+          lit(" beta"), pmod(col("id") * 13, lit(9973)).cast("string"),
+          lit(" ends cleanly.")).as("text"))
+      println(s"ADHOC curate17 corpus=${docs.count()}")
+      def run() = Graft.curateCorpusAudited(spark, docs,
+        screenPhrases = Seq("forbidden phrase never present"),
+        quality = Graft.QualityGate(minTokens = 3, maxTokens = 10000),
+        c4 = Some(Graft.C4Clean(minSentences = 2)),
+        paragraphs = Some(Graft.ParagraphClean(sepRegex = "\n", joiner = "\n")),
+        calibrated = Some(Graft.CalibratedKeep(
+          score = length(col("text")).cast("double"),
+          minPctMillionths = 200000L)),
+        dsir = Some(Graft.DsirKeep(target = target, buckets = 4096)))
+      var kept1: Set[Long] = null
+      var audit1: Seq[Graft.StageCount] = null
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val (out, audit) = run()
+        val keptIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (rep == 1) {
+          kept1 = keptIds; audit1 = audit
+          audit.foreach(a => println(
+            f"ADHOC curate17_stage ${a.stage}%-16s kept=${a.kept} dropped=${a.dropped}"))
+        } else assert(keptIds == kept1, "kept set must be rerun-identical")
+        println(f"ADHOC curate17 rep=$rep kept=${keptIds.size} secs=$secs%.1f")
+      }
+      val byStage = audit1.map(a => a.stage -> a).toMap
+      // C4 drops exactly the 100 brace pages
+      assert(byStage("c4_clean").dropped == 100L, byStage("c4_clean").toString)
+      // the paragraph rewrite drops no rows (its victims die later)
+      assert(byStage("paragraph_clean").dropped == 0L,
+        byStage("paragraph_clean").toString)
+      // no brace page and no copy page (beyond its one surviving rep)
+      // reaches the output
+      assert(kept1.forall(id => id % 1000L != 0L), "brace pages leaked")
+      assert(kept1.count(id => id % 1000L == 1L) <= 1, "copy pages leaked")
+      assert(kept1.nonEmpty)
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate")) {
       // end-to-end curation stress: the composed user-facing pipeline at
       // 50k docs, with the audit trail and total shuffle volume recorded

@@ -227,6 +227,63 @@ class MultimodalSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("audioHash64: real WAV decode — exact copy 0 bits, stereo re-layout 0 bits, dent close, reversal far; banding ≡ brute force") {
+    def wav(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels,
+        true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // amplitude envelope ramps up: |s(t)| grows with t (sign alternates)
+    val n = 6500
+    val base = Array.tabulate(n)(t =>
+      (math.min(32000, t * 4) * (if (t % 2 == 0) 1 else -1)).toShort)
+    val dented = base.clone()
+    (1000 until 1100).foreach(t => dented(t) = 31000.toShort) // one cell hot
+    val reversed = base.reverse
+    val stereo = base.flatMap(s => Array(s, s)) // same envelope, 2 channels
+    def arec(id: Long, b: Array[Byte], mime: String = "audio/wav") =
+      Multimodal.MediaRecord(id, "audio", b, Multimodal.MediaMeta(mime, 0, 0))
+    val recs = Seq(
+      arec(1L, wav(base)), arec(2L, wav(base)),            // exact copy
+      arec(3L, wav(dented)), arec(4L, wav(reversed)),
+      arec(5L, wav(stereo, channels = 2)),
+      arec(6L, Array[Byte](9, 9, 9)),                      // corrupt: drops
+      arec(7L, wav(base), mime = "audio/aiff"),            // mislabeled: drops
+      Multimodal.MediaRecord(8L, "audio", Array.tabulate(720)(_.toByte),
+        Multimodal.MediaMeta("audio/mpeg", 0, 0)))         // stub branch
+      .toDS()
+    val sigs = Multimodal.audioHashes(recs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L, 5L, 8L), sigs.keySet.toString)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 5L) == 0, s"stereo re-layout moved ${ham(1L, 5L)} bits")
+    assert(ham(1L, 3L) <= 3, s"dent moved ${ham(1L, 3L)} bits")
+    assert(ham(1L, 4L) > 30, s"reversal only ${ham(1L, 4L)} bits away")
+    val got = Multimodal.audioNearDupPairs(recs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = sigs.keySet.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      h = ham(i, j) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got == brute, s"got $got want $brute")
+    val re = Multimodal.audioNearDupPairs(recs.repartition(5), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == got)
+  }
+
   test("imageDedupGroups: chained near-dups form one cluster; undecodable records label themselves") {
     // stub-branch bytes engineered to chain: each step dents a different
     // region enough for ≤3 bits but A→C accumulates past the threshold
