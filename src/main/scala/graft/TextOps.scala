@@ -813,6 +813,139 @@ object TextOps {
     gopherRepetitionReport(documents(s, d))
   }
 
+  /** F55 (round 17): the Gopher quality-rule battery (Rae et al. 2021,
+    * §A1.1 — the MassiveWeb document filters, adopted wholesale by
+    * FineWeb/Dolma/RedPajama-v2 as "the Gopher rules") — the rule set
+    * F43's repetition fractions complement. Per document, in pinned
+    * integer millionths:
+    *   - word count within [minWords, maxWords] (paper: 50..100k),
+    *   - mean word length within [3, 10] characters,
+    *   - symbol-to-word ratio ≤ 0.1 (symbols: `#` and the `...` /
+    *     `…` ellipses — `...` counted as length-div-3 of the removed
+    *     dots, both engines),
+    *   - ≤ 90% of LINES starting with a bullet (`•` or `- `),
+    *   - ≤ 30% of lines ending in an ellipsis,
+    *   - ≥ 80% of words containing an alphabetic character,
+    *   - at least `minRequired` distinct words from `requiredWords`
+    *     (the paper's "stop word" presence filter, default the paper's
+    *     {the, be, to, of, and, that} with ≥ 2).
+    * Verdict precedence pinned in that order; `kept` otherwise. Returns
+    * one row per doc with every measured ratio (millionths, exact
+    * integer div) plus the verdict — the report form, so callers can
+    * re-cut without re-measuring; filter `verdict = 'kept'` to gate.
+    *
+    * Scale: one per-row projection — every rule is arithmetic over the
+    * token/line arrays (codegen, zero shuffle, no model, no fit).
+    */
+  def gopherQualityReport(docs: org.apache.spark.sql.DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      requiredWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that"),
+      minRequired: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords; got $minWords, $maxWords")
+    require(requiredWords.nonEmpty && minRequired >= 0,
+      "requiredWords must be non-empty (use minRequired = 0 to disable)")
+    val toks = split(col("text"), " ")
+    val words = filter(toks, t => t =!= "")
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (a, t) => a + length(t))
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- "))).cast("long")
+    val nEllEnd = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nHash = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val nDots = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val nEllChar = length(col("text")) -
+      length(regexp_replace(col("text"), "…", ""))
+    val nSym = (nHash + nDots + nEllChar).cast("long")
+    val nAlpha = size(filter(words, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nReq = size(array_intersect(
+      array_distinct(transform(words, t => lower(t))),
+      typedLit(requiredWords.map(_.toLowerCase)))).cast("long")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), nWords.as("n_words"),
+        sumLen.as("__sum"), nLines.as("__nl"), nBullet.as("__nb"),
+        nEllEnd.as("__ne"), nSym.as("__ns"), nAlpha.as("__na"),
+        nReq.as("n_required"))
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") > 0, expr("__sum * 1000000L div n_words"))
+          .otherwise(lit(0L)).as("mean_len_micros"),
+        when(col("n_words") > 0, expr("__ns * 1000000L div n_words"))
+          .otherwise(lit(0L)).as("symbol_ratio_micros"),
+        expr("__nb * 1000000L div __nl").as("bullet_ratio_micros"),
+        expr("__ne * 1000000L div __nl").as("ellipsis_ratio_micros"),
+        when(col("n_words") > 0, expr("__na * 1000000L div n_words"))
+          .otherwise(lit(0L)).as("alpha_ratio_micros"),
+        col("n_required"))
+      .withColumn("verdict",
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          lit("word_count"))
+          .when(col("mean_len_micros") < 3000000L ||
+            col("mean_len_micros") > 10000000L, lit("mean_word_length"))
+          .when(col("symbol_ratio_micros") > 100000L, lit("symbol_ratio"))
+          .when(col("bullet_ratio_micros") > 900000L, lit("bullet_ratio"))
+          .when(col("ellipsis_ratio_micros") > 300000L, lit("ellipsis_ratio"))
+          .when(col("alpha_ratio_micros") < 800000L, lit("alpha_ratio"))
+          .when(col("n_required") < minRequired, lit("missing_stopwords"))
+          .otherwise(lit("kept")))
+  }
+
+  /** Graded F55 query: the battery over the documents table, thresholds
+    * sized to the corpus (minWords 20 — the paper's 50 would flag most
+    * of this corpus's short docs on one rule, a degenerate verdict
+    * column; required set {the, a} ≥ 2 — the corpus vocabulary's actual
+    * stopwords). The oracle recomputes every count, every integer-div
+    * millionth ratio, and the verdict lattice from scratch.
+    */
+  val qGopherQuality = Q(
+    "q_f55_gopher_quality",
+    """WITH b AS (SELECT doc_id, text,
+      |             list_filter(string_split(text, ' '), t -> t <> '') AS w,
+      |             string_split(text, chr(10)) AS l
+      |           FROM documents WHERE text IS NOT NULL),
+      |m AS (SELECT doc_id, text, len(w) AS nw, len(l) AS nl,
+      |        list_sum(list_transform(w, t -> length(t))) AS sumlen,
+      |        len(list_filter(l, x -> starts_with(x, chr(8226))
+      |          OR starts_with(x, '- '))) AS nb,
+      |        len(list_filter(l, x -> x LIKE '%...'
+      |          OR x LIKE '%' || chr(8230))) AS ne,
+      |        (length(text) - length(replace(text, '#', '')))
+      |          + (length(text) - length(replace(text, '...', ''))) // 3
+      |          + (length(text) - length(replace(text, chr(8230), ''))) AS ns,
+      |        len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS na,
+      |        len(list_intersect(list_distinct(list_transform(w, t -> lower(t))),
+      |          ['the', 'a'])) AS nreq
+      |      FROM b),
+      |r AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+      |        CASE WHEN nw > 0 THEN CAST(sumlen AS BIGINT) * 1000000 // nw
+      |             ELSE 0 END AS mean_len_micros,
+      |        CASE WHEN nw > 0 THEN CAST(ns AS BIGINT) * 1000000 // nw
+      |             ELSE 0 END AS symbol_ratio_micros,
+      |        CAST(nb AS BIGINT) * 1000000 // nl AS bullet_ratio_micros,
+      |        CAST(ne AS BIGINT) * 1000000 // nl AS ellipsis_ratio_micros,
+      |        CASE WHEN nw > 0 THEN CAST(na AS BIGINT) * 1000000 // nw
+      |             ELSE 0 END AS alpha_ratio_micros,
+      |        CAST(nreq AS BIGINT) AS n_required
+      |      FROM m)
+      |SELECT *,
+      |       CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count'
+      |            WHEN mean_len_micros < 3000000
+      |              OR mean_len_micros > 10000000 THEN 'mean_word_length'
+      |            WHEN symbol_ratio_micros > 100000 THEN 'symbol_ratio'
+      |            WHEN bullet_ratio_micros > 900000 THEN 'bullet_ratio'
+      |            WHEN ellipsis_ratio_micros > 300000 THEN 'ellipsis_ratio'
+      |            WHEN alpha_ratio_micros < 800000 THEN 'alpha_ratio'
+      |            WHEN n_required < 2 THEN 'missing_stopwords'
+      |            ELSE 'kept' END AS verdict
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    gopherQualityReport(documents(s, d), minWords = 20L,
+      requiredWords = Seq("the", "a")).orderBy(col("doc_id"))
+  }
+
   /** F50 (round 17): C4 heuristic cleaning (Raffel et al., JMLR 2020
     * §2.2) — the published line-level rewrite + page-level drop rules
     * applied over a (doc_id, para_idx, para_text) LINE relation (the
@@ -3637,7 +3770,8 @@ object TextOps {
     qUnicodeNormalize, qQualityScore,
     qTokenCount, qBpeTokens, qFingerprint, qRollingFingerprint, qMultimodalMeta,
     qSplitHash, qNormalize, qPercentiles, qContamination, qContaminationAC,
-    qRepetition, qGopherRep, qC4Clean, qScoreCalibration, qSoftDedup, qPiiRedact,
+    qRepetition, qGopherRep, qGopherQuality, qC4Clean, qScoreCalibration,
+    qSoftDedup, qPiiRedact,
     qDupSubstrings, qChunking, qStratifiedSample,
     qWeightedSample, qWeightedTopK, qBm25TopK, qStripSpans, qNbQuality,
     qTokenBudgetMix, qTemperatureBudgets, qTemperatureMix,

@@ -783,6 +783,48 @@ class Round17OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("no words"), e.getMessage)
   }
 
+  // ---- F55: Gopher quality-rule battery -----------------------------------
+
+  test("gopherQualityReport: one plant per rule, pinned precedence, integer ratios") {
+    val good = "the cat and the dog walk to the park of dreams that " +
+      "shine bright every single day here"                    // 17 words, all rules pass
+    val docs = Seq(
+      (1L, good),
+      (2L, "too few words here"),                              // word_count (< 10)
+      (3L, ("antidisestablishmentarianism " * 12).trim),       // mean_word_length > 10
+      (4L, "the brave# quick# plump# sunny# windy# rocky# and that " +
+        "onward truly"),                                       // symbol_ratio (6/12 > 0.1)
+      (5L, (1 to 10).map(i => s"• bullet the item and $i of that")
+        .mkString("\n")),                                      // bullet_ratio (100%)
+      (6L, (1 to 10).map(i => s"the long line number $i and gently " +
+        s"trails away of that some more padding words off...")
+        .mkString("\n")),     // ellipsis_ratio (100% lines; symbols 10/160 ok)
+      (7L, "the 11111 22222 33333 44444 55555 66666 77777 and 88888 " +
+        "99999 10101 12121 13131 14141 15151 16161"),          // alpha_ratio
+      (8L, "words without required stop tokens pad pad pad pad pad pad"), // missing_stopwords
+      (9L, "the word_count rule outranks everything but this doc " +
+        "has # # # # # # symbols and that and of"))            // symbol fires, not stopwords
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQualityReport(docs, minWords = 10L,
+      requiredWords = Seq("the", "and", "of", "that"), minRequired = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(8)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "word_count",
+      3L -> "mean_word_length", 4L -> "symbol_ratio", 5L -> "bullet_ratio",
+      6L -> "ellipsis_ratio", 7L -> "alpha_ratio", 8L -> "missing_stopwords",
+      9L -> "symbol_ratio"), got.toString)
+    // integer ratio spot-check: doc 5 bullets 10/10 lines = 1e6 exactly
+    val r5 = TextOps.gopherQualityReport(docs, minWords = 10L,
+      requiredWords = Seq("the"), minRequired = 1)
+      .filter(col("doc_id") === 5L).head()
+    assert(r5.getLong(4) == 1000000L, r5.toString)
+    // partitioning invariance
+    val a = TextOps.gopherQualityReport(docs, 10L).collect()
+      .map(_.toString).sorted.toSeq
+    val b = TextOps.gopherQualityReport(docs.repartition(5), 10L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   // ---- F19c: CCNet head/middle/tail buckets ------------------------------
 
   test("ccnet buckets: each language is cut into its own thirds regardless of score scale") {
