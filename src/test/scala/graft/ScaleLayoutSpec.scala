@@ -302,4 +302,56 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(!p47b.contains("Window"),
       s"F47b verdicts must stay window-free:\n$p47b")
   }
+
+  test("round-17 late ops execute with the promised plan shapes (per-row batteries and kernels)") {
+    val docs = Tables.documents(spark, sf001)
+    def executed(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    // F55: the whole battery is ONE per-row projection — no exchange,
+    // join, window, generate, or aggregate anywhere
+    val p55 = executed(TextOps.gopherQualityReport(docs, minWords = 20L,
+      requiredWords = Seq("the", "a")))
+    assert(!p55.contains("Exchange") && !p55.contains("Join") &&
+      !p55.contains("Window") && !p55.contains("Generate") &&
+      !p55.contains("Aggregate"),
+      s"F55 must be a bare per-row projection:\n$p55")
+    // F52: frozen-model encoding is a bare per-row kernel (the fit ran
+    // driver-side before plan time)
+    graft.functions.VectorFunctions.register(spark)
+    val bpe = TextOps.bpeFit(docs, numMerges = 20, vocabN = 100)
+    val p52 = executed(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), bpe.countCol(col("text")).as("n")))
+    assert(!p52.contains("Exchange") && !p52.contains("Join") &&
+      !p52.contains("Window") && !p52.contains("Generate"),
+      s"F52 frozen encode must be a bare per-row kernel:\n$p52")
+    // F50: line rules per-row, ONE doc-keyed exchange for the rollup,
+    // no window/join
+    val p50 = executed(TextOps.c4Clean(
+      Dedup.paragraphWindows(docs, 10), minWords = 3, minSentences = 2))
+    assert(!p50.contains("Window") && !p50.contains("Join"),
+      s"F50 must be rules + one doc-keyed rollup, window/join-free:\n$p50")
+    assert("Exchange".r.findAllIn(p50).length <= 2, // rollup (+AQE read)
+      s"F50 must shuffle only on doc_id:\n$p50")
+    // F53/F54: signatures are partition-wise maps — no exchange at all
+    val media = Multimodal.synthesize(spark, sf001)
+    val p53 = executed(Multimodal.imageHashes(media))
+    assert(!p53.contains("Exchange") && !p53.contains("Join"),
+      s"F53 signatures must be a shuffle-free map:\n$p53")
+    val p54 = executed(Multimodal.audioHashes(media))
+    assert(!p54.contains("Exchange") && !p54.contains("Join"),
+      s"F54 signatures must be a shuffle-free map:\n$p54")
+    // F51: the only windows in the diversification plan are the F44
+    // cascade's value-scale/sub-bucket ones — never partitioned by the
+    // bare cluster column (the cluster-sized-window hazard)
+    val emb = Tables.embeddings(spark, sf001)
+    val div = Similarity.prototypeDiversify(spark, emb,
+      dropMillionths = 250000L, k = 4)
+    val p51 = executed(div)
+    val windowSpecs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p51).toSeq
+    assert(windowSpecs.nonEmpty &&
+      windowSpecs.forall(w => !w.matches(".*cluster[^,]*, [^ ]*ordered.*") ||
+        w.contains("__")),
+      s"F51 windows must be the calibration cascade's, not cluster-sized:\n$windowSpecs")
+  }
 }
