@@ -1700,7 +1700,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** F56 (round 17): corpus snapshot diff — the dataset-versioning
+    * audit every managed-corpus pipeline keeps (what changed between
+    * crawl v_n and v_{n+1}: Dolma/FineWeb publish exactly these deltas
+    * per release): every doc_id present in either snapshot labeled
+    *   - `added`    — id only in `next`,
+    *   - `removed`  — id only in `prev`,
+    *   - `changed`  — both, text fingerprints differ,
+    *   - `unchanged`— both, identical md5.
+    * Comparison is by md5(text) so the diff never shuffles full text —
+    * the F28 fingerprint discipline; NULL text fingerprints as NULL and
+    * NULL = NULL counts as unchanged (both absent ≡ same absence).
+    *
+    * Scale: two slim (id, fp) projections + ONE full-outer equi-join on
+    * the id — the only shuffle; counts per status are the audit.
+    */
+  def corpusDiff(prev: DataFrame, next: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val a = prev.select(col(idCol), md5(col("text")).as("__fa"),
+      lit(true).as("__ina"))
+    val b = next.select(col(idCol), md5(col("text")).as("__fb"),
+      lit(true).as("__inb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ina").isNull, lit("added"))
+          .when(col("__inb").isNull, lit("removed"))
+          .when(col("__fa") <=> col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Graded F56 query: the two snapshots are derived deterministically
+    * in-query (the F50 convention — the driver ships one corpus):
+    * prev = docs with id % 10 ≠ 0; next = docs with id % 7 ≠ 0, text
+    * token-appended when id % 5 = 0, plus shifted fresh ids. So every
+    * status arises: ids % 70 ∈ … removed (% 7 = 0 ∧ % 10 ≠ 0), added
+    * (% 10 = 0 ∧ % 7 ≠ 0 and all the fresh ids), changed (% 5 = 0
+    * survivors), unchanged (the rest). The oracle recomputes the
+    * snapshot derivation and the four-way labeling from scratch.
+    */
+  val qCorpusDiff = Q(
+    "q_f56_corpus_diff",
+    """WITH prev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      |next AS (SELECT doc_id,
+      |           CASE WHEN doc_id % 5 = 0 THEN text || ' appended' ELSE text END
+      |             AS text
+      |         FROM documents WHERE doc_id % 7 <> 0
+      |         UNION ALL
+      |         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0)
+      |SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN p.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN md5(p.text) = md5(n.text) THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM prev p FULL OUTER JOIN next n ON p.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val prev = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val next = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" appended"))).otherwise(col("text"))
+          .as("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpusDiff(prev, next).orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(qDedupGroups, qEditNearDup, qEditDedupGroups,
     qIncrementalDedup, qDedupKeepBest, qGroupedSplit, qSoftDedupClustered,
-    qContainment, qContainmentVerdicts, qParagraphDedup, qParagraphClean)
+    qContainment, qContainmentVerdicts, qParagraphDedup, qParagraphClean,
+    qCorpusDiff)
 }

@@ -783,6 +783,26 @@ class Round17OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("no words"), e.getMessage)
   }
 
+  // ---- F56: corpus snapshot diff ------------------------------------------
+
+  test("corpusDiff: four-way labels, NULL-text equality, partitioning invariance") {
+    val prev = Seq((1L, Some("alpha")), (2L, Some("beta")),
+      (3L, Some("gamma")), (4L, None), (5L, Some("eps"))).toDF("doc_id", "text")
+    val next = Seq((1L, Some("alpha")),            // unchanged
+      (2L, Some("beta v2")),                       // changed
+      (4L, None),                                  // NULL = NULL: unchanged
+      (5L, None),                                  // text → NULL: changed
+      (9L, Some("fresh")))                         // added
+      .toDF("doc_id", "text")                      // 3: removed
+    def diff(p: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame) =
+      Dedup.corpusDiff(p, n).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = diff(prev, next)
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 9L -> "added"), got.toString)
+    assert(diff(prev.repartition(5), next.repartition(3)) == got)
+  }
+
   // ---- F55: Gopher quality-rule battery -----------------------------------
 
   test("gopherQualityReport: one plant per rule, pinned precedence, integer ratios") {
