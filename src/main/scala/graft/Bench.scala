@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   * full per-query line for all ~78 graded queries overflows it — BENCH_r02):
   *   - line 1: per-family subtotals over ALL graded queries (compact) —
   *     round-over-round regressions outside the headline set stay visible;
-  *   - line 2 (LAST): the headline-subset JSON the driver parses.
+  *   - line 2: the headline-subset JSON (also BENCH_LATEST.json);
+  *   - line 3 (LAST, round 18): the <1 KB compact totals line the driver
+  *     parses — counts not name-arrays, worst query only, fixed-size at
+  *     any inventory size (the headline line outgrew the 2 KB tail at
+  *     ~100 queries: BENCH_r14–r17 all carried parsed:null).
   * Both lines are also written to files (BENCH_LATEST.json = headline,
   * BENCH_FULL.json = every query + family subtotals) so no timing depends
   * on the tail capture, and sbt's "[info] " logger prefix is bypassed via
@@ -403,6 +407,46 @@ object Bench {
     (famLine, headLine, fullLine)
   }
 
+  /** The compact FINAL stdout line — the one the driver parses. Added in
+    * round 18 (VERDICT r17 item 1): the driver captures only a ~2 KB
+    * stdout tail, and the headline line's per-query map plus the
+    * retried/noisy name ARRAYS grew past that window when the inventory
+    * hit ~100 queries, leaving BENCH_r14–r17 with `parsed: null`. This
+    * line carries totals, COUNTS (not name arrays), and the single worst
+    * query only — every field is fixed-size except the two bounded query
+    * names and the sf path, so it stays <1 KB at ANY inventory size
+    * (pinned by BenchContractSpec at 10k synthetic queries). `value`
+    * remains the headline-subset gated total — the same number r4–r13
+    * artifacts carried, keeping the parsed series round-comparable —
+    * with the all-query total alongside as `total_all_sec`. Full
+    * per-query maps and name arrays live in BENCH_FULL.json/
+    * BENCH_LATEST.json, which never depended on the tail capture.
+    */
+  def compactLine(results: Seq[(String, Reps)], reps: Int,
+      loadStart: Double, loadEnd: Double, sfDir: String,
+      retried: Seq[String] = Nil, noisy: Seq[String] = Nil,
+      floorRetried: Seq[String] = Nil,
+      loadAmbient: Double = -1.0): String = {
+    val medians = results.map { case (k, r) => k -> r.median }
+    def total(ms: Seq[(String, Double)]): Double =
+      ms.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.count(_._2.errors > 0)
+    def gated(ms: Seq[(String, Double)]): Double =
+      if (failed > 0) FailedSentinel else total(ms)
+    val wanted = headline.toSet
+    val head = medians.filter { case (k, _) => wanted(k) }
+    val worstSpread = results.maxBy(_._2.spread)
+    val worstQ = medians.maxBy(_._2)
+    s"""{"metric":"total","value":${fmt(gated(head))},"unit":"sec",""" +
+      s""""total_all_sec":${fmt(gated(medians))},"n_queries":${medians.size},""" +
+      s""""errors":$failed,"retried":${retried.size},"noisy":${noisy.size},""" +
+      s""""floor_retried":${floorRetried.size},""" +
+      s""""worst":{"q":"${worstQ._1}","sec":${fmt(worstQ._2)}},""" +
+      s""""max_spread":{"q":"${worstSpread._1}","sec":${fmt(worstSpread._2.spread)}},""" +
+      s""""reps":$reps,"loadavg":{"ambient":${fmt(loadAmbient)},"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},""" +
+      s""""sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 1 && args(0) == "--one") {
       // round 16 (advice): a malformed child invocation must die with a
@@ -452,10 +496,15 @@ object Bench {
     val (famLine, headLine, fullLine) =
       render(results, reps, loadStart, loadEnd, sfDir, retried, noisy,
         floorRetried, loadAmbient)
+    val compact = compactLine(results, reps, loadStart, loadEnd, sfDir,
+      retried, noisy, floorRetried, loadAmbient)
     writeFile("BENCH_FULL.json", fullLine)
     writeFile("BENCH_LATEST.json", headLine)
     println(famLine)
     println(headLine)
+    // LAST line = the compact parse target: guaranteed inside the
+    // driver's ~2 KB tail window at any inventory size (round 18)
+    println(compact)
     spark.stop()
   }
 }

@@ -146,6 +146,40 @@ class BenchContractSpec extends SparkSpec {
       "a genuine stall on a tiny query still retries")
   }
 
+  test("compact final line stays under 1 KB at any inventory size") {
+    // round-18 (VERDICT r17 item 1): BENCH_r14–r17 carried parsed:null
+    // because the headline line's per-query map + retried/noisy NAME
+    // arrays outgrew the driver's ~2 KB stdout tail. The compact line —
+    // printed LAST — carries counts and the single worst query only, so
+    // it must stay parseable no matter how many queries the suite grows.
+    val n = 10000
+    val results = (0 until n).map { i =>
+      s"q_synthetic_operator_with_a_deliberately_long_name_$i" ->
+        Bench.Reps(Seq(0.5, 0.6, 0.7))
+    }
+    val names = results.map(_._1)
+    val line = Bench.compactLine(results, 3, 0.5, 0.6, sf001,
+      retried = names, noisy = names, floorRetried = names, loadAmbient = 0.4)
+    assert(line.length < 1024, s"compact line is ${line.length} bytes:\n$line")
+    assert(line.startsWith("{\"metric\":\"total\""),
+      "the driver's tail parser scans for a {\"metric\":...} line")
+    assert(line.contains(s""""n_queries":$n"""))
+    assert(line.contains(s""""retried":$n""") && line.contains(s""""noisy":$n"""),
+      "name arrays must publish as COUNTS on the compact line")
+    assert(!line.contains("q_synthetic_operator_with_a_deliberately_long_name_1\""),
+      "no per-query name array may leak onto the compact line")
+    // value semantics match the headline line: headline-subset gated total
+    // (zero here — synthetic names are not headline members), full total aside
+    assert(line.contains("\"value\":0.0"))
+    assert(line.contains(s""""total_all_sec":${n * 0.6}"""))
+    // a red run publishes the sentinel in BOTH gated fields (round-7 rule)
+    val red = results.take(3) :+ ("q_boom" -> Bench.Reps(Seq(-1.0, -1.0, -1.0)))
+    val redLine = Bench.compactLine(red, 3, 0.5, 0.6, sf001)
+    assert(redLine.contains("\"value\":-1.0") &&
+      redLine.contains("\"total_all_sec\":-1.0") &&
+      redLine.contains("\"errors\":1"))
+  }
+
   test("loadavg is readable on this platform") {
     // the bench artifact embeds it so a reader can discount noisy runs —
     // a -1 on a /proc-bearing box would mean the field silently degrades
