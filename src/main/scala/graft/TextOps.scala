@@ -2237,31 +2237,241 @@ object TextOps {
     lmBigramScores(documents(s, d)).orderBy(col("doc_id"))
   }
 
-  /** Graded F19c query (round 17): the CCNet bucket assignment
-    * (Wenzek et al., LREC 2020) — every document's LM score
+  /** F19d (round 18, VERDICT r17 item 2): hashed TRIGRAM back-off LM —
+    * the next honest rung above F19b's bigram toward CCNet's 5-gram
+    * KenLM. Same hashed-bucket + driver-quantized-micros discipline; the
+    * stupid-backoff chain (Brants et al., EMNLP 2007) just deepens one
+    * level, ln 0.4 per step:
+    *
+    *   score(c | p2 p1) = ln tc[h(p2 p1 c)] − ln bc[h(p2 p1)]
+    *                        when both bucket counts > 0
+    *                    = ln 0.4 + ln bc[h(p1 c)] − ln uc[h(p1)]
+    *                        else, when both THOSE counts > 0
+    *                    = 2·ln 0.4 + ln((uc[h(c)]+1)/(un+B))  otherwise
+    *
+    * The collision guard applies at EVERY level: a colliding trigram
+    * bucket must not divide by an empty context-bigram bucket, and the
+    * bigram fallback must not divide by an empty unigram bucket. Note
+    * the bigram table serves twice — as the trigram level's DENOMINATOR
+    * (context "p2 p1") and as the backoff level's NUMERATOR ("p1 c") —
+    * one table, two roles, exactly as in the unhashed model.
+    *
+    * Exactness: every ln is quantized to integer micros driver-side PER
+    * PIECE (the F19b/F46 grid), so a position's score is a sum/difference
+    * of table integers and the per-doc `nll_micros` a pure LONG sum —
+    * order-free, partitioning-exact, oracle-checkable. The doubled
+    * backoff constant is pinned as 2·[[BackoffMicros]] — identical to
+    * flooring 2·ln 0.4 on this grid (−1832582), so neither engine
+    * evaluates the float.
+    *
+    * Scale: the fit is ONE unified gram explode (orders 1/2/3 flagged
+    * apart) collapsing to ≤ 3·buckets partial-agg rows + one scalar;
+    * batch scoring is a codegen explode + doc-keyed partial agg; the
+    * frozen [[TrigramLm.sumMicrosCol]] fold is the stateless serving
+    * form. Docs with < 3 tokens have no trigram position and drop (the
+    * bigramLmFit gramless convention).
+    */
+  final case class TrigramLm(buckets: Int, un: Long,
+      uc: IndexedSeq[Long], bc: IndexedSeq[Long], tc: IndexedSeq[Long],
+      tq: IndexedSeq[Long], bq: IndexedSeq[Long], pq: IndexedSeq[Long],
+      uq: IndexedSeq[Long]) {
+    private def bkt(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    private def at(tab: IndexedSeq[Long], b: Column): Column =
+      element_at(typedLit(tab), (b + 1).cast("int"))
+    /** The per-position backoff lattice — shared verbatim by the frozen
+      * fold and the batch explode so the two plans cannot drift. */
+    private[graft] def pieceCol(p2: Column, p1: Column, c: Column): Column = {
+      val ht = bkt(concat_ws(" ", p2, p1, c))
+      val hb12 = bkt(concat_ws(" ", p2, p1))
+      val hb23 = bkt(concat_ws(" ", p1, c))
+      val hp = bkt(p1)
+      val hu = bkt(c)
+      when(at(tc, ht) > 0L && at(bc, hb12) > 0L,
+        at(tq, ht) - at(bq, hb12))
+        .when(at(bc, hb23) > 0L && at(uc, hp) > 0L,
+          lit(BackoffMicros) + at(bq, hb23) - at(pq, hp))
+        .otherwise(lit(2L * BackoffMicros) + at(uq, hu))
+    }
+    /** Σ score micros over the row's trigram positions (NULL when < 3
+      * tokens); negate for NLL. A pure per-row expression. Arrays are
+      * built in argument position so no lambda captures an outer array
+      * expression (the F19b O(n²) re-evaluation trap). */
+    def sumMicrosCol(text: Column): Column = {
+      val t = split(text, " ")
+      val n = size(t)
+      val ctx = zip_with(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
+        (a, b) => struct(a.as("p2"), b.as("p1")))
+      val pieces = zip_with(ctx, slice(t, lit(3), n - 2), (x, c) =>
+        pieceCol(x.getField("p2"), x.getField("p1"), c))
+      when(n >= 3, aggregate(pieces, lit(0L), (a, x) => a + x))
+    }
+  }
+
+  /** Fit a [[TrigramLm]] on a corpus: one unified gram explode (orders
+    * flagged apart), ≤ 3·buckets partial-agg rows pulled, the ln tables
+    * quantized driver-side. Fails loudly on a corpus with no tokens (the
+    * bigramLmFit convention). */
+  def trigramLmFit(corpus: org.apache.spark.sql.DataFrame,
+      buckets: Int = 1024): TrigramLm = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val empty = array().cast("array<struct<o:int,g:string>>")
+    def ngrams(order: Int): Column =
+      when(size(col("t")) >= order,
+        transform(sequence(lit(0), (size(col("t")) - order).cast("int")), i =>
+          struct(lit(order).as("o"),
+            concat_ws(" ", (1 to order).map(k =>
+              element_at(col("t"), i + k)): _*).as("g"))))
+        .otherwise(empty)
+    val grams = corpus.filter(col("text").isNotNull)
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(concat(ngrams(1), ngrams(2), ngrams(3))).as("x"))
+      .select(col("x.o").as("o"),
+        pmod(conv(substring(md5(col("x.g")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val rows = grams.groupBy(col("o"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: ≤ 3 × buckets rows (partial-agg collapsed)
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uc = (0 until buckets).map(b => rows.getOrElse((1, b.toLong), 0L))
+    val bc = (0 until buckets).map(b => rows.getOrElse((2, b.toLong), 0L))
+    val tc = (0 until buckets).map(b => rows.getOrElse((3, b.toLong), 0L))
+    val un = uc.sum
+    require(un > 0, "trigramLmFit: corpus has no tokens — the model is " +
+      "undefined (the bigramLmFit loud-failure convention)")
+    def lnq(c: Long): Long =
+      if (c > 0) math.floor(math.log(c.toDouble) * 1e6).toLong else 0L
+    TrigramLm(buckets, un, uc, bc, tc,
+      tc.map(lnq), bc.map(lnq), uc.map(lnq),
+      uc.map(c => math.floor(math.log((c + 1.0) / (un + buckets)) * 1e6).toLong))
+  }
+
+  /** F19d self-scored form: fit on `docs`, score every doc with ≥ 1
+    * trigram position. Returns (doc_id, n_trigrams, nll_micros). Batch
+    * scoring explodes the (p2, p1, c) triples and runs the shared
+    * backoff lattice in a plain projection + one doc-keyed partial agg —
+    * whole-stage codegen end to end (the lmBigramScores shape); the
+    * per-row [[TrigramLm.sumMicrosCol]] fold computes the identical LONG
+    * sum (spec-pinned) for stateless/frozen serving. */
+  def lmTrigramScores(docs: org.apache.spark.sql.DataFrame,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val lm = trigramLmFit(docs, buckets)
+    val t = split(col("text"), " ")
+    docs.filter(col("text").isNotNull && size(t) >= 3)
+      .select(col("doc_id"), (size(t) - 2).cast("long").as("n_trigrams"),
+        explode(zip_with(
+          zip_with(slice(t, lit(1), size(t) - 2), slice(t, lit(2), size(t) - 2),
+            (a, b) => struct(a.as("p2"), b.as("p1"))),
+          slice(t, lit(3), size(t) - 2),
+          (x, c) => struct(x.getField("p2").as("p2"),
+            x.getField("p1").as("p1"), c.as("c")))).as("tr"))
+      .select(col("doc_id"), col("n_trigrams"),
+        lm.pieceCol(col("tr.p2"), col("tr.p1"), col("tr.c")).as("m"))
+      .groupBy(col("doc_id"), col("n_trigrams"))
+      .agg((-sum(col("m"))).as("nll_micros"))
+      .select(col("doc_id"), col("n_trigrams"), col("nll_micros"))
+  }
+
+  /** The F19d fit + scoring recomputed in SQL — shared by q_f19d and
+    * q_f19c's re-cut CCNet-bucket oracle (round 18). `sc3` is the
+    * per-(doc, position) score piece relation; sum and negate per doc
+    * for the order-3 NLL. Extends the F19b CTEs with the trigram table
+    * and the two-level backoff lattice.
+    */
+  private val trigramLmOracleCtes =
+    """sp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents WHERE text IS NOT NULL),
+      |toks AS (SELECT doc_id, unnest(t) AS w FROM sp),
+      |ucn AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b,
+      |               count(*) AS c
+      |        FROM toks GROUP BY 1),
+      |un AS (SELECT count(*) AS n FROM toks),
+      |bi AS (SELECT doc_id, t[i] AS p, t[i+1] AS c
+      |       FROM sp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |bcn AS (SELECT ('0x' || substr(md5(p || ' ' || c), 1, 8))::BIGINT % 1024 AS b,
+      |               count(*) AS cnt
+      |        FROM bi GROUP BY 1),
+      |tri AS (SELECT doc_id, t[i] AS p2, t[i+1] AS p1, t[i+2] AS c
+      |        FROM sp, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |tcn AS (SELECT ('0x' || substr(md5(p2 || ' ' || p1 || ' ' || c), 1, 8))::BIGINT % 1024 AS b,
+      |               count(*) AS cnt
+      |        FROM tri GROUP BY 1),
+      |gs AS (SELECT unnest(generate_series(0, 1023)) AS b),
+      |tabs AS (SELECT gs.b, coalesce(ucn.c, 0) AS ucc, coalesce(bcn.cnt, 0) AS bcc,
+      |                coalesce(tcn.cnt, 0) AS tcc,
+      |                CASE WHEN coalesce(tcn.cnt, 0) > 0
+      |                     THEN CAST(floor(ln(tcn.cnt) * 1000000) AS BIGINT) END AS tq,
+      |                CASE WHEN coalesce(bcn.cnt, 0) > 0
+      |                     THEN CAST(floor(ln(bcn.cnt) * 1000000) AS BIGINT) END AS bq,
+      |                CASE WHEN coalesce(ucn.c, 0) > 0
+      |                     THEN CAST(floor(ln(ucn.c) * 1000000) AS BIGINT) END AS pq,
+      |                CAST(floor(ln((coalesce(ucn.c, 0) + 1.0) / (un.n + 1024))
+      |                  * 1000000) AS BIGINT) AS uq
+      |         FROM gs LEFT JOIN ucn ON ucn.b = gs.b
+      |                 LEFT JOIN bcn ON bcn.b = gs.b
+      |                 LEFT JOIN tcn ON tcn.b = gs.b
+      |                 CROSS JOIN un),
+      |sc3 AS (SELECT tri.doc_id,
+      |               CASE WHEN tt.tcc > 0 AND tb12.bcc > 0 THEN tt.tq - tb12.bq
+      |                    WHEN tb23.bcc > 0 AND tp.ucc > 0
+      |                      THEN -916291 + tb23.bq - tp.pq
+      |                    ELSE -1832582 + tu.uq END AS m
+      |        FROM tri
+      |        JOIN tabs tt ON tt.b = ('0x' || substr(md5(p2 || ' ' || p1 || ' ' || c), 1, 8))::BIGINT % 1024
+      |        JOIN tabs tb12 ON tb12.b = ('0x' || substr(md5(p2 || ' ' || p1), 1, 8))::BIGINT % 1024
+      |        JOIN tabs tb23 ON tb23.b = ('0x' || substr(md5(p1 || ' ' || c), 1, 8))::BIGINT % 1024
+      |        JOIN tabs tp ON tp.b = ('0x' || substr(md5(p1), 1, 8))::BIGINT % 1024
+      |        JOIN tabs tu ON tu.b = ('0x' || substr(md5(c), 1, 8))::BIGINT % 1024)""".stripMargin
+
+  /** Graded F19d query: the corpus self-scored under its own hashed
+    * trigram back-off LM (the q_f19b shape, one model rung up). The
+    * oracle recomputes EVERYTHING from scratch — all three gram tables,
+    * the driver-grid ln quantization, the two-level backoff lattice
+    * (with the collision guard at each level), and the integer sums.
+    */
+  val qTrigramLm = Q(
+    "q_f19d_trigram_lm",
+    s"""WITH $trigramLmOracleCtes
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |       CAST(-sum(m) AS BIGINT) AS nll_micros
+      |FROM sc3 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    lmTrigramScores(documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Graded F19c query (round 17; re-cut round 18): the CCNet bucket
+    * assignment (Wenzek et al., LREC 2020) — every document's LM score
     * rank-normalized WITHIN ITS LANGUAGE (the per-shard perplexity
     * quantiles CCNet computes) and cut into the paper's three buckets:
     * `head` = the most-probable (lowest-NLL) third of each language,
-    * `middle` the next, `tail` the rest. The composition is F19b's
-    * hashed bigram back-off LM ⊕ F44's scoreCalibration (lang = source,
-    * NLL = score); the bucket rule is pinned integer arithmetic —
-    * head iff pct·3 ≤ 10⁶, middle iff pct·3 ≤ 2·10⁶, else tail (a
-    * singleton language's one doc has pct = 10⁶ → `tail`: a frozen
-    * one-doc distribution has no evidence the doc is head material —
-    * the F44 singleton contract read through CCNet's cut). The oracle
-    * recomputes the LM
-    * fit, the per-doc sums, the per-language (nll, id) rank, the integer
-    * pct, and the bucket lattice from scratch.
+    * `middle` the next, `tail` the rest. Round 18 (VERDICT r17 item 2)
+    * re-cut the buckets on F19d's ORDER-3 NLL — the stronger perplexity
+    * signal, one rung closer to the paper's 5-gram KenLM — so the
+    * composition is now F19d's hashed trigram back-off LM ⊕ F44's
+    * scoreCalibration (lang = source, NLL = score); the bucket rule is
+    * pinned integer arithmetic — head iff pct·3 ≤ 10⁶, middle iff
+    * pct·3 ≤ 2·10⁶, else tail (a singleton language's one doc has
+    * pct = 10⁶ → `tail`: a frozen one-doc distribution has no evidence
+    * the doc is head material — the F44 singleton contract read through
+    * CCNet's cut). The oracle recomputes the order-3 LM fit, the
+    * per-doc sums, the per-language (nll, id) rank, the integer pct,
+    * and the bucket lattice from scratch.
     *
-    * Scale: the LM fit is one ≤ 2·buckets pull; scoring is the F19b
+    * Scale: the LM fit is one ≤ 3·buckets pull; scoring is the F19d
     * codegen explode; the per-language rank is the F44 cascade — no
-    * corpus-sized window for any language-size distribution.
+    * corpus-sized window for any language-size distribution. The scored
+    * frame is localCheckpoint'd before calibration (round 18, VERDICT
+    * r17 item 6): scoreCalibration references its input ~3× (range,
+    * run-count, and row-level joins), and each reference would re-run
+    * the full scoring explode — the checkpoint pays the corpus pass
+    * ONCE (intra-query reuse; the self-containment rule constrains only
+    * cross-query sharing). TimeQ A/B in BASELINE.md.
     */
   val qCcnetBuckets = Q(
     "q_f19c_ccnet_buckets",
-    s"""WITH $bigramLmOracleCtes,
+    s"""WITH $trigramLmOracleCtes,
       |nll AS (SELECT doc_id, CAST(-sum(m) AS BIGINT) AS nll_micros
-      |        FROM sc GROUP BY doc_id),
+      |        FROM sc3 GROUP BY doc_id),
       |lb AS (SELECT n.doc_id, d.lang, n.nll_micros
       |       FROM nll n JOIN documents d USING (doc_id)),
       |ln2 AS (SELECT lang, count(*) AS n FROM lb GROUP BY lang),
@@ -2279,8 +2489,9 @@ object TextOps {
       |            ELSE 'tail' END AS bucket
       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
-    val scored = lmBigramScores(docs)
+    val scored = lmTrigramScores(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint()
     scoreCalibration(scored, "nll_micros", sourceCol = "lang")
       .select(col("doc_id"), col("lang"),
         col("score").cast("long").as("nll_micros"), col("pct_millionths"),
@@ -3778,6 +3989,6 @@ object TextOps {
     qEpochMix, qShuffleShards, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense, qDsirWeights,
     qDsirResample,
-    qLmQuality, qBigramLm, qCcnetBuckets, qPackSequences, qNgramDecontam,
-    qCompressRatio)
+    qLmQuality, qBigramLm, qTrigramLm, qCcnetBuckets, qPackSequences,
+    qNgramDecontam, qCompressRatio)
 }

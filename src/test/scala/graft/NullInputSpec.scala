@@ -61,7 +61,9 @@ class NullInputSpec extends SparkSpec {
       // that have grams and always keeps its anchor doc; paragraph dedup
       // and the bigram LM drop null-text (and < 2-token) docs
       "q_f47b_containment_verdicts", "q_f46b_dsir_resample",
-      "q_f49_paragraph_dedup", "q_f49b_paragraph_clean", "q_f19b_bigram_lm")
+      "q_f49_paragraph_dedup", "q_f49b_paragraph_clean", "q_f19b_bigram_lm",
+      // round 18: the trigram LM drops null-text (and < 3-token) docs
+      "q_f19d_trigram_lm")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

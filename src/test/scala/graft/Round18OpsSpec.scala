@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18 additions, per the round-17 verdict: the F19d hashed trigram
+  * stupid-backoff LM (pure-Scala recompute equality across all three
+  * backoff levels, frozen-fold ≡ batch-explode, loud empty-fit failure)
+  * and the F19c re-cut on the order-3 NLL.
+  */
+class Round18OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- F19d: hashed trigram back-off LM ----------------------------------
+
+  /** Pure-Scala recompute of the fit + two-level stupid-backoff scoring. */
+  private def trigramRef(corpus: Seq[(Long, String)], score: Seq[(Long, String)],
+      buckets: Int): Map[Long, (Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets
+    val toks = corpus.map { case (_, t) => t.split(" ", -1).toSeq }
+    val uc = Array.fill(buckets)(0L)
+    val bc = Array.fill(buckets)(0L)
+    val tc = Array.fill(buckets)(0L)
+    toks.foreach { ts =>
+      ts.foreach(w => uc(bkt(w).toInt) += 1)
+      ts.sliding(2).filter(_.size == 2).foreach(p => bc(bkt(p.mkString(" ")).toInt) += 1)
+      ts.sliding(3).filter(_.size == 3).foreach(p => tc(bkt(p.mkString(" ")).toInt) += 1)
+    }
+    val un = uc.sum
+    def fl(d: Double) = math.floor(d * 1e6).toLong
+    score.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1).toSeq
+      if (ts.size < 3) None
+      else {
+        val s = ts.sliding(3).filter(_.size == 3).map { p =>
+          val ht = bkt(p.mkString(" ")).toInt
+          val hb12 = bkt(p(0) + " " + p(1)).toInt
+          val hb23 = bkt(p(1) + " " + p(2)).toInt
+          val hp = bkt(p(1)).toInt; val hu = bkt(p(2)).toInt
+          if (tc(ht) > 0 && bc(hb12) > 0)
+            fl(math.log(tc(ht).toDouble)) - fl(math.log(bc(hb12).toDouble))
+          else if (bc(hb23) > 0 && uc(hp) > 0)
+            TextOps.BackoffMicros +
+              fl(math.log(bc(hb23).toDouble)) - fl(math.log(uc(hp).toDouble))
+          else 2 * TextOps.BackoffMicros +
+            fl(math.log((uc(hu) + 1.0) / (un + buckets)))
+        }.sum
+        Some(id -> ((ts.size - 2).toLong, -s))
+      }
+    }.toMap
+  }
+
+  private val lmCorpus = (0 until 25).map(i =>
+    (i.toLong, s"the cat sat on the mat ${i % 5} and the dog ran away fast"))
+
+  test("lmTrigramScores ≡ the pure-Scala recompute (self-scored corpus)") {
+    val got = TextOps.lmTrigramScores(
+        lmCorpus.toDF("doc_id", "text").repartition(7), buckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == trigramRef(lmCorpus, lmCorpus, 256), got.toString)
+    // the batch explode+agg plan and the frozen per-row fold compute the
+    // IDENTICAL LONG sums (order-free integers — plan shape cannot matter)
+    val lm = TextOps.trigramLmFit(lmCorpus.toDF("doc_id", "text"), 256)
+    val fold = lmCorpus.toDF("doc_id", "text")
+      .select(col("doc_id"), (-lm.sumMicrosCol(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold == got.map { case (k, (_, n)) => k -> n }, fold.toString)
+  }
+
+  test("frozen TrigramLm walks BOTH backoff levels") {
+    val lm = TextOps.trigramLmFit(lmCorpus.toDF("doc_id", "text"), buckets = 256)
+    // level 1 (trigram→bigram): known bigrams chained in an order the
+    // corpus never produced — "mat 3 the" has no trigram but "3 and"-
+    // style bigram fallbacks exist; level 2 (bigram→unigram): alien
+    // tokens force the unigram floor. The reference reproduces every
+    // branch including bucket collisions, so equality here certifies the
+    // whole lattice.
+    val probes = Seq(
+      (97L, "cat sat on the mat 0 and the cat sat"), // mostly trigram hits
+      (98L, "mat the cat dog ran the on away sat fast"), // shuffled: bigram/unigram mix
+      (99L, "zzq xxv qqw wwe eer rrt tty")) // alien: unigram floor
+    val got = probes.toDF("doc_id", "text")
+      .select(col("doc_id"), (-lm.sumMicrosCol(col("text"))).as("nll"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = trigramRef(lmCorpus, probes, 256).map { case (k, (_, n)) => k -> n }
+    assert(got == want, s"got $got want $want")
+    // sanity: NLL per position orders in-distribution < shuffled < alien
+    val per = probes.map { case (id, t) =>
+      id -> got(id).toDouble / (t.split(" ").length - 2) }.toMap
+    assert(per(97L) < per(98L) && per(98L) < per(99L), per.toString)
+  }
+
+  test("order-3 sees a style split that order-2 is EXACTLY blind to") {
+    // the reason F19c re-cut its buckets on the order-3 NLL: a corpus
+    // where both classes share IDENTICAL unigram and bigram statistics
+    // (so the bigram model assigns every doc the same NLL, to the micro)
+    // but differ in continuation predictability. Each doc is ten blocks
+    // "p{k} q r{j} s": 'book' docs pair deterministically (j = k), 'web'
+    // docs rotate (j = k + d mod 10, d ∈ 1..9 per doc). Every unigram
+    // and bigram type occurs EQUALLY often in both classes (rotations
+    // preserve uniformity; the 's' separator shields the block seams),
+    // so order-2 cannot tell them apart even in principle — while the
+    // trigram (p_k q → r_j) is 20-docs-strong for book and 2-3 for web.
+    // Collision-proof: equal bigram counts stay equal under any bucket
+    // merge, so the blindness half holds at ANY bucket count.
+    val book = (0 until 20).map(i => (i.toLong,
+      (0 until 10).map(k => s"p$k q r$k s").mkString(" ")))
+    val web = (100 until 120).map(i => (i.toLong,
+      (0 until 10).map(k => s"p$k q r${(k + 1 + i % 9) % 10} s").mkString(" ")))
+    val docs = (book ++ web).toDF("doc_id", "text")
+    def perPos(df: org.apache.spark.sql.DataFrame, nCol: String): Map[Long, Double] =
+      df.select(col("doc_id"), (col("nll_micros").cast("double") /
+        col(nCol).cast("double")).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p2 = perPos(TextOps.lmBigramScores(docs, 8192), "n_bigrams")
+    assert(p2.values.toSet.size == 1,
+      s"order-2 must assign every doc the identical NLL: ${p2.values.toSet}")
+    val p3 = perPos(TextOps.lmTrigramScores(docs, 8192), "n_trigrams")
+    val b3 = book.map(d => p3(d._1)).max
+    val w3 = web.map(d => p3(d._1)).min
+    assert(w3 - b3 > 500000.0, // ≥ 0.5 nat/position between the CLOSEST pair
+      f"order-3 must split the classes: worst book $b3%.0f vs best web $w3%.0f")
+  }
+
+  test("trigramLmFit fails loudly on a token-less corpus") {
+    val e = intercept[IllegalArgumentException] {
+      TextOps.trigramLmFit(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
+  }
+
+  test("two-token docs have no trigram position and drop (the gramless convention)") {
+    val docs = Seq((1L, "just two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val out = TextOps.lmTrigramScores(docs, 64).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(out.head.getLong(1) == 2L) // 4 tokens → 2 trigram positions
+  }
+}
