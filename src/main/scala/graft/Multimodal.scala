@@ -118,27 +118,87 @@ object Multimodal {
     */
   val RealAudioFormats: Set[String] = AudioFileTypes.keySet
 
+  /** Container identity from the RIFF/FORM magic (the WAV and AIFF
+    * on-disk framing is public: RIFF…WAVE at bytes 0-3/8-11, FORM…AIFF
+    * likewise) — a 12-byte check with NO locking, replacing
+    * `AudioSystem.getAudioFileFormat` as the sniffer on the per-record
+    * hot path. AIFC deliberately does not match (the prior sniffer
+    * reported it as "aiff-c", which the accepted-type sets never
+    * contained — behavior preserved). Structural validity beyond the
+    * magic is still verified by the real reader, which throws on a
+    * corrupt body.
+    */
+  private def sniffAudioContainer(p: Array[Byte]): Option[String] =
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E') Some("wave")
+    else if (p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' &&
+        p(3) == 'M' && p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
+        p(11) == 'F') Some("aiff")
+    else None
+
+  /** The JDK's real WAV/AIFF readers, resolved ONCE per JVM through the
+    * public `javax.sound.sampled.spi.AudioFileReader` ServiceLoader SPI
+    * and labeled by probing each with a one-time synthesized container.
+    * Why: every `AudioSystem.getAudioFileFormat`/`getAudioInputStream`
+    * call funnels through a JVM-global synchronized provider lookup plus
+    * cross-provider exception churn — measured 72 µs/record on one
+    * thread but ~90× WORSE per core under 32 executor threads (the lock
+    * serializes the whole executor; the aud18 cert's 643k-WAV decode
+    * pass sat at 4.9k recs/s). Calling the cached reader directly keeps
+    * the identical JDK PCM decode with zero shared state on the hot
+    * path.
+    */
+  private lazy val audioReaders: Map[String, javax.sound.sampled.spi.AudioFileReader] = {
+    import javax.sound.sampled._
+    def tiny(t: AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, t != AudioFileFormat.Type.WAVE)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](130)), fmt, 65L), t, bos)
+      bos.toByteArray
+    }
+    val readers = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    Map("wave" -> tiny(AudioFileFormat.Type.WAVE),
+      "aiff" -> tiny(AudioFileFormat.Type.AIFF)).flatMap { case (k, probe) =>
+      readers.find { r =>
+        try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }.map(k -> _)
+    }
+  }
+
+  /** Claim-checked open: magic sniff → claimed-MIME match → the cached
+    * real reader. None when the container contradicts the claim or no
+    * reader exists; the reader still throws (caught by callers) on a
+    * structurally corrupt body. Streams are plain mark/reset-capable
+    * `ByteArrayInputStream`s — no temp files.
+    */
+  private def openAudioStream(payload: Array[Byte],
+      claimed: String): Option[javax.sound.sampled.AudioInputStream] = {
+    val expected = AudioFileTypes.getOrElse(claimed, Set.empty)
+    sniffAudioContainer(payload).filter(expected.contains).flatMap(c =>
+      audioReaders.get(c).map(_.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))))
+  }
+
   /** Real WAV/AIFF decode: header fields (sample rate, channels, frame
     * count) plus a deterministic FNV-ish hash over the decoded PCM
     * stream bytes. None when the payload is corrupt, unreadable, or its
-    * sniffed file type does not match the CLAIMED format — a valid WAV
+    * sniffed container does not match the CLAIMED format — a valid WAV
     * labeled `audio/aiff` is a format-corrupted record, exactly the
-    * image-path contract. The payload is in memory, so streams are
-    * plain `ByteArrayInputStream`s (mark/reset-capable, as
-    * `AudioSystem` requires) — no temp files.
+    * image-path contract.
     */
   private def decodeAudio(payload: Array[Byte],
       claimed: String): Option[(Long, Int, Int, Long)] =
     try {
-      import javax.sound.sampled.AudioSystem
-      val expected = AudioFileTypes.getOrElse(claimed, Set.empty)
-      val sniffed = AudioSystem
-        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
-        .getType.toString.toLowerCase(java.util.Locale.ROOT)
-      if (!expected.contains(sniffed)) None
-      else {
-        val ais = AudioSystem
-          .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      openAudioStream(payload, claimed).flatMap { ais =>
         try {
           val fmt = ais.getFormat
           val frames = ais.getFrameLength
@@ -183,15 +243,7 @@ object Multimodal {
   private def readPcmAbs(payload: Array[Byte],
       claimed: String): Option[Array[Long]] =
     try {
-      import javax.sound.sampled.AudioSystem
-      val expected = AudioFileTypes.getOrElse(claimed, Set.empty)
-      val sniffed = AudioSystem
-        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
-        .getType.toString.toLowerCase(java.util.Locale.ROOT)
-      if (!expected.contains(sniffed)) None
-      else {
-        val ais = AudioSystem
-          .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      openAudioStream(payload, claimed).flatMap { ais =>
         try {
           val fmt = ais.getFormat
           val bytes = {

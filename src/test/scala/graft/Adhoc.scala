@@ -3075,6 +3075,163 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("aud18")) {
+      // F54 audio-at-scale certification (round 18, VERDICT r17 item 3):
+      // 500k synthesized WAVs through the REAL javax.sound.sampled
+      // decode (rate varies 8k/16k/44.1k, width 8/16-bit, mono/stereo),
+      // + 50k exact byte copies + 50k one-cell dents + ~43k stereo
+      // re-layouts of mono bases. Frames are a multiple of 65 so
+      // envelope cells align EXACTLY: a stereo re-layout hashes to the
+      // identical 64 bits (integer-div equality, spec-pinned shape) and
+      // a dent confined to cell 10 flips ≤ 2 comparison bits — so
+      // banding recall at maxHamming 3 is EXACT for every plant class
+      // (the img17 pigeonhole argument). The decode pass is timed
+      // separately from the pair join: per-row PCM decode is the only
+      // F54-specific code, exactly what the shared img17 cert does not
+      // touch.
+      import spark.implicits._
+      val n = 500000L
+      def mix(seed: Long, j: Long): Long = {
+        var v = seed * 2654435761L + j * 40503L
+        v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+        v
+      }
+      // deterministic per-id synth: (rate, width, channels, frames)
+      def shape(i: Long): (Float, Int, Int, Int) = (
+        Array(8000f, 16000f, 44100f)((i % 3).toInt),
+        if (i % 2 == 0) 16 else 8,
+        if (i % 7 == 0) 2 else 1,
+        65 * (10 + (i % 11).toInt))
+      // PCM frame samples per channel slot, |max| amplitude per width
+      def wavBytes(i: Long, dentCell: Int, forceStereo: Boolean): Array[Byte] = {
+        import javax.sound.sampled._
+        val (rate, width, ch0, frames) = shape(i)
+        val ch = if (forceStereo) 2 else ch0
+        val perCell = frames / 65 * ch // interleaved slots per envelope cell
+        val slots = frames * ch
+        val pcm = new Array[Byte](slots * (width / 8))
+        var s = 0
+        while (s < slots) {
+          // forceStereo duplicates the MONO signal per frame (slot→frame
+          // via s/ch); natural stereo varies per slot
+          val t = if (forceStereo) s / ch else s
+          val v = mix(i, t)
+          val dented = dentCell >= 0 &&
+            s >= dentCell * perCell && s < (dentCell + 1) * perCell
+          if (width == 16) {
+            val x = if (dented) 32767 else (v % 65536).toInt - 32768
+            pcm(2 * s) = (x & 0xff).toByte
+            pcm(2 * s + 1) = ((x >> 8) & 0xff).toByte
+          } else {
+            pcm(s) = if (dented) 255.toByte else (v % 256).toByte
+          }
+          s += 1
+        }
+        val fmt = new AudioFormat(rate, width, ch, width == 16, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val meta = Multimodal.MediaMeta("audio/wav", 0, 0)
+      def rec(id: Long, b: Array[Byte]) = Multimodal.MediaRecord(id, "audio", b, meta)
+      val base = spark.range(0, n).as[Long]
+        .map(i => rec(i, wavBytes(i, -1, forceStereo = false)))
+      val copies = spark.range(0, n).as[Long].filter(_ % 10 == 0)
+        .map(i => rec(10000000L + i, wavBytes(i, -1, forceStereo = false)))
+      val dents = spark.range(0, n).as[Long].filter(_ % 10 == 5)
+        .map(i => rec(20000000L + i, wavBytes(i, 10, forceStereo = false)))
+      // stereo re-layout only where the base is mono (i % 7 != 0)
+      val stereo = spark.range(0, n).as[Long]
+        .filter(i => i % 10 == 7 && i % 7 != 0)
+        .map(i => rec(30000000L + i, wavBytes(i, -1, forceStereo = true)))
+      val recs = base.unionByName(copies).unionByName(dents)
+        .unionByName(stereo).localCheckpoint(eager = true)
+      val total = recs.count()
+      val nStereo = n / 10 - (0L until n by 10).count(i => (i + 7) % 7 == 0) // ids ≡7 (mod 10) ∧ ≡0 (mod 7)
+      val bytes = recs.map(_.payload.length.toLong).reduce(_ + _)
+      println(f"ADHOC aud18 corpus=$total bytes=${bytes / 1e6}%.0fMB")
+      // decode throughput: the per-row javax.sound.sampled PCM pass,
+      // isolated from the pair join (bit_xor forces every signature)
+      var decoded = 0L
+      for (rep <- 1 to 2) {
+        time(s"aud18 decode rep=$rep") {
+          val agg = Multimodal.audioHashes(recs)
+            .agg(count(lit(1)).as("n"), bit_xor(col("sig")).as("x")).head()
+          decoded = agg.getLong(0)
+          println(f"ADHOC aud18 decode rep=$rep recs_per_sec≈see_secs xor=${agg.getLong(1)}%016x")
+          decoded
+        }
+      }
+      assert(decoded == total, s"every synthesized WAV must decode: $decoded/$total")
+      var pairs: DataFrame = null
+      time("aud18 pairs") {
+        pairs = Multimodal.audioNearDupPairs(recs, maxHamming = 3)
+          .localCheckpoint(eager = true)
+        pairs.count()
+      }
+      val copyPairs = pairs.filter(col("b_id") === col("a_id") + 10000000L &&
+        col("hamming") === 0L).count()
+      val dentPairs = pairs.filter(col("b_id") === col("a_id") + 20000000L).count()
+      val dentWorst = pairs.filter(col("b_id") === col("a_id") + 20000000L)
+        .agg(max(col("hamming"))).head().getLong(0)
+      val stereoPairs = pairs.filter(col("b_id") === col("a_id") + 30000000L &&
+        col("hamming") === 0L).count()
+      val chance = pairs.filter(col("a_id") < n && col("b_id") < n).count()
+      println(s"ADHOC aud18 copy_pairs=$copyPairs dent_pairs=$dentPairs " +
+        s"dent_worst_bits=$dentWorst stereo_pairs=$stereoPairs " +
+        s"base_chance_pairs=$chance total=${pairs.count()}")
+      assert(copyPairs == n / 10, s"exact copies: $copyPairs")
+      assert(dentPairs == n / 10, s"dents: $dentPairs")
+      assert(dentWorst <= 2L, s"a one-cell dent must flip <=2 bits: $dentWorst")
+      assert(stereoPairs == nStereo, s"stereo re-layouts: $stereoPairs/$nStereo")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("audprof")) {
+      // driver-side micro-profile of the per-record WAV decode cost: is
+      // the aud18 throughput bound by AudioSystem's global provider
+      // lookup (2 calls/record) or by the PCM parse itself?
+      import javax.sound.sampled._
+      def wav(i: Long): Array[Byte] = {
+        val frames = 975
+        val pcm = Array.tabulate[Byte](frames * 2) { j =>
+          var v = i * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (v % 256).toByte
+        }
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val payloads = (0L until 20000L).map(wav).toArray
+      val meta = Multimodal.MediaMeta("audio/wav", 0, 0)
+      for (rep <- 1 to 3) {
+        time(s"audprof current rep=$rep") {
+          payloads.count(p => Multimodal.audioHash64(p, meta).isDefined).toLong
+        }
+        time(s"audprof sniff_only rep=$rep") {
+          payloads.count { p =>
+            AudioSystem.getAudioFileFormat(new java.io.ByteArrayInputStream(p))
+              .getType.toString.nonEmpty
+          }.toLong
+        }
+        time(s"audprof stream_only rep=$rep") {
+          payloads.count { p =>
+            val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+            try ais.getFormat.getSampleSizeInBits == 16 finally ais.close()
+          }.toLong
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("curate17")) {
       // Round-17 composed curation stress: 100k docs through C4 line
       // cleaning (F50) + paragraph cleanup (F49b) + exact/near dedup +
