@@ -123,6 +123,38 @@ object Graft {
         org.apache.spark.sql.functions.col("text")).as("fp"))
       .distinct()
 
+  /** Media dedup as a curation stage (round 18, VERDICT r17 item 4):
+    * drop near-dup non-representatives from a mixed image/audio corpus,
+    * one exemplar kept per perceptual cluster, with the same audited
+    * (kept, dropped) counts as [[curateCorpusAudited]]. Images cluster
+    * by dHash, audio by energy envelope — in SEPARATE signature spaces
+    * (a pixel-grid hash never joins an envelope hash); other modalities
+    * pass through untouched. See [[Multimodal.mediaDedupAudited]].
+    */
+  def mediaDedupAudited(spark: SparkSession,
+      records: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      maxHamming: Int = 3)
+      : (org.apache.spark.sql.Dataset[Multimodal.MediaRecord], Seq[StageCount]) =
+    Multimodal.mediaDedupAudited(spark, records, maxHamming)
+
+  /** The delivered-corpus media signature frame ([[mediaDedupStream]]'s
+    * static side) — (modality, sig) distinct; the media sibling of
+    * [[corpusFingerprints]]. */
+  def mediaSigFingerprints(
+      records: org.apache.spark.sql.Dataset[Multimodal.MediaRecord])
+      : DataFrame =
+    Multimodal.mediaSigFingerprints(records)
+
+  /** Streaming media screen — [[curateStream]]'s media sibling, the F28
+    * standing-corpus pattern: drop arrivals whose (modality, sig) is
+    * already delivered, via a stateless stream-static anti join; ≤ k-bit
+    * near-matches stay batch-side. See [[Multimodal.mediaDedupStream]]. */
+  def mediaDedupStream(
+      arrivals: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      corpusSigs: DataFrame)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
+    Multimodal.mediaDedupStream(arrivals, corpusSigs)
+
   /** Incremental (delta) dedup: admit only the increment docs that are
     * neither exact nor near duplicates of the standing corpus or of a
     * smaller-id increment doc — the daily-ingest screen, at |Δ| probe +

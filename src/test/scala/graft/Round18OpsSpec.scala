@@ -126,6 +126,117 @@ class Round18OpsSpec extends SparkSpec {
       f"order-3 must split the classes: worst book $b3%.0f vs best web $w3%.0f")
   }
 
+  // ---- MediaDedup curation stage + streaming screen (VERDICT item 4) ------
+
+  private def wavOf(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def pngOf(seed: Int, perturb: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v0 = (x * 4 + seed * 9) & 0xff
+      val v = if (perturb && x < 8 && y < 8) 128 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaCorpus: Seq[Multimodal.MediaRecord] = {
+    // alternating-cell envelope (100-sample cells, high/low) → sig
+    // 0x5555…: deliberately UNLIKE the gradient PNGs' saturated all-ones
+    // dHash, so the cross-modality assert below proves isolation comes
+    // from the modality column, not from the sig values happening to
+    // differ (a monotone ramp here collides with the ramp images at
+    // EXACTLY the same 64 bits — the first cut of this spec did)
+    val sig = Array.tabulate[Short](6500)(t =>
+      ((if ((t / 100) % 2 == 0) 30000 else 1000) *
+        (if (t % 2 == 0) 1 else -1)).toShort)
+    val pngMeta = Multimodal.MediaMeta("image/png", 0, 0)
+    val wavMeta = Multimodal.MediaMeta("audio/wav", 0, 0)
+    Seq(
+      Multimodal.MediaRecord(1L, "image", pngOf(0), pngMeta),
+      Multimodal.MediaRecord(2L, "image", pngOf(0), pngMeta), // exact copy of 1
+      Multimodal.MediaRecord(3L, "image", pngOf(0, perturb = true), pngMeta), // near-dup of 1
+      Multimodal.MediaRecord(4L, "image", pngOf(3), pngMeta), // distinct image
+      Multimodal.MediaRecord(5L, "audio", wavOf(sig), wavMeta),
+      Multimodal.MediaRecord(6L, "audio", wavOf(sig.flatMap(s => Array(s, s)), 2),
+        wavMeta), // stereo re-layout of 5
+      Multimodal.MediaRecord(7L, "audio", wavOf(sig.map(s => (-s).toShort)),
+        wavMeta), // same envelope (abs) — dups 5 too
+      Multimodal.MediaRecord(8L, "audio",
+        wavOf(Array.fill[Short](6500)(15000)), wavMeta), // flat envelope: distinct audio
+      Multimodal.MediaRecord(9L, "audio", Array[Byte](1, 2, 3), wavMeta), // undecodable
+      Multimodal.MediaRecord(10L, "video", Array.tabulate[Byte](64)(_.toByte),
+        Multimodal.MediaMeta("video/mp4", 0, 0))) // no hash family: pass-through
+  }
+
+  test("MediaDedup stage keeps exactly the per-modality cluster representatives, audited") {
+    val recs = mediaCorpus.toDS()
+    val (kept, audit) = Graft.mediaDedupAudited(spark, recs, maxHamming = 3)
+    val keptIds = kept.collect().map(_.id).toSet
+    // images {1,2,3} cluster (copy + ≤3-bit perturb) → rep 1; audio
+    // {5,6,7} cluster (stereo re-layout + sign flip share the |s|
+    // envelope) → rep 5; undecodable 9 and video 10 pass through
+    assert(keptIds == Set(1L, 4L, 5L, 8L, 9L, 10L), keptIds.toString)
+    // the stage ≡ the standalone groups' representatives (spec-pinned)
+    val want = Multimodal.mediaDedupGroups(spark, recs, 3)
+      .filter(col("doc_id") === col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == want)
+    assert(audit == Seq(
+      Graft.StageCount("input", 10L, 0L),
+      Graft.StageCount("image_neardup", 8L, 2L),
+      Graft.StageCount("audio_neardup", 6L, 2L)), audit.toString)
+  }
+
+  test("media streaming screen drops delivered signatures, admits fresh and unscorable arrivals") {
+    val corpus = mediaCorpus.toDS()
+    val delivered = Graft.mediaSigFingerprints(
+      corpus.filter(r => r.id <= 5L)).localCheckpoint()
+    // batch-frame equivalence first (how the contract is pinned): 6 and
+    // 7 hash to delivered 5's sig → dropped; 8 is fresh; 9's NULL sig
+    // and 10's no-hash-family modality pass through
+    val arrivals = corpus.filter(r => r.id >= 6L)
+    val admitted = Graft.mediaDedupStream(arrivals, delivered)
+      .collect().map(_.id).toSet
+    assert(admitted == Set(8L, 9L, 10L), admitted.toString)
+    // cross-modality isolation: an AUDIO arrival must never be screened
+    // by an IMAGE signature even if the 64-bit values collide — the
+    // delivered frame with modality relabeled must screen nothing
+    val crossed = delivered.withColumn("modality",
+      when(col("modality") === "audio", lit("image")).otherwise(lit("audio")))
+    val admittedX = Graft.mediaDedupStream(arrivals, crossed)
+      .collect().map(_.id).toSet
+    assert(admittedX == Set(6L, 7L, 8L, 9L, 10L), admittedX.toString)
+    // and on a REAL stream: same arrivals through a MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Multimodal.MediaRecord]
+    val q = Graft.mediaDedupStream(in.toDS(), delivered)
+      .writeStream.format("memory").queryName("media_screen18")
+      .outputMode("append").start()
+    in.addData(mediaCorpus.filter(_.id >= 6L): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("media_screen18")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(8L, 9L, 10L), streamed.toString)
+  }
+
   test("trigramLmFit fails loudly on a token-less corpus") {
     val e = intercept[IllegalArgumentException] {
       TextOps.trigramLmFit(Seq.empty[(Long, String)].toDF("doc_id", "text"))
