@@ -244,23 +244,33 @@ object Graft {
     * doc_id would place every copy back-to-back, exactly the
     * repeated-context pathology epoch weights must avoid. Same
     * zero-/bounded-shuffle plans as the three operators it composes.
+    *
+    * `tokenCount` (round 18): the token METER, threaded through both
+    * the F33 fill and the F34 copy rows — pass
+    * `Some(bpeModel.countCol(col("text")))` to budget and manifest in
+    * F52 BPE tokens (spec-proven ≡ the default meter over
+    * pre-tokenized text, the F52 ⊕ F33 law extended to the whole
+    * manifest); defaults to whitespace tokens, the graded contract.
     */
   def mixManifest(docs: DataFrame, budgets: Map[String, Long],
-      epochsMicros: Map[String, Long], nShards: Int, seed: Long = 0L)
+      epochsMicros: Map[String, Long], nShards: Int, seed: Long = 0L,
+      tokenCount: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, concat, lit, size, split}
     val kept =
       if (budgets.isEmpty) docs
       else docs.join(
-        TextOps.tokenBudgetMix(docs, budgets).select(col("doc_id")),
+        TextOps.tokenBudgetMix(docs, budgets, tokenCount = tokenCount)
+          .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     val copies =
       if (epochsMicros.isEmpty)
         kept.filter(col("text").isNotNull)
           .select(col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast("long").as("n_toks"),
+            tokenCount.getOrElse(size(split(col("text"), " ")))
+              .cast("long").as("n_toks"),
             lit(1L).as("epoch"))
-      else TextOps.epochMix(kept, epochsMicros)
+      else TextOps.epochMix(kept, epochsMicros, tokenCount = tokenCount)
     val salted = copies.withColumn("copy_id",
       concat(col("doc_id").cast("string"), lit(":"), col("epoch")))
     salted.join(

@@ -237,6 +237,53 @@ class Round18OpsSpec extends SparkSpec {
     assert(streamed == Set(8L, 9L, 10L), streamed.toString)
   }
 
+  // ---- mixManifest: composition laws (VERDICT item 5) ---------------------
+
+  test("mixManifest with the BPE meter ≡ the default manifest over pre-tokenized text (F52 ⊕ F33→F35)") {
+    // the Round17 F52 ⊕ F33 law extended to the WHOLE manifest: with the
+    // BPE countCol as the meter, the budget fill, the per-copy n_toks,
+    // the epoch draws, and the salted shard/pos must all equal running
+    // the default whitespace meter over BPE-pre-tokenized text
+    graft.functions.VectorFunctions.register(spark)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"s${i % 3}",
+        (0 until 4 + i % 5).map(j => s"word${(i + j) % 11}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val model = TextOps.bpeFit(docs, numMerges = 15, vocabN = 100)
+    val budgets = Map("s0" -> 120L, "s1" -> 60L, "s2" -> 40L)
+    val epochs = Map("s0" -> 1000000L, "s1" -> 2500000L, "s2" -> 1500000L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val viaMeter = canon(Graft.mixManifest(docs, budgets, epochs, 8, 42L,
+      tokenCount = Some(model.countCol(col("text")))))
+    val pretok = docs.select(col("doc_id"), col("source"),
+      concat_ws(" ", model.encodeCol(col("text"))).as("text"))
+    val viaText = canon(Graft.mixManifest(pretok, budgets, epochs, 8, 42L))
+    assert(viaMeter == viaText && viaMeter.nonEmpty)
+    // fractional epochs really upsample: s1 docs appear 2 or 3 times
+    val s1Copies = viaMeter.filter(_._2 == "s1").groupBy(_._1).map(_._2.size).toSet
+    assert(s1Copies.subsetOf(Set(2, 3)) && s1Copies.nonEmpty, s1Copies.toString)
+  }
+
+  test("mixManifest scatters an upsampled doc's copies; positions are a dense per-shard sequence") {
+    val docs = (0 until 40).map(i => (i.toLong, "s",
+      (0 until 6).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val m = Graft.mixManifest(docs, Map.empty, Map("s" -> 3000000L), 4, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // every doc gets exactly 3 epochs (integer weight)
+    assert(m.groupBy(_._1).forall(_._2.length == 3))
+    // the epoch-salted shuffle puts SOME doc's copies in different
+    // shards (a bare-doc_id shuffle would glue all copies together —
+    // with 120 copies over 4 shards, all-same-shard has p ≈ (1/16)^40)
+    assert(m.groupBy(_._1).exists(_._2.map(_._3).distinct.length > 1))
+    // per shard, positions are exactly 0..n-1 (the F35 dense-rank law)
+    m.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
   test("trigramLmFit fails loudly on a token-less corpus") {
     val e = intercept[IllegalArgumentException] {
       TextOps.trigramLmFit(Seq.empty[(Long, String)].toDF("doc_id", "text"))
