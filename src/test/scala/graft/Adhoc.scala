@@ -2749,6 +2749,71 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("trigram18")) {
+      // F19d certification (round 18): 1M docs through the hashed
+      // trigram back-off LM, on the BIGRAM-BLIND corpus family from
+      // Round18OpsSpec scaled up: every doc is ten "p{k} q r{j} s"
+      // blocks — 'book' docs pair deterministically (j = k), 'web' docs
+      // rotate (j = k + d mod 10, d = 1 + id/2 mod 9, never identity).
+      // Unigram and bigram TYPE counts are identical across the classes
+      // by construction (rotations are bijections; the 's' separator
+      // shields block seams), so the order-2 margin is EXACTLY zero —
+      // asserted as ONE distinct per-doc bigram NLL across the whole
+      // million — while order-3 must separate the classes by ≥ 1
+      // nat/position (closed form: ln(500k/55.5k) = 2.197 nats on 19 of
+      // 38 positions ⇒ 1.098). The margin the paper's perplexity filter
+      // keys on exists at order 3 and is INVISIBLE at order 2 — the
+      // strongest possible form of the bigram17 style-separation cert.
+      val n = 1000000L
+      val blocks = sequence(lit(0), lit(9))
+      def blockText(j: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        concat_ws(" ", transform(blocks, k =>
+          concat_ws(" ", concat(lit("p"), k.cast("string")), lit("q"),
+            concat(lit("r"), j(k).cast("string")), lit("s"))))
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          when(col("id") % 2 === 1, blockText(k => k))
+            .otherwise(blockText(k =>
+              pmod(k + lit(1L) + pmod(col("id") / 2, lit(9L)), lit(10L))))
+            .as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC trigram18 corpus=${docs.count()}")
+      var sc3: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"trigram18 order3 rep=$rep") {
+          sc3 = TextOps.lmTrigramScores(docs, buckets = 16384)
+            .localCheckpoint(eager = true)
+          sc3.count()
+        }
+      }
+      var sc2: DataFrame = null
+      time("trigram18 order2") {
+        sc2 = TextOps.lmBigramScores(docs, buckets = 16384)
+          .localCheckpoint(eager = true)
+        sc2.count()
+      }
+      // order-2 blindness: every doc of BOTH classes has the identical
+      // bigram NLL (same bigram-type multiset with the same table)
+      val distinct2 = sc2.agg(countDistinct(col("nll_micros"))).head().getLong(0)
+      // order-3 separation: median per-position NLL, book vs web
+      val per3 = sc3.withColumn("per",
+          col("nll_micros").cast("double") / col("n_trigrams"))
+        .withColumn("is_book", col("doc_id") % 2 === 1)
+        .localCheckpoint(eager = true)
+      def med(book: Boolean) = per3.filter(col("is_book") === book)
+        .stat.approxQuantile("per", Array(0.5), 0.0001)(0)
+      val (mb, mw) = (med(true), med(false))
+      val nScored = sc3.count()
+      println(f"ADHOC trigram18 scored=$nScored bigram_distinct_nll=$distinct2 " +
+        f"med3_book=$mb%.0f med3_web=$mw%.0f margin=${mw - mb}%.0f")
+      assert(nScored == n, s"every doc has >= 3 tokens; scored $nScored")
+      assert(distinct2 == 1L,
+        s"order-2 must be EXACTLY blind on this corpus: $distinct2 distinct NLLs")
+      assert(mw - mb >= 1000000.0,
+        f"order-3 must split the styles by >= 1 nat/position: $mb%.0f vs $mw%.0f")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("c417")) {
       // F50 certification (round 17): 1M pages / ~6M lines through the C4
       // heuristic cleaner, with every page-level verdict planted at a
