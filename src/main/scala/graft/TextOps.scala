@@ -2373,6 +2373,134 @@ object TextOps {
       .select(col("doc_id"), col("n_trigrams"), col("nll_micros"))
   }
 
+  /** F19e (round 18): ORDER-N hashed stupid-backoff LM — the
+    * generalization that reaches CCNet's published filter order (a
+    * 5-gram KenLM; Wenzek et al. 2020 §3). The backoff chain walks
+    * N → N−1 → … → 1, ln 0.4 per step (Brants et al. 2007):
+    *
+    *   score(c | w₁…w₍N−1₎) at level o =
+    *     (N−o)·ln 0.4 + ln cnt_o[h(last o tokens)]
+    *                  − ln cnt_{o−1}[h(context = that gram minus c)]
+    *     at the FIRST o (descending) whose gram AND context buckets are
+    *     both non-empty; the floor is (N−1)·ln 0.4 + add-one unigram.
+    *
+    * [[BigramLm]] and [[TrigramLm]] are exactly orders 2 and 3 of this
+    * lattice (spec-pinned bit-identical), kept as the graded shipping
+    * forms; this class exists so the order is a PARAMETER — the honest
+    * hashed-LM limit (gram TYPE counts must sit under `buckets`) bites
+    * harder as the order grows, so corpus owners pick the deepest order
+    * their bucket budget tracks rather than being stuck at 3.
+    *
+    * Exactness and scale are the F19b/F19d discipline verbatim: integer
+    * micros per piece (per-doc NLL an exact LONG sum), fit = ONE
+    * unified gram explode → ≤ N·buckets partial-agg rows, batch scoring
+    * a codegen explode + doc-keyed partial agg, frozen serving a
+    * per-row fold. Docs with < N tokens drop.
+    */
+  final case class NgramLm(order: Int, buckets: Int, un: Long,
+      cnt: IndexedSeq[IndexedSeq[Long]], q: IndexedSeq[IndexedSeq[Long]],
+      uq: IndexedSeq[Long]) {
+    require(order >= 2, s"order must be >= 2, got $order")
+    private def bkt(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    private def at(tab: IndexedSeq[Long], b: Column): Column =
+      element_at(typedLit(tab), (b + 1).cast("int"))
+    /** The per-position lattice over the N tokens ending at the scored
+      * position (`toks.last` is the current token). */
+    private[graft] def pieceCol(toks: Seq[Column]): Column = {
+      require(toks.size == order, s"need $order tokens, got ${toks.size}")
+      val floor = lit((order - 1) * BackoffMicros) + at(uq, bkt(toks.last))
+      (2 to order).foldLeft(floor) { (deeper, o) =>
+        // levels fold bottom-up so the WHEN chain tests descending
+        val gram = toks.takeRight(o)
+        val hg = bkt(concat_ws(" ", gram: _*))
+        val hc = bkt(concat_ws(" ", gram.init: _*))
+        when(at(cnt(o - 1), hg) > 0L && at(cnt(o - 2), hc) > 0L,
+          lit((order - o) * BackoffMicros) + at(q(o - 1), hg) - at(q(o - 2), hc))
+          .otherwise(deeper)
+      }
+    }
+    /** Σ score micros over the row's order-N positions (NULL when < N
+      * tokens); negate for NLL. The N-token windows come from zipping N
+      * slices of the token array, each evaluated ONCE in argument
+      * position — a lambda referencing an outer `split()` via
+      * `element_at(t, i+k)` would re-evaluate it per element (the F19b
+      * O(n²) capture trap). */
+    def sumMicrosCol(text: Column): Column = {
+      val t = split(text, " ")
+      val n = size(t)
+      val m = n - (order - 1)
+      val first = transform(slice(t, lit(1), m), w => array(w))
+      val windows = (1 until order).foldLeft(first)((acc, k) =>
+        zip_with(acc, slice(t, lit(k + 1), m), (a, w) => concat(a, array(w))))
+      val pieces = transform(windows, ws =>
+        pieceCol(Seq.tabulate(order)(k => element_at(ws, k + 1))))
+      when(n >= order, aggregate(pieces, lit(0L), (a, x) => a + x))
+    }
+  }
+
+  /** Fit an [[NgramLm]]: one unified gram explode (orders 1..N flagged
+    * apart), ≤ N·buckets partial-agg rows pulled, ln tables quantized
+    * driver-side. Fails loudly on a token-less corpus. */
+  def ngramLmFit(corpus: org.apache.spark.sql.DataFrame, order: Int,
+      buckets: Int = 1024): NgramLm = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val empty = array().cast("array<struct<o:int,g:string>>")
+    def ngrams(o: Int): Column =
+      when(size(col("t")) >= o,
+        transform(sequence(lit(0), (size(col("t")) - o).cast("int")), i =>
+          struct(lit(o).as("o"),
+            concat_ws(" ", (1 to o).map(k =>
+              element_at(col("t"), i + k)): _*).as("g"))))
+        .otherwise(empty)
+    val grams = corpus.filter(col("text").isNotNull)
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(concat((1 to order).map(ngrams): _*)).as("x"))
+      .select(col("x.o").as("o"),
+        pmod(conv(substring(md5(col("x.g")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val rows = grams.groupBy(col("o"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: ≤ order × buckets rows (partial-agg collapsed)
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cnt = (1 to order).map(o =>
+      (0 until buckets).map(b => rows.getOrElse((o, b.toLong), 0L)))
+    val un = cnt.head.sum
+    require(un > 0, "ngramLmFit: corpus has no tokens — the model is " +
+      "undefined (the bigramLmFit loud-failure convention)")
+    def lnq(c: Long): Long =
+      if (c > 0) math.floor(math.log(c.toDouble) * 1e6).toLong else 0L
+    NgramLm(order, buckets, un, cnt, cnt.map(_.map(lnq)),
+      cnt.head.map(c => math.floor(math.log((c + 1.0) / (un + buckets)) * 1e6).toLong))
+  }
+
+  /** F19e self-scored form: fit at `order`, score every doc with ≥ 1
+    * order-N position — (doc_id, n_grams, nll_micros); codegen explode +
+    * doc-keyed partial agg, the lmTrigramScores shape at any order. */
+  def lmNgramScores(docs: org.apache.spark.sql.DataFrame, order: Int,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val lm = ngramLmFit(docs, order, buckets)
+    // the token array materializes as a COLUMN before any lambda touches
+    // it (the gramBuckets/F19b rule: an inlined split() captured by a
+    // lambda re-evaluates per element — O(n²) splits per doc)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= order)
+      .select(col("doc_id"),
+        (size(col("t")) - (order - 1)).cast("long").as("n_grams"),
+        explode(transform(
+          sequence(lit(1), (size(col("t")) - (order - 1)).cast("int")),
+          i => struct(Seq.tabulate(order)(k =>
+            element_at(col("t"), i + k).as(s"w$k")): _*))).as("g"))
+      .select(col("doc_id"), col("n_grams"),
+        lm.pieceCol(Seq.tabulate(order)(k => col(s"g.w$k"))).as("m"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg((-sum(col("m"))).as("nll_micros"))
+      .select(col("doc_id"), col("n_grams"), col("nll_micros"))
+  }
+
   /** The F19d fit + scoring recomputed in SQL — shared by q_f19d and
     * q_f19c's re-cut CCNet-bucket oracle (round 18). `sc3` is the
     * per-(doc, position) score piece relation; sum and negate per doc
@@ -2437,6 +2565,94 @@ object TextOps {
       |       CAST(-sum(m) AS BIGINT) AS nll_micros
       |FROM sc3 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     lmTrigramScores(documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Graded F19e query: the corpus self-scored under its own hashed
+    * 5-GRAM back-off LM — the published CCNet filter order. The oracle
+    * recomputes EVERYTHING: all five gram tables, the driver-grid ln
+    * quantization, the four-level backoff lattice (collision guard at
+    * every level, the k·⌊ln 0.4·10⁶⌋ step constants), and the integer
+    * sums — 9 bucket lookups per position, exactly the Spark lattice.
+    * At real corpus scale a hashed 5-gram table saturates its buckets
+    * long before a pruned KenLM does (the documented F19b limit, which
+    * is WHY F19c's graded cut stays at order 3); the parity here grades
+    * the arithmetic, and the order is a parameter for owners with the
+    * bucket budget to track deeper grams.
+    */
+  val qNgramLm5 = Q(
+    "q_f19e_5gram_lm",
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents WHERE text IS NOT NULL),
+      |toks AS (SELECT doc_id, unnest(t) AS w FROM sp),
+      |un AS (SELECT count(*) AS n FROM toks),
+      |g1 AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b,
+      |              count(*) AS c FROM toks GROUP BY 1),
+      |p2 AS (SELECT t[i] || ' ' || t[i+1] AS g
+      |       FROM sp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |g2 AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+      |              count(*) AS c FROM p2 GROUP BY 1),
+      |p3 AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |       FROM sp, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |g3 AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+      |              count(*) AS c FROM p3 GROUP BY 1),
+      |p4 AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      |       FROM sp, unnest(generate_series(1, len(t) - 3)) AS u(i)),
+      |g4 AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+      |              count(*) AS c FROM p4 GROUP BY 1),
+      |p5 AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |              || ' ' || t[i+4] AS g
+      |       FROM sp, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+      |g5 AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+      |              count(*) AS c FROM p5 GROUP BY 1),
+      |gs AS (SELECT unnest(generate_series(0, 1023)) AS b),
+      |tabs AS (SELECT gs.b,
+      |           coalesce(g1.c, 0) AS c1, coalesce(g2.c, 0) AS c2,
+      |           coalesce(g3.c, 0) AS c3, coalesce(g4.c, 0) AS c4,
+      |           coalesce(g5.c, 0) AS c5,
+      |           CASE WHEN coalesce(g1.c, 0) > 0
+      |                THEN CAST(floor(ln(g1.c) * 1000000) AS BIGINT) END AS q1,
+      |           CASE WHEN coalesce(g2.c, 0) > 0
+      |                THEN CAST(floor(ln(g2.c) * 1000000) AS BIGINT) END AS q2,
+      |           CASE WHEN coalesce(g3.c, 0) > 0
+      |                THEN CAST(floor(ln(g3.c) * 1000000) AS BIGINT) END AS q3,
+      |           CASE WHEN coalesce(g4.c, 0) > 0
+      |                THEN CAST(floor(ln(g4.c) * 1000000) AS BIGINT) END AS q4,
+      |           CASE WHEN coalesce(g5.c, 0) > 0
+      |                THEN CAST(floor(ln(g5.c) * 1000000) AS BIGINT) END AS q5,
+      |           CAST(floor(ln((coalesce(g1.c, 0) + 1.0) / (un.n + 1024))
+      |             * 1000000) AS BIGINT) AS uq
+      |         FROM gs LEFT JOIN g1 ON g1.b = gs.b
+      |                 LEFT JOIN g2 ON g2.b = gs.b
+      |                 LEFT JOIN g3 ON g3.b = gs.b
+      |                 LEFT JOIN g4 ON g4.b = gs.b
+      |                 LEFT JOIN g5 ON g5.b = gs.b
+      |                 CROSS JOIN un),
+      |pos AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+      |               t[i+3] AS w4, t[i+4] AS w5
+      |        FROM sp, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+      |sc AS (SELECT pos.doc_id,
+      |         CASE WHEN t5.c5 > 0 AND c4t.c4 > 0 THEN t5.q5 - c4t.q4
+      |              WHEN t4.c4 > 0 AND c3t.c3 > 0
+      |                THEN -916291 + t4.q4 - c3t.q3
+      |              WHEN t3.c3 > 0 AND c2t.c2 > 0
+      |                THEN -1832582 + t3.q3 - c2t.q2
+      |              WHEN t2.c2 > 0 AND c1t.c1 > 0
+      |                THEN -2748873 + t2.q2 - c1t.q1
+      |              ELSE -3665164 + tu.uq END AS m
+      |       FROM pos
+      |       JOIN tabs t5 ON t5.b = ('0x' || substr(md5(w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5), 1, 8))::BIGINT % 1024
+      |       JOIN tabs c4t ON c4t.b = ('0x' || substr(md5(w1 || ' ' || w2 || ' ' || w3 || ' ' || w4), 1, 8))::BIGINT % 1024
+      |       JOIN tabs t4 ON t4.b = ('0x' || substr(md5(w2 || ' ' || w3 || ' ' || w4 || ' ' || w5), 1, 8))::BIGINT % 1024
+      |       JOIN tabs c3t ON c3t.b = ('0x' || substr(md5(w2 || ' ' || w3 || ' ' || w4), 1, 8))::BIGINT % 1024
+      |       JOIN tabs t3 ON t3.b = ('0x' || substr(md5(w3 || ' ' || w4 || ' ' || w5), 1, 8))::BIGINT % 1024
+      |       JOIN tabs c2t ON c2t.b = ('0x' || substr(md5(w3 || ' ' || w4), 1, 8))::BIGINT % 1024
+      |       JOIN tabs t2 ON t2.b = ('0x' || substr(md5(w4 || ' ' || w5), 1, 8))::BIGINT % 1024
+      |       JOIN tabs c1t ON c1t.b = ('0x' || substr(md5(w4), 1, 8))::BIGINT % 1024
+      |       JOIN tabs tu ON tu.b = ('0x' || substr(md5(w5), 1, 8))::BIGINT % 1024)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(-sum(m) AS BIGINT) AS nll_micros
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    lmNgramScores(documents(s, d), order = 5).orderBy(col("doc_id"))
   }
 
   /** Graded F19c query (round 17; re-cut round 18): the CCNet bucket
@@ -4071,6 +4287,6 @@ object TextOps {
     qEpochMix, qShuffleShards, qMixManifest, qCurriculumShards,
     qEvalOverlap, qSourceOverlap, qRrfFusion, qRrfBm25Dense, qDsirWeights,
     qDsirResample,
-    qLmQuality, qBigramLm, qTrigramLm, qCcnetBuckets, qPackSequences,
+    qLmQuality, qBigramLm, qTrigramLm, qNgramLm5, qCcnetBuckets, qPackSequences,
     qNgramDecontam, qCompressRatio)
 }

@@ -62,8 +62,10 @@ class NullInputSpec extends SparkSpec {
       // and the bigram LM drop null-text (and < 2-token) docs
       "q_f47b_containment_verdicts", "q_f46b_dsir_resample",
       "q_f49_paragraph_dedup", "q_f49b_paragraph_clean", "q_f19b_bigram_lm",
-      // round 18: the trigram LM drops null-text (and < 3-token) docs
-      "q_f19d_trigram_lm")
+      // round 18: the trigram / 5-gram LMs drop null-text (and
+      // < order-token) docs; the composed manifest drops null-text rows
+      // inside its F33 fill
+      "q_f19d_trigram_lm", "q_f19e_5gram_lm", "q_mix_manifest")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")

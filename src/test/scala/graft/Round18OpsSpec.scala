@@ -126,6 +126,99 @@ class Round18OpsSpec extends SparkSpec {
       f"order-3 must split the classes: worst book $b3%.0f vs best web $w3%.0f")
   }
 
+  // ---- F19e: order-N generalization --------------------------------------
+
+  /** Pure-Scala recompute of the order-N fit + (N−1)-level backoff. */
+  private def ngramRef(corpus: Seq[(Long, String)], score: Seq[(Long, String)],
+      order: Int, buckets: Int): Map[Long, (Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(g: String): Int =
+      (java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets).toInt
+    val cnt = Array.fill(order, buckets)(0L)
+    corpus.foreach { case (_, t) =>
+      val ts = t.split(" ", -1).toSeq
+      for (o <- 1 to order)
+        ts.sliding(o).filter(_.size == o)
+          .foreach(g => cnt(o - 1)(bkt(g.mkString(" "))) += 1)
+    }
+    val un = cnt(0).sum
+    def fl(d: Double) = math.floor(d * 1e6).toLong
+    def q(o: Int, b: Int) = fl(math.log(cnt(o - 1)(b).toDouble))
+    score.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1).toSeq
+      if (ts.size < order) None
+      else {
+        val s = ts.sliding(order).filter(_.size == order).map { w =>
+          (2 to order).foldLeft(
+            (order - 1) * TextOps.BackoffMicros +
+              fl(math.log((cnt(0)(bkt(w.last)) + 1.0) / (un + buckets)))) {
+            (deeper, o) =>
+              val g = w.takeRight(o)
+              val hg = bkt(g.mkString(" "))
+              val hc = bkt(g.init.mkString(" "))
+              if (cnt(o - 1)(hg) > 0 && cnt(o - 2)(hc) > 0)
+                (order - o) * TextOps.BackoffMicros + q(o, hg) - q(o - 1, hc)
+              else deeper
+          }
+        }.sum
+        Some(id -> ((ts.size - order + 1).toLong, -s))
+      }
+    }.toMap
+  }
+
+  test("lmNgramScores at order 5 ≡ the pure-Scala recompute; fold ≡ batch") {
+    val got = TextOps.lmNgramScores(
+        lmCorpus.toDF("doc_id", "text").repartition(7), order = 5, buckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == ngramRef(lmCorpus, lmCorpus, 5, 256), got.toString)
+    val lm = TextOps.ngramLmFit(lmCorpus.toDF("doc_id", "text"), 5, 256)
+    val fold = lmCorpus.toDF("doc_id", "text")
+      .select(col("doc_id"), (-lm.sumMicrosCol(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold == got.map { case (k, (_, n)) => k -> n }, fold.toString)
+    // probes walking the deeper levels: shuffled (mid-level backoffs) and
+    // alien (the unigram floor) — the reference reproduces every branch
+    val probes = Seq((98L, "mat the cat dog ran the on away sat fast"),
+      (99L, "zzq xxv qqw wwe eer rrt tty"))
+    val pf = probes.toDF("doc_id", "text")
+      .select(col("doc_id"), (-lm.sumMicrosCol(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pf == ngramRef(lmCorpus, probes, 5, 256).map { case (k, (_, n)) => k -> n })
+  }
+
+  test("NgramLm at orders 2 and 3 ≡ BigramLm / TrigramLm bit-for-bit") {
+    val df = lmCorpus.toDF("doc_id", "text")
+    val probes = (lmCorpus.take(3) ++ Seq((99L, "zzq xxv qqw wwe eer"))).toDF("doc_id", "text")
+    def folds(c: org.apache.spark.sql.Column): Map[Long, Any] =
+      probes.select(col("doc_id"), c.as("n"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val n2 = TextOps.ngramLmFit(df, 2, 256)
+    val b2 = TextOps.bigramLmFit(df, 256)
+    assert(folds(n2.sumMicrosCol(col("text"))) == folds(b2.sumMicrosCol(col("text"))))
+    val n3 = TextOps.ngramLmFit(df, 3, 256)
+    val t3 = TextOps.trigramLmFit(df, 256)
+    assert(folds(n3.sumMicrosCol(col("text"))) == folds(t3.sumMicrosCol(col("text"))))
+    // and the batch plans agree with the dedicated forms
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(TextOps.lmNgramScores(df, 3, 256)) ==
+      rows(TextOps.lmTrigramScores(df, 256).withColumnRenamed("n_trigrams", "n_grams")))
+    assert(rows(TextOps.lmNgramScores(df, 2, 256)) ==
+      rows(TextOps.lmBigramScores(df, 256).withColumnRenamed("n_bigrams", "n_grams")))
+  }
+
+  test("ngramLmFit rejects order < 2 and a token-less corpus") {
+    val df = lmCorpus.toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      TextOps.ngramLmFit(df, 1)
+    }.getMessage.contains("order"))
+    assert(intercept[IllegalArgumentException] {
+      TextOps.ngramLmFit(Seq.empty[(Long, String)].toDF("doc_id", "text"), 5)
+    }.getMessage.contains("no tokens"))
+  }
+
   // ---- MediaDedup curation stage + streaming screen (VERDICT item 4) ------
 
   private def wavOf(samples: Array[Short], channels: Int = 1): Array[Byte] = {
