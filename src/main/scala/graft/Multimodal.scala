@@ -605,6 +605,59 @@ object Multimodal {
       repPairs.unionByName(star)))
   }
 
+  // ---- F57b (round 18): video near-dup over the frame-sample stub --------
+
+  /** Pinned frame size for the stub video codec: [[sampleFrames]]' slicing
+    * at 1 KiB per "frame". A real keyframe extractor replaces the slicing;
+    * everything downstream (checksum sequence → envelope → banding) is the
+    * production shape either way. */
+  val VideoFrameBytes: Int = 1024
+
+  /** 64-bit video signature: the [[envelopeBits]] difference hash over the
+    * per-frame checksum SEQUENCE — the same "shape along time" idea as
+    * [[audioHash64]], one level up (frames instead of samples). Decode is
+    * the honest STUB ([[sampleFrames]]' fixed-size slicing — no video
+    * codec exists in this container), so byte-identical copies and
+    * frame-REGION edits behave exactly like the real thing (copy = 0
+    * bits, a dented frame run flips ≤ 2 adjacent comparisons) while
+    * re-encodes do NOT match — the documented stub limitation; a real
+    * deployment swaps the slicer for keyframe extraction and keeps this
+    * hash. None for payloads with no complete frame (the F2 NULL-sig
+    * rule).
+    */
+  def videoHash64(payload: Array[Byte]): Option[Long] = {
+    val nFrames = payload.length / VideoFrameBytes
+    if (nFrames == 0) None
+    else Some(envelopeBits(Array.tabulate(nFrames) { f =>
+      var sum = 0L
+      var i = f * VideoFrameBytes
+      val end = i + VideoFrameBytes
+      while (i < end) { sum += payload(i) & 0xff; i += 1 }
+      sum
+    }))
+  }
+
+  /** Per-record video signatures — the [[audioHashes]] shape. */
+  def videoHashes(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap(r => videoHash64(r.payload).map(s => (r.id, s)))
+    }.toDF("doc_id", "sig")
+  }
+
+  /** F57b: video near-dup pairs — the shared img17-certified machinery. */
+  def videoNearDupPairs(records: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame =
+    sigNearDupPairs(videoHashes(records), maxHamming)
+
+  /** F57b groups: the video sibling — same linear rep+star CC shape. */
+  def videoDedupGroups(spark: SparkSession, records: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    sigDedupGroups(spark, records.map(_.id).toDF("doc_id"),
+      videoHashes(records), maxHamming)
+  }
+
   // ---- Round 18 (VERDICT r17 item 4): media dedup in the curation facade --
 
   /** Modality-tagged perceptual signatures for a MIXED media corpus:
@@ -624,6 +677,7 @@ object Multimodal {
         val sig = r.modality match {
           case "image" => dHash64(r.payload, r.meta)
           case "audio" => audioHash64(r.payload, r.meta)
+          case "video" => videoHash64(r.payload)
           case _ => None
         }
         (r.id, r.modality, r.payload, r.meta, sig)
@@ -642,21 +696,23 @@ object Multimodal {
     mediaSigs(records).filter(col("sig").isNotNull)
       .select(col("modality"), col("sig")).distinct()
 
+  private val HashedModalities = Set("image", "audio", "video")
+
   /** Mixed-corpus dedup groups: [[imageDedupGroups]] ∪
-    * [[audioDedupGroups]], each modality clustered in its own signature
-    * space; records of other modalities label themselves singletons
-    * (no hash family defined — honest pass-through, not a guess).
-    * Every input id gets exactly one (doc_id, cluster_id, cluster_size)
-    * row; cluster_id is the component's min member id.
+    * [[audioDedupGroups]] ∪ [[videoDedupGroups]], each modality
+    * clustered in its own signature space; records of other modalities
+    * label themselves singletons (no hash family defined — honest
+    * pass-through, not a guess). Every input id gets exactly one
+    * (doc_id, cluster_id, cluster_size) row; cluster_id is the
+    * component's min member id.
     */
   def mediaDedupGroups(spark: SparkSession, records: Dataset[MediaRecord],
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val img = records.filter(r => r.modality == "image")
-    val aud = records.filter(r => r.modality == "audio")
-    val oth = records.filter(r => r.modality != "image" && r.modality != "audio")
-    imageDedupGroups(spark, img, maxHamming)
-      .unionByName(audioDedupGroups(spark, aud, maxHamming))
+    val oth = records.filter(r => !HashedModalities(r.modality))
+    imageDedupGroups(spark, records.filter(r => r.modality == "image"), maxHamming)
+      .unionByName(audioDedupGroups(spark, records.filter(r => r.modality == "audio"), maxHamming))
+      .unionByName(videoDedupGroups(spark, records.filter(r => r.modality == "video"), maxHamming))
       .unionByName(oth.map(_.id).toDF("doc_id")
         .select(col("doc_id"), col("doc_id").as("cluster_id"),
           lit(1L).as("cluster_size")))
@@ -674,27 +730,33 @@ object Multimodal {
       maxHamming: Int = 3): (Dataset[MediaRecord], Seq[Graft.StageCount]) = {
     import spark.implicits._
     val recs = records.localCheckpoint(eager = false)
-    val img = recs.filter(r => r.modality == "image")
-    val aud = recs.filter(r => r.modality == "audio")
-    val oth = recs.filter(r => r.modality != "image" && r.modality != "audio")
-    val imgGroups = imageDedupGroups(spark, img, maxHamming)
-      .localCheckpoint(eager = false)
-    val audGroups = audioDedupGroups(spark, aud, maxHamming)
-      .localCheckpoint(eager = false)
+    val oth = recs.filter(r => !HashedModalities(r.modality))
     def reps(g: DataFrame): DataFrame =
       g.filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
     val nIn = recs.count()
-    val dImg = img.count() - reps(imgGroups).count()
-    val dAud = aud.count() - reps(audGroups).count()
-    val keepIds = reps(imgGroups).unionByName(reps(audGroups))
+    val byModality = Seq(
+      ("image_neardup", "image",
+        (d: Dataset[MediaRecord]) => imageDedupGroups(spark, d, maxHamming)),
+      ("audio_neardup", "audio",
+        (d: Dataset[MediaRecord]) => audioDedupGroups(spark, d, maxHamming)),
+      ("video_neardup", "video",
+        (d: Dataset[MediaRecord]) => videoDedupGroups(spark, d, maxHamming)))
+      .map { case (stage, m, groupsOf) =>
+        val sub = recs.filter(r => r.modality == m)
+        val groups = groupsOf(sub).localCheckpoint(eager = false)
+        (stage, reps(groups), sub.count() - reps(groups).count())
+      }
+    val keepIds = byModality.map(_._2)
+      .reduce(_ unionByName _)
       .unionByName(oth.map(_.id).toDF("doc_id"))
     val kept = recs.toDF().join(
         keepIds.withColumnRenamed("doc_id", "id"), Seq("id"), "left_semi")
       .as[MediaRecord]
-    (kept, Seq(
-      Graft.StageCount("input", nIn, 0L),
-      Graft.StageCount("image_neardup", nIn - dImg, dImg),
-      Graft.StageCount("audio_neardup", nIn - dImg - dAud, dAud)))
+    val audit = byModality.scanLeft(Graft.StageCount("input", nIn, 0L)) {
+      case (prev, (stage, _, dropped)) =>
+        Graft.StageCount(stage, prev.kept - dropped, dropped)
+    }
+    (kept, audit)
   }
 
   /** Streaming media screen — the `curateStream` sibling for media

@@ -274,8 +274,22 @@ class Round18OpsSpec extends SparkSpec {
       Multimodal.MediaRecord(8L, "audio",
         wavOf(Array.fill[Short](6500)(15000)), wavMeta), // flat envelope: distinct audio
       Multimodal.MediaRecord(9L, "audio", Array[Byte](1, 2, 3), wavMeta), // undecodable
-      Multimodal.MediaRecord(10L, "video", Array.tabulate[Byte](64)(_.toByte),
-        Multimodal.MediaMeta("video/mp4", 0, 0))) // no hash family: pass-through
+      // video: 130 stub frames (2 per envelope cell); 11 = exact copy,
+      // 12 = frames 20-21 (exactly cell 10) maxed — a <=2-bit dent
+      Multimodal.MediaRecord(10L, "video", vidPayload(dent = false), vidMeta),
+      Multimodal.MediaRecord(11L, "video", vidPayload(dent = false), vidMeta),
+      Multimodal.MediaRecord(12L, "video", vidPayload(dent = true), vidMeta),
+      // sub-frame payload: no complete frame, NULL sig, self-labeled
+      Multimodal.MediaRecord(13L, "video", Array.tabulate[Byte](64)(_.toByte),
+        vidMeta))
+  }
+
+  private val vidMeta = Multimodal.MediaMeta("video/mp4", 0, 0)
+  private def vidPayload(dent: Boolean): Array[Byte] = {
+    val fb = Multimodal.VideoFrameBytes
+    val b = Array.tabulate[Byte](130 * fb)(i => ((i * 37 + 11) % 251).toByte)
+    if (dent) (20 * fb until 22 * fb).foreach(i => b(i) = 0xFF.toByte)
+    b
   }
 
   test("MediaDedup stage keeps exactly the per-modality cluster representatives, audited") {
@@ -284,50 +298,66 @@ class Round18OpsSpec extends SparkSpec {
     val keptIds = kept.collect().map(_.id).toSet
     // images {1,2,3} cluster (copy + ≤3-bit perturb) → rep 1; audio
     // {5,6,7} cluster (stereo re-layout + sign flip share the |s|
-    // envelope) → rep 5; undecodable 9 and video 10 pass through
-    assert(keptIds == Set(1L, 4L, 5L, 8L, 9L, 10L), keptIds.toString)
+    // envelope) → rep 5; videos {10,11,12} cluster (copy + one-cell
+    // frame dent) → rep 10; undecodable 9 and frameless 13 pass through
+    assert(keptIds == Set(1L, 4L, 5L, 8L, 9L, 10L, 13L), keptIds.toString)
     // the stage ≡ the standalone groups' representatives (spec-pinned)
     val want = Multimodal.mediaDedupGroups(spark, recs, 3)
       .filter(col("doc_id") === col("cluster_id"))
       .collect().map(_.getLong(0)).toSet
     assert(keptIds == want)
     assert(audit == Seq(
-      Graft.StageCount("input", 10L, 0L),
-      Graft.StageCount("image_neardup", 8L, 2L),
-      Graft.StageCount("audio_neardup", 6L, 2L)), audit.toString)
+      Graft.StageCount("input", 13L, 0L),
+      Graft.StageCount("image_neardup", 11L, 2L),
+      Graft.StageCount("audio_neardup", 9L, 2L),
+      Graft.StageCount("video_neardup", 7L, 2L)), audit.toString)
   }
 
   test("media streaming screen drops delivered signatures, admits fresh and unscorable arrivals") {
     val corpus = mediaCorpus.toDS()
     val delivered = Graft.mediaSigFingerprints(
-      corpus.filter(r => r.id <= 5L)).localCheckpoint()
+      corpus.filter(r => r.id <= 5L || r.id == 10L)).localCheckpoint()
     // batch-frame equivalence first (how the contract is pinned): 6 and
-    // 7 hash to delivered 5's sig → dropped; 8 is fresh; 9's NULL sig
-    // and 10's no-hash-family modality pass through
-    val arrivals = corpus.filter(r => r.id >= 6L)
+    // 7 hash to delivered 5's sig → dropped; 11 hashes to delivered
+    // video 10's sig → dropped; 12's one-cell dent is a NEAR match —
+    // exact-sig screening admits it (near-dups stay batch-side, the F28
+    // split); 8 is fresh; 9's NULL sig and frameless 13 pass through
+    val arrivals = corpus.filter(r => r.id >= 6L && r.id != 10L)
     val admitted = Graft.mediaDedupStream(arrivals, delivered)
       .collect().map(_.id).toSet
-    assert(admitted == Set(8L, 9L, 10L), admitted.toString)
+    assert(admitted == Set(8L, 9L, 12L, 13L), admitted.toString)
     // cross-modality isolation: an AUDIO arrival must never be screened
     // by an IMAGE signature even if the 64-bit values collide — the
     // delivered frame with modality relabeled must screen nothing
     val crossed = delivered.withColumn("modality",
-      when(col("modality") === "audio", lit("image")).otherwise(lit("audio")))
+      when(col("modality") === "audio", lit("image"))
+        .when(col("modality") === "image", lit("video"))
+        .otherwise(lit("audio")))
     val admittedX = Graft.mediaDedupStream(arrivals, crossed)
       .collect().map(_.id).toSet
-    assert(admittedX == Set(6L, 7L, 8L, 9L, 10L), admittedX.toString)
+    assert(admittedX == Set(6L, 7L, 8L, 9L, 11L, 12L, 13L), admittedX.toString)
     // and on a REAL stream: same arrivals through a MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Multimodal.MediaRecord]
     val q = Graft.mediaDedupStream(in.toDS(), delivered)
       .writeStream.format("memory").queryName("media_screen18")
       .outputMode("append").start()
-    in.addData(mediaCorpus.filter(_.id >= 6L): _*)
+    in.addData(mediaCorpus.filter(r => r.id >= 6L && r.id != 10L): _*)
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("media_screen18")
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(streamed == Set(8L, 9L, 10L), streamed.toString)
+    assert(streamed == Set(8L, 9L, 12L, 13L), streamed.toString)
+  }
+
+  test("videoHash64: copy 0 bits, one-cell frame dent <= 2 bits, sub-frame payload None") {
+    val a = Multimodal.videoHash64(vidPayload(dent = false))
+    val b = Multimodal.videoHash64(vidPayload(dent = false))
+    val d = Multimodal.videoHash64(vidPayload(dent = true))
+    assert(a.isDefined && a == b)
+    val bits = java.lang.Long.bitCount(a.get ^ d.get)
+    assert(bits >= 1 && bits <= 2, s"dent flipped $bits bits")
+    assert(Multimodal.videoHash64(new Array[Byte](Multimodal.VideoFrameBytes - 1)).isEmpty)
   }
 
   // ---- mixManifest: composition laws (VERDICT item 5) ---------------------
