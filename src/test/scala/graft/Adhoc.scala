@@ -2749,6 +2749,91 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("mix18")) {
+      // Composed-manifest certification (round 18): 10M docs through the
+      // FULL Graft.mixManifest chain (F33 budget fill → F34 epoch copies
+      // → F35 epoch-salted shard/order) with the graded query's own
+      // derivations (budgets = half of each source's token mass; epochs
+      // equalize the KEPT sets up to the largest, cap 3). Binding
+      // asserts are the closed-form laws of each stage read off the
+      // composed output: per-source kept mass lands in [budget,
+      // budget + maxDocTokens) (the greedy boundary), per-doc copy
+      // counts are exactly {e div 10⁶, e div 10⁶ + 1}, per-shard
+      // positions are a DENSE 0..n_s−1 sequence (no gap, no dup) at 64
+      // shards, at least one doc's copies scatter across shards, and a
+      // rerun checksum is identical.
+      import spark.implicits._
+      val n = 10000000L
+      // skewed source sizes (50% / 22% / 15% / 13%) so the derived
+      // weights exercise the whole F34 space: ~1.0 on the largest,
+      // a genuinely fractional ~2.27, and the 3-epoch cap on the tail
+      val docs = spark.range(0, n).select(col("id").as("doc_id"),
+          when(col("id") < 5000000L, "s0").when(col("id") < 7200000L, "s1")
+            .when(col("id") < 8700000L, "s2").otherwise("s3").as("source"),
+          concat_ws(" ", transform(
+            sequence(lit(0), (pmod(hash(col("id")), lit(6)) + lit(4)).cast("int")),
+            i => concat(lit("w"), pmod(hash(col("id") * 13 + i), lit(50000L)).cast("string"))))
+            .as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC mix18 corpus=${docs.count()}")
+      val wsToks = sum(size(split(col("text"), " ")).cast("long"))
+      val budgets = docs.groupBy(col("source")).agg(wsToks.as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1) / 2).toMap
+      val keptTots = TextOps.tokenBudgetMix(docs, budgets)
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("t"))
+        .collect()
+      val maxTot = keptTots.map(_.getLong(1)).max
+      val weights = keptTots.map(r => r.getString(0) ->
+        TextOps.epochWeightMicros(maxTot, r.getLong(1))).toMap
+      println(s"ADHOC mix18 budgets=${budgets.toSeq.sorted} weights=${weights.toSeq.sorted}")
+      var m: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"mix18 manifest rep=$rep") {
+          m = Graft.mixManifest(docs, budgets, weights, nShards = 64, seed = 7L)
+            .localCheckpoint(eager = true)
+          m.count()
+        }
+      }
+      val total = m.count()
+      // greedy budget boundary per source (≤ one doc of overshoot; docs
+      // here are ≤ 10 tokens)
+      val keptMass = m.filter(col("epoch") === 1L)
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("kt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      keptMass.foreach { case (s, kt) =>
+        val b = budgets(s)
+        assert(kt >= b && kt < b + 11, s"source $s kept $kt vs budget $b")
+      }
+      // copy-count law: every kept doc has exactly div or div+1 copies
+      val badCopies = m.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("e", element_at(typedLit(weights), col("source")))
+        .filter(col("c") =!= expr("e div 1000000L") &&
+          col("c") =!= expr("e div 1000000L") + 1L)
+        .count()
+      assert(badCopies == 0L, s"$badCopies docs break the copy-count law")
+      // dense per-shard positions: count == max+1 and no duplicate pos
+      val shardStats = m.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+          countDistinct(col("pos")).as("d"))
+        .filter(col("n") =!= col("mx") + 1 || col("n") =!= col("d")).count()
+      assert(shardStats == 0L, "a shard's positions are not dense 0..n-1")
+      // epoch-salted scattering: some doc's copies land in > 1 shard
+      val scattered = m.groupBy(col("doc_id"))
+        .agg(countDistinct(col("shard")).as("s")).filter(col("s") > 1).count()
+      assert(scattered > 0L, "no doc's copies scattered across shards")
+      // rerun determinism
+      def sum5(df: DataFrame): Long = df.agg(bit_xor(xxhash64(col("doc_id"),
+        col("source"), col("n_toks"), col("epoch"), col("shard"), col("pos"))))
+        .head().getLong(0)
+      val s1 = sum5(m)
+      val s2 = sum5(Graft.mixManifest(docs, budgets, weights, 64, 7L))
+      assert(s1 == s2, "rerun checksum drifted")
+      println(s"ADHOC mix18 rows=$total scattered_docs=$scattered checksum=$s1")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("trigram18")) {
       // F19d certification (round 18): 1M docs through the hashed
       // trigram back-off LM, on the BIGRAM-BLIND corpus family from
