@@ -76,7 +76,12 @@ class EmptyInputSpec extends SparkSpec {
       // design: the DSIR and bigram-LM fits fail LOUDLY on empty inputs
       // — the q_f36/nbFit convention); paragraph dedup of no paragraphs
       "q_f47b_containment_verdicts", "q_f49_paragraph_dedup",
-      "q_f49b_paragraph_clean")
+      "q_f49b_paragraph_clean",
+      // round 18: the composed manifest of an empty corpus — empty
+      // budget/weight tables, an empty fill, never a throw (q_f19d and
+      // q_f19e are absent by design: the LM fits fail LOUDLY on empty
+      // inputs — the q_f19b convention)
+      "q_mix_manifest")
     names.foreach { n =>
       val cnt = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(cnt == 0, s"$n returned $cnt rows on empty input")
