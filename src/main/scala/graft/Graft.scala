@@ -271,8 +271,15 @@ object Graft {
               .cast("long").as("n_toks"),
             lit(1L).as("epoch"))
       else TextOps.epochMix(kept, epochsMicros, tokenCount = tokenCount)
+    // the copies frame feeds BOTH sides of the manifest join (the rows
+    // and shuffleShards' rank input) — without a checkpoint the whole
+    // F33 fill + F34 explode subplan executes twice (verified: 0
+    // ReusedExchange, 18 parquet scans in the un-checkpointed plan);
+    // at corpus scale that is 2× the corpus passes. Intra-query reuse,
+    // the F19c pattern (round 18).
     val salted = copies.withColumn("copy_id",
       concat(col("doc_id").cast("string"), lit(":"), col("epoch")))
+      .localCheckpoint()
     salted.join(
         TextOps.shuffleShards(salted, nShards, seed, idCol = "copy_id"),
         Seq("copy_id"))
