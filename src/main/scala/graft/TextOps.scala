@@ -3261,13 +3261,21 @@ object TextOps {
     * bucket-count-invariant — Round15OpsSpec pins 64 ≡ 256 exactly.
     */
   def packSequencesOf(docs: org.apache.spark.sql.DataFrame,
-      seqLen: Int = 1024, buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+      seqLen: Int = 1024, buckets: Int = 256,
+      tokenCount: Option[Column] = None): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val SeqLen = seqLen
+    // `tokenCount` (round 18): the token METER — sequences are consumed
+    // by a trainer in TOKENIZER tokens, so pass
+    // `Some(bpeModel.countCol(col("text")))` (F52) to pack in BPE
+    // tokens; defaults to whitespace tokens, the graded contract
+    // (spec-pinned ≡ the default meter over pre-tokenized text, the
+    // same law as tokenBudgetMix/epochMix/mixManifest).
     val toksBase = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_toks"))
+        tokenCount.getOrElse(size(split(col("text"), " ")))
+          .cast("long").as("n_toks"))
     // one bounded pull: the id range (2 values), BigInt width math so a
     // full-Long id span cannot overflow the ceil
     val mm = toksBase.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()

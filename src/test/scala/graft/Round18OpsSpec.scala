@@ -389,6 +389,23 @@ class Round18OpsSpec extends SparkSpec {
     assert(s1Copies.subsetOf(Set(2, 3)) && s1Copies.nonEmpty, s1Copies.toString)
   }
 
+  test("packSequencesOf with the BPE meter ≡ the default packing over pre-tokenized text (F52 ⊕ F20)") {
+    graft.functions.VectorFunctions.register(spark)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until 5 + i % 7).map(j => s"tok${(i * 3 + j) % 13}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val model = TextOps.bpeFit(docs, numMerges = 10, vocabN = 100)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val viaMeter = canon(TextOps.packSequencesOf(docs, seqLen = 16,
+      tokenCount = Some(model.countCol(col("text")))))
+    val pretok = docs.select(col("doc_id"),
+      concat_ws(" ", model.encodeCol(col("text"))).as("text"))
+    val viaText = canon(TextOps.packSequencesOf(pretok, seqLen = 16))
+    assert(viaMeter == viaText && viaMeter.nonEmpty)
+  }
+
   test("mixManifest scatters an upsampled doc's copies; positions are a dense per-shard sequence") {
     val docs = (0 until 40).map(i => (i.toLong, "s",
       (0 until 6).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
