@@ -2749,6 +2749,124 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("media18")) {
+      // F57 media-curation-stage certification (round 18): 770k mixed
+      // records — 300k stub-format images + 100k dented twins, 200k
+      // REAL WAVs + 50k exact copies, 100k stub videos + 20k one-cell
+      // frame dents — through `Graft.mediaDedupAudited` end to end.
+      // Binding asserts: PLANTED RECALL IS EXACT per modality (every
+      // twin/copy shares its base's cluster — 100k/50k/20k, no slack),
+      // the stage's kept set ≡ the standalone groups' reps (checksum
+      // equality — the stage IS its pieces at scale), the audit's
+      // dropped counts ≡ (records − clusters) read off the groups, and
+      // a rerun keeps the identical id set. Chance merges are PRINTED
+      // and loosely bounded, not assumed zero: difference-hash bits are
+      // adjacent-anti-correlated by construction (bit i and i+1 share a
+      // cell), so a few hundred extra merges among 10⁵–10⁶ random
+      // envelopes is the hash family's real behavior — the first cut of
+      // this cert assumed plant-only clusters and failed on exactly
+      // that (audio +259, video +985 at the original sizes).
+      import spark.implicits._
+      def payload(seed: Long, nBytes: Int): Array[Byte] =
+        Array.tabulate(nBytes) { j =>
+          var v = seed * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (v % 256).toByte
+        }
+      val imgMeta = Multimodal.MediaMeta("fake/raw", 9, 8)
+      val img = spark.range(0, 300000L).as[Long]
+        .map(i => Multimodal.MediaRecord(i, "image", payload(i, 720), imgMeta))
+      val imgTwins = spark.range(0, 300000L).as[Long].filter(_ % 3 == 0)
+        .map { i =>
+          val b = payload(i, 720)
+          (100 until 110).foreach(k => b(k) = 250.toByte)
+          Multimodal.MediaRecord(10000000L + i, "image", b, imgMeta)
+        }
+      val wavMeta = Multimodal.MediaMeta("audio/wav", 0, 0)
+      def wav(i: Long): Array[Byte] = {
+        import javax.sound.sampled._
+        val frames = 650
+        val pcm = payload(i, frames * 2)
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val aud = spark.range(0, 200000L).as[Long]
+        .map(i => Multimodal.MediaRecord(20000000L + i, "audio", wav(i), wavMeta))
+      val audCopies = spark.range(0, 200000L).as[Long].filter(_ % 4 == 0)
+        .map(i => Multimodal.MediaRecord(30000000L + i, "audio", wav(i), wavMeta))
+      val vidMeta = Multimodal.MediaMeta("video/mp4", 0, 0)
+      val fb = Multimodal.VideoFrameBytes
+      // 65 frames = one frame per envelope cell; the dent maxes frame 10
+      val vid = spark.range(0, 100000L).as[Long]
+        .map(i => Multimodal.MediaRecord(40000000L + i, "video",
+          payload(i * 31 + 7, 65 * fb), vidMeta))
+      val vidDents = spark.range(0, 100000L).as[Long].filter(_ % 5 == 0)
+        .map { i =>
+          val b = payload(i * 31 + 7, 65 * fb)
+          (10 * fb until 11 * fb).foreach(k => b(k) = 0xFF.toByte)
+          Multimodal.MediaRecord(50000000L + i, "video", b, vidMeta)
+        }
+      val recs = img.unionByName(imgTwins).unionByName(aud)
+        .unionByName(audCopies).unionByName(vid).unionByName(vidDents)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC media18 corpus=${recs.count()}")
+      var keptChecksum = 0L
+      var keptN = 0L
+      var audit: Seq[Graft.StageCount] = null
+      time("media18 stage") {
+        val (k, a) = Graft.mediaDedupAudited(spark, recs, maxHamming = 3)
+        audit = a
+        val agg = k.toDF().agg(count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("id"))).as("x")).head()
+        keptN = agg.getLong(0); keptChecksum = agg.getLong(1)
+        keptN
+      }
+      println(s"ADHOC media18 audit=$audit")
+      val byStage = audit.map(a => a.stage -> a.dropped).toMap
+      assert(byStage("input") == 0L && audit.head.kept == 770000L)
+      val groups = Multimodal.mediaDedupGroups(spark, recs, 3)
+        .localCheckpoint(eager = true)
+      // planted recall EXACT: every twin/copy clusters with its base
+      def recall(twinLo: Long, twinHi: Long, off: Long): Long =
+        groups.as("t").filter(col("t.doc_id").between(twinLo, twinHi))
+          .join(groups.as("b").withColumnRenamed("doc_id", "base_id")
+            .withColumnRenamed("cluster_id", "base_cluster"),
+            col("t.doc_id") - off === col("base_id"))
+          .filter(col("t.cluster_id") === col("base_cluster")).count()
+      val rImg = recall(10000000L, 19999999L, 10000000L)
+      val rAud = recall(30000000L, 39999999L, 10000000L)
+      val rVid = recall(50000000L, 59999999L, 10000000L)
+      println(s"ADHOC media18 planted_recall img=$rImg aud=$rAud vid=$rVid")
+      assert(rImg == 100000L && rAud == 50000L && rVid == 20000L,
+        s"planted recall must be exact: $rImg/$rAud/$rVid")
+      // audit ≡ groups arithmetic (records − clusters), chance merges
+      // printed and loosely bounded
+      val extra = Seq(
+        ("image_neardup", 100000L), ("audio_neardup", 50000L),
+        ("video_neardup", 20000L)).map { case (stage, want) =>
+        val e = byStage(stage) - want
+        assert(e >= 0 && e <= 1500,
+          s"$stage chance merges out of band: $e")
+        s"$stage=+$e"
+      }
+      println(s"ADHOC media18 chance_merges ${extra.mkString(" ")}")
+      val wantReps = groups.filter(col("doc_id") === col("cluster_id"))
+        .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+      assert(wantReps.getLong(0) == keptN && wantReps.getLong(1) == keptChecksum,
+        "stage kept set != standalone groups reps")
+      // rerun determinism on the id set
+      val (k2, _) = Graft.mediaDedupAudited(spark, recs, maxHamming = 3)
+      val got2 = k2.toDF().agg(bit_xor(xxhash64(col("id")))).head().getLong(0)
+      assert(got2 == keptChecksum, "rerun kept set drifted")
+      println(s"ADHOC media18 kept=$keptN checksum=$keptChecksum")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("mix18")) {
       // Composed-manifest certification (round 18): 10M docs through the
       // FULL Graft.mixManifest chain (F33 budget fill → F34 epoch copies
