@@ -386,9 +386,12 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => "\"" + f + "\":" + fmt(total(rs)) }
       .mkString("{", ",", "}")
-    // deliberately NOT shaped like the headline line ("aux", no "metric"
-    // key): a tail parser scanning for the first {"metric":...} line must
-    // only ever match the headline, which prints LAST
+    // deliberately NOT shaped like a metric line ("aux", no "metric"
+    // key): a tail parser scanning {"metric":...} lines must only ever
+    // match the headline and the COMPACT line — and since round 18 the
+    // compact line (see [[compactLine]]) prints LAST and is the driver's
+    // parse target; this headline line is the human-readable sibling
+    // kept for BENCH_LATEST.json
     val famLine =
       s"""{"aux":"families","total_all_sec":${fmt(total(medians))},"families":$byFamily,"n":${medians.size},$errorsInfo,$load,$spreadInfo,"sf":"$sfDir"}"""
     val wanted = headline.toSet

@@ -251,10 +251,23 @@ object Graft {
     * F52 BPE tokens (spec-proven ≡ the default meter over
     * pre-tokenized text, the F52 ⊕ F33 law extended to the whole
     * manifest); defaults to whitespace tokens, the graded contract.
+    *
+    * `doCheckpoint` (round 19, advice): the salted copies frame feeds
+    * both sides of the manifest join, so by default it is
+    * localCheckpoint'd LAZILY (eager = false — no job at construction;
+    * the first action materializes it, the second side reuses it: the
+    * mix18 cert's 55→31 s win either way). Ownership: the checkpoint
+    * blocks live until the SparkSession ends or the executor storage
+    * evicts them — a caller building MANY manifests in one session who
+    * wants deterministic release should pass `doCheckpoint = false`
+    * and manage its own persist/unpersist around the returned frame;
+    * note lineage truncation also makes executor loss during the job
+    * non-recomputable (acceptable for a manifest job you just re-run).
     */
   def mixManifest(docs: DataFrame, budgets: Map[String, Long],
       epochsMicros: Map[String, Long], nShards: Int, seed: Long = 0L,
-      tokenCount: Option[org.apache.spark.sql.Column] = None)
+      tokenCount: Option[org.apache.spark.sql.Column] = None,
+      doCheckpoint: Boolean = true)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, concat, lit, size, split}
     val kept =
@@ -276,10 +289,12 @@ object Graft {
     // F33 fill + F34 explode subplan executes twice (verified: 0
     // ReusedExchange, 18 parquet scans in the un-checkpointed plan);
     // at corpus scale that is 2× the corpus passes. Intra-query reuse,
-    // the F19c pattern (round 18).
-    val salted = copies.withColumn("copy_id",
+    // the F19c pattern (round 18); LAZY since round 19 (advice) so
+    // construction runs no job — see the doCheckpoint scaladoc.
+    val salted0 = copies.withColumn("copy_id",
       concat(col("doc_id").cast("string"), lit(":"), col("epoch")))
-      .localCheckpoint()
+    val salted =
+      if (doCheckpoint) salted0.localCheckpoint(eager = false) else salted0
     salted.join(
         TextOps.shuffleShards(salted, nShards, seed, idCol = "copy_id"),
         Seq("copy_id"))
@@ -785,6 +800,23 @@ object Graft {
       s"minWords/minSentences must be >= 0, got $minWords/$minSentences")
   }
 
+  /** HTML front-door knobs for [[curateCorpus]] (round 19, F58): when
+    * given, the pipeline's input `text` column is treated as raw PAGE
+    * HTML and replaced by [[Html.htmlExtract]]'s boilerplate-free
+    * `clean_text` BEFORE any other stage — the published pipelines' own
+    * order (C4/CCNet/FineWeb all extract from HTML first, then dedup and
+    * gate). Pages with no recognized block structure DROP at this stage
+    * (not a parseable page); pages whose blocks are all boilerplate
+    * continue with '' text and die at the quality gate's minTokens. See
+    * [[Html]] for the pinned extraction model.
+    */
+  final case class HtmlExtract(minWords: Int = 3,
+      maxLinkMillionths: Long = 200000L) {
+    require(minWords >= 0, s"minWords must be >= 0, got $minWords")
+    require(maxLinkMillionths >= 0 && maxLinkMillionths <= 1000000L,
+      s"maxLinkMillionths must be in [0, 1e6], got $maxLinkMillionths")
+  }
+
   /** The quality gate as a row predicate over `text` — one definition
     * shared by the batch pipeline ([[curateCorpus]]) and the streaming
     * entry point ([[curateStream]]) so the two gates can never drift.
@@ -889,14 +921,15 @@ object Graft {
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
       paragraphs: Option[ParagraphClean] = None,
-      c4: Option[C4Clean] = None): DataFrame =
+      c4: Option[C4Clean] = None,
+      html: Option[HtmlExtract] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
         normalize = normalize, langGate = langGate,
         classifier = classifier, weighted = weighted,
         calibrated = calibrated, dsir = dsir,
-        paragraphs = paragraphs, c4 = c4).last._2)
+        paragraphs = paragraphs, c4 = c4, html = html).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -930,13 +963,14 @@ object Graft {
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
       paragraphs: Option[ParagraphClean] = None,
-      c4: Option[C4Clean] = None): (DataFrame, Seq[StageCount]) = {
+      c4: Option[C4Clean] = None,
+      html: Option[HtmlExtract] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
       normalize = normalize, langGate = langGate,
       classifier = classifier, weighted = weighted,
       calibrated = calibrated, dsir = dsir, paragraphs = paragraphs,
-      c4 = c4)
+      c4 = c4, html = html)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -1138,7 +1172,8 @@ object Graft {
   }
 
   /** The named intermediate frames of the curation pipeline, in order:
-    * input → [unicode_normalize] → [c4_clean] → [paragraph_clean] →
+    * input → [html_extract] →
+    * [unicode_normalize] → [c4_clean] → [paragraph_clean] →
     * exact_dedup → neardup_dedup → [semantic_dedup] → quality_gate →
     * [lang_gate] → [classifier_gate] → [calibrated_keep] →
     * [dsir_resample] → contamination → [eval_decontam] →
@@ -1156,7 +1191,8 @@ object Graft {
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
       paragraphs: Option[ParagraphClean] = None,
-      c4: Option[C4Clean] = None): Seq[(String, DataFrame)] = {
+      c4: Option[C4Clean] = None,
+      html: Option[HtmlExtract] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
@@ -1164,12 +1200,26 @@ object Graft {
     // row-filter gates per consumer beats materializing each stage's
     // full-width text rows — measured ~60% faster at the 50k stress
     val raw = docs.filter(col("text").isNotNull)
+    // round-19 F58 stage: the HTML FRONT DOOR — when `html` is given the
+    // input text IS page HTML; extract boilerplate-free content text
+    // before anything else fingerprints or gates it (the published
+    // pipelines' own order: C4/CCNet/FineWeb extract first). Per-row
+    // regex codegen + a page-bounded rollup; pages with no block
+    // structure drop here (the inner join carries only extracted pages).
+    val rawText = html.fold(raw) { hx =>
+      raw.drop("text").join(
+        Html.htmlExtract(raw.select(col("doc_id"), col("text").as("html")),
+            hx.minWords, hx.maxLinkMillionths)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    }
     // F27 stage: canonicalize BEFORE the md5 rep-set — a decomposed and a
     // composed rendering of the same visible string are different byte
     // strings, so without this fold every hash-keyed stage double-counts
     // them. Per-row codegen kernels, zero shuffle, no rows dropped (its
     // effect shows up as extra drops in exact_dedup's audit row).
-    val base0 = normalize.fold(raw)(nz => raw.withColumn("text", nz(col("text"))))
+    val base0 = normalize.fold(rawText)(nz =>
+      rawText.withColumn("text", nz(col("text"))))
     // round-17 F50 stage: C4 heuristic cleaning FIRST (the C4 pipeline's
     // own order) — non-`kept` pages DROP here (the inner join carries
     // only kept docs' clean_text), survivors continue with kept lines
@@ -1288,6 +1338,7 @@ object Graft {
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
     val d4 = d3e.join(clean, Seq("doc_id"), "left_semi")
     val core = Seq("input" -> raw) ++
+      html.map(_ => "html_extract" -> rawText).toSeq ++
       normalize.map(_ => "unicode_normalize" -> base0).toSeq ++
       c4.map(_ => "c4_clean" -> baseC4).toSeq ++
       paragraphs.map(_ => "paragraph_clean" -> base).toSeq ++

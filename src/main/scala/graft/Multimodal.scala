@@ -165,13 +165,25 @@ object Multimodal {
       while (it.hasNext) b += it.next()
       b.result()
     }
-    Map("wave" -> tiny(AudioFileFormat.Type.WAVE),
+    val resolved = Map("wave" -> tiny(AudioFileFormat.Type.WAVE),
       "aiff" -> tiny(AudioFileFormat.Type.AIFF)).flatMap { case (k, probe) =>
       readers.find { r =>
         try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
         catch { case _: Exception => false }
       }.map(k -> _)
     }
+    // round 19 (advice): fail LOUDLY when the JVM's SPI registry is
+    // missing a baseline reader — a silent miss here would turn every
+    // WAV/AIFF decode into a silent None (corpus-wide decode failure with
+    // no signal). A JDK without these readers is a misconfigured host,
+    // not a data problem; the failed lazy val re-throws per record, which
+    // is the loud behavior we want.
+    require(resolved.contains("wave") && resolved.contains("aiff"),
+      s"audioReaders: the JVM's AudioFileReader SPI registry resolved no " +
+        s"reader for ${Seq("wave", "aiff").filterNot(resolved.contains).mkString("/")} " +
+        s"(${readers.size} providers present) — WAV/AIFF decode would fail " +
+        "corpus-wide; refusing to continue silently")
+    resolved
   }
 
   /** Claim-checked open: magic sniff → claimed-MIME match → the cached

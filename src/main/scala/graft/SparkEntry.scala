@@ -9,8 +9,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
 
   def specs: Seq[Q] =
-    Relational.all ++ ScalarFuncs.all ++ TextOps.all ++ Similarity.all ++
-      Pq.all ++ MinHash.all ++ Dedup.all
+    Relational.all ++ ScalarFuncs.all ++ TextOps.all ++ Html.all ++
+      Similarity.all ++ Pq.all ++ MinHash.all ++ Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2031,7 +2031,17 @@ object TextOps {
 
   /** ⌊ln(0.4)·10⁶⌋ — the stupid-backoff weight (Brants et al., EMNLP
     * 2007), pinned as an integer constant so neither engine ever
-    * evaluates the float. */
+    * evaluates the float.
+    *
+    * GRID CONTRACT (round 19, advice): a k-step backoff pins its
+    * constant as k·BackoffMicros — k times THIS integer — BY DEFINITION,
+    * not as a flooring identity. k·⌊ln 0.4·10⁶⌋ happens to equal
+    * ⌊k·ln 0.4·10⁶⌋ for k ≤ 3 but differs by 1 micro at k = 4
+    * (−3665164 vs −3665163, the 5-gram floor), so "identical to
+    * flooring" does NOT generalize. Both engines — every Spark lattice
+    * ([[BigramLm]]/[[TrigramLm]]/[[NgramLm]]) and every oracle CTE —
+    * multiply the pinned integer; do not "fix" either side to the true
+    * floor or oracle parity breaks at order ≥ 5. */
   val BackoffMicros: Long = -916291L
 
   /** F19b (round 17): hashed BIGRAM back-off LM — the honest next rung
@@ -2260,9 +2270,10 @@ object TextOps {
     * PIECE (the F19b/F46 grid), so a position's score is a sum/difference
     * of table integers and the per-doc `nll_micros` a pure LONG sum —
     * order-free, partitioning-exact, oracle-checkable. The doubled
-    * backoff constant is pinned as 2·[[BackoffMicros]] — identical to
-    * flooring 2·ln 0.4 on this grid (−1832582), so neither engine
-    * evaluates the float.
+    * backoff constant is pinned as 2·[[BackoffMicros]] (−1832582) per
+    * the grid contract on [[BackoffMicros]]: k steps cost k times the
+    * pinned integer BY DEFINITION (it coincides with flooring k·ln 0.4
+    * only for k ≤ 3), so neither engine evaluates the float.
     *
     * Scale: the fit is ONE unified gram explode (orders 1/2/3 flagged
     * apart) collapsing to ≤ 3·buckets partial-agg rows + one scalar;

@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      "usage: Verify <sfDir> <outDir> [comma-separated query-name filter]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional 3rd arg (round 19, builder-only): restrict the dump to the
+    // named queries — fast iteration on a new operator without paying the
+    // full-inventory dump; the driver's 2-arg call is unchanged
+    val only: Option[Set[String]] =
+      if (args.length == 3) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +38,7 @@ object Verify {
     // oracles written BEFORE the dump loop: a query that crashes the JVM
     // mid-dump must not take every other query's oracle down with it
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Loud-failure contract (mirrors Bench's errors array): a query that
@@ -37,7 +46,9 @@ object Verify {
     // so the driver's compare shows a red rows/schema mismatch instead of
     // silently dropping the entry from the round's correctness report.
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
