@@ -2082,7 +2082,21 @@ object TextOps {
       pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
         lit(buckets.toLong))
     /** Σ score micros over the row's bigram positions (NULL when < 2
-      * tokens); negate for NLL. A pure per-row expression.
+      * tokens); negate for NLL. Since round 19 (VERDICT r18 item 2) the
+      * frozen serving form is the codegen `lm_score` kernel — a
+      * zero-shuffle per-row map against the driver-held tables, ~4×
+      * faster per corpus pass than the interpreted fold it replaces
+      * (spec-pinned bit-equal; the fold survives as
+      * [[sumMicrosFoldCol]], the independent reference twin). Requires
+      * [[graft.functions.VectorFunctions.register]], which every graft
+      * entry point and every `*LmFit` already calls. */
+    def sumMicrosCol(text: Column): Column =
+      call_function("lm_score", text, lit(2), lit(buckets),
+        lit(BackoffMicros), typedLit[Seq[Long]](uc ++ bc),
+        typedLit[Seq[Long]](pq ++ bq), typedLit[Seq[Long]](uq))
+
+    /** The interpreted `aggregate()` fold — the pre-round-19 serving
+      * form, kept as the kernel's spec-reference twin.
       *
       * Shape matters: the (prev, cur) pairs come from `zip_with` over
       * two slices, so each lambda step touches ONLY its own two
@@ -2091,7 +2105,7 @@ object TextOps {
       * re-evaluate captured expressions PER STEP, so every step rebuilt
       * the whole array: O(n²) md5s per doc, measured 48 s on the sf0.1
       * bench where this form takes ~1 s. */
-    def sumMicrosCol(text: Column): Column = {
+    def sumMicrosFoldCol(text: Column): Column = {
       val t = split(text, " ")
       val n = size(t)
       // hash each token ONCE (hs), each bigram once (hb) — both arrays
@@ -2123,6 +2137,7 @@ object TextOps {
   def bigramLmFit(corpus: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): BigramLm = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    functions.VectorFunctions.register(corpus.sparkSession) // lm_score kernel
     // the token array is materialized as a COLUMN before any lambda
     // touches it (the gramBuckets shape): an inlined split() expression
     // referenced from inside transform() re-evaluates PER ELEMENT —
@@ -2306,10 +2321,18 @@ object TextOps {
         .otherwise(lit(2L * BackoffMicros) + at(uq, hu))
     }
     /** Σ score micros over the row's trigram positions (NULL when < 3
-      * tokens); negate for NLL. A pure per-row expression. Arrays are
-      * built in argument position so no lambda captures an outer array
-      * expression (the F19b O(n²) re-evaluation trap). */
-    def sumMicrosCol(text: Column): Column = {
+      * tokens); negate for NLL. Codegen `lm_score` kernel since round 19
+      * (see [[BigramLm.sumMicrosCol]]); [[sumMicrosFoldCol]] is the
+      * interpreted spec twin. */
+    def sumMicrosCol(text: Column): Column =
+      call_function("lm_score", text, lit(3), lit(buckets),
+        lit(BackoffMicros), typedLit[Seq[Long]](uc ++ bc ++ tc),
+        typedLit[Seq[Long]](pq ++ bq ++ tq), typedLit[Seq[Long]](uq))
+
+    /** The interpreted fold — the kernel's spec-reference twin. Arrays
+      * are built in argument position so no lambda captures an outer
+      * array expression (the F19b O(n²) re-evaluation trap). */
+    def sumMicrosFoldCol(text: Column): Column = {
       val t = split(text, " ")
       val n = size(t)
       val ctx = zip_with(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
@@ -2327,6 +2350,7 @@ object TextOps {
   def trigramLmFit(corpus: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): TrigramLm = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    functions.VectorFunctions.register(corpus.sparkSession) // lm_score kernel
     val empty = array().cast("array<struct<o:int,g:string>>")
     def ngrams(order: Int): Column =
       when(size(col("t")) >= order,
@@ -2433,12 +2457,21 @@ object TextOps {
       }
     }
     /** Σ score micros over the row's order-N positions (NULL when < N
-      * tokens); negate for NLL. The N-token windows come from zipping N
+      * tokens); negate for NLL. Codegen `lm_score` kernel since round 19
+      * (see [[BigramLm.sumMicrosCol]]); [[sumMicrosFoldCol]] is the
+      * interpreted spec twin. */
+    def sumMicrosCol(text: Column): Column =
+      call_function("lm_score", text, lit(order), lit(buckets),
+        lit(BackoffMicros), typedLit[Seq[Long]](cnt.flatten),
+        typedLit[Seq[Long]](q.flatten), typedLit[Seq[Long]](uq))
+
+    /** The interpreted fold — the kernel's spec-reference twin. The
+      * N-token windows come from zipping N
       * slices of the token array, each evaluated ONCE in argument
       * position — a lambda referencing an outer `split()` via
       * `element_at(t, i+k)` would re-evaluate it per element (the F19b
       * O(n²) capture trap). */
-    def sumMicrosCol(text: Column): Column = {
+    def sumMicrosFoldCol(text: Column): Column = {
       val t = split(text, " ")
       val n = size(t)
       val m = n - (order - 1)
@@ -2458,6 +2491,7 @@ object TextOps {
       buckets: Int = 1024): NgramLm = {
     require(order >= 2, s"order must be >= 2, got $order")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    functions.VectorFunctions.register(corpus.sparkSession) // lm_score kernel
     val empty = array().cast("array<struct<o:int,g:string>>")
     def ngrams(o: Int): Column =
       when(size(col("t")) >= o,
@@ -3026,11 +3060,20 @@ object TextOps {
     private def look(c: Column): Column =
       element_at(typedLit(lr), (bkt(c) + 1).cast("int"))
     /** Σ frozen ratio micros over the row's {uni,bi}grams (NULL text →
-      * NULL — an unscorable row gates out downstream). Bigram pairs via
-      * `zip_with` over two slices — indexing an outer array from a
-      * higher-order lambda re-evaluates it per step (the BigramLm
-      * O(n²) lesson). */
-    def logRatioCol(text: Column): Column = {
+      * NULL — an unscorable row gates out downstream). Since round 19
+      * the serving form is the codegen `gram_sum` kernel (the lm_score
+      * family — zero shuffle, literal-table per-row map); the
+      * interpreted fold survives as [[logRatioFoldCol]], the spec twin.
+      * Requires [[graft.functions.VectorFunctions.register]], which
+      * every graft entry point and [[dsirFit]] already call. */
+    def logRatioCol(text: Column): Column =
+      call_function("gram_sum", text, lit(1), lit(2), typedLit[Seq[Long]](lr))
+
+    /** The interpreted fold — the kernel's spec-reference twin. Bigram
+      * pairs via `zip_with` over two slices — indexing an outer array
+      * from a higher-order lambda re-evaluates it per step (the
+      * BigramLm O(n²) lesson). */
+    def logRatioFoldCol(text: Column): Column = {
       val t = split(text, " ")
       val uni = aggregate(t, lit(0L), (a, w) => a + look(w))
       val bi = when(size(t) >= 2,
@@ -3059,6 +3102,7 @@ object TextOps {
   def dsirFit(rawRef: org.apache.spark.sql.DataFrame,
       target: org.apache.spark.sql.DataFrame, buckets: Int = 1024,
       seed: Long = 0L, checkpointDir: Option[String] = None): DsirModel = {
+    functions.VectorFunctions.register(rawRef.sparkSession) // gram_sum kernel
     val (lr, w) = dsirRatios(rawRef, target, buckets, checkpointDir)
     val m = w.agg(max(col("logratio_micros"))).head().getLong(0)
     DsirModel(buckets, lr, m, seed)

@@ -1139,3 +1139,222 @@ case class BpeEncode(child: Expression, model: BpeTable)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Driver-held frozen hashed stupid-backoff LM (SURVEY §2.F F19b/d/e —
+  * Brants et al., EMNLP 2007) for the `lm_score` kernel: the serving
+  * twin of [[graft.TextOps.BigramLm]]/[[graft.TextOps.TrigramLm]]/
+  * [[graft.TextOps.NgramLm]]'s interpreted `aggregate()` folds, promoted
+  * to the langid_score/nb_score literal-table kernel family (round 19,
+  * VERDICT r18 item 2: four frozen models served through interpreted
+  * higher-order-function folds with a documented ~4× per-corpus-pass
+  * penalty — this one kernel retires it for the whole backoff family).
+  *
+  * Bit-equality contract (spec-pinned against the folds): tokens are the
+  * segments between single 0x20 bytes (`split(text, ' ')`, empties
+  * included); an n-gram's STRING is the tokens joined by ' ', which over
+  * this tokenization is exactly the original text's byte slice from the
+  * first token's start to the last token's end — so the kernel hashes
+  * payload byte RANGES and never builds a gram string. A gram's bucket
+  * is the unsigned first-4-bytes of its md5, mod `buckets` — identical
+  * to the folds' `pmod(conv(substring(md5(g), 1, 8), 16, 10), buckets)`.
+  * Each position's piece walks levels o = order…2 and takes the FIRST
+  * level whose gram AND context buckets are both non-empty:
+  * (order−o)·backoffMicros + q(o−1)[hg] − q(o−2)[hc]; the floor is
+  * (order−1)·backoffMicros + uq[h(token)] (k·backoffMicros by the
+  * [[graft.TextOps.BackoffMicros]] grid contract — k times the pinned
+  * integer, never a re-floored float). All table entries are pre-
+  * quantized integer micros, so the per-doc sum is an exact LONG —
+  * order-free, partitioning-exact, bit-equal to fold and batch explode.
+  *
+  * Size is order×buckets longs ×2 + buckets (tens of KBs at the default
+  * 1024 buckets) — rides to executors inside the serialized expression
+  * (the NbModel pattern); the MessageDigest is per-thread.
+  */
+private[functions] object LmHash {
+  private val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Unsigned first-4-bytes of md5(bytes[off, off+len)) mod buckets ≡
+    * `pmod(conv(substring(md5(g), 1, 8), 16, 10), buckets)`. */
+  def bkt(bytes: Array[Byte], off: Int, len: Int, buckets: Int): Int = {
+    val m = md5.get()
+    m.reset()
+    m.update(bytes, off, len)
+    val d = m.digest()
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % buckets).toInt
+  }
+
+  /** Token boundaries of `split(text, ' ')` over the raw bytes:
+    * starts(k) = byte offset of token k, with a sentinel making
+    * token k = [starts(k), starts(k+1) − 1) for every k — the gram
+    * [i..j] is then the byte range [starts(i), starts(j+1) − 1), i.e.
+    * the tokens joined by ' ' without building a string. Token count =
+    * starts.length − 1 (an empty text is ONE empty token, like split).
+    */
+  def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) nTok += 1
+      i += 1
+    }
+    val starts = new Array[Int](nTok + 1)
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(nTok) = bytes.length + 1
+    starts
+  }
+}
+
+final class LmTables(
+    val order: Int,
+    val buckets: Int,
+    val backoffMicros: Long,
+    val cnt: Array[Array[Long]], // cnt(o-1) = the order-o gram bucket counts
+    val q: Array[Array[Long]],   // quantized ln tables, same layout
+    val uq: Array[Long]) extends Serializable {
+  require(order >= 2, s"lm_score: order must be >= 2, got $order")
+  require(buckets > 0, s"lm_score: buckets must be positive, got $buckets")
+  require(cnt.length == order && q.length == order,
+    s"lm_score: need $order count/q tables, got ${cnt.length}/${q.length}")
+  require(cnt.forall(_.length == buckets) && q.forall(_.length == buckets) &&
+    uq.length == buckets, "lm_score: every table must be buckets-sized")
+
+  private def bkt(bytes: Array[Byte], off: Int, len: Int): Int =
+    LmHash.bkt(bytes, off, len, buckets)
+
+  /** Σ score micros over the text's order-N positions; null when the
+    * text has fewer than `order` tokens (the folds' NULL contract). */
+  def score(t: UTF8String): java.lang.Long = {
+    val bytes = t.getBytes
+    val starts = LmHash.tokenStarts(bytes)
+    val nTok = starts.length - 1
+    if (nTok < order) return null
+    var sum = 0L
+    var pos = order - 1
+    while (pos < nTok) {
+      val endPos = starts(pos + 1) - 1
+      var piece = 0L
+      var found = false
+      var o = order
+      while (!found && o >= 2) {
+        val gOff = starts(pos - o + 1)
+        val hg = bkt(bytes, gOff, endPos - gOff)
+        val hc = bkt(bytes, gOff, (starts(pos) - 1) - gOff)
+        if (cnt(o - 1)(hg) > 0L && cnt(o - 2)(hc) > 0L) {
+          piece = (order - o) * backoffMicros + q(o - 1)(hg) - q(o - 2)(hc)
+          found = true
+        }
+        o -= 1
+      }
+      if (!found)
+        piece = (order - 1) * backoffMicros +
+          uq(bkt(bytes, starts(pos), endPos - starts(pos)))
+      sum += piece
+      pos += 1
+    }
+    java.lang.Long.valueOf(sum)
+  }
+}
+
+/** Driver-held literal gram table for the `gram_sum` kernel: Σ
+  * table[h(gram)] over all n-grams for n ∈ [nLow, nHigh] — the frozen
+  * DSIR log-ratio's serving form ([[graft.TextOps.DsirModel]]: unigrams
+  * + bigrams against the frozen ratio table). Same tokenization + hash
+  * contract as [[LmTables]] (shared [[LmHash]]).
+  */
+final class GramTable(val buckets: Int, val table: Array[Long])
+    extends Serializable {
+  require(buckets > 0 && table.length == buckets,
+    s"gram_sum: table must be buckets-sized, got ${table.length}/$buckets")
+
+  def gramSum(t: UTF8String, nLow: Int, nHigh: Int): Long = {
+    val bytes = t.getBytes
+    val starts = LmHash.tokenStarts(bytes)
+    val nTok = starts.length - 1
+    var s = 0L
+    var n = nLow
+    while (n <= nHigh) {
+      var j = 0
+      while (j + n <= nTok) {
+        val off = starts(j)
+        s += table(LmHash.bkt(bytes, off, (starts(j + n) - 1) - off, buckets))
+        j += 1
+      }
+      n += 1
+    }
+    s
+  }
+}
+
+/** `lm_score(text, order, buckets, backoff_micros, cnt_flat, q_flat, uq)`
+  * → nullable bigint: per-row frozen stupid-backoff LM scoring against a
+  * driver-held [[LmTables]] (literal args fold once at registration-call
+  * time — the nb_score pattern). NULL when the text has < order tokens.
+  * Scoring a corpus through a frozen LM becomes a zero-shuffle per-row
+  * map at codegen speed — the batch explode stays for self-scored fits,
+  * the interpreted folds stay as the spec reference twins.
+  */
+case class LmScore(child: Expression, model: LmTables)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lm_score requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lm_score"
+
+  override def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("lmTables", model, classOf[LmTables].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long graftLmR = $mRef.score($c);
+      if (graftLmR == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftLmR.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `gram_sum(text, n_low, n_high, table)` → bigint: Σ table[h(gram)]
+  * over every n-gram of the text for n ∈ [n_low, n_high] — the frozen
+  * DSIR log-ratio serving kernel (F46c) and the general literal-table
+  * gram scorer. Same tokenization/hash contract as [[LmScore]].
+  */
+case class GramSum(child: Expression, model: GramTable, nLow: Int, nHigh: Int)
+    extends UnaryExpression {
+  require(nLow >= 1 && nHigh >= nLow,
+    s"gram_sum: need 1 <= n_low <= n_high, got $nLow/$nHigh")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_sum requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gram_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    model.gramSum(input.asInstanceOf[UTF8String], nLow, nHigh)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("gramTable", model, classOf[GramTable].getName)
+    defineCodeGen(ctx, ev, c => s"$mRef.gramSum($c, $nLow, $nHigh)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

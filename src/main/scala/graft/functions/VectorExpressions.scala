@@ -540,6 +540,40 @@ object VectorFunctions {
             .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
         BpeEncode(exprs.head, new BpeTable(strs(exprs(1)), strs(exprs(2))))
       }, "built-in")
+    // F19 frozen-LM serving kernel (round 19): the quantized backoff
+    // tables arrive as foldable literals (order, buckets, backoff grid
+    // constant, flattened count/q tables order-major, unigram add-one
+    // table), folded once here into a driver-held LmTables the generated
+    // code references — the nb_score pattern, so scoring a corpus
+    // through a FROZEN LM is a zero-shuffle per-row map at codegen speed
+    // (the interpreted aggregate() folds stay as the spec twins)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lm_score", (exprs: Seq[Expression]) => {
+        val order = exprs(1).eval().asInstanceOf[Number].intValue()
+        val buckets = exprs(2).eval().asInstanceOf[Number].intValue()
+        val backoff = exprs(3).eval().asInstanceOf[Number].longValue()
+        def tables(e: Expression): Array[Array[Long]] = {
+          val flat = e.eval().asInstanceOf[ArrayData].toLongArray()
+          require(order > 0 && flat.length == order * buckets,
+            s"lm_score: flat table length ${flat.length} != order*buckets")
+          Array.tabulate(order)(o =>
+            java.util.Arrays.copyOfRange(flat, o * buckets, (o + 1) * buckets))
+        }
+        LmScore(exprs.head, new LmTables(order, buckets, backoff,
+          tables(exprs(4)), tables(exprs(5)),
+          exprs(6).eval().asInstanceOf[ArrayData].toLongArray()))
+      }, "built-in")
+    // F46c frozen-DSIR serving kernel (round 19): the frozen ratio table
+    // arrives as one foldable long-array literal — gram_sum(text, nLow,
+    // nHigh, table) is Σ table[h(gram)] over the n-gram range, the
+    // zero-shuffle twin of DsirModel's interpreted fold
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_sum", (exprs: Seq[Expression]) => {
+        val table = exprs(3).eval().asInstanceOf[ArrayData].toLongArray()
+        GramSum(exprs.head, new GramTable(table.length, table),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+      }, "built-in")
     // PQ kernels: codebook/m/ksub are foldable literals, evaluated once
     // here (the minhash_sig pattern) so the expression holds a plain
     // float[] that codegen references instead of re-evaluating per row

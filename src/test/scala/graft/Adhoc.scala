@@ -3620,6 +3620,57 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("lmscore19")) {
+      // Round-19 A/B cert (VERDICT r18 item 2): a FROZEN-path scoring
+      // pass over 1M docs — the cross-corpus gating shape the frozen
+      // models advertise (fit once elsewhere, score a whole corpus).
+      // Compares the interpreted aggregate()/zip_with fold against the
+      // new codegen lm_score kernel: totals must be bit-identical and
+      // the kernel ≥3× faster. Also A/Bs the DSIR gram_sum kernel.
+      val n = sys.env.getOrElse("ADHOC_LM_N", "1000000").toLong
+      def textOf = concat_ws(" ",
+        transform(sequence(lit(0), (pmod(hash(col("id")), lit(16)) + lit(15)).cast("int")),
+          i => concat(lit("w"),
+            lower(conv(pmod(hash(col("id") * 31 + i), lit(50000)).cast("string"), 10, 36)))))
+      val corpus = spark.range(0, n)
+        .select(col("id").as("doc_id"), textOf.as("text"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC lmscore19 corpus=${corpus.count()}")
+      // the model is fit ONCE on a 1% slice (the frozen contract: the
+      // serving corpus is NOT the fit corpus)
+      val seed = corpus.filter(col("doc_id") % 100 === 0)
+      val lm = TextOps.trigramLmFit(seed, buckets = 4096)
+      def run(label: String, c: org.apache.spark.sql.Column): (Long, Long, Double) = {
+        var out: (Long, Long) = null
+        val t0 = System.nanoTime()
+        val r = corpus.agg(sum(c).as("s"), count(c).as("n")).head()
+        out = (r.getLong(0), r.getLong(1))
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"ADHOC lmscore19 $label sum=${out._1} n=${out._2} secs=$secs%.2f")
+        (out._1, out._2, secs)
+      }
+      // warm both paths once at 1/16 scale so codegen + JIT are paid
+      corpus.filter(col("doc_id") % 16 === 0)
+        .agg(sum(lm.sumMicrosCol(col("text"))), sum(lm.sumMicrosFoldCol(col("text")))).head()
+      val (ks, kn, kt) = run("kernel rep=1", lm.sumMicrosCol(col("text")))
+      val (ks2, _, kt2) = run("kernel rep=2", lm.sumMicrosCol(col("text")))
+      val (fs, fn, ft) = run("fold  rep=1", lm.sumMicrosFoldCol(col("text")))
+      assert(ks == fs && kn == fn && ks == ks2,
+        s"kernel/fold diverged: $ks/$fs n=$kn/$fn")
+      val speedup = ft / math.min(kt, kt2)
+      println(f"ADHOC lmscore19 trigram speedup=${speedup}%.2fx")
+      assert(speedup >= 3.0, f"kernel speedup $speedup%.2fx < 3x")
+      // DSIR serving kernel: same corpus, frozen ratio model
+      val dm = TextOps.dsirFit(seed, seed.filter(col("doc_id") % 200 === 0),
+        buckets = 4096)
+      val (gks, _, gkt) = run("gram_sum kernel", dm.logRatioCol(col("text")))
+      val (gfs, _, gft) = run("gram_sum fold  ", dm.logRatioFoldCol(col("text")))
+      assert(gks == gfs, s"gram_sum kernel/fold diverged: $gks/$gfs")
+      println(f"ADHOC lmscore19 dsir speedup=${gft / gkt}%.2fx")
+      spark.stop()
+      return
+    }
+
     for (rep <- 1 to 2) {
       time("sig_50k") { MinHash.signatures(scaled).count() }
       time("lsh_pairs_50k") { MinHash.candidatePairs(scaled, 0.5).count() }
