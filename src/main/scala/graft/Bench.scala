@@ -92,6 +92,7 @@ object Bench {
     (Relational.all.map(_.name -> "relational") ++
       ScalarFuncs.all.map(_.name -> "scalar") ++
       TextOps.all.map(_.name -> "text") ++
+      Html.all.map(_.name -> "text") ++
       Similarity.all.map(_.name -> "similarity") ++
       Pq.all.map(_.name -> "similarity") ++
       MinHash.all.map(_.name -> "minhash") ++

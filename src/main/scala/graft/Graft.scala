@@ -129,13 +129,16 @@ object Graft {
     * (kept, dropped) counts as [[curateCorpusAudited]]. Images cluster
     * by dHash, audio by energy envelope — in SEPARATE signature spaces
     * (a pixel-grid hash never joins an envelope hash); other modalities
-    * pass through untouched. See [[Multimodal.mediaDedupAudited]].
+    * pass through untouched. Since round 19 every merge is VERIFIED by a
+    * second independent hash family within `verifyHamming` bits (the
+    * chance-merge guard), and the audit counts run over a slim
+    * fingerprint-width frame. See [[Multimodal.mediaDedupAudited]].
     */
   def mediaDedupAudited(spark: SparkSession,
       records: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
-      maxHamming: Int = 3)
+      maxHamming: Int = 3, verifyHamming: Int = 6)
       : (org.apache.spark.sql.Dataset[Multimodal.MediaRecord], Seq[StageCount]) =
-    Multimodal.mediaDedupAudited(spark, records, maxHamming)
+    Multimodal.mediaDedupAudited(spark, records, maxHamming, verifyHamming)
 
   /** The delivered-corpus media signature frame ([[mediaDedupStream]]'s
     * static side) — (modality, sig) distinct; the media sibling of
@@ -154,6 +157,23 @@ object Graft {
       corpusSigs: DataFrame)
       : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
     Multimodal.mediaDedupStream(arrivals, corpusSigs)
+
+  /** The banded delivered-corpus frame for the NEAR-match media screen
+    * (round 19) — [[mediaSigFingerprints]] exploded into Manku bands. */
+  def mediaSigBands(
+      records: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      maxHamming: Int = 3): DataFrame =
+    Multimodal.mediaSigBands(records, maxHamming)
+
+  /** Streaming NEAR-match media screen (round 19): drop arrivals within
+    * `maxHamming` bits of any delivered same-modality signature — the
+    * stateful banded upgrade over [[mediaDedupStream]]'s exact screen.
+    * See [[Multimodal.mediaDedupStreamNear]]. */
+  def mediaDedupStreamNear(
+      arrivals: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      corpusBands: DataFrame, maxHamming: Int = 3)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
+    Multimodal.mediaDedupStreamNear(arrivals, corpusBands, maxHamming)
 
   /** Incremental (delta) dedup: admit only the increment docs that are
     * neither exact nor near duplicates of the standing corpus or of a
@@ -976,6 +996,72 @@ object Graft {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
     }
     (TextOps.packSequencesOf(stages.last._2), audit)
+  }
+
+  /** Per-document provenance ledger over an ORDERED stage list (round
+    * 19, VERDICT r18 item 4 — the (doc_id, stage, verdict) frame a
+    * corpus release publishes, Dolma/FineWeb-attribution style, and what
+    * "why did my doc disappear" debugging reads): every doc of the FIRST
+    * stage gets exactly one row — (id, stage_it_dropped_at, 'dropped')
+    * at the first stage whose frame no longer contains it, or
+    * (id, last_stage, 'kept') when it survived the whole pipeline.
+    * Stage frames must be monotone subsets (each ⊆ its predecessor on
+    * `idCol`), which every graft pipeline's stages are.
+    *
+    * Cost shape: one anti join per stage boundary over ID-width
+    * projections — the stage frames are the pipeline's own (already
+    * checkpointed where expensive), so the ledger is JOINS away, never
+    * an extra corpus pass. Ledger row counts reconcile exactly with the
+    * audit's [[StageCount]]s (spec-pinned).
+    */
+  def curationLedger(stages: Seq[(String, DataFrame)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(stages.nonEmpty, "curationLedger: need at least one stage")
+    import org.apache.spark.sql.functions.{col, lit}
+    val dropped = stages.sliding(2).collect {
+      case Seq((_, prev), (name, cur)) =>
+        prev.select(col(idCol))
+          .join(cur.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), lit(name).as("stage"),
+            lit("dropped").as("verdict"))
+    }.toSeq
+    val kept = stages.last._2
+      .select(col(idCol), lit(stages.last._1).as("stage"),
+        lit("kept").as("verdict"))
+    (dropped :+ kept).reduce(_ unionByName _)
+  }
+
+  /** [[curateCorpusAudited]] plus the per-document provenance ledger:
+    * (packed survivors, per-stage StageCounts, (doc_id, stage, verdict)
+    * ledger). The ledger reuses the pipeline's own stage frames — d1 and
+    * the CC labels are checkpointed, the cheap gates re-execute per anti
+    * join exactly as the audit counts do (the measured-faster trade). */
+  def curateCorpusLedgered(spark: SparkSession, docs: DataFrame,
+      screenPhrases: Seq[String], minJaccard: Double = 0.6,
+      quality: QualityGate = QualityGate(),
+      evalDocs: Option[DataFrame] = None,
+      semantic: Option[SemanticDedup] = None,
+      normalize: Option[Normalize] = None,
+      langGate: Option[LangGate] = None,
+      classifier: Option[ClassifierGate] = None,
+      weighted: Option[WeightedKeep] = None,
+      calibrated: Option[CalibratedKeep] = None,
+      dsir: Option[DsirKeep] = None,
+      paragraphs: Option[ParagraphClean] = None,
+      c4: Option[C4Clean] = None,
+      html: Option[HtmlExtract] = None)
+      : (DataFrame, Seq[StageCount], DataFrame) = {
+    val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
+      evalDocs = evalDocs, semantic = semantic,
+      normalize = normalize, langGate = langGate,
+      classifier = classifier, weighted = weighted,
+      calibrated = calibrated, dsir = dsir, paragraphs = paragraphs,
+      c4 = c4, html = html)
+    val counts = stages.map { case (name, df) => name -> df.count() }
+    val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
+      case ((name, kept), prev) => StageCount(name, kept, prev - kept)
+    }
+    (TextOps.packSequencesOf(stages.last._2), audit, curationLedger(stages))
   }
 
   /** Streaming curation entry point — the reference's north-star shape

@@ -324,8 +324,14 @@ object MinHash {
     * rep-collapse first (identical sigs share every band key — the
     * quadratic hazard simhashRepPairs' md5 pre-pass exists for).
     */
-  private[graft] def hammingPairs64(sigs: DataFrame, maxHamming: Int,
-      idCol: String = "doc_id"): DataFrame = {
+  /** The Manku banding of a 64-bit signature column into maxHamming + 1
+    * (band, key) structs — by pigeonhole, two sigs within maxHamming
+    * bits agree EXACTLY on at least one band. Shared by
+    * [[hammingPairs64]] and the round-19 streaming media near screen
+    * ([[Multimodal.mediaDedupStreamNear]]) so the two bandings can never
+    * drift. */
+  private[graft] def bandKeys64(sig: org.apache.spark.sql.Column,
+      maxHamming: Int): org.apache.spark.sql.Column = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (band width >= 8 bits keeps the band " +
         s"join skew-bounded), got $maxHamming")
@@ -335,12 +341,17 @@ object MinHash {
     // band b: width base (+1 for the first `rem` bands), cumulative offset
     val widths = Seq.tabulate(nBands)(b => base + (if (b < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
+    array(Seq.tabulate(nBands) { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sig, offsets(b)).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+  }
+
+  private[graft] def hammingPairs64(sigs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id"): DataFrame = {
     val banded = sigs.select(col(idCol).as("__id"), col("sig"),
-      explode(array(Seq.tabulate(nBands) { b =>
-        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask)).as("key"))
-      }: _*)).as("bk"))
+      explode(bandKeys64(col("sig"), maxHamming)).as("bk"))
       .select(col("__id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.select(col("__id").as("a_id"), col("sig").as("sa"),
         col("band"), col("key"))

@@ -287,6 +287,32 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** DERIVATIVE envelope → 64 bits (round 19, VERDICT r18 item 3): the
+    * audio/video SECOND family — [[envelopeBits]] over the stream's
+    * |first-difference| values (|v(i+1) − v(i)|). The derivative is a
+    * genuinely different statistic from the value envelope, so two
+    * different streams that chance-collide on value-cell comparisons
+    * have no reason to collide on delta-cell comparisons; a LOCAL edit
+    * still changes only the ≤ 2 deltas it touches (the property a
+    * mean-threshold family lacks on flat-random streams — a tiny global
+    * mean shift there flips ~9 of 64 bits, measured, and the verify
+    * would kill TRUE near-dup edges); and uniform re-layouts (stereo
+    * duplication: deltas interleave with zeros, every cell scales ~½;
+    * sign flips: |s| unchanged) preserve the comparison pattern. Two
+    * alternatives were measured and REJECTED: mean-threshold (above),
+    * and a half-cell OFFSET grid — its boundary shift quantizes to ZERO
+    * when the stream length ≈ the cell count (the media19 cert's
+    * 65-frame videos: sig2 ≡ sig, verify vacuous, all +964 video chance
+    * merges survived), and its 50%-overlapping cells left 39/259 audio
+    * chance pairs verified. Streams with < 2 values pin to the constant
+    * 0 signature (degenerate payloads verify trivially against each
+    * other, never against structured ones).
+    */
+  private def derivEnvelopeBits(vals: Array[Long]): Long =
+    if (vals.length < 2) 0L
+    else envelopeBits(
+      Array.tabulate(vals.length - 1)(i => math.abs(vals(i + 1) - vals(i))))
+
   /** Shared 1-D envelope → 64 bits: 65 equal ranges over the stream,
     * cell = Σ value div count, bit i = cell(i+1) > cell(i). */
   private def envelopeBits(vals: Array[Long]): Long = {
@@ -537,6 +563,97 @@ object Multimodal {
     gridBits(cell)
   }
 
+  /** OFFSET-PHASE dHash over the verified decode's pixels — the second,
+    * independently-constructed image family for the round-19 verify
+    * stage: the [[dHashPixels]] 8×9 luma grid with every cell boundary
+    * shifted by HALF a cell in both axes (pixels in the leading half-row/
+    * half-column fold into cell 0 — deterministic), same right-neighbor
+    * comparisons. Local edits flip only the comparisons they touch (the
+    * property a mean-threshold aHash lacks — see [[derivEnvelopeBits]]'s
+    * note), while the shifted cell CONTENTS decorrelate the collision
+    * pattern from the primary family's. Same pinned integer luma math. */
+  private def dHashPixelsOffset(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    val rgb = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rgb, 0, w)
+      val kr = (y.toLong * 16 / h).toInt
+      val gr = if (kr == 0) 0 else math.min(7, (kr - 1) / 2)
+      var x = 0
+      while (x < w) {
+        val p = rgb(x)
+        val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        val kc = (x.toLong * 18 / w).toInt
+        val gc = if (kc == 0) 0 else math.min(8, (kc - 1) / 2)
+        sums(gr)(gc) += luma; cnts(gr)(gc) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cell = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        cell(r)(c) =
+          if (cnts(r)(c) > 0) sums(r)(c) / cnts(r)(c)
+          else if (c > 0) cell(r)(c - 1)
+          else if (r > 0) cell(r - 1)(c)
+          else 0L
+        c += 1
+      }
+      r += 1
+    }
+    gridBits(cell)
+  }
+
+  /** Offset-phase byte-range dHash — the stub-format sibling of
+    * [[dHashPixelsOffset]]: [[dHashBytes]]' 72 contiguous ranges shifted
+    * by half a range. */
+  private def dHashBytesOffset(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val cell = Array.ofDim[Long](8, 9)
+    var i = 0
+    while (i < 72) {
+      val lo = ((2L * i + 1) * n / 144).toInt min n
+      val hi = math.max(lo + 1, ((2L * i + 3) * n / 144).toInt) min n
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += bytes(j) & 0xff; j += 1 }
+      cell(i / 9)(i % 9) = if (hi > lo) s / (hi - lo) else cell(i / 9)(0)
+      i += 1
+    }
+    gridBits(cell)
+  }
+
+  /** BOTH image families from ONE decode (the aud18 lesson: never decode
+    * a payload twice on the hot path): (dHash, offset-phase dHash) for
+    * real formats, the byte-range twins for stub formats, None for
+    * undecodable/mislabeled/empty (the F2 NULL-sig rule — both or
+    * neither, so the verify stage never sees a half-signed record). */
+  def imageSigPair(payload: Array[Byte], meta: MediaMeta): Option[(Long, Long)] =
+    if (RealImageFormats(meta.format))
+      readVerifiedImage(payload, meta.format)
+        .map(img => (dHashPixels(img), dHashPixelsOffset(img)))
+    else if (payload.isEmpty) None
+    else Some((dHashBytes(payload), dHashBytesOffset(payload)))
+
+  /** Both audio families from one decode: (envelope, derivative
+    * envelope) over the same |sample| stream. */
+  def audioSigPair(payload: Array[Byte], meta: MediaMeta): Option[(Long, Long)] =
+    if (RealAudioFormats(meta.format)) readPcmAbs(payload, meta.format)
+      .filter(_.nonEmpty).map(v => (envelopeBits(v), derivEnvelopeBits(v)))
+    else if (payload.isEmpty) None
+    else {
+      val v = payload.map(b => (b & 0xff).toLong)
+      Some((envelopeBits(v), derivEnvelopeBits(v)))
+    }
+
   private def gridBits(cell: Array[Array[Long]]): Long = {
     var sig = 0L
     var r = 0
@@ -649,6 +766,23 @@ object Multimodal {
     }))
   }
 
+  /** Both video families from one frame-checksum pass: (envelope,
+    * derivative envelope) over the per-frame checksum sequence. */
+  def videoSigPair(payload: Array[Byte]): Option[(Long, Long)] = {
+    val nFrames = payload.length / VideoFrameBytes
+    if (nFrames == 0) None
+    else {
+      val sums = Array.tabulate(nFrames) { f =>
+        var sum = 0L
+        var i = f * VideoFrameBytes
+        val end = i + VideoFrameBytes
+        while (i < end) { sum += payload(i) & 0xff; i += 1 }
+        sum
+      }
+      Some((envelopeBits(sums), derivEnvelopeBits(sums)))
+    }
+  }
+
   /** Per-record video signatures — the [[audioHashes]] shape. */
   def videoHashes(records: Dataset[MediaRecord]): DataFrame = {
     import records.sparkSession.implicits._
@@ -710,6 +844,91 @@ object Multimodal {
 
   private val HashedModalities = Set("image", "audio", "video")
 
+  /** TWO-family modality-tagged signatures (round 19, VERDICT r18 item
+    * 3): (id, modality, sig, sig2) — `sig` is the difference-hash family
+    * ([[dHash64]]/[[audioHash64]]/[[videoHash64]], the banding key),
+    * `sig2` the independently-constructed mean-threshold family
+    * ([[aHashPixels]]/[[meanBits]], the verify key). One partition-wise
+    * map, ONE decode per record (both hashes from the same pixels/
+    * samples/frames — the aud18 no-double-decode rule). Both sigs NULL
+    * together (undecodable / unknown modality / empty) — the verify
+    * stage never sees a half-signed record.
+    */
+  def mediaSigs2(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val pair = r.modality match {
+          case "image" => imageSigPair(r.payload, r.meta)
+          case "audio" => audioSigPair(r.payload, r.meta)
+          case "video" => videoSigPair(r.payload)
+          case _ => None
+        }
+        (r.id, r.modality, pair.map(_._1), pair.map(_._2))
+      }
+    }.toDF("id", "modality", "sig", "sig2")
+  }
+
+  /** The verified groups machinery over a two-family (doc_id, sig, sig2)
+    * frame + the full id list: candidate pairs come from banding the
+    * PRIMARY sig (recall exact by pigeonhole, rep-collapsed on the
+    * (sig, sig2) pair), and a CC edge forms only when the pair's
+    * SECONDARY sigs are also within `verifyHamming` bits. The two
+    * families are only PARTIALLY independent — offset cells share half
+    * their bytes/samples with primary cells — so the cut is set by
+    * MEASUREMENT, not an independence assumption: on the 770k media19
+    * cert corpus, planted local edits sit at secondary distance ≤ 2
+    * while primary-colliding CHANCE pairs start at 7 (`Adhoc
+    * media19probe` prints the full histogram), so the default
+    * verifyHamming = 6 keeps every true edge with 3× headroom and kills
+    * every measured chance merge. Within an identical (sig, sig2) group
+    * the verify is trivially satisfied (0 bits in both); star edges
+    * keep the linear rep+star CC shape.
+    */
+  private[graft] def sigDedupGroupsVerified(spark: SparkSession,
+      ids: DataFrame, raw: DataFrame, maxHamming: Int,
+      verifyHamming: Int): DataFrame = {
+    require(verifyHamming >= 0 && verifyHamming <= 63,
+      s"verifyHamming must be in [0, 63], got $verifyHamming")
+    val sigs = raw.localCheckpoint(eager = false)
+    val groups = sigs.groupBy(col("sig"), col("sig2"))
+      .agg(min(col("doc_id")).as("rep"))
+    val s2 = groups.select(col("rep"), col("sig2"))
+    val repPairs = MinHash.hammingPairs64(
+        groups.select(col("rep").as("doc_id"), col("sig")), maxHamming)
+      .join(s2.select(col("rep").as("a_id"), col("sig2").as("s2a")), Seq("a_id"))
+      .join(s2.select(col("rep").as("b_id"), col("sig2").as("s2b")), Seq("b_id"))
+      .filter(bit_count(col("s2a").bitwiseXOR(col("s2b"))) <= verifyHamming)
+      .select(col("a_id"), col("b_id"))
+    val star = sigs.join(groups, Seq("sig", "sig2"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a_id"), col("rep").as("b_id"))
+    Dedup.withClusterSize(Dedup.connectedComponents(spark, ids,
+      repPairs.unionByName(star)))
+  }
+
+  /** Mixed-corpus VERIFIED dedup groups: [[mediaDedupGroups]] with the
+    * round-19 second-family verify on every candidate pair. One
+    * signature pass ([[mediaSigs2]]); per-modality clustering in
+    * separate signature spaces; unsigned records label themselves. */
+  def mediaDedupGroupsVerified(spark: SparkSession,
+      records: Dataset[MediaRecord], maxHamming: Int = 3,
+      verifyHamming: Int = 6): DataFrame = {
+    val slim = mediaSigs2(records)
+      .select(col("id").as("doc_id"), col("modality"), col("sig"), col("sig2"))
+      .localCheckpoint(eager = false)
+    HashedModalities.toSeq.sorted.map { m =>
+      sigDedupGroupsVerified(spark,
+        slim.filter(col("modality") === m).select(col("doc_id")),
+        slim.filter(col("modality") === m && col("sig").isNotNull)
+          .select(col("doc_id"), col("sig"), col("sig2")),
+        maxHamming, verifyHamming)
+    }.reduce(_ unionByName _)
+      .unionByName(slim.filter(!col("modality").isin(HashedModalities.toSeq: _*))
+        .select(col("doc_id"), col("doc_id").as("cluster_id"),
+          lit(1L).as("cluster_size")))
+  }
+
   /** Mixed-corpus dedup groups: [[imageDedupGroups]] ∪
     * [[audioDedupGroups]] ∪ [[videoDedupGroups]], each modality
     * clustered in its own signature space; records of other modalities
@@ -734,41 +953,85 @@ object Multimodal {
     * near-dup NON-representative (cluster member with id above the
     * min), keeping one exemplar per perceptual cluster — the media
     * sibling of the text pipeline's exact/near-dup stages, with the
-    * same audited (kept, dropped) counts. Cost shape: signatures are a
-    * partition-wise map; each modality's band join runs rep-collapsed
-    * (img17/aud18-certified); the audit pays one count per stage row.
+    * same audited (kept, dropped) counts.
+    *
+    * Round 19 reshape (VERDICT r18 items 3 + 6):
+    *   - VERIFIED merges: every banded candidate pair must also agree in
+    *     the second, independently-constructed hash family within
+    *     `verifyHamming` bits ([[sigDedupGroupsVerified]]) — the
+    *     chance-merge guard the media18 cert priced (+18/+259/+964
+    *     single-family chance merges at 10⁵–10⁶ records; the measured
+    *     secondary-distance gap — plants ≤ 2 bits, chance ≥ 7 — lets
+    *     the k₂ = 6 cut kill them all). Identical payloads agree in
+    *     both families trivially, so planted recall is untouched
+    *     (spec + cert).
+    *   - SLIM audit: ONE partition-wise [[mediaSigs2]] pass hashes every
+    *     record (one decode each), and every audit count runs over the
+    *     checkpointed (id, modality, sig, sig2) frame — fingerprint
+    *     width, never payload bytes (the r18 verdict's "what's wrong"
+    *     item 2). Payloads are touched exactly twice: the hash pass and
+    *     the final kept semi-join.
     */
   def mediaDedupAudited(spark: SparkSession, records: Dataset[MediaRecord],
-      maxHamming: Int = 3): (Dataset[MediaRecord], Seq[Graft.StageCount]) = {
+      maxHamming: Int = 3, verifyHamming: Int = 6)
+      : (Dataset[MediaRecord], Seq[Graft.StageCount]) = {
+    val (kept, audit, _) =
+      mediaDedupLedgered(spark, records, maxHamming, verifyHamming)
+    (kept, audit)
+  }
+
+  /** [[mediaDedupAudited]] plus the per-record provenance ledger (round
+    * 19, VERDICT r18 item 4): (kept, audit, (doc_id, stage, verdict))
+    * where each input record gets exactly one ledger row — dropped at
+    * its modality's near-dup stage, or kept at pipeline end (the
+    * [[Graft.curationLedger]] semantics). The ledger reuses the
+    * checkpointed slim signature frame and the per-modality groups the
+    * audit already built — joins over fingerprint-width frames, zero
+    * extra decode or payload passes.
+    */
+  def mediaDedupLedgered(spark: SparkSession, records: Dataset[MediaRecord],
+      maxHamming: Int = 3, verifyHamming: Int = 6)
+      : (Dataset[MediaRecord], Seq[Graft.StageCount], DataFrame) = {
     import spark.implicits._
     val recs = records.localCheckpoint(eager = false)
-    val oth = recs.filter(r => !HashedModalities(r.modality))
+    val slim = mediaSigs2(recs)
+      .select(col("id").as("doc_id"), col("modality"), col("sig"), col("sig2"))
+      .localCheckpoint(eager = false)
     def reps(g: DataFrame): DataFrame =
       g.filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
-    val nIn = recs.count()
-    val byModality = Seq(
-      ("image_neardup", "image",
-        (d: Dataset[MediaRecord]) => imageDedupGroups(spark, d, maxHamming)),
-      ("audio_neardup", "audio",
-        (d: Dataset[MediaRecord]) => audioDedupGroups(spark, d, maxHamming)),
-      ("video_neardup", "video",
-        (d: Dataset[MediaRecord]) => videoDedupGroups(spark, d, maxHamming)))
-      .map { case (stage, m, groupsOf) =>
-        val sub = recs.filter(r => r.modality == m)
-        val groups = groupsOf(sub).localCheckpoint(eager = false)
-        (stage, reps(groups), sub.count() - reps(groups).count())
-      }
+    val nIn = slim.count()
+    val stageNames = Seq(
+      ("image_neardup", "image"), ("audio_neardup", "audio"),
+      ("video_neardup", "video"))
+    val byModality = stageNames.map { case (stage, m) =>
+      val sub = slim.filter(col("modality") === m)
+      val groups = sigDedupGroupsVerified(spark, sub.select(col("doc_id")),
+        sub.filter(col("sig").isNotNull)
+          .select(col("doc_id"), col("sig"), col("sig2")),
+        maxHamming, verifyHamming).localCheckpoint(eager = false)
+      val dropped = sub.select(col("doc_id"))
+        .join(reps(groups), Seq("doc_id"), "left_anti")
+      (stage, reps(groups), dropped, sub.count() - reps(groups).count())
+    }
     val keepIds = byModality.map(_._2)
       .reduce(_ unionByName _)
-      .unionByName(oth.map(_.id).toDF("doc_id"))
+      .unionByName(slim
+        .filter(!col("modality").isin(HashedModalities.toSeq: _*))
+        .select(col("doc_id")))
     val kept = recs.toDF().join(
         keepIds.withColumnRenamed("doc_id", "id"), Seq("id"), "left_semi")
       .as[MediaRecord]
     val audit = byModality.scanLeft(Graft.StageCount("input", nIn, 0L)) {
-      case (prev, (stage, _, dropped)) =>
+      case (prev, (stage, _, _, dropped)) =>
         Graft.StageCount(stage, prev.kept - dropped, dropped)
     }
-    (kept, audit)
+    val ledger = byModality.map { case (stage, _, dropped, _) =>
+      dropped.select(col("doc_id"), lit(stage).as("stage"),
+        lit("dropped").as("verdict"))
+    }.reduce(_ unionByName _)
+      .unionByName(keepIds.select(col("doc_id"),
+        lit(stageNames.last._1).as("stage"), lit("kept").as("verdict")))
+    (kept, audit, ledger)
   }
 
   /** Streaming media screen — the `curateStream` sibling for media
@@ -795,6 +1058,84 @@ object Multimodal {
         Seq("modality", "sig"), "left_anti")
       .select(col("id"), col("modality"), col("payload"), col("meta"))
       .as[MediaRecord]
+  }
+
+  /** The BANDED delivered-corpus signature frame the round-19 NEAR-match
+    * streaming screen joins against: (modality, band, key, sig) — every
+    * distinct (modality, sig) exploded into its maxHamming + 1 Manku
+    * bands ([[MinHash.bandKeys64]]). Write it (partitioned/appended)
+    * from the delivered corpus exactly like [[mediaSigFingerprints]];
+    * (maxHamming + 1)× the rows of the exact frame, still
+    * fingerprint-width.
+    */
+  def mediaSigBands(records: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame =
+    mediaSigFingerprints(records)
+      .select(col("modality"), col("sig"),
+        explode(MinHash.bandKeys64(col("sig"), maxHamming)).as("bk"))
+      .select(col("modality"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("sig"))
+
+  private[graft] final case class ScreenCand(id: Long, modality: String,
+      payload: Array[Byte], meta: MediaMeta, matched: Boolean)
+
+  /** Streaming NEAR-match media screen (round 19, VERDICT r18 item 5):
+    * drop arrivals within `maxHamming` bits of ANY delivered signature
+    * of the same modality — the stateful upgrade over
+    * [[mediaDedupStream]]'s exact-64-bit screen (which admits a 1-bit
+    * re-encode by design). Shape: arrivals hash partition-wise, each
+    * sig explodes into its maxHamming + 1 band keys, a stream-STATIC
+    * left-outer join on (modality, band, key) surfaces candidate corpus
+    * sigs (pigeonhole: a true ≤ k-bit match MUST share a band), each
+    * candidate verifies `bit_count(xor) ≤ k`, and a
+    * flatMapGroupsWithState keyed by arrival id (the E8 machinery —
+    * per-batch groups, no state retained, NoTimeout) admits the record
+    * iff NO candidate verified. NULL-sig arrivals band as (-1, 0),
+    * which joins nothing and passes through (the exact screen's
+    * convention). Works identically on a batch frame, which is how the
+    * spec pins stream ≡ batch ≡ the sigNearDupPairs verdicts.
+    *
+    * Cost note: the payload rides the (maxHamming + 1) band rows into
+    * the join and the group shuffle — acceptable for a screen stage; a
+    * payload-free variant would need a second stream-stream join by id,
+    * which Structured Streaming prices higher than the ride.
+    */
+  def mediaDedupStreamNear(arrivals: Dataset[MediaRecord],
+      corpusBands: DataFrame, maxHamming: Int = 3): Dataset[MediaRecord] = {
+    import arrivals.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val nullBand = array(struct(lit(-1).as("band"), lit(0L).as("key")))
+    val banded = mediaSigs(arrivals)
+      .select(col("id"), col("modality"), col("payload"), col("meta"),
+        col("sig"),
+        explode(when(col("sig").isNotNull,
+          MinHash.bandKeys64(col("sig"), maxHamming)).otherwise(nullBand))
+          .as("bk"))
+      .select(col("id"), col("modality"), col("payload"), col("meta"),
+        col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val joined = banded
+      .join(corpusBands.select(col("modality"), col("band"), col("key"),
+        col("sig").as("corpus_sig")), Seq("modality", "band", "key"),
+        "left_outer")
+      .select(col("id"), col("modality"), col("payload"), col("meta"),
+        (col("corpus_sig").isNotNull &&
+          bit_count(col("sig").bitwiseXOR(col("corpus_sig"))) <= maxHamming)
+          .as("matched"))
+      .as[ScreenCand]
+    joined.groupByKey(_.id)
+      .flatMapGroupsWithState[Boolean, MediaRecord](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, _) =>
+          var first: ScreenCand = null
+          var hit = false
+          rows.foreach { r =>
+            if (first == null) first = r
+            if (r.matched) hit = true
+          }
+          if (hit) Iterator.empty
+          else Iterator.single(
+            MediaRecord(first.id, first.modality, first.payload, first.meta))
+      }
   }
 
   final case class FrameSample(id: Long, frameIdx: Int, checksum: Long)

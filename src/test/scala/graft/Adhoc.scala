@@ -2867,6 +2867,179 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("media19")) {
+      // Round-19 over-merge-verify certification (VERDICT r18 item 3):
+      // the media18 corpus (770k mixed records — 300k stub images +
+      // 100k dented twins, 200k real WAVs + 50k copies, 100k stub
+      // videos + 20k one-cell dents) through the VERIFIED stage.
+      // Binding asserts: (a) planted recall stays EXACT — the verify
+      // never removes a true near-dup edge (twins/copies perturb both
+      // families locally); (b) the chance-merge mass the r18 cert
+      // priced (+18/+259/+964 at these sizes, primary-family-only)
+      // COLLAPSES under the two-family requirement — each modality's
+      // extra merges must drop to ≤10% of the unverified count (the
+      // product floor predicts ~0); (c) the audited stage ≡ the
+      // standalone verified groups' reps, checksum-equal, rerun-stable.
+      import spark.implicits._
+      def payload(seed: Long, nBytes: Int): Array[Byte] =
+        Array.tabulate(nBytes) { j =>
+          var v = seed * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (v % 256).toByte
+        }
+      val imgMeta = Multimodal.MediaMeta("fake/raw", 9, 8)
+      val img = spark.range(0, 300000L).as[Long]
+        .map(i => Multimodal.MediaRecord(i, "image", payload(i, 720), imgMeta))
+      val imgTwins = spark.range(0, 300000L).as[Long].filter(_ % 3 == 0)
+        .map { i =>
+          val b = payload(i, 720)
+          (100 until 110).foreach(k => b(k) = 250.toByte)
+          Multimodal.MediaRecord(10000000L + i, "image", b, imgMeta)
+        }
+      val wavMeta = Multimodal.MediaMeta("audio/wav", 0, 0)
+      def wav(i: Long): Array[Byte] = {
+        import javax.sound.sampled._
+        val frames = 650
+        val pcm = payload(i, frames * 2)
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val aud = spark.range(0, 200000L).as[Long]
+        .map(i => Multimodal.MediaRecord(20000000L + i, "audio", wav(i), wavMeta))
+      val audCopies = spark.range(0, 200000L).as[Long].filter(_ % 4 == 0)
+        .map(i => Multimodal.MediaRecord(30000000L + i, "audio", wav(i), wavMeta))
+      val vidMeta = Multimodal.MediaMeta("video/mp4", 0, 0)
+      val fb = Multimodal.VideoFrameBytes
+      val vid = spark.range(0, 100000L).as[Long]
+        .map(i => Multimodal.MediaRecord(40000000L + i, "video",
+          payload(i * 31 + 7, 65 * fb), vidMeta))
+      val vidDents = spark.range(0, 100000L).as[Long].filter(_ % 5 == 0)
+        .map { i =>
+          val b = payload(i * 31 + 7, 65 * fb)
+          (10 * fb until 11 * fb).foreach(k => b(k) = 0xFF.toByte)
+          Multimodal.MediaRecord(50000000L + i, "video", b, vidMeta)
+        }
+      val recs = img.unionByName(imgTwins).unionByName(aud)
+        .unionByName(audCopies).unionByName(vid).unionByName(vidDents)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC media19 corpus=${recs.count()}")
+      var keptChecksum = 0L
+      var keptN = 0L
+      var audit: Seq[Graft.StageCount] = null
+      time("media19 verified stage") {
+        val (k, a) = Graft.mediaDedupAudited(spark, recs, maxHamming = 3,
+          verifyHamming = 6)
+        audit = a
+        val agg = k.toDF().agg(count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("id"))).as("x")).head()
+        keptN = agg.getLong(0); keptChecksum = agg.getLong(1)
+        keptN
+      }
+      println(s"ADHOC media19 audit=$audit")
+      val byStage = audit.map(a => a.stage -> a.dropped).toMap
+      assert(audit.head.kept == 770000L)
+      val vGroups = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+        .localCheckpoint(eager = true)
+      // (a) planted recall EXACT under the verify
+      def recall(g: DataFrame, twinLo: Long, twinHi: Long, off: Long): Long =
+        g.as("t").filter(col("t.doc_id").between(twinLo, twinHi))
+          .join(g.as("b").withColumnRenamed("doc_id", "base_id")
+            .withColumnRenamed("cluster_id", "base_cluster"),
+            col("t.doc_id") - off === col("base_id"))
+          .filter(col("t.cluster_id") === col("base_cluster")).count()
+      val rImg = recall(vGroups, 10000000L, 19999999L, 10000000L)
+      val rAud = recall(vGroups, 30000000L, 39999999L, 10000000L)
+      val rVid = recall(vGroups, 50000000L, 59999999L, 10000000L)
+      println(s"ADHOC media19 planted_recall img=$rImg aud=$rAud vid=$rVid")
+      assert(rImg == 100000L && rAud == 50000L && rVid == 20000L,
+        s"verify removed a planted edge: $rImg/$rAud/$rVid")
+      // (b) chance merges collapse vs the single-family baseline
+      val uGroups = Multimodal.mediaDedupGroups(spark, recs, 3)
+        .localCheckpoint(eager = true)
+      def extraOf(g: DataFrame, lo: Long, hi: Long, want: Long): Long = {
+        val rows = g.filter(col("doc_id").between(lo, hi)).count()
+        val reps = g.filter(col("doc_id").between(lo, hi) &&
+          col("doc_id") === col("cluster_id")).count()
+        rows - reps - want
+      }
+      val spans = Seq(("image", 0L, 19999999L, 100000L),
+        ("audio", 20000000L, 39999999L, 50000L),
+        ("video", 40000000L, 59999999L, 20000L))
+      // print every modality BEFORE asserting so one failure never hides
+      // the other numbers; the k2 = 6 cut comes from the media19probe
+      // measurement (planted local edits ≤ 2 secondary bits, chance
+      // collisions ≥ 7 — a clean gap, not an independence assumption)
+      val merged = spans.map { case (m, lo, hi, want) =>
+        val u = extraOf(uGroups, lo, hi, want)
+        val v = extraOf(vGroups, lo, hi, want)
+        println(s"ADHOC media19 chance_merges $m unverified=+$u verified=+$v")
+        (m, u, v)
+      }
+      merged.foreach { case (m, u, v) =>
+        assert(v >= 0 && v <= math.max(2L, u / 10),
+          s"$m verify did not collapse chance merges: $v vs $u")
+      }
+      // (c) stage ≡ standalone verified groups' reps + rerun determinism
+      val wantReps = vGroups.filter(col("doc_id") === col("cluster_id"))
+        .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+      assert(wantReps.getLong(0) == keptN && wantReps.getLong(1) == keptChecksum,
+        "stage kept set != standalone verified groups reps")
+      val (k2, _) = Graft.mediaDedupAudited(spark, recs, maxHamming = 3,
+        verifyHamming = 6)
+      val got2 = k2.toDF().agg(bit_xor(xxhash64(col("id")))).head().getLong(0)
+      assert(got2 == keptChecksum, "rerun kept set drifted")
+      println(s"ADHOC media19 kept=$keptN checksum=$keptChecksum " +
+        s"dropped_img=${byStage("image_neardup")} " +
+        s"aud=${byStage("audio_neardup")} vid=${byStage("video_neardup")}")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("media19probe")) {
+      // Scratch: secondary-distance distribution of primary-colliding
+      // image pairs (chance vs planted) — evidence for the verify k2 cut.
+      import spark.implicits._
+      def payload(seed: Long, nBytes: Int): Array[Byte] =
+        Array.tabulate(nBytes) { j =>
+          var v = seed * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (v % 256).toByte
+        }
+      val imgMeta = Multimodal.MediaMeta("fake/raw", 9, 8)
+      val img = spark.range(0, 300000L).as[Long]
+        .map(i => Multimodal.MediaRecord(i, "image", payload(i, 720), imgMeta))
+      val imgTwins = spark.range(0, 300000L).as[Long].filter(_ % 3 == 0)
+        .map { i =>
+          val b = payload(i, 720)
+          (100 until 110).foreach(k => b(k) = 250.toByte)
+          Multimodal.MediaRecord(10000000L + i, "image", b, imgMeta)
+        }
+      val recs = img.unionByName(imgTwins).localCheckpoint(eager = true)
+      val slim = Multimodal.mediaSigs2(recs)
+        .select(col("id").as("doc_id"), col("sig"), col("sig2"))
+        .localCheckpoint(eager = true)
+      val groups = slim.groupBy(col("sig"), col("sig2"))
+        .agg(min(col("doc_id")).as("rep"))
+      val s2 = groups.select(col("rep"), col("sig2"))
+      val pairs = MinHash.hammingPairs64(
+          groups.select(col("rep").as("doc_id"), col("sig")), 3)
+        .join(s2.select(col("rep").as("a_id"), col("sig2").as("s2a")), Seq("a_id"))
+        .join(s2.select(col("rep").as("b_id"), col("sig2").as("s2b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          bit_count(col("s2a").bitwiseXOR(col("s2b"))).as("h2"),
+          (col("b_id") - col("a_id") === 10000000L).as("planted"))
+      pairs.groupBy(col("planted"), col("h2")).count()
+        .orderBy(col("planted"), col("h2"))
+        .collect().foreach(r => println(
+          s"ADHOC media19probe planted=${r.getBoolean(0)} h2=${r.getInt(1)} n=${r.getLong(2)}"))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("mix18")) {
       // Composed-manifest certification (round 18): 10M docs through the
       // FULL Graft.mixManifest chain (F33 budget fill → F34 epoch copies

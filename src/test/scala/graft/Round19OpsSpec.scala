@@ -186,6 +186,249 @@ class Round19OpsSpec extends SparkSpec {
       l.contains("*(") && l.contains("lm_score")), plan.take(500))
   }
 
+  // ---- media over-merge verify stage (VERDICT r18 item 3) -----------------
+
+  private val vidMeta = Multimodal.MediaMeta("video/mp4", 0, 0)
+  private def vidOf(frames: Seq[Int]): Array[Byte] =
+    frames.flatMap(v =>
+      Array.fill(Multimodal.VideoFrameBytes)(v.toByte)).toArray
+
+  /** Two DIFFERENT 130-frame videos engineered to collide on the primary
+    * envelope (every 2-frame cell averages 20 in both → sig = 0) while
+    * their DERIVATIVE envelopes differ widely: A's |deltas| are constant
+    * 20 (alternating 10, 30), B's octet pattern [0,40,0,40,40,0,40,0]
+    * yields deltas [40,40,40,0,40,40,40,0] whose cells oscillate — the
+    * chance-merge shape the single-family r18 cert measured (+964 video
+    * merges at 10⁵–10⁶). */
+  private def primaryCollisionPair: (Array[Byte], Array[Byte]) = {
+    val a = Seq.tabulate(130)(f => if (f % 2 == 0) 10 else 30)
+    val octet = Seq(0, 40, 0, 40, 40, 0, 40, 0)
+    val b = Seq.tabulate(130)(f => octet(f % 8))
+    (vidOf(a), vidOf(b))
+  }
+
+  test("media verify: an engineered primary-family collision no longer merges") {
+    val (pa, pb) = primaryCollisionPair
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video", pa, vidMeta),
+      Multimodal.MediaRecord(2L, "video", pb, vidMeta)).toDS()
+    // the two payloads DO collide on the primary family (the hazard)
+    val sigs = Multimodal.mediaSigs2(recs).orderBy("id")
+      .select("sig", "sig2").collect()
+    assert(sigs(0).getLong(0) === sigs(1).getLong(0), "primary must collide")
+    assert(java.lang.Long.bitCount(
+      sigs(0).getLong(1) ^ sigs(1).getLong(1)) > 10, "secondary must differ")
+    // single-family groups merge them; verified groups keep them apart
+    val unverified = Multimodal.mediaDedupGroups(spark, recs, 3)
+      .agg(max(col("cluster_size"))).head().getLong(0)
+    val verified = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+      .agg(max(col("cluster_size"))).head().getLong(0)
+    assert(unverified === 2L && verified === 1L)
+    // and the audited stage (verify on by default) keeps BOTH exemplars
+    val (kept, audit) = Graft.mediaDedupAudited(spark, recs)
+    assert(kept.collect().map(_.id).toSet === Set(1L, 2L))
+    assert(audit.last.kept === 2L)
+  }
+
+  test("media verify never removes a planted TRUE near-dup edge") {
+    // plants: byte-copy video, a one-cell frame dent (the r18 shape:
+    // ≤2 primary bits, and ≤3 offset-phase bits — local edits stay
+    // local in BOTH families), plus an unsigned sub-frame record
+    val fb = Multimodal.VideoFrameBytes
+    val base = Array.tabulate[Byte](130 * fb)(i => ((i * 37 + 11) % 251).toByte)
+    val dented = base.clone()
+    (20 * fb until 22 * fb).foreach(i => dented(i) = 0xFF.toByte)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video", base, vidMeta),
+      Multimodal.MediaRecord(2L, "video", base.clone(), vidMeta),
+      Multimodal.MediaRecord(3L, "video", dented, vidMeta),
+      Multimodal.MediaRecord(4L, "video", Array.tabulate[Byte](64)(_.toByte),
+        vidMeta)).toDS()
+    val groups = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L,
+      groups.toString) // copy AND dent both verified into the cluster
+    assert(groups(4L) === 4L) // unsigned labels itself
+  }
+
+  // ---- F19f auto-order decision rule (VERDICT r18 item 7) -----------------
+
+  /** Vocab-8 pseudo-random corpus: exact type counts ~8/64/512/4096 at
+    * orders 1..4 — wide gaps so the occupancy inversion's ±few-% error
+    * cannot move the cut. */
+  private lazy val autoCorpus: Seq[(Long, String)] = (0L until 2000L).map { i =>
+    val toks = (0 until 20).map { j =>
+      // full fmix64 — a weak mixer here leaves the token stream
+      // structured and collapses the engineered type-count gaps
+      var v = i * 1000003L + j * 7919L
+      v ^= v >>> 33; v *= -49064778989728563L
+      v ^= v >>> 33; v *= -4265267296055464877L
+      v ^= v >>> 33
+      s"w${((v % 8) + 8) % 8}"
+    }
+    (i, toks.mkString(" "))
+  }
+
+  private def exactTypes(o: Int): Long =
+    autoCorpus.flatMap(_._2.split(" ", -1).sliding(o).filter(_.size == o)
+      .map(_.mkString(" "))).distinct.size.toLong
+
+  test("lmAutoOrder picks the deepest order under the type budget") {
+    val df = autoCorpus.toDF("doc_id", "text")
+    val (t3, t4) = (exactTypes(3), exactTypes(4))
+    assert(t3 * 2 < t4, s"need a wide gap, got $t3/$t4") // engineered
+    val budget = (t3 + t4) / 2
+    // budget between types(3) and types(4) → order 3; generous → 4;
+    // below types(2) → the order-2 floor
+    assert(TextOps.lmAutoOrder(df, 4, budget, 16384) === 3)
+    assert(TextOps.lmAutoOrder(df, 4, t4 * 4, 16384) === 4)
+    assert(TextOps.lmAutoOrder(df, 4, exactTypes(2) / 2, 16384) === 2)
+    // a FULLY saturated level estimates ∞ and blocks every deeper order
+    // even under an unbounded budget (512 trigram types over 32 buckets)
+    assert(TextOps.lmAutoOrder(df, 4, Long.MaxValue / 2, 32) === 2)
+    // a tiny cyclic language never saturates → maxOrder wins
+    val cyc = (0L until 50L)
+      .map(i => (i, (0 until 30).map(j => s"s${(i + j) % 10}").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextOps.lmAutoOrder(cyc, 5, 64, 1024) === 5)
+  }
+
+  test("ngramLmFitAuto and ccnetBucketsAuto thread the decision") {
+    val df = autoCorpus.toDF("doc_id", "text")
+    val budget = (exactTypes(3) + exactTypes(4)) / 2
+    val lm = TextOps.ngramLmFitAuto(df, 4, budget, 16384)
+    assert(lm.order === 3)
+    val withLang = df.withColumn("lang", lit("en"))
+    val cut = TextOps.ccnetBucketsAuto(withLang, maxOrder = 4,
+      typeBudget = budget, buckets = 16384).localCheckpoint()
+    assert(cut.select("lm_order").head().getInt(0) === 3)
+    assert(cut.count() === 2000L)
+    // the cut's NLL at the chosen order ≡ the standalone F19e scorer
+    val want = TextOps.lmNgramScores(withLang, 3, 16384)
+      .select(col("doc_id"), col("nll_micros"))
+    assert(cut.select(col("doc_id"), col("nll_micros"))
+      .exceptAll(want).count() === 0L)
+  }
+
+  // ---- banded NEAR-match streaming media screen (VERDICT r18 item 5) ------
+
+  test("mediaDedupStreamNear screens 1-3-bit re-encodes the exact screen admits") {
+    val fb = Multimodal.VideoFrameBytes
+    def vid(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](130 * fb)(i => ((i * 37 + seed) % 251).toByte)
+    val base = vid(11)
+    val dented = base.clone() // a 1-3-bit near re-encode of the base
+    (20 * fb until 22 * fb).foreach(i => dented(i) = 0xFF.toByte)
+    val delivered = Seq(
+      Multimodal.MediaRecord(1L, "video", base, vidMeta)).toDS()
+    val arrivals = Seq(
+      Multimodal.MediaRecord(10L, "video", base.clone(), vidMeta), // exact
+      Multimodal.MediaRecord(11L, "video", dented, vidMeta), // near, ≤3 bits
+      Multimodal.MediaRecord(12L, "video", vid(99), vidMeta), // fresh
+      Multimodal.MediaRecord(13L, "video", Array.tabulate[Byte](64)(_.toByte),
+        vidMeta), // NULL sig — passes through
+      Multimodal.MediaRecord(14L, "image", base.clone(),
+        Multimodal.MediaMeta("fake/raw", 9, 8))) // other modality: isolated
+    val bands = Graft.mediaSigBands(delivered, 3).localCheckpoint()
+    // ground truth from the brute verdicts: admitted iff NULL sig or no
+    // delivered same-modality sig within 3 bits
+    val deliveredSigs = Multimodal.mediaSigs(delivered)
+      .select("modality", "sig").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Multimodal.mediaSigs(arrivals.toDS())
+      .select("id", "modality", "sig").collect().collect {
+        case r if r.isNullAt(2) => r.getLong(0)
+        case r if !deliveredSigs.exists { case (m, s) =>
+          m == r.getString(1) &&
+            java.lang.Long.bitCount(s ^ r.getLong(2)) <= 3 } => r.getLong(0)
+      }.toSet
+    assert(want === Set(12L, 13L, 14L), want.toString)
+    // batch form (how the contract is pinned)
+    val batch = Multimodal.mediaDedupStreamNear(arrivals.toDS(), bands, 3)
+      .collect().map(_.id).toSet
+    assert(batch === want, batch.toString)
+    // the exact screen ADMITS the 1-3-bit re-encode (the gap this closes)
+    val exact = Multimodal.mediaDedupStream(arrivals.toDS(),
+      Graft.mediaSigFingerprints(delivered))
+      .collect().map(_.id).toSet
+    assert(exact === want + 11L, exact.toString)
+    // MemoryStream run ≡ batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val q = Multimodal.mediaDedupStreamNear(in.toDS(), bands, 3)
+      .writeStream.format("memory").queryName("media_near19")
+      .outputMode("append").start()
+    in.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("media_near19")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamed === want, streamed.toString)
+  }
+
+  // ---- per-doc provenance ledger (VERDICT r18 item 4) ---------------------
+
+  test("curateCorpusLedgered: ledger reconciles exactly with the audit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (3L, "tiny"), // dies at quality gate (minTokens)
+      (4L, "a perfectly fine unique document with many words inside it"),
+      (5L, "contains the forbidden marker phrase right here ok ok ok"),
+      (6L, null.asInstanceOf[String])) // pre-input, never in the ledger
+      .toDF("doc_id", "text")
+    val (_, audit, ledger) = Graft.curateCorpusLedgered(spark, docs,
+      screenPhrases = Seq("forbidden marker"),
+      quality = Graft.QualityGate(minTokens = 5, maxTokens = 1000,
+        maxStopwordRatio = 1.0))
+    val led = ledger.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exactly one row per input doc (null-text doc 6 is pre-input)
+    assert(led.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val byDoc = led.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc(2L) === (("exact_dedup", "dropped")))
+    assert(byDoc(3L) === (("quality_gate", "dropped")))
+    assert(byDoc(5L) === (("contamination", "dropped")))
+    assert(byDoc(1L)._2 === "kept" && byDoc(4L)._2 === "kept")
+    // ledger counts reconcile with StageCounts EXACTLY
+    val droppedByStage = led.filter(_._3 == "dropped")
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    audit.tail.foreach { sc =>
+      assert(droppedByStage.getOrElse(sc.stage, 0L) === sc.dropped,
+        s"stage ${sc.stage}")
+    }
+    assert(led.count(_._3 == "kept").toLong === audit.last.kept)
+  }
+
+  test("mediaDedupLedgered: ledger reconciles with the media audit") {
+    val fb = Multimodal.VideoFrameBytes
+    val base = Array.tabulate[Byte](130 * fb)(i => ((i * 37 + 11) % 251).toByte)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video", base, vidMeta),
+      Multimodal.MediaRecord(2L, "video", base.clone(), vidMeta), // dup of 1
+      Multimodal.MediaRecord(3L, "video",
+        Array.tabulate[Byte](130 * fb)(i => ((i * 53 + 5) % 241).toByte),
+        vidMeta),
+      Multimodal.MediaRecord(4L, "text",
+        "no hash family".getBytes("UTF-8"),
+        Multimodal.MediaMeta("text/plain", 0, 0))).toDS()
+    val (kept, audit, ledger) = Multimodal.mediaDedupLedgered(spark, recs)
+    val led = ledger.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(led.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    val byDoc = led.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc(2L) === (("video_neardup", "dropped")))
+    assert(byDoc(1L)._2 === "kept" && byDoc(3L)._2 === "kept" &&
+      byDoc(4L)._2 === "kept")
+    assert(kept.collect().map(_.id).toSet ===
+      led.filter(_._3 == "kept").map(_._1).toSet)
+    val droppedByStage = led.filter(_._3 == "dropped")
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    audit.tail.foreach(sc =>
+      assert(droppedByStage.getOrElse(sc.stage, 0L) === sc.dropped))
+  }
+
   test("F58 curation stage: html_extract fronts the audited pipeline") {
     val docs = Seq(
       (1L, "<p>the quick brown fox jumps over the lazy dog</p>" +
