@@ -1068,6 +1068,10 @@ object Graft {
     * (S3-in → curated → Kinesis-out) as ONE streaming DataFrame over
     * (doc_id: Long, ts: Timestamp, text: String) rows:
     *
+    *  -1. HTML extraction (when `html` is given, round 19) — the F58
+    *     front door as the per-row `html_extract` kernel: arriving text
+    *     is page HTML, boilerplate blocks drop, block-less pages drop
+    *     whole; stateless, identical rules to the batch stage
     *  0. unicode normalization (when `normalize` is given) — the F27
     *     canonical fold, per-row kernels, stateless (same stage-0 spot
     *     as the batch pipeline)
@@ -1129,14 +1133,30 @@ object Graft {
       classifier: Option[ClassifierGate] = None,
       corpusFp: Option[DataFrame] = None,
       calibrated: Option[CalibratedKeep] = None,
-      dsir: Option[DsirKeep] = None): DataFrame = {
+      dsir: Option[DsirKeep] = None,
+      html: Option[HtmlExtract] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
-    // F27 first, exactly like the batch order: downstream gates, the
+    // round-19 F58 stage FIRST, exactly like the batch order: when
+    // `html` is given the arriving text IS page HTML — the `html_extract`
+    // kernel runs the whole pinned block model per-row (stateless,
+    // stream-safe; the relational form's per-page rollup is a local loop
+    // here), pages with no block structure drop (NULL kernel result ≡
+    // the batch stage's no-row contract), survivors continue with the
+    // boilerplate-free clean text
+    val paged = html.fold(docs) { hx =>
+      docs.withColumn("__hx", call_function("html_extract", col("text"),
+          lit(hx.minWords), lit(hx.maxLinkMillionths)))
+        .filter(col("__hx").isNotNull)
+        .withColumn("text", col("__hx").getField("clean_text"))
+        .drop("__hx")
+    }
+    // F27 next, exactly like the batch order: downstream gates, the
     // suppressor's MinHash state, and the sink payload all see ONE
     // canonical rendering (per-row kernels — stateless, stream-safe)
-    val normed = normalize.fold(docs)(nz => docs.withColumn("text", nz(col("text"))))
+    val normed = normalize.fold(paged)(nz =>
+      paged.withColumn("text", nz(col("text"))))
     val qualFiltered = normed
       .filter(col("text").isNotNull && qualityPredicate(quality))
     // round-16 calibrated gate (F44 fit→freeze): per-source top-q%
@@ -1242,11 +1262,12 @@ object Graft {
       classifier: Option[ClassifierGate] = None,
       corpusFp: Option[DataFrame] = None,
       calibrated: Option[CalibratedKeep] = None,
-      dsir: Option[DsirKeep] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      dsir: Option[DsirKeep] = None,
+      html: Option[HtmlExtract] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
       watermarkDelay, useTws, twsTtl, normalize, langGate, classifier,
-      corpusFp, calibrated, dsir)
+      corpusFp, calibrated, dsir, html)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)

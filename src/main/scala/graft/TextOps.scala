@@ -2807,7 +2807,9 @@ object TextOps {
     val docs = documents(s, d)
     val scored = lmTrigramScores(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .localCheckpoint()
+      // lazy (round 19, advice): no job at construction; the first
+      // calibration reference materializes it, the other ~2 reuse it
+      .localCheckpoint(eager = false)
     scoreCalibration(scored, "nll_micros", sourceCol = "lang")
       .select(col("doc_id"), col("lang"),
         col("score").cast("long").as("nll_micros"), col("pct_millionths"),
@@ -2838,7 +2840,7 @@ object TextOps {
     val order = lmAutoOrder(docs, maxOrder, typeBudget, buckets)
     val scored = lmNgramScores(docs, order, buckets)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     scoreCalibration(scored, "nll_micros", sourceCol = "lang")
       .select(col("doc_id"), col("lang"),
         col("score").cast("long").as("nll_micros"), col("pct_millionths"),

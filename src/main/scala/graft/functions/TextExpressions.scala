@@ -1358,3 +1358,134 @@ case class GramSum(child: Expression, model: GramTable, nLow: Int, nHigh: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Driver-held HTML extraction rules for the `html_extract` kernel
+  * (SURVEY §2.F F58, round 19): the ENTIRE pinned block model of
+  * [[graft.Html]] — script/style strip, block segmentation, link
+  * density, entity decode, verdict lattice, kept-text rollup — as ONE
+  * per-row function, so the curation STREAM gets the same HTML front
+  * door as the batch pipeline (the relational form needs a per-page
+  * groupBy, which a stateless stream stage cannot run; one page is one
+  * row here, so the "rollup" is a local loop). Spec-pinned equal to
+  * [[graft.Html.htmlExtract]] row-for-row, byte-for-byte.
+  *
+  * Parity notes (the same two engines-must-agree traps the relational
+  * form pins): character counts are Unicode CODE POINTS
+  * (`codePointCount`, = Spark `length()`), never UTF-16 units; trim
+  * removes only 0x20 (Spark `trim()`), not Java's ≤0x20; all regexes
+  * are the RE2∩Java subset the Html object pins.
+  */
+final class HtmlCleaner(val minWords: Int, val maxLinkMillionths: Long)
+    extends Serializable {
+  import java.util.regex.Pattern
+  private val alt = "p|div|li|h1|h2|nav|footer|header|aside"
+  @transient private lazy val scriptRe =
+    Pattern.compile("(?s)<script(?:>|[ ][^>]*>).*?</script>")
+  @transient private lazy val styleRe =
+    Pattern.compile("(?s)<style(?:>|[ ][^>]*>).*?</style>")
+  @transient private lazy val closeSplitRe = Pattern.compile(s"</(?:$alt)>")
+  @transient private lazy val openTagRe =
+    Pattern.compile(s"<($alt)(?:>|[ ][^>]*>)")
+  @transient private lazy val openStripRe =
+    Pattern.compile(s"(?s)^.*?<(?:$alt)(?:>|[ ][^>]*>)")
+  @transient private lazy val anchorRe =
+    Pattern.compile("(?s)<a(?:>|[ ][^>]*>)([^<]*)</a>")
+  @transient private lazy val tagRe = Pattern.compile("<[^>]*>")
+  @transient private lazy val wsRe = Pattern.compile("[ \t\n\r]+")
+  private val chrome = Set("nav", "footer", "header", "aside")
+
+  private def trimSpaces(s: String): String = {
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi)
+  }
+
+  /** (n_blocks, n_content, clean_text) for one page; null when the page
+    * has no block fragment (the relational form's no-row contract). */
+  def extract(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s0 = html.toString
+    val stripped =
+      styleRe.matcher(scriptRe.matcher(s0).replaceAll("")).replaceAll("")
+    val frags = closeSplitRe.split(stripped, -1)
+    var nBlocks = 0L
+    var nContent = 0L
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < frags.length) {
+      val frag = frags(i)
+      val m = openTagRe.matcher(frag)
+      if (m.find()) {
+        nBlocks += 1
+        val tag = m.group(1)
+        val content = openStripRe.matcher(frag).replaceFirst("")
+        var linkChars = 0L
+        val am = anchorRe.matcher(content)
+        while (am.find()) {
+          val a = am.group(1)
+          linkChars += a.codePointCount(0, a.length)
+        }
+        val text = trimSpaces(wsRe.matcher(
+          tagRe.matcher(content).replaceAll(" ")
+            .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+            .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&"))
+          .replaceAll(" "))
+        val textChars = text.codePointCount(0, text.length).toLong
+        val words =
+          if (text.isEmpty) 0L else text.split(" ", -1).length.toLong
+        val density =
+          if (textChars == 0L) 1000000L
+          else math.min(1000000L, linkChars * 1000000L / textChars)
+        val isContent = !chrome(tag) && textChars > 0L &&
+          density <= maxLinkMillionths && words >= minWords
+        if (isContent) {
+          if (nContent > 0L) sb.append('\n')
+          sb.append(text)
+          nContent += 1
+        }
+      }
+      i += 1
+    }
+    if (nBlocks == 0L) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nBlocks, nContent, UTF8String.fromString(sb.toString)))
+  }
+}
+
+/** `html_extract(html, min_words, max_link_millionths)` →
+  * struct<n_blocks:bigint, n_content:bigint, clean_text:string>, NULL
+  * when the page has no block structure: the F58 extraction as a
+  * zero-shuffle per-row kernel — the streaming front door (the
+  * relational [[graft.Html.htmlExtract]] is the batch/graded form,
+  * spec-pinned equal).
+  */
+case class HtmlExtractKernel(child: Expression, cleaner: HtmlCleaner)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_extract requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_content", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_extract"
+
+  override def nullSafeEval(input: Any): Any =
+    cleaner.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("htmlCleaner", cleaner,
+      classOf[HtmlCleaner].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow graftHxR = $mRef.extract($c);
+      if (graftHxR == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftHxR; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

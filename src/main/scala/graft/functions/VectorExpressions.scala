@@ -574,6 +574,15 @@ object VectorFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue())
       }, "built-in")
+    // F58 streaming front door (round 19): the whole pinned HTML block
+    // model as one per-row kernel — struct(n_blocks, n_content,
+    // clean_text), NULL for block-less pages; spec-pinned equal to the
+    // relational Html.htmlExtract
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_extract", (exprs: Seq[Expression]) =>
+        HtmlExtractKernel(exprs.head, new HtmlCleaner(
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].longValue())), "built-in")
     // PQ kernels: codebook/m/ksub are foldable literals, evaluated once
     // here (the minhash_sig pattern) so the expression holds a plain
     // float[] that codegen references instead of re-evaluating per row

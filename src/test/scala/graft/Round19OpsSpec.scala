@@ -90,6 +90,71 @@ class Round19OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, "p")))
   }
 
+  test("html_extract kernel ≡ the relational htmlExtract (planted + corpus)") {
+    graft.functions.VectorFunctions.register(spark)
+    def kernelOf(pages: org.apache.spark.sql.DataFrame) = pages
+      .withColumn("__hx", call_function("html_extract", col("html"),
+        lit(3), lit(200000L)))
+      .filter(col("__hx").isNotNull)
+      .select(col("doc_id"), col("__hx").getField("n_blocks").as("n_blocks"),
+        col("__hx").getField("n_content").as("n_content"),
+        col("__hx").getField("clean_text").as("clean_text"))
+    // the planted page byte-for-byte
+    val planted = Seq((1L, plantedHtml)).toDF("doc_id", "html")
+    val k = kernelOf(planted).collect().head
+    val r = Html.htmlExtract(planted).collect().head
+    assert(k.getLong(1) === r.getAs[Long]("n_blocks"))
+    assert(k.getLong(2) === r.getAs[Long]("n_content"))
+    assert(k.getString(3) === r.getAs[String]("clean_text"))
+    // the whole manufactured sf0.001 corpus, row-for-row (incl. the
+    // no-block drop contract: same doc_id sets)
+    val pages = Html.syntheticPages(spark, sf001)
+      .unionByName(Seq((999999L, "no blocks at all"),
+        (999998L, null.asInstanceOf[String])).toDF("doc_id", "html"))
+    val want = Html.htmlExtract(pages)
+      .select("doc_id", "n_blocks", "n_content", "clean_text")
+    assert(kernelOf(pages).exceptAll(want).count() === 0L)
+    assert(want.exceptAll(kernelOf(pages)).count() === 0L)
+  }
+
+  test("curateStream html stage ≡ the batch front door (admitted text)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq(
+      (1L, "<p>the quick brown fox jumps over the lazy dog</p>" +
+        "<nav><a href=\"/\">chrome here should vanish now</a></nav>"),
+      (2L, "block-less page that must drop whole"),
+      (3L, "<div>another unique page with plenty of words</div>"))
+      .map { case (id, t) =>
+        (id, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), t)
+      }
+    val batch = Graft.curateStream(
+      docs.toDF("doc_id", "ts", "text"), Nil,
+      quality = Graft.QualityGate(minTokens = 3, maxTokens = 1000,
+        maxStopwordRatio = 1.0),
+      html = Some(Graft.HtmlExtract()))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch.keySet === Set(1L, 3L))
+    assert(batch(1L) === "the quick brown fox jumps over the lazy dog")
+    // MemoryStream run admits the same docs with the same cleaned text
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Graft.curateStream(
+      in.toDS().toDF("doc_id", "ts", "text"), Nil,
+      quality = Graft.QualityGate(minTokens = 3, maxTokens = 1000,
+        maxStopwordRatio = 1.0),
+      html = Some(Graft.HtmlExtract()))
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("html_stream19")
+      .outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("html_stream19").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batch)
+  }
+
   // ---- lm_score / gram_sum codegen kernels (VERDICT r18 item 2) -----------
 
   /** Edge-heavy corpus: empty text (one empty token), consecutive spaces
