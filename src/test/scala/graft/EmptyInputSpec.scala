@@ -153,6 +153,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(g == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("round-19 operators tolerate the empty corpus") {
+    import spark.implicits._
+    val emptyPages = Seq.empty[(Long, String)].toDF("doc_id", "html")
+    assert(Html.htmlBlocks(emptyPages).count() == 0)
+    assert(Html.htmlExtract(emptyPages).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // ledger over an empty pipeline: zero rows, never a throw
+    assert(Graft.curationLedger(
+      Seq("input" -> emptyDocs, "gate" -> emptyDocs)).count() == 0)
+    val (_, audit, ledger) = Graft.curateCorpusLedgered(spark, emptyDocs, Nil)
+    assert(ledger.count() == 0 && audit.head.kept == 0)
+    // verified media groups / ledger over an empty corpus
+    val emptyRecs = spark.emptyDataset[Multimodal.MediaRecord]
+    assert(Multimodal.mediaDedupGroupsVerified(spark, emptyRecs).count() == 0)
+    val (kept, mAudit, mLedger) = Multimodal.mediaDedupLedgered(spark, emptyRecs)
+    assert(kept.count() == 0 && mLedger.count() == 0 && mAudit.head.kept == 0)
+    // auto-order on a token-less corpus: the FIT would fail loudly, but
+    // the decision itself degrades to the order-2 floor (zero occupancy
+    // at every level estimates zero types ≤ any budget → deepest order
+    // fits — so pin the documented behavior: maxOrder wins on EMPTY
+    // occupancy, and the subsequent fit fails loudly)
+    assert(TextOps.lmAutoOrder(emptyDocs, 4, 100L, 64) == 4)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.ngramLmFitAuto(emptyDocs, 4, 100L, 64)
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("LangGate fails fast on a seed that yields an empty profile") {
     import spark.implicits._
     val emptySeed = Seq.empty[(String, String)].toDF("lang", "text")

@@ -65,7 +65,10 @@ class NullInputSpec extends SparkSpec {
       // round 18: the trigram / 5-gram LMs drop null-text (and
       // < order-token) docs; the composed manifest drops null-text rows
       // inside its F33 fill
-      "q_f19d_trigram_lm", "q_f19e_5gram_lm", "q_mix_manifest")
+      "q_f19d_trigram_lm", "q_f19e_5gram_lm", "q_mix_manifest",
+      // round 19: the HTML queries manufacture pages only from non-null
+      // text; the ledger attributes every non-null doc exactly once
+      "q_f58_html_extract", "q_f58b_html_blocks", "q_f59_curation_ledger")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect()
       assert(rows.length <= 8, s"$n exploded to ${rows.length} rows")
