@@ -1320,10 +1320,15 @@ case class LmScore(child: Expression, model: LmTables)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("lmTables", model, classOf[LmTables].getName)
+    // freshName: a fixed local would collide when this expression appears
+    // more than once in one generated function (janino "Redefinition of
+    // local variable" → silent interpreted fallback — caught by html19's
+    // sibling kernel at 1M)
+    val r = ctx.freshName("graftLmR")
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long graftLmR = $mRef.score($c);
-      if (graftLmR == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftLmR.longValue(); }
+      java.lang.Long $r = $mRef.score($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }
     """)
   }
 
@@ -1479,10 +1484,11 @@ case class HtmlExtractKernel(child: Expression, cleaner: HtmlCleaner)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("htmlCleaner", cleaner,
       classOf[HtmlCleaner].getName)
+    val r = ctx.freshName("graftHxR") // see LmScore: fixed locals collide
     nullSafeCodeGen(ctx, ev, c => s"""
-      org.apache.spark.sql.catalyst.InternalRow graftHxR = $mRef.extract($c);
-      if (graftHxR == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftHxR; }
+      org.apache.spark.sql.catalyst.InternalRow $r = $mRef.extract($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }
     """)
   }
 

@@ -2999,6 +2999,81 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("html19")) {
+      // F58 decade-scale certification (round 19): 1M manufactured HTML
+      // pages whose structure is known BY CONSTRUCTION — per page i: a
+      // script span (with an embedded '<'), a nav chrome block, K =
+      // i%4+1 twelve-word content paragraphs, a 100%-link block on even
+      // pages, a one-word block on every 3rd page, a footer, trailing
+      // junk. Binding asserts (exact, not statistical): every page's
+      // n_blocks and n_content equal the closed forms, every clean_text
+      // equals the paragraphs-only rejoin BYTE-EXACTLY (md5 join, 0
+      // mismatches), and the per-row `html_extract` KERNEL equals the
+      // relational rollup row-for-row at the full million. Timings for
+      // both paths recorded.
+      import spark.implicits._
+      val n = sys.env.getOrElse("ADHOC_HTML_N", "1000000").toLong
+      def words(seed: org.apache.spark.sql.Column, cnt: Int) =
+        concat_ws(" ", transform(sequence(lit(0), lit(cnt - 1)),
+          j => concat(lit("w"), pmod(hash(seed * 31 + j), lit(5000)))))
+      val k = (pmod(col("id"), lit(4)) + 1).cast("int")
+      val paras = transform(sequence(lit(1), k),
+        p => concat(lit("<p>"), words(col("id") * 97 + p, 12), lit("</p>")))
+      val linky = when(pmod(col("id"), lit(2)) === 0,
+        concat(lit("<p><a href=\"#\">"), words(col("id") * 13 + 99, 8),
+          lit("</a></p>"))).otherwise(lit(""))
+      val shorty = when(pmod(col("id"), lit(3)) === 0, lit("<p>tiny</p>"))
+        .otherwise(lit(""))
+      val pages = spark.range(0, n).select(col("id").as("doc_id"),
+        concat(lit("<script>var x < 3;</script><nav>menu home about</nav>"),
+          concat_ws("", paras), linky, shorty,
+          lit("<footer>c 2026</footer>trailing junk")).as("html"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC html19 pages=${pages.count()}")
+      val expected = spark.range(0, n).select(col("id").as("doc_id"),
+        (lit(2L) + pmod(col("id"), lit(4)) + lit(1L) +
+          when(pmod(col("id"), lit(2)) === 0, 1L).otherwise(0L) +
+          when(pmod(col("id"), lit(3)) === 0, 1L).otherwise(0L))
+          .as("e_blocks"),
+        (pmod(col("id"), lit(4)) + 1L).as("e_content"),
+        md5(concat_ws("\n", transform(sequence(lit(1), k),
+          p => words(col("id") * 97 + p, 12)))).as("e_md5"))
+      var rel: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"html19 relational rep=$rep") {
+          rel = Html.htmlExtract(pages).localCheckpoint(eager = true)
+          rel.count()
+        }
+      }
+      val bad = rel.join(expected, Seq("doc_id"))
+        .filter(col("n_blocks") =!= col("e_blocks") ||
+          col("n_content") =!= col("e_content") ||
+          md5(col("clean_text")) =!= col("e_md5")).count()
+      assert(bad == 0L, s"$bad pages mismatch the constructed ground truth")
+      assert(rel.count() == n, "every page has blocks — all rows present")
+      var kern: DataFrame = null
+      for (rep <- 1 to 2) {
+        time(s"html19 kernel rep=$rep") {
+          kern = pages.withColumn("__hx", call_function("html_extract",
+              col("html"), lit(3), lit(200000L)))
+            .filter(col("__hx").isNotNull)
+            .select(col("doc_id"),
+              col("__hx").getField("n_blocks").as("n_blocks"),
+              col("__hx").getField("n_content").as("n_content"),
+              col("__hx").getField("clean_text").as("clean_text"))
+            .localCheckpoint(eager = true)
+          kern.count()
+        }
+      }
+      val relSlim = rel.select("doc_id", "n_blocks", "n_content", "clean_text")
+      assert(kern.exceptAll(relSlim).count() == 0L &&
+        relSlim.exceptAll(kern).count() == 0L,
+        "kernel != relational at 1M")
+      println(s"ADHOC html19 kernel=relational rows=${kern.count()} exact")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("media19probe")) {
       // Scratch: secondary-distance distribution of primary-colliding
       // image pairs (chance vs planted) — evidence for the verify k2 cut.

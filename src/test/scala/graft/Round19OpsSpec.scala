@@ -316,6 +316,34 @@ class Round19OpsSpec extends SparkSpec {
     assert(groups(4L) === 4L) // unsigned labels itself
   }
 
+  test("round-19 kernels compile when one projection references them repeatedly") {
+    // janino rejects a redefined local, and a FIXED-name local in
+    // doGenCode collides when the expression appears more than once in
+    // one generated function — Spark then silently falls back to
+    // interpreted eval (caught at the html19 1M cert: three getFields of
+    // one html_extract call). freshName is the fix; this pins it with
+    // fallback DISABLED so a regression THROWS instead of slowing down.
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    strict.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    graft.functions.VectorFunctions.register(strict)
+    val pages = strict.range(50).selectExpr(
+      "concat('<p>plenty of words in this block ', id, '</p>') AS html")
+    val hx = call_function("html_extract", col("html"), lit(3), lit(200000L))
+    val got = pages.select(hx.getField("n_blocks").as("b"),
+      hx.getField("n_content").as("c"), hx.getField("clean_text").as("t"))
+      .agg(sum(col("b")), sum(col("c")), count(col("t"))).head()
+    assert(got.getLong(0) === 50L && got.getLong(1) === 50L &&
+      got.getLong(2) === 50L)
+    val lmDocs = strict.range(50).selectExpr(
+      "concat('tok', id, ' b c d e') AS text")
+    val lm = TextOps.trigramLmFit(kernelCorpus.toDF("doc_id", "text"), 64)
+    val two = lmDocs.select(lm.sumMicrosCol(col("text")).as("a"),
+      lm.sumMicrosCol(col("text")).as("b"))
+      .agg(sum(col("a")), sum(col("b"))).head()
+    assert(two.getLong(0) === two.getLong(1))
+  }
+
   // ---- F19f auto-order decision rule (VERDICT r18 item 7) -----------------
 
   /** Vocab-8 pseudo-random corpus: exact type counts ~8/64/512/4096 at
