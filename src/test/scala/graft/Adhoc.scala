@@ -2999,6 +2999,70 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("ledger19")) {
+      // F59 decade-scale certification (round 19): 1M docs with planted
+      // per-stage populations — 100k exact-duplicate twins (id%10==0
+      // bases copied), 50k sub-minTokens shorts (id%20==1), 40k
+      // contaminated (id%25==2 carry the screen phrase) — through
+      // `Graft.curateCorpusLedgered`. Binding asserts: the ledger has
+      // EXACTLY one row per input doc; per-stage dropped counts
+      // reconcile with the audit's StageCounts EXACTLY; the planted
+      // populations land at their stages (duplicates ≥ the planted 100k
+      // at exact_dedup — near-dup chains may claim a few more, which is
+      // the audit's own number, reconciliation is the contract); and
+      // the ledgered run's kept set ≡ the audited run's packed output.
+      import spark.implicits._
+      val n = 1000000L
+      def textOf(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+        transform(sequence(lit(0), (pmod(hash(idc), lit(8)) + lit(11)).cast("int")),
+          i => concat(lit("u"), idc, lit("_"), pmod(hash(idc * 31 + i), lit(997)))))
+      val bases = spark.range(0, n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(20)) === 1, lit("tiny doc"))
+          .when(pmod(col("id"), lit(25)) === 2,
+            concat(lit("zz_screened_phrase_zz "), textOf(col("id"))))
+          .otherwise(textOf(col("id"))).as("text"))
+      val twins = spark.range(0, n).filter(pmod(col("id"), lit(10)) === 0)
+        .select((col("id") + 10000000L).as("doc_id"), textOf(col("id")).as("text"))
+      val docs = bases.unionByName(twins).localCheckpoint(eager = true)
+      println(s"ADHOC ledger19 corpus=${docs.count()}")
+      var audit: Seq[Graft.StageCount] = null
+      var ledger: DataFrame = null
+      var packedN = 0L
+      for (rep <- 1 to 2) {
+        time(s"ledger19 rep=$rep") {
+          val (packed, a, l) = Graft.curateCorpusLedgered(spark, docs,
+            screenPhrases = Seq("zz_screened_phrase_zz"),
+            quality = Graft.QualityGate(minTokens = 5, maxTokens = 10000,
+              maxStopwordRatio = 1.0))
+          audit = a
+          ledger = l.localCheckpoint(eager = true)
+          packedN = packed.count()
+          ledger.count()
+        }
+      }
+      println(s"ADHOC ledger19 audit=$audit")
+      val nIn = audit.head.kept
+      assert(ledger.count() == nIn, "one ledger row per input doc")
+      assert(ledger.select("doc_id").distinct().count() == nIn,
+        "no doc attributed twice")
+      val dropped = ledger.filter(col("verdict") === "dropped")
+        .groupBy(col("stage")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      audit.tail.foreach { sc =>
+        assert(dropped.getOrElse(sc.stage, 0L) == sc.dropped,
+          s"${sc.stage}: ledger ${dropped.getOrElse(sc.stage, 0L)} != audit ${sc.dropped}")
+      }
+      val keptLedger = ledger.filter(col("verdict") === "kept").count()
+      assert(keptLedger == audit.last.kept, "kept rows != final stage")
+      // planted populations: exact dedup claims at least the 100k twins;
+      // the quality gate claims exactly the surviving shorts; the screen
+      // exactly the surviving contaminated docs
+      assert(dropped("exact_dedup") >= 100000L)
+      println(s"ADHOC ledger19 dropped=$dropped kept=$keptLedger packed=$packedN")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("html19")) {
       // F58 decade-scale certification (round 19): 1M manufactured HTML
       // pages whose structure is known BY CONSTRUCTION — per page i: a
