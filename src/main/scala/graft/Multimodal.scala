@@ -766,8 +766,76 @@ object Multimodal {
     }))
   }
 
-  /** Both video families from one frame-checksum pass: (envelope,
-    * derivative envelope) over the per-frame checksum sequence. */
+  /** Streams with fewer values than this get their SECONDARY family
+    * computed at a finer granularity when one exists (round 20, VERDICT
+    * r19 item 4): below 2 values per envelope cell (2 × 65), the
+    * derivative envelope's cells each hold ≤ 1 delta, so cell
+    * comparisons reduce to single-value comparisons of the SAME values
+    * the primary envelope already compared — near-vacuous as an
+    * independent verify (the media19 cert's 65-frame videos: +18 video
+    * chance merges survived the frame-granular secondary; `Adhoc
+    * media20` reruns the identical corpus with the byte-granular
+    * secondary and the video residual drops to 0).
+    */
+  private[graft] val MinSecondaryValues: Int = 130
+
+  /** Cell-local parity hash → 64 bits: bit i = one avalanche-mixed bit
+    * of a multiplicative fold over the bytes of cell i (64 equal
+    * ranges) — the round-20 SHORT-STREAM secondary family. Locality is
+    * by construction (an edit flips only the cells whose bytes it
+    * touches — a one-frame dent spans ≤ 2 of the 64 cells), copies are
+    * trivially 0 bits, and chance bits are independent fair coins for
+    * ANY pair of differing streams because the avalanche finalizer
+    * destroys linear structure before the bit is taken (the raw fold's
+    * low bit alone would be a LINEAR function of the bytes' low bits —
+    * exactly the cross-family coupling this replaces; see
+    * [[videoSigPair]] for the measured failure). The trade, stated
+    * honestly: a cell differing in even ONE byte flips its bit with
+    * probability ½, so this family verifies byte-local edits and exact
+    * copies — not re-encodes, which the stub video families never
+    * matched anyway (the F57b documented limitation).
+    */
+  private def cellHashBits(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      val lo = (i.toLong * n / 64).toInt
+      val hi = math.max(lo + 1, ((i + 1).toLong * n / 64).toInt) min n
+      var h = 1125899906842597L // the pixel-hash FNV-ish constant
+      var j = lo
+      while (j < hi) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      if ((h & 1L) != 0L) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Both video families from one payload pass: the primary is always
+    * the frame-checksum envelope (the banding key — locality in FRAMES
+    * is what a real keyframe extractor preserves); the secondary is the
+    * derivative envelope over the frame-checksum sequence when the
+    * stream is long enough ([[MinSecondaryValues]]) and the cell-local
+    * parity hash over the RAW BYTE stream ([[cellHashBits]]) otherwise.
+    *
+    * Short-stream design, MEASURED not assumed (`Adhoc media20probe`,
+    * 120k 65-frame streams): the first cut — a byte-granular DERIVATIVE
+    * ENVELOPE — was rejected because its 65 cells align byte-exactly
+    * with the 65 frames, so each secondary cell is a per-frame |delta|
+    * mean: a second linear functional of the very frame bytes whose
+    * sums the primary compares. On primary-colliding pairs the two
+    * families' descent patterns stayed correlated (chance secondary
+    * distances centered ~15 bits instead of ~32, 61 pairs within the
+    * k₂ = 6 cut → +45 chance merges at 770k — WORSE than the
+    * frame-granular +18 it was meant to fix). The cell-hash family has
+    * no linear structure to couple through: the same probe measures
+    * chance candidates at ~32 ± 4 bits with 0 pairs ≤ 6, while a
+    * one-frame dent spans ≤ 2 cells (Round20OpsSpec pins ≤ 2 bits) and
+    * planted recall stays exact (`Adhoc media20`). A real keyframe
+    * extractor swaps into the FRAME side only; the byte-stream
+    * fallback reads the container bytes, which exist in any deployment.
+    */
   def videoSigPair(payload: Array[Byte]): Option[(Long, Long)] = {
     val nFrames = payload.length / VideoFrameBytes
     if (nFrames == 0) None
@@ -779,7 +847,10 @@ object Multimodal {
         while (i < end) { sum += payload(i) & 0xff; i += 1 }
         sum
       }
-      Some((envelopeBits(sums), derivEnvelopeBits(sums)))
+      val sig2 =
+        if (nFrames >= MinSecondaryValues) derivEnvelopeBits(sums)
+        else cellHashBits(payload)
+      Some((envelopeBits(sums), sig2))
     }
   }
 
@@ -847,8 +918,13 @@ object Multimodal {
   /** TWO-family modality-tagged signatures (round 19, VERDICT r18 item
     * 3): (id, modality, sig, sig2) — `sig` is the difference-hash family
     * ([[dHash64]]/[[audioHash64]]/[[videoHash64]], the banding key),
-    * `sig2` the independently-constructed mean-threshold family
-    * ([[aHashPixels]]/[[meanBits]], the verify key). One partition-wise
+    * `sig2` the independently-constructed verify family: offset-phase
+    * dHash for images ([[dHashPixelsOffset]]) and the derivative
+    * envelope for audio/video streams ([[derivEnvelopeBits]]; byte-
+    * granular for short streams since round 20 — see
+    * [[videoSigPair]]). Mean-threshold (aHash) was measured and
+    * REJECTED for this slot — see derivEnvelopeBits' note. One
+    * partition-wise
     * map, ONE decode per record (both hashes from the same pixels/
     * samples/frames — the aud18 no-double-decode rule). Both sigs NULL
     * together (undecodable / unknown modality / empty) — the verify
@@ -891,6 +967,15 @@ object Multimodal {
     require(verifyHamming >= 0 && verifyHamming <= 63,
       s"verifyHamming must be in [0, 63], got $verifyHamming")
     val sigs = raw.localCheckpoint(eager = false)
+    // Rep-collapse is per (sig, sig2) PAIR, not per sig alone, so several
+    // reps sharing one primary sig can re-enter hammingPairs64 and share
+    // every band key. The re-expansion is bounded by the secondary
+    // family's diversity within one primary sig — re-encodes of one
+    // payload that agree in the primary family rarely split the
+    // secondary, so the multiplier stays O(1) in practice (media19/20
+    // certs: no band-bucket blowup at 770k with 18% planted dup mass).
+    // If a cert ever shows primary-sig skew here, collapse per sig first
+    // and expand to (sig, sig2) reps only for the verify join.
     val groups = sigs.groupBy(col("sig"), col("sig2"))
       .agg(min(col("doc_id")).as("rep"))
     val s2 = groups.select(col("rep"), col("sig2"))

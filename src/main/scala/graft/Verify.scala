@@ -14,6 +14,15 @@ object Verify {
     // full-inventory dump; the driver's 2-arg call is unchanged
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(",").map(_.trim).toSet) else None
+    // loud failure on a typo'd filter name (round-19 ADVICE): a filter
+    // matching no query would otherwise dump an empty outDir + empty
+    // oracle_sql.json, which a downstream compare could misread as a
+    // clean-but-empty round
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"Verify: unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2999,6 +2999,116 @@ object Adhoc {
       return
     }
 
+    if (args.headOption.contains("media20")) {
+      // Round-20 short-stream-residual certification (VERDICT r19 item
+      // 4): the EXACT media19 corpus (770k mixed records — the 65-frame
+      // videos whose frame-granular secondary left +18 chance merges)
+      // through the byte-granular short-stream secondary. Binding
+      // asserts: (a) planted recall stays EXACT (copies agree in both
+      // families trivially; a whole-frame dent's bytes span ≤ 2 envelope
+      // cells of the byte-granular derivative → ≤ 3 secondary bits, the
+      // Round20OpsSpec measurement, inside the k₂ = 6 cut); (b) chance
+      // merges now collapse in EVERY modality — video included: two
+      // different random byte streams have ~independent byte-level
+      // derivative envelopes (expected secondary distance ~32), so ≤ 2
+      // survivors are tolerated where media19 printed +18.
+      import spark.implicits._
+      def payload(seed: Long, nBytes: Int): Array[Byte] =
+        Array.tabulate(nBytes) { j =>
+          var v = seed * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (v % 256).toByte
+        }
+      val imgMeta = Multimodal.MediaMeta("fake/raw", 9, 8)
+      val img = spark.range(0, 300000L).as[Long]
+        .map(i => Multimodal.MediaRecord(i, "image", payload(i, 720), imgMeta))
+      val imgTwins = spark.range(0, 300000L).as[Long].filter(_ % 3 == 0)
+        .map { i =>
+          val b = payload(i, 720)
+          (100 until 110).foreach(k => b(k) = 250.toByte)
+          Multimodal.MediaRecord(10000000L + i, "image", b, imgMeta)
+        }
+      val wavMeta = Multimodal.MediaMeta("audio/wav", 0, 0)
+      def wav(i: Long): Array[Byte] = {
+        import javax.sound.sampled._
+        val frames = 650
+        val pcm = payload(i, frames * 2)
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val aud = spark.range(0, 200000L).as[Long]
+        .map(i => Multimodal.MediaRecord(20000000L + i, "audio", wav(i), wavMeta))
+      val audCopies = spark.range(0, 200000L).as[Long].filter(_ % 4 == 0)
+        .map(i => Multimodal.MediaRecord(30000000L + i, "audio", wav(i), wavMeta))
+      val vidMeta = Multimodal.MediaMeta("video/mp4", 0, 0)
+      val fb = Multimodal.VideoFrameBytes
+      val vid = spark.range(0, 100000L).as[Long]
+        .map(i => Multimodal.MediaRecord(40000000L + i, "video",
+          payload(i * 31 + 7, 65 * fb), vidMeta))
+      val vidDents = spark.range(0, 100000L).as[Long].filter(_ % 5 == 0)
+        .map { i =>
+          val b = payload(i * 31 + 7, 65 * fb)
+          (10 * fb until 11 * fb).foreach(k => b(k) = 0xFF.toByte)
+          Multimodal.MediaRecord(50000000L + i, "video", b, vidMeta)
+        }
+      val recs = img.unionByName(imgTwins).unionByName(aud)
+        .unionByName(audCopies).unionByName(vid).unionByName(vidDents)
+        .localCheckpoint(eager = true)
+      println(s"ADHOC media20 corpus=${recs.count()}")
+      var vGroups: DataFrame = null
+      time("media20 verified groups") {
+        vGroups = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+          .localCheckpoint(eager = true)
+        vGroups.count()
+      }
+      // (a) planted recall EXACT under the byte-granular verify
+      def recall(g: DataFrame, twinLo: Long, twinHi: Long, off: Long): Long =
+        g.as("t").filter(col("t.doc_id").between(twinLo, twinHi))
+          .join(g.as("b").withColumnRenamed("doc_id", "base_id")
+            .withColumnRenamed("cluster_id", "base_cluster"),
+            col("t.doc_id") - off === col("base_id"))
+          .filter(col("t.cluster_id") === col("base_cluster")).count()
+      val rImg = recall(vGroups, 10000000L, 19999999L, 10000000L)
+      val rAud = recall(vGroups, 30000000L, 39999999L, 10000000L)
+      val rVid = recall(vGroups, 50000000L, 59999999L, 10000000L)
+      println(s"ADHOC media20 planted_recall img=$rImg aud=$rAud vid=$rVid")
+      assert(rImg == 100000L && rAud == 50000L && rVid == 20000L,
+        s"verify removed a planted edge: $rImg/$rAud/$rVid")
+      // (b) chance merges ≈ 0 in every modality (media19's video gap)
+      def extraOf(g: DataFrame, lo: Long, hi: Long, want: Long): Long = {
+        val rows = g.filter(col("doc_id").between(lo, hi)).count()
+        val reps = g.filter(col("doc_id").between(lo, hi) &&
+          col("doc_id") === col("cluster_id")).count()
+        rows - reps - want
+      }
+      val spans = Seq(("image", 0L, 19999999L, 100000L),
+        ("audio", 20000000L, 39999999L, 50000L),
+        ("video", 40000000L, 59999999L, 20000L))
+      val merged = spans.map { case (m, lo, hi, want) =>
+        val v = extraOf(vGroups, lo, hi, want)
+        println(s"ADHOC media20 chance_merges $m verified=+$v")
+        (m, v)
+      }
+      merged.foreach { case (m, v) =>
+        assert(v >= 0 && v <= 2,
+          s"$m byte-granular verify left chance merges: +$v (media19: +18 video)")
+      }
+      // rerun determinism of the verified groups
+      val g2 = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+      val c1 = vGroups.agg(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))))
+        .head().getLong(0)
+      val c2 = g2.agg(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))))
+        .head().getLong(0)
+      assert(c1 == c2, "verified groups drifted across reruns")
+      println(s"ADHOC media20 groups_checksum=$c1 PASS")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ledger19")) {
       // F59 decade-scale certification (round 19): 1M docs with planted
       // per-stage populations — 100k exact-duplicate twins (id%10==0
@@ -3175,6 +3285,59 @@ object Adhoc {
         .orderBy(col("planted"), col("h2"))
         .collect().foreach(r => println(
           s"ADHOC media19probe planted=${r.getBoolean(0)} h2=${r.getInt(1)} n=${r.getLong(2)}"))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("media20probe")) {
+      // Scratch: secondary-distance distribution of primary-colliding
+      // VIDEO pairs under the byte-granular short-stream secondary —
+      // evidence for the media20 video residual.
+      import spark.implicits._
+      def payload(seed: Long, nBytes: Int): Array[Byte] =
+        Array.tabulate(nBytes) { j =>
+          var v = seed * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (v % 256).toByte
+        }
+      val vidMeta = Multimodal.MediaMeta("video/mp4", 0, 0)
+      val fb = Multimodal.VideoFrameBytes
+      val vid = spark.range(0, 100000L).as[Long]
+        .map(i => Multimodal.MediaRecord(40000000L + i, "video",
+          payload(i * 31 + 7, 65 * fb), vidMeta))
+      val vidDents = spark.range(0, 100000L).as[Long].filter(_ % 5 == 0)
+        .map { i =>
+          val b = payload(i * 31 + 7, 65 * fb)
+          (10 * fb until 11 * fb).foreach(k => b(k) = 0xFF.toByte)
+          Multimodal.MediaRecord(50000000L + i, "video", b, vidMeta)
+        }
+      val recs = vid.unionByName(vidDents).localCheckpoint(eager = true)
+      val slim = Multimodal.mediaSigs2(recs)
+        .select(col("id").as("doc_id"), col("sig"), col("sig2"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC media20probe n=${slim.count()} " +
+        s"distinct_sig=${slim.select("sig").distinct().count()} " +
+        s"distinct_sig2=${slim.select("sig2").distinct().count()}")
+      val groups = slim.groupBy(col("sig"), col("sig2"))
+        .agg(min(col("doc_id")).as("rep"))
+      val s2 = groups.select(col("rep"), col("sig2"))
+      val pairs = MinHash.hammingPairs64(
+          groups.select(col("rep").as("doc_id"), col("sig")), 3)
+        .join(s2.select(col("rep").as("a_id"), col("sig2").as("s2a")), Seq("a_id"))
+        .join(s2.select(col("rep").as("b_id"), col("sig2").as("s2b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          bit_count(col("s2a").bitwiseXOR(col("s2b"))).as("h2"),
+          (col("b_id") - col("a_id") === 10000000L).as("planted"))
+        .localCheckpoint(eager = true)
+      pairs.groupBy(col("planted"), col("h2")).count()
+        .orderBy(col("planted"), col("h2"))
+        .collect().foreach(r => println(
+          s"ADHOC media20probe planted=${r.getBoolean(0)} h2=${r.getInt(1)} n=${r.getLong(2)}"))
+      // sample surviving chance pairs for inspection
+      pairs.filter(!col("planted") && col("h2") <= 6)
+        .orderBy(col("a_id")).limit(10).collect()
+        .foreach(r => println(s"ADHOC media20probe survivor a=${r.getLong(0)} " +
+          s"b=${r.getLong(1)} h1=${r.getLong(2)} h2=${r.getInt(3)}"))
       spark.stop()
       return
     }
