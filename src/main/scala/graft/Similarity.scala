@@ -947,6 +947,22 @@ object Similarity {
         .select(col(idCol), col("best.i").as("cluster"),
           col("best.d").as("dist_sq"))
     }
+    /** Persist the frozen centroids for cross-session assignment (round
+      * 20, [[ModelIO]]) — integer micros round-trip exactly, so a
+      * loaded model's assignments are bit-identical. */
+    def save(s: SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "kmeans") { out =>
+        ModelIO.writeLongs2(out, centroidsMicros)
+      }
+  }
+
+  object KmeansModel {
+    /** Load saved centroids; registers the graft kernels on `s` so
+      * `quant_micros`/`kmeans_best_q` resolve in a fresh session. */
+    def load(s: SparkSession, path: String): KmeansModel =
+      ModelIO.load(s, path, "kmeans") { in =>
+        KmeansModel(ModelIO.readLongs2(in))
+      }
   }
 
   /** F36 fit: Lloyd iterations with every step deterministic — init is

@@ -298,6 +298,26 @@ object TextOps {
     /** Predicted-language column over RAW text (lowers first). */
     def predictCol(textCol: Column): Column =
       scoreCol(lower(textCol)).getField("predicted")
+    /** Persist for cross-session serving (round 20 — the
+      * [[Pq.PqModel.save]] Hadoop-FS pattern via [[ModelIO]]); reload
+      * with [[LangIdProfile.load]], bit-identical scores
+      * (ModelPersistenceSpec). */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "langid") { out =>
+        ModelIO.writeStrings(out, langs)
+        ModelIO.writeStrings(out, tgs)
+        ModelIO.writeInts2(out, tgLangs)
+      }
+  }
+
+  object LangIdProfile {
+    /** Load a saved profile; registers the graft kernels on `s` so the
+      * frozen score column works in a fresh serving session. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): LangIdProfile =
+      ModelIO.load(s, path, "langid") { in =>
+        LangIdProfile(ModelIO.readStrings(in), ModelIO.readStrings(in),
+          ModelIO.readInts2(in))
+      }
   }
 
   /** Fit a [[LangIdProfile]] on a labeled frame (`lang`, `text` columns;
@@ -1103,6 +1123,26 @@ object TextOps {
     /** BPE token count — the drop-in meter for F33/F48 budgets. */
     def countCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       size(encodeCol(text)).cast("long")
+    /** Persist the merge table for cross-session tokenization (round
+      * 20, [[ModelIO]]) — a released corpus's token counts must be
+      * recomputable with the exact merges that metered it. */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "bpe") { out =>
+        ModelIO.writeStrings(out, merges.map(_._1))
+        ModelIO.writeStrings(out, merges.map(_._2))
+      }
+  }
+
+  object BpeModel {
+    /** Load a saved merge table; registers the graft kernels on `s` so
+      * the `bpe_encode` column resolves in a fresh session. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): BpeModel =
+      ModelIO.load(s, path, "bpe") { in =>
+        val lefts = ModelIO.readStrings(in)
+        val rights = ModelIO.readStrings(in)
+        require(lefts.length == rights.length, "bpe model file: ragged merges")
+        BpeModel(lefts.zip(rights))
+      }
   }
 
   /** Fit a [[BpeModel]]: ONE corpus pass for word counts (partial-agg
@@ -1357,6 +1397,24 @@ object TextOps {
         lit(buckets - 1L)))
       element_at(element_at(typedLit(pctByBucket), source), (b + 1).cast("int"))
     }
+    /** Persist for cross-session serving (round 20, [[ModelIO]]);
+      * doubles round-trip through IEEE-754 bits — exact. */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "calibration") { out =>
+        out.writeInt(buckets)
+        ModelIO.writeStringDoubleMap(out, lo)
+        ModelIO.writeStringDoubleMap(out, hi)
+        ModelIO.writeStringLongsMap(out, pctByBucket)
+      }
+  }
+
+  object CalibrationModel {
+    /** Load a saved calibration; registers the graft kernels on `s`. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): CalibrationModel =
+      ModelIO.load(s, path, "calibration") { in =>
+        CalibrationModel(in.readInt(), ModelIO.readStringDoubleMap(in),
+          ModelIO.readStringDoubleMap(in), ModelIO.readStringLongsMap(in))
+      }
   }
 
   /** Fit a [[CalibrationModel]] on a reference corpus: one bounded pull
@@ -2128,6 +2186,23 @@ object TextOps {
       })
       when(n >= 2, aggregate(pairs, lit(0L), (a, x) => a + x))
     }
+    /** Persist for cross-session serving (round 20, [[ModelIO]]). */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "bigram_lm") { out =>
+        out.writeInt(buckets); out.writeLong(un)
+        Seq(uc, bc, bq, pq, uq).foreach(ModelIO.writeLongs(out, _))
+      }
+  }
+
+  object BigramLm {
+    /** Load a saved LM; registers the graft kernels on `s` so the
+      * frozen `lm_score` column resolves in a fresh serving session. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): BigramLm =
+      ModelIO.load(s, path, "bigram_lm") { in =>
+        BigramLm(in.readInt(), in.readLong(), ModelIO.readLongs(in),
+          ModelIO.readLongs(in), ModelIO.readLongs(in),
+          ModelIO.readLongs(in), ModelIO.readLongs(in))
+      }
   }
 
   /** Fit a [[BigramLm]] on a corpus: one unified gram explode (unigrams
@@ -2341,6 +2416,23 @@ object TextOps {
         pieceCol(x.getField("p2"), x.getField("p1"), c))
       when(n >= 3, aggregate(pieces, lit(0L), (a, x) => a + x))
     }
+    /** Persist for cross-session serving (round 20, [[ModelIO]]). */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "trigram_lm") { out =>
+        out.writeInt(buckets); out.writeLong(un)
+        Seq(uc, bc, tc, tq, bq, pq, uq).foreach(ModelIO.writeLongs(out, _))
+      }
+  }
+
+  object TrigramLm {
+    /** Load a saved LM; registers the graft kernels on `s`. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): TrigramLm =
+      ModelIO.load(s, path, "trigram_lm") { in =>
+        TrigramLm(in.readInt(), in.readLong(), ModelIO.readLongs(in),
+          ModelIO.readLongs(in), ModelIO.readLongs(in),
+          ModelIO.readLongs(in), ModelIO.readLongs(in),
+          ModelIO.readLongs(in), ModelIO.readLongs(in))
+      }
   }
 
   /** Fit a [[TrigramLm]] on a corpus: one unified gram explode (orders
@@ -2482,6 +2574,24 @@ object TextOps {
         pieceCol(Seq.tabulate(order)(k => element_at(ws, k + 1))))
       when(n >= order, aggregate(pieces, lit(0L), (a, x) => a + x))
     }
+    /** Persist for cross-session serving (round 20, [[ModelIO]]). */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "ngram_lm") { out =>
+        out.writeInt(order); out.writeInt(buckets); out.writeLong(un)
+        ModelIO.writeLongs2(out, cnt)
+        ModelIO.writeLongs2(out, q)
+        ModelIO.writeLongs(out, uq)
+      }
+  }
+
+  object NgramLm {
+    /** Load a saved LM; registers the graft kernels on `s`. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): NgramLm =
+      ModelIO.load(s, path, "ngram_lm") { in =>
+        NgramLm(in.readInt(), in.readInt(), in.readLong(),
+          ModelIO.readLongs2(in), ModelIO.readLongs2(in),
+          ModelIO.readLongs(in))
+      }
   }
 
   /** Fit an [[NgramLm]]: one unified gram explode (orders 1..N flagged
@@ -3181,6 +3291,25 @@ object TextOps {
       floor(log((h * 2 + 1) / lit(8589934592.0)) * 1e6).cast("long") <
         pLogCol(text)
     }
+    /** Persist for cross-session serving (round 20, [[ModelIO]]) — the
+      * F46c "gate today's arrivals against last month's importance
+      * model" story needs exactly this file. */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "dsir") { out =>
+        out.writeInt(buckets)
+        ModelIO.writeLongs(out, lr)
+        out.writeLong(anchorMicros); out.writeLong(seed)
+      }
+  }
+
+  object DsirModel {
+    /** Load a saved DSIR model; registers the graft kernels on `s` so
+      * the frozen `gram_sum` column resolves in a fresh session. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): DsirModel =
+      ModelIO.load(s, path, "dsir") { in =>
+        DsirModel(in.readInt(), ModelIO.readLongs(in), in.readLong(),
+          in.readLong())
+      }
   }
 
   /** Fit a [[DsirModel]] on a (raw reference, target) pair: the shared
@@ -4293,6 +4422,26 @@ object TextOps {
     /** Predicted-label column. */
     def predictCol(textCol: Column): Column =
       scoreCol(textCol).getField("predicted")
+    /** Persist for cross-session serving (round 20, [[ModelIO]]);
+      * reload with [[NbTextModel.load]], bit-identical scores. */
+    def save(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+      ModelIO.save(s, path, "nbtext") { out =>
+        ModelIO.writeStrings(out, labels)
+        ModelIO.writeLongs(out, priorMicros)
+        ModelIO.writeStrings(out, vocab)
+        ModelIO.writeLongs2(out, condMicros)
+        ModelIO.writeLongs(out, oovMicros)
+      }
+  }
+
+  object NbTextModel {
+    /** Load a saved classifier; registers the graft kernels on `s`. */
+    def load(s: org.apache.spark.sql.SparkSession, path: String): NbTextModel =
+      ModelIO.load(s, path, "nbtext") { in =>
+        NbTextModel(ModelIO.readStrings(in), ModelIO.readLongs(in),
+          ModelIO.readStrings(in), ModelIO.readLongs2(in),
+          ModelIO.readLongs(in))
+      }
   }
 
   /** F32 (round 14): fit a [[NbTextModel]] on a labeled frame (`label`,
