@@ -93,6 +93,7 @@ object Bench {
       ScalarFuncs.all.map(_.name -> "scalar") ++
       TextOps.all.map(_.name -> "text") ++
       Html.all.map(_.name -> "text") ++
+      Urls.all.map(_.name -> "text") ++
       Similarity.all.map(_.name -> "similarity") ++
       Pq.all.map(_.name -> "similarity") ++
       MinHash.all.map(_.name -> "minhash") ++

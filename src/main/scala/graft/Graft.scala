@@ -648,9 +648,13 @@ object Graft {
     * stateless row filter with zero shuffle, which is why the same gate
     * composes into both the batch and streaming pipelines.
     */
-  final case class LangGate(seed: DataFrame, allow: Set[String], topN: Int = 20) {
+  final case class LangGate(seed: DataFrame, allow: Set[String], topN: Int = 20,
+      preFit: Option[TextOps.LangIdProfile] = None) {
     require(allow.nonEmpty, "LangGate with an empty allow set drops everything")
-    private[Graft] lazy val profile: TextOps.LangIdProfile = {
+    /** The fitted profile (lazy — first forced by the pipeline, or
+      * here): public since round 20 so a caller can `save` the fit for
+      * cross-session serving (the ClassifierGate.model convention). */
+    lazy val profile: TextOps.LangIdProfile = preFit.getOrElse {
       val p = TextOps.langIdFit(seed, topN)
       // an empty/too-short seed fits an empty profile, which predicts ""
       // for every document and would SILENTLY drop the whole corpus —
@@ -660,6 +664,17 @@ object Graft {
         "LangGate seed produced an empty profile (no lang with a >=3-char text); " +
           "the gate would drop every document")
       p
+    }
+  }
+
+  object LangGate {
+    /** Gate from an already-fitted (or [[TextOps.LangIdProfile.load]]ed)
+      * profile — the round-20 cross-session serving path: no seed, no
+      * fit; the `seed` field is never touched when `preFit` is set. */
+    def frozen(profile: TextOps.LangIdProfile, allow: Set[String]): LangGate = {
+      require(profile.langs.nonEmpty,
+        "LangGate.frozen: empty profile would drop every document")
+      LangGate(null, allow, 0, Some(profile))
     }
   }
 
@@ -675,11 +690,11 @@ object Graft {
     * with a learned quality model instead of a trigram profile).
     */
   final case class ClassifierGate(seed: DataFrame, keep: Set[String],
-      vocabN: Int = 200) {
+      vocabN: Int = 200, preFit: Option[TextOps.NbTextModel] = None) {
     require(keep.nonEmpty, "ClassifierGate with an empty keep set drops everything")
     /** The fitted model (lazy — first forced by the pipeline, or here):
       * public so a caller can score other frames with the same fit. */
-    lazy val model: TextOps.NbTextModel = {
+    lazy val model: TextOps.NbTextModel = preFit.getOrElse {
       val m = TextOps.nbFit(seed, vocabN)
       // a keep set disjoint from the learnable labels would SILENTLY
       // drop the whole corpus — fail loudly at fit time instead (the
@@ -688,6 +703,18 @@ object Graft {
         s"none of the fitted labels ${m.labels.mkString(",")}; " +
           "the gate would drop every document")
       m
+    }
+  }
+
+  object ClassifierGate {
+    /** Gate from an already-fitted (or [[TextOps.NbTextModel.load]]ed)
+      * classifier — the round-20 cross-session serving path: no seed,
+      * no fit; the `seed` field is never touched when `preFit` is set. */
+    def frozen(model: TextOps.NbTextModel, keep: Set[String]): ClassifierGate = {
+      require(model.labels.exists(keep),
+        s"ClassifierGate.frozen: keep=$keep matches none of the model " +
+          s"labels ${model.labels.mkString(",")}")
+      ClassifierGate(null, keep, 0, Some(model))
     }
   }
 
@@ -733,15 +760,24 @@ object Graft {
     */
   final case class DsirKeep(target: DataFrame, buckets: Int = 1024,
       seed: Long = 0L, checkpointDir: Option[String] = None,
-      rawReference: Option[DataFrame] = None) {
+      rawReference: Option[DataFrame] = None,
+      preFit: Option[TextOps.DsirModel] = None) {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     /** The frozen model (lazy; only forced in frozen/streaming mode). */
-    lazy val model: TextOps.DsirModel = {
+    lazy val model: TextOps.DsirModel = preFit.getOrElse {
       val ref = rawReference.getOrElse(throw new IllegalArgumentException(
         "DsirKeep needs `rawReference` (the frozen raw-model fit corpus) " +
           "in a streaming pipeline — the pool fit needs the whole pool"))
       TextOps.dsirFit(ref, target, buckets, seed, checkpointDir)
     }
+  }
+
+  object DsirKeep {
+    /** Gate from an already-fitted (or [[TextOps.DsirModel.load]]ed)
+      * importance model — the F46c "last month's model" serving path:
+      * no fit corpora; `target` is never touched when `preFit` is set. */
+    def frozen(model: TextOps.DsirModel): DsirKeep =
+      DsirKeep(null, model.buckets, model.seed, None, None, Some(model))
   }
 
   /** Calibrated per-source quality gate (F44 wired into curation — round
@@ -774,17 +810,29 @@ object Graft {
     */
   final case class CalibratedKeep(score: org.apache.spark.sql.Column,
       minPctMillionths: Long, sourceCol: String = "source",
-      reference: Option[DataFrame] = None, buckets: Int = 256) {
+      reference: Option[DataFrame] = None, buckets: Int = 256,
+      preFit: Option[TextOps.CalibrationModel] = None) {
     require(minPctMillionths >= 0 && minPctMillionths <= 1000000L,
       s"minPctMillionths must be in [0, 1000000], got $minPctMillionths")
     /** The frozen model (lazy; only forced in frozen/streaming mode). */
-    lazy val model: TextOps.CalibrationModel = {
+    lazy val model: TextOps.CalibrationModel = preFit.getOrElse {
       val ref = reference.getOrElse(throw new IllegalArgumentException(
         "CalibratedKeep needs `reference` (the frozen fit corpus) in a " +
           "streaming pipeline — the exact pool rank needs the whole pool"))
       TextOps.calibrationFit(ref.withColumn("__cal_s", score), "__cal_s",
         sourceCol, buckets)
     }
+  }
+
+  object CalibratedKeep {
+    /** Gate from an already-fitted (or [[TextOps.CalibrationModel.load]]ed)
+      * calibration — the round-20 cross-session serving path: no
+      * reference corpus, no fit. */
+    def frozen(score: org.apache.spark.sql.Column, minPctMillionths: Long,
+        model: TextOps.CalibrationModel,
+        sourceCol: String = "source"): CalibratedKeep =
+      CalibratedKeep(score, minPctMillionths, sourceCol, None, model.buckets,
+        Some(model))
   }
 
   /** Paragraph-cleanup rewrite stage (F49b wired into curation — round
@@ -818,6 +866,41 @@ object Graft {
       badWords: Seq[String] = Nil, sepRegex: String = "\n") {
     require(minWords >= 0 && minSentences >= 0,
       s"minWords/minSentences must be >= 0, got $minWords/$minSentences")
+  }
+
+  /** URL/domain gate for [[curateCorpus]]/[[curateStream]] (round 20,
+    * F60): the published pipelines' FIRST gate — C4/RefinedWeb/FineWeb
+    * all filter by URL before reading a byte of content. Docs must
+    * carry `urlCol`; each URL is canonicalized ([[Urls.withCanon]]'s
+    * pinned model) and the row survives iff its REGISTERED DOMAIN is
+    * not in `blocked` and (when an allowlist is given) is in `allowed`.
+    * Rows with a NULL url drop (an un-URLed row cannot be proven
+    * allowed — the CalibratedKeep conservative direction). Batch runs
+    * the C6c bloom-pruned exact joins ([[Urls.domainGate]] — the shape
+    * that scales to multi-million-entry blocklists); the streaming
+    * stage inlines the same decision as a driver-held `isin` filter
+    * (stateless, zero shuffle — list gates at stream speed are KB-sized
+    * by practice, and a corpus-scale blocklist belongs in the batch
+    * pass).
+    */
+  final case class UrlGate(blocked: Seq[String] = Nil,
+      allowed: Option[Seq[String]] = None, urlCol: String = "url") {
+    require(blocked.nonEmpty || allowed.nonEmpty,
+      "UrlGate with no blocklist and no allowlist gates nothing — " +
+        "a misconfiguration, not a no-op")
+    require(allowed.forall(_.nonEmpty),
+      "UrlGate with an EMPTY allowlist drops every document")
+    /** The streaming form of the same decision (driver-held lists). */
+    private[graft] def keepCol: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.col
+      val dom = Urls.registeredDomainCol(Urls.hostCol(col(urlCol)))
+      val notBlocked =
+        if (blocked.isEmpty) org.apache.spark.sql.functions.lit(true)
+        else !dom.isin(blocked: _*)
+      val inAllow = allowed.fold(org.apache.spark.sql.functions.lit(true))(
+        a => dom.isin(a: _*))
+      col(urlCol).isNotNull && notBlocked && inAllow
+    }
   }
 
   /** HTML front-door knobs for [[curateCorpus]] (round 19, F58): when
@@ -942,14 +1025,16 @@ object Graft {
       dsir: Option[DsirKeep] = None,
       paragraphs: Option[ParagraphClean] = None,
       c4: Option[C4Clean] = None,
-      html: Option[HtmlExtract] = None): DataFrame =
+      html: Option[HtmlExtract] = None,
+      urlGate: Option[UrlGate] = None): DataFrame =
     TextOps.packSequencesOf(
       curationStages(spark, docs, screenPhrases, minJaccard, quality,
         evalDocs = evalDocs, semantic = semantic,
         normalize = normalize, langGate = langGate,
         classifier = classifier, weighted = weighted,
         calibrated = calibrated, dsir = dsir,
-        paragraphs = paragraphs, c4 = c4, html = html).last._2)
+        paragraphs = paragraphs, c4 = c4, html = html,
+        urlGate = urlGate).last._2)
 
   /** [[curateCorpus]] plus the audit trail: per-stage (kept, dropped)
     * document counts, in pipeline order starting from the non-null input.
@@ -984,13 +1069,14 @@ object Graft {
       dsir: Option[DsirKeep] = None,
       paragraphs: Option[ParagraphClean] = None,
       c4: Option[C4Clean] = None,
-      html: Option[HtmlExtract] = None): (DataFrame, Seq[StageCount]) = {
+      html: Option[HtmlExtract] = None,
+      urlGate: Option[UrlGate] = None): (DataFrame, Seq[StageCount]) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
       normalize = normalize, langGate = langGate,
       classifier = classifier, weighted = weighted,
       calibrated = calibrated, dsir = dsir, paragraphs = paragraphs,
-      c4 = c4, html = html)
+      c4 = c4, html = html, urlGate = urlGate)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -1015,7 +1101,7 @@ object Graft {
     * audit's [[StageCount]]s (spec-pinned).
     */
   def curationLedger(stages: Seq[(String, DataFrame)],
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", strict: Boolean = false): DataFrame = {
     require(stages.nonEmpty, "curationLedger: need at least one stage")
     import org.apache.spark.sql.functions.{col, lit}
     val dropped = stages.sliding(2).collect {
@@ -1025,6 +1111,30 @@ object Graft {
           .select(col(idCol), lit(name).as("stage"),
             lit("dropped").as("verdict"))
     }.toSeq
+    // round-20 guard (VERDICT r19 "what's wrong" 2): the ledger's
+    // first-drop attribution is only sound over MONOTONE stage lists
+    // (each frame ⊆ its predecessor on idCol, ids unique) — every graft
+    // pipeline satisfies it, but a caller composing their own list with
+    // a non-subset frame would get docs silently attributed 'kept' (a
+    // doc absent from stage k but present in stage k+1 appears in no
+    // anti join) or double-attributed. `strict = true` reconciles
+    // |prev| == |cur| + |prev \ cur| at every boundary — true iff cur ⊆
+    // prev with unique ids — and names the offending boundary. Cost:
+    // one id-width count per stage + per boundary (the audit's own
+    // shape), opt-in because the ledgered callers already compute and
+    // reconcile the same counts.
+    if (strict) {
+      val counts = stages.map { case (_, df) => df.select(col(idCol)).count() }
+      dropped.zipWithIndex.foreach { case (d, i) =>
+        val dc = d.count()
+        if (counts(i) != counts(i + 1) + dc)
+          throw new IllegalArgumentException(
+            s"curationLedger(strict): stage '${stages(i + 1)._1}' is not a " +
+              s"subset of its predecessor '${stages(i)._1}' on $idCol " +
+              s"(|prev| = ${counts(i)}, |cur| = ${counts(i + 1)}, " +
+              s"dropped = $dc; expected |prev| == |cur| + dropped)")
+      }
+    }
     val kept = stages.last._2
       .select(col(idCol), lit(stages.last._1).as("stage"),
         lit("kept").as("verdict"))
@@ -1049,14 +1159,15 @@ object Graft {
       dsir: Option[DsirKeep] = None,
       paragraphs: Option[ParagraphClean] = None,
       c4: Option[C4Clean] = None,
-      html: Option[HtmlExtract] = None)
+      html: Option[HtmlExtract] = None,
+      urlGate: Option[UrlGate] = None)
       : (DataFrame, Seq[StageCount], DataFrame) = {
     val stages = curationStages(spark, docs, screenPhrases, minJaccard, quality,
       evalDocs = evalDocs, semantic = semantic,
       normalize = normalize, langGate = langGate,
       classifier = classifier, weighted = weighted,
       calibrated = calibrated, dsir = dsir, paragraphs = paragraphs,
-      c4 = c4, html = html)
+      c4 = c4, html = html, urlGate = urlGate)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val audit = counts.zip(counts.head._2 +: counts.map(_._2)).map {
       case ((name, kept), prev) => StageCount(name, kept, prev - kept)
@@ -1134,7 +1245,8 @@ object Graft {
       corpusFp: Option[DataFrame] = None,
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
-      html: Option[HtmlExtract] = None): DataFrame = {
+      html: Option[HtmlExtract] = None,
+      urlGate: Option[UrlGate] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
@@ -1145,8 +1257,12 @@ object Graft {
     // here), pages with no block structure drop (NULL kernel result ≡
     // the batch stage's no-row contract), survivors continue with the
     // boilerplate-free clean text
-    val paged = html.fold(docs) { hx =>
-      docs.withColumn("__hx", call_function("html_extract", col("text"),
+    // round-20 F60 stage FIRST (the batch order): the URL/domain gate as
+    // a stateless driver-held-list filter — see [[UrlGate]]'s scaladoc
+    // for the batch-vs-stream list-size trade
+    val urlGated = urlGate.fold(docs)(ug => docs.filter(ug.keepCol))
+    val paged = html.fold(urlGated) { hx =>
+      urlGated.withColumn("__hx", call_function("html_extract", col("text"),
           lit(hx.minWords), lit(hx.maxLinkMillionths)))
         .filter(col("__hx").isNotNull)
         .withColumn("text", col("__hx").getField("clean_text"))
@@ -1263,11 +1379,12 @@ object Graft {
       corpusFp: Option[DataFrame] = None,
       calibrated: Option[CalibratedKeep] = None,
       dsir: Option[DsirKeep] = None,
-      html: Option[HtmlExtract] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      html: Option[HtmlExtract] = None,
+      urlGate: Option[UrlGate] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     curateStream(docs, screenPhrases, quality, minEst, ttlMillis,
       watermarkDelay, useTws, twsTtl, normalize, langGate, classifier,
-      corpusFp, calibrated, dsir, html)
+      corpusFp, calibrated, dsir, html, urlGate)
       .select(col("partitionKey"), col("data"))
       .writeStream
       .format(KinesisSinkFormat)
@@ -1299,7 +1416,8 @@ object Graft {
       dsir: Option[DsirKeep] = None,
       paragraphs: Option[ParagraphClean] = None,
       c4: Option[C4Clean] = None,
-      html: Option[HtmlExtract] = None): Seq[(String, DataFrame)] = {
+      html: Option[HtmlExtract] = None,
+      urlGate: Option[UrlGate] = None): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     functions.VectorFunctions.register(spark) // gate may call deflate_ratio
     // stages past d1 stay LAZY on purpose: d1 and the CC labels (the two
@@ -1307,15 +1425,21 @@ object Graft {
     // row-filter gates per consumer beats materializing each stage's
     // full-width text rows — measured ~60% faster at the 50k stress
     val raw = docs.filter(col("text").isNotNull)
+    // round-20 F60 stage FIRST: the URL/domain gate — the published
+    // pipelines' own order (C4/RefinedWeb/FineWeb gate on URL before
+    // reading content). Bloom-pruned exact list joins on the
+    // canonicalized registered domain; NULL-url rows drop.
+    val rawUrl = urlGate.fold(raw)(ug =>
+      Urls.domainGate(raw, ug.blocked, ug.allowed, ug.urlCol))
     // round-19 F58 stage: the HTML FRONT DOOR — when `html` is given the
     // input text IS page HTML; extract boilerplate-free content text
     // before anything else fingerprints or gates it (the published
     // pipelines' own order: C4/CCNet/FineWeb extract first). Per-row
     // regex codegen + a page-bounded rollup; pages with no block
     // structure drop here (the inner join carries only extracted pages).
-    val rawText = html.fold(raw) { hx =>
-      raw.drop("text").join(
-        Html.htmlExtract(raw.select(col("doc_id"), col("text").as("html")),
+    val rawText = html.fold(rawUrl) { hx =>
+      rawUrl.drop("text").join(
+        Html.htmlExtract(rawUrl.select(col("doc_id"), col("text").as("html")),
             hx.minWords, hx.maxLinkMillionths)
           .select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id"))
@@ -1445,6 +1569,7 @@ object Graft {
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")
     val d4 = d3e.join(clean, Seq("doc_id"), "left_semi")
     val core = Seq("input" -> raw) ++
+      urlGate.map(_ => "url_gate" -> rawUrl).toSeq ++
       html.map(_ => "html_extract" -> rawText).toSeq ++
       normalize.map(_ => "unicode_normalize" -> base0).toSeq ++
       c4.map(_ => "c4_clean" -> baseC4).toSeq ++

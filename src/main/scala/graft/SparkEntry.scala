@@ -10,7 +10,7 @@ object SparkEntry {
 
   def specs: Seq[Q] =
     Relational.all ++ ScalarFuncs.all ++ TextOps.all ++ Html.all ++
-      Similarity.all ++ Pq.all ++ MinHash.all ++ Dedup.all
+      Urls.all ++ Similarity.all ++ Pq.all ++ MinHash.all ++ Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
