@@ -88,15 +88,27 @@ object Html {
     * (doc_id, html) page frame. block_pos is the fragment's position in
     * the close-tag split (sparse when non-block fragments interleave —
     * deterministic without any window). */
+  /** The pre-round-20 link_chars form — an interpreted
+    * `aggregate(transform(regexp_extract_all(…)))` HOF fold, kept as
+    * the `anchor_chars` kernel's spec-reference twin (Round20OpsSpec
+    * pins bit-equality; the kernel is the shipped form because an
+    * interpreted HOF breaks the projection out of whole-stage codegen —
+    * the F19b/lm_score lesson, VERDICT r19 "what's wrong" 3). */
+  private[graft] def linkCharsFoldCol(content: Column): Column = {
+    val anchors =
+      call_function("regexp_extract_all", content, lit(AnchorRe), lit(1))
+    coalesce(aggregate(transform(anchors, a => length(a).cast("long")),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+  }
+
   def htmlBlocks(pages: DataFrame, minWords: Int = 3,
       maxLinkMillionths: Long = 200000L): DataFrame = {
     require(minWords >= 0, s"minWords must be >= 0, got $minWords")
     require(maxLinkMillionths >= 0 && maxLinkMillionths <= 1000000L,
       s"maxLinkMillionths must be in [0, 1e6], got $maxLinkMillionths")
+    graft.functions.VectorFunctions.register(pages.sparkSession) // anchor_chars
     val stripped = regexp_replace(
       regexp_replace(col("html"), ScriptRe, ""), StyleRe, "")
-    val anchors =
-      call_function("regexp_extract_all", col("content"), lit(AnchorRe), lit(1))
     val tagless = regexp_replace(col("content"), "<[^>]*>", " ")
     // entity decode: nbsp/lt/gt/quot/#39 first, amp LAST (never
     // double-decodes `&amp;lt;` into '<'); plain-literal patterns, so
@@ -113,8 +125,7 @@ object Html {
       .filter(col("tag") =!= "")
       .withColumn("content", regexp_replace(col("frag"), OpenStripRe, ""))
       .withColumn("link_chars",
-        coalesce(aggregate(transform(anchors, a => length(a).cast("long")),
-          lit(0L), (acc, x) => acc + x), lit(0L)))
+        call_function("anchor_chars", col("content")))
       .withColumn("text", trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")))
       .withColumn("text_chars", length(col("text")).cast("long"))
       .withColumn("words", when(col("text") === "", lit(0L))

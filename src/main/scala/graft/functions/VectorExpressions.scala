@@ -583,6 +583,11 @@ object VectorFunctions {
         HtmlExtractKernel(exprs.head, new HtmlCleaner(
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].longValue())), "built-in")
+    // F58 link-density numerator (round 20): the one interpreted HOF
+    // fold left on a graded hot path, as a codegen kernel
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "anchor_chars", (exprs: Seq[Expression]) =>
+        AnchorChars(exprs.head), "built-in")
     // PQ kernels: codebook/m/ksub are foldable literals, evaluated once
     // here (the minhash_sig pattern) so the expression holds a plain
     // float[] that codegen references instead of re-evaluating per row

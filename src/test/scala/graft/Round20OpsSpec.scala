@@ -83,6 +83,47 @@ class Round20OpsSpec extends SparkSpec {
       groups.toString)
   }
 
+  // ---- item 7: codegen link_chars (anchor_chars kernel) -------------------
+
+  test("anchor_chars kernel ≡ the HOF fold, bit-for-bit, on edge-heavy anchors") {
+    graft.functions.VectorFunctions.register(spark)
+    val contents = Seq(
+      "",                                             // no anchors
+      "<a href=\"/\">home</a>",                       // one plain anchor
+      "<a>bare</a> text <a href=\"x\">καλημέρα 世界</a>", // multi-byte inner text
+      "<a href=\"#\"></a>",                           // empty inner text
+      "<a\nhref=\"x\">with\nnewlines</a>",            // (?s) never matches '<a\n' — no [ ]
+      "<a href=\"x\">nested <b>never</b></a>",        // [^<] stops at nested tag
+      "<apple>not an anchor</apple> <a >spaced attr</a>",
+      (1 to 50).map(k => s"<a href='$k'>link number $k</a>").mkString(" "))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "content")
+    val rows = contents.select(
+        call_function("anchor_chars", col("content")).as("kernel"),
+        Html.linkCharsFoldCol(col("content")).as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
+  test("anchor_chars stays inside whole-stage codegen (CODEGEN_ONLY)") {
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    strict.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    graft.functions.VectorFunctions.register(strict)
+    // spark.range (a LocalTableScan plans no codegen stage to assert on);
+    // reference the kernel TWICE in one projection — the freshName pin
+    val docs = strict.range(50).selectExpr(
+      "concat('<a href=\"/\">link ', id, '</a> tail') AS content")
+    val out = docs.select(
+      call_function("anchor_chars", col("content")).as("a"),
+      call_function("anchor_chars", col("content")).as("b"))
+    val got = out.agg(sum(col("a")), sum(col("b"))).head()
+    assert(got.getLong(0) === got.getLong(1) && got.getLong(0) > 0L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("anchor_chars")), plan.take(500))
+  }
+
   test("long videos keep the frame-granular secondary (real-decode swap path)") {
     // at ≥ MinSecondaryValues frames the secondary must come from the
     // frame-checksum sequence alone: two byte layouts with identical
