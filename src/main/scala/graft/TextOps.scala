@@ -2147,7 +2147,9 @@ object TextOps {
       * (spec-pinned bit-equal; the fold survives as
       * [[sumMicrosFoldCol]], the independent reference twin). Requires
       * [[graft.functions.VectorFunctions.register]], which every graft
-      * entry point and every `*LmFit` already calls. */
+      * entry point, every `*LmFit`, and every model `load` already
+      * call — a model loaded into a fresh serving session brings its
+      * kernels along (round 20; the r19 ADVICE trap). */
     def sumMicrosCol(text: Column): Column =
       call_function("lm_score", text, lit(2), lit(buckets),
         lit(BackoffMicros), typedLit[Seq[Long]](uc ++ bc),
@@ -3263,7 +3265,8 @@ object TextOps {
       * family — zero shuffle, literal-table per-row map); the
       * interpreted fold survives as [[logRatioFoldCol]], the spec twin.
       * Requires [[graft.functions.VectorFunctions.register]], which
-      * every graft entry point and [[dsirFit]] already call. */
+      * every graft entry point, [[dsirFit]], and [[DsirModel.load]]
+      * already call — a loaded model serves in a fresh session. */
     def logRatioCol(text: Column): Column =
       call_function("gram_sum", text, lit(1), lit(2), typedLit[Seq[Long]](lr))
 

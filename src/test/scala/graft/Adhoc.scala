@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Containers
 
 /** Scratch scale-stress main (test scope — not shipped): replicate the
   * sf0.1 corpus 10× with per-copy mutations (~50k docs) and measure the
@@ -3105,6 +3106,156 @@ object Adhoc {
         .head().getLong(0)
       assert(c1 == c2, "verified groups drifted across reruns")
       println(s"ADHOC media20 groups_checksum=$c1 PASS")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("release20")) {
+      // Round-20 one-call release certification (VERDICT r19 item 6):
+      // the FULL published shape — container files → URL gate → HTML
+      // front door → quality/dedup/contamination stages → epoch mix →
+      // shard/order shuffle → per-shard sequence packing → release diff
+      // — through ONE Graft.buildRelease call at 1.1M docs. Closed-form
+      // planted populations: 1M base pages (source s{id%3}, url domain
+      // d{id%4} with domain 2 BLOCKED → exactly 300,000 url drops incl.
+      // twins), 100k exact-dup twins (50k survive the url gate →
+      // exact_dedup claims ≥ 50k), 50k distinct sub-minTokens shorts
+      // (none url-blocked → exactly 50,000 quality drops), 40k
+      // contaminated (10k url-blocked first → ≤ 30,000 contamination
+      // drops, bounded below by 29k for chance near-dup claims — the
+      // ledger reconciliation is the exact contract). Epoch laws: s1
+      // docs exactly 2 copies, s0 exactly 1, s2 ∈ {1,2} with mean in
+      // [1.45, 1.55]. Packing law per shard: pos dense from 0 and
+      // max(seq_last) == (Σ n_toks − 1) div 1024. Diff vs the INPUT
+      // snapshot: every kept doc 'changed' (extraction rewrote it),
+      // every dropped doc 'removed', nothing 'added'/'unchanged' —
+      // ledger ↔ audit ↔ diff reconcile EXACTLY. Rerun → identical
+      // packed checksum.
+      import spark.implicits._
+      val n = 1000000L
+      def textOf(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+        transform(sequence(lit(0), (pmod(hash(idc), lit(8)) + lit(11)).cast("int")),
+          i => concat(lit("u"), idc, lit("_"), pmod(hash(idc * 31 + i), lit(997)))))
+      def pageOf(body: org.apache.spark.sql.Column) = concat(
+        lit("<script>var x = 1;</script><p>"), body,
+        lit("</p><nav><a href=\"/\">home</a></nav>trailing junk"))
+      val baseBody = when(pmod(col("id"), lit(20)) === 1,
+          concat(lit("tiny doc "), col("id")))
+        .when(pmod(col("id"), lit(25)) === 2,
+          concat(lit("zz_screened_phrase_zz "), textOf(col("id"))))
+        .otherwise(textOf(col("id")))
+      val bases = spark.range(0, n).select(col("id").as("doc_id"),
+        pageOf(baseBody).as("text"))
+      val twins = spark.range(0, n).filter(pmod(col("id"), lit(10)) === 0)
+        .select((col("id") + 10000000L).as("doc_id"),
+          pageOf(textOf(col("id"))).as("text"))
+      val docs0 = bases.unionByName(twins).localCheckpoint(eager = true)
+      val inChecksum = docs0.agg(bit_xor(xxhash64(col("doc_id"), col("text"))))
+        .head().getLong(0)
+      // container front: pack the corpus into container files and read
+      // it back — the release consumes the A-layer, not a handed frame
+      val cdir = java.nio.file.Files.createTempDirectory("release20").toString
+      time("release20 write containers") {
+        Containers.writeContainers(
+          docs0.select(col("doc_id"), col("text").cast("binary").as("body")),
+          cdir, recordsPerFile = 50000)
+      }
+      val fromC = Containers.readContainers(spark, s"$cdir/*.gcn")
+        .select(col("doc_id"), col("body").cast("string").as("text"))
+        .localCheckpoint(eager = true)
+      val outChecksum = fromC.agg(bit_xor(xxhash64(col("doc_id"), col("text"))))
+        .head().getLong(0)
+      assert(fromC.count() == 1100000L && outChecksum == inChecksum,
+        "container round-trip drifted at 1.1M")
+      val domains = Seq("good.example.com", "fine.example.net",
+        "blocked.example.co.uk", "ok.example.org")
+      val docs = fromC
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+        .withColumn("url", concat(lit("http://"),
+          element_at(typedLit(domains), pmod(col("doc_id"), lit(4)).cast("int") + 1),
+          lit("/p/"), col("doc_id")))
+      def build() = Graft.buildRelease(spark, docs,
+        screenPhrases = Seq("zz_screened_phrase_zz"),
+        quality = Graft.QualityGate(minTokens = 5, maxTokens = 10000,
+          maxStopwordRatio = 1.0),
+        epochsMicros = Map("s0" -> 1000000L, "s1" -> 2000000L, "s2" -> 1500000L),
+        nShards = 16, seed = 11L, seqLen = 1024,
+        previous = Some(docs0),
+        html = Some(Graft.HtmlExtract()),
+        urlGate = Some(Graft.UrlGate(blocked = Seq("example.co.uk"))))
+      var r: Graft.Release = null
+      time("release20 build (audit+ledger+manifest+pack)") {
+        r = build()
+        r.packed.count()
+      }
+      println(s"ADHOC release20 audit=${r.audit}")
+      val byStage = r.audit.map(a => a.stage -> a.dropped).toMap
+      assert(r.audit.head.kept == 1100000L)
+      assert(byStage("url_gate") == 300000L, s"url drops: ${byStage("url_gate")}")
+      assert(byStage("html_extract") == 0L)
+      assert(byStage("exact_dedup") >= 50000L)
+      assert(byStage("quality_gate") == 50000L,
+        s"quality drops: ${byStage("quality_gate")}")
+      assert(byStage("contamination") >= 29000L && byStage("contamination") <= 30000L,
+        s"contamination drops: ${byStage("contamination")}")
+      // ledger ↔ audit exact reconciliation, one row per input doc
+      val ledger = r.ledger.localCheckpoint(eager = true)
+      assert(ledger.count() == 1100000L)
+      assert(ledger.select("doc_id").distinct().count() == 1100000L)
+      val droppedL = ledger.filter(col("verdict") === "dropped")
+        .groupBy(col("stage")).count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      r.audit.tail.foreach(sc => assert(
+        droppedL.getOrElse(sc.stage, 0L) == sc.dropped,
+        s"${sc.stage}: ledger ${droppedL.getOrElse(sc.stage, 0L)} != audit ${sc.dropped}"))
+      val kept = r.audit.last.kept
+      assert(ledger.filter(col("verdict") === "kept").count() == kept)
+      // epoch copy laws per source
+      val cps = r.manifest.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(eager = true)
+      assert(cps.filter(col("source") === "s0" && col("c") =!= 1L).count() == 0L)
+      assert(cps.filter(col("source") === "s1" && col("c") =!= 2L).count() == 0L)
+      assert(cps.filter(col("source") === "s2" &&
+        !col("c").isin(1L, 2L)).count() == 0L)
+      val s2 = cps.filter(col("source") === "s2")
+        .agg(sum(col("c")).cast("double") / count(lit(1))).head().getDouble(0)
+      assert(s2 > 1.45 && s2 < 1.55, s"s2 mean copies $s2")
+      // packing law per shard + manifest/pack token conservation
+      val shards = r.packed.groupBy(col("shard")).agg(count(lit(1)).as("nrow"),
+          min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+          sum(col("n_toks")).as("toks"), max(col("seq_last")).as("lastSeq"))
+        .collect()
+      assert(shards.length == 16)
+      shards.foreach { x =>
+        assert(x.getLong(2) == 0L && x.getLong(3) == x.getLong(1) - 1L,
+          s"pos not dense: $x")
+        assert(x.getLong(5) == (x.getLong(4) - 1L) / 1024L, s"pack law: $x")
+      }
+      assert(r.packed.filter(col("n_seqs") =!=
+        col("seq_last") - col("seq_first") + 1).count() == 0L)
+      val mToks = r.manifest.agg(sum(col("n_toks"))).head().getLong(0)
+      val pToks = r.packed.agg(sum(col("n_toks"))).head().getLong(0)
+      assert(mToks == pToks, s"manifest $mToks vs packed $pToks tokens")
+      // diff ↔ ledger exact reconciliation (extraction rewrote every text)
+      val diff = r.diff.get.groupBy(col("status")).count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(diff.getOrElse("removed", 0L) == 1100000L - kept, diff.toString)
+      assert(diff.getOrElse("changed", 0L) == kept, diff.toString)
+      assert(diff.getOrElse("added", 0L) == 0L && diff.getOrElse("unchanged", 0L) == 0L,
+        diff.toString)
+      // rerun determinism: the packed layout is a pure function of input
+      var checksum2 = 0L
+      time("release20 rerun (determinism)") {
+        val r2 = build()
+        checksum2 = r2.packed.agg(bit_xor(xxhash64(col("shard"), col("pos"),
+          col("doc_id"), col("seq_first"), col("seq_last")))).head().getLong(0)
+        checksum2
+      }
+      val checksum1 = r.packed.agg(bit_xor(xxhash64(col("shard"), col("pos"),
+        col("doc_id"), col("seq_first"), col("seq_last")))).head().getLong(0)
+      assert(checksum1 == checksum2, "packed layout drifted across reruns")
+      println(s"ADHOC release20 kept=$kept manifest_rows=${r.manifest.count()} " +
+        s"packed_checksum=$checksum1 PASS")
       spark.stop()
       return
     }

@@ -124,6 +124,66 @@ class Round20OpsSpec extends SparkSpec {
       l.contains("*(") && l.contains("anchor_chars")), plan.take(500))
   }
 
+  // ---- item 6: the one-call release build ---------------------------------
+
+  test("buildRelease composes curation → mix → pack with exact reconciliation") {
+    def words(tag: String, n: Int): String =
+      (1 to n).map(k => s"${tag}tok$k").mkString(" ")
+    val docs = Seq(
+      (1L, words("a1", 20), "sa"),
+      (2L, words("a1", 20), "sa"),      // exact dup of 1 → dedup
+      (3L, "too short", "sa"),          // quality gate (minTokens 5)
+      (4L, words("a2", 30) + " zz_block_zz", "sa"), // contamination screen
+      (5L, words("b1", 25), "sb"),
+      (6L, words("b2", 15), "sb"),
+      (7L, words("a3", 40), "sa"))
+      .toDF("doc_id", "text", "source")
+    val prev = docs.select("doc_id", "text") // input snapshot as "last release"
+    val r = Graft.buildRelease(spark, docs,
+      screenPhrases = Seq("zz_block_zz"),
+      quality = Graft.QualityGate(minTokens = 5, maxTokens = 1000,
+        maxStopwordRatio = 1.0),
+      epochsMicros = Map("sa" -> 1000000L, "sb" -> 2500000L), // sb ~2.5 epochs
+      nShards = 2, seed = 7L, seqLen = 16, previous = Some(prev))
+    // audit ↔ ledger reconcile exactly, one row per input doc
+    assert(r.ledger.count() === 7L)
+    val droppedByStage = r.ledger.filter(col("verdict") === "dropped")
+      .groupBy("stage").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.audit.tail.foreach(sc =>
+      assert(droppedByStage.getOrElse(sc.stage, 0L) === sc.dropped, sc.toString))
+    assert(r.audit.last.kept === r.survivors.count())
+    assert(r.survivors.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 5L, 6L, 7L))
+    // manifest: sb docs upsampled (epoch copies), sa single-epoch
+    val epochs = r.manifest.groupBy("doc_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(epochs(1L) === 1L && epochs(7L) === 1L)
+    assert(epochs(5L) >= 2L && epochs(6L) >= 2L) // 2.5 epochs → 2 or 3 copies
+    // packed: per shard, pos dense from 0 and the token-offset law holds
+    val byShard = r.packed.groupBy("shard").agg(
+        count(lit(1)).as("n"), min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        sum(col("n_toks")).as("toks"), max(col("seq_last")).as("lastSeq"))
+      .collect()
+    assert(byShard.nonEmpty)
+    byShard.foreach { x =>
+      val (n, lo, hi, toks, lastSeq) =
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))
+      assert(lo === 0L && hi === n - 1, s"pos not dense: $x")
+      assert(lastSeq === (toks - 1) / 16, s"pack law broke: $x")
+    }
+    // n_seqs is the span width everywhere
+    assert(r.packed.filter(col("n_seqs") =!=
+      col("seq_last") - col("seq_first") + 1).count() === 0L)
+    // diff vs the input snapshot: dropped docs = removed, kept = unchanged
+    val diff = r.diff.get.groupBy("status").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(diff.getOrElse("removed", 0L) === 3L)
+    assert(diff.getOrElse("unchanged", 0L) === 4L)
+    assert(diff.getOrElse("added", 0L) === 0L)
+    assert(diff.getOrElse("changed", 0L) === 0L)
+  }
+
   test("long videos keep the frame-granular secondary (real-decode swap path)") {
     // at ≥ MinSecondaryValues frames the secondary must come from the
     // frame-checksum sequence alone: two byte layouts with identical
