@@ -2,174 +2,126 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-20 cross-session serving proof (VERDICT r19 item 1 "done"
-  * criteria): models saved in one session LOAD AND SCORE in a
-  * brand-new session state — `spark.newSession()` shares the context
-  * but has its OWN function registry, so none of the graft kernels
-  * (`lm_score`, `nb_score`, …) exist there until `load` registers them
-  * (the round-19 ADVICE trap, closed by [[ModelIO.load]]). Also pins
-  * the gate-level story: a curation gate built from a LOADED model
-  * keeps exactly the same documents as the gate that fit in-memory.
+/** First-touch registration gate. The engine's custom expressions are
+  * session-scoped temp functions (`VectorFunctions.register`), so every
+  * public API and every graded query must register what it analyzes —
+  * ON THE SESSION IT IS HANDED — before building frames that reference
+  * those functions. Two real escapes motivated the mechanical gate:
+  * round 9's `ivfLoad` (a loaded index's first probe in a fresh job
+  * failed to resolve `fvec_dot`/`collect_top_k`) and round 10's first
+  * `pqFit` refactor (the normalized frame analyzed `fvec_dot` BEFORE
+  * `fitCodebooks` registered it). Both were invisible to every other
+  * suite because specs share one session and Verify runs all queries
+  * sequentially on one session — any earlier registration masks a
+  * missing one. `spark.newSession()` has its own function registry, so
+  * running each entry point on a brand-new session per call is exactly
+  * the "user's first call in their own job" contract.
   */
 class FreshSessionSpec extends SparkSpec {
 
-  import spark.implicits._
-
-  private lazy val dir = tmpDir("graft-fresh")
-
-  private lazy val corpus = Seq(
-    (1L, "the cat sat on the mat and the dog sat too", "a"),
-    (2L, "καλημέρα κόσμε καλημέρα κόσμε", "a"),
-    (3L, "der hund und die katze und der hund", "b"),
-    (4L, "the quick brown fox jumps over the lazy dog again", "b"),
-    (5L, "spam spam buy now spam spam buy now", "a"))
-    .toDF("doc_id", "text", "source")
-
-  // toDF on a Seq binds to the implicits' session; this helper builds the
-  // same frame explicitly in a given session
-  private def docsIn(s: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    Seq(
-      (1L, "the cat sat on the mat and the dog sat too", "a"),
-      (2L, "καλημέρα κόσμε καλημέρα κόσμε", "a"),
-      (3L, "der hund und die katze und der hund", "b"),
-      (4L, "the quick brown fox jumps over the lazy dog again", "b"),
-      (5L, "spam spam buy now spam spam buy now", "a"))
-      .toDF("doc_id", "text", "source")
-  }
-
-  private def oneDoc(s: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    Seq((1L, "a b a b a")).toDF("doc_id", "text")
-  }
-
-  test("a fresh session lacks the kernels until load registers them") {
-    val lm = TextOps.bigramLmFit(corpus, buckets = 32)
-    val p = s"$dir/lm.bin"
-    lm.save(spark, p)
-    val fresh = spark.newSession()
-    val freshDocs = oneDoc(fresh)
-    // before load: the frozen score column cannot even analyze — the
-    // session-local temp function does not exist in this session
-    intercept[org.apache.spark.sql.AnalysisException] {
-      freshDocs.select(lm.sumMicrosCol(col("text"))).collect()
+  test("every graded query resolves on a brand-new session (no cross-query registration masking)") {
+    SparkEntry.specs.foreach { q =>
+      val s2 = spark.newSession()
+      val n =
+        try q.fn(s2, sf001).count()
+        catch {
+          case e: Throwable =>
+            fail(s"query ${q.name} failed on a fresh session (missing self-registration?): ${e.getMessage}")
+        }
+      assert(n >= 0)
     }
-    // load registers the kernels and returns the identical model
-    val loaded = TextOps.BigramLm.load(fresh, p)
-    assert(loaded === lm)
-    val got = freshDocs.select(loaded.sumMicrosCol(col("text"))).head().getLong(0)
-    // the base session (kernels long registered) agrees bit-exactly
-    val want = oneDoc(spark)
-      .select(lm.sumMicrosCol(col("text"))).head().getLong(0)
-    assert(got === want)
   }
 
-  test("every model family loads and scores identically in a fresh session") {
-    val fresh = spark.newSession()
-    val freshDocs = docsIn(fresh)
+  test("vector/PQ library APIs self-register on first touch of a fresh session") {
+    // tiny corpus built per-case ON the fresh session: 24 vectors, dim 8
+    def corpus(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      (0 until 24).map { i =>
+        (i.toLong, Array.tabulate(8)(j => (((i * 7 + j * 3) % 11) - 5).toFloat))
+      }.toDF("vec_id", "embedding")
+    }
+    def fresh() = spark.newSession()
 
-    val lang = TextOps.langIdFit(
-      Seq(("en", "the cat and the dog sat"), ("el", "καλημέρα κόσμε παλι"))
-        .toDF("lang", "text"), topN = 10)
-    lang.save(spark, s"$dir/lang.bin")
-    val langL = TextOps.LangIdProfile.load(fresh, s"$dir/lang.bin")
-    assert(freshDocs.select(langL.predictCol(col("text"))).collect().toSeq ===
-      corpus.select(lang.predictCol(col("text"))).collect().toSeq)
+    locally { // round 14: k-means fit/assign + clustered SemDeDup + overlap reports
+      val s = fresh()
+      val model = Similarity.kmeansFitExact(corpus(s), k = 2, iters = 1)
+      val s2 = fresh()
+      assert(model.assignBroadcast(corpus(s2)).count() == 24)
+      val s3 = fresh()
+      assert(Similarity.semanticClustersClustered(s3, corpus(s3),
+        minCos = 0.9, k = 2).count() == 24)
+      def textDocs(s0: org.apache.spark.sql.SparkSession) = {
+        import s0.implicits._
+        Seq((1L, "x", (1 to 9).map(i => s"t$i").mkString(" ")))
+          .toDF("doc_id", "source", "text")
+      }
+      val s4 = fresh()
+      assert(TextOps.evalOverlapReport(textDocs(s4), textDocs(s4)).count() == 1)
+      val s5 = fresh()
+      assert(TextOps.sourceOverlapMatrix(textDocs(s5)).count() == 0)
+    }
 
-    val nb = TextOps.nbFit(Seq(("keep", "the cat sat"), ("drop", "spam buy now"))
-      .toDF("label", "text"), vocabN = 20)
-    nb.save(spark, s"$dir/nb.bin")
-    val nbL = TextOps.NbTextModel.load(fresh, s"$dir/nb.bin")
-    assert(freshDocs.select(nbL.scoreCol(col("text"))).collect().toSeq ===
-      corpus.select(nb.scoreCol(col("text"))).collect().toSeq)
-
-    val tri = TextOps.trigramLmFit(corpus, buckets = 32)
-    tri.save(spark, s"$dir/tri.bin")
-    val triL = TextOps.TrigramLm.load(fresh, s"$dir/tri.bin")
-    assert(freshDocs.select(triL.sumMicrosCol(col("text"))).collect().toSeq ===
-      corpus.select(tri.sumMicrosCol(col("text"))).collect().toSeq)
-
-    val ng = TextOps.ngramLmFit(corpus, order = 4, buckets = 32)
-    ng.save(spark, s"$dir/ng.bin")
-    val ngL = TextOps.NgramLm.load(fresh, s"$dir/ng.bin")
-    assert(freshDocs.select(ngL.sumMicrosCol(col("text"))).collect().toSeq ===
-      corpus.select(ng.sumMicrosCol(col("text"))).collect().toSeq)
-
-    val ds = TextOps.dsirFit(corpus, corpus.filter(col("doc_id") <= 2L),
-      buckets = 32, seed = 3L)
-    ds.save(spark, s"$dir/ds.bin")
-    val dsL = TextOps.DsirModel.load(fresh, s"$dir/ds.bin")
-    assert(freshDocs.select(dsL.keepCol(col("text"), col("doc_id"))).collect().toSeq ===
-      corpus.select(ds.keepCol(col("text"), col("doc_id"))).collect().toSeq)
-
-    val cal = TextOps.calibrationFit(
-      corpus.withColumn("s", length(col("text")).cast("double")), "s",
-      "source", buckets = 8)
-    cal.save(spark, s"$dir/cal.bin")
-    val calL = TextOps.CalibrationModel.load(fresh, s"$dir/cal.bin")
-    assert(freshDocs.withColumn("s", length(col("text")).cast("double"))
-        .select(calL.pctCol(col("s"), col("source"))).collect().toSeq ===
-      corpus.withColumn("s", length(col("text")).cast("double"))
-        .select(cal.pctCol(col("s"), col("source"))).collect().toSeq)
-
-    val bpe = TextOps.bpeFit(corpus, numMerges = 10, vocabN = 50)
-    bpe.save(spark, s"$dir/bpe.bin")
-    val bpeL = TextOps.BpeModel.load(fresh, s"$dir/bpe.bin")
-    assert(freshDocs.select(bpeL.countCol(col("text"))).collect().toSeq ===
-      corpus.select(bpe.countCol(col("text"))).collect().toSeq)
-
-    val emb = spark.range(0, 32).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(3)), i =>
-        (pmod(hash(col("id") * 7 + i), lit(100)) / 10).cast("float"))
-        .as("embedding"))
-    val km = Similarity.kmeansFitExact(emb, k = 3, iters = 2)
-    km.save(spark, s"$dir/km.bin")
-    val kmL = Similarity.KmeansModel.load(fresh, s"$dir/km.bin")
-    val freshEmb = fresh.range(0, 32).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(3)), i =>
-        (pmod(hash(col("id") * 7 + i), lit(100)) / 10).cast("float"))
-        .as("embedding"))
-    assert(freshEmb.select(kmL.assignCol(col("embedding"))).collect().toSeq ===
-      emb.select(km.assignCol(col("embedding"))).collect().toSeq)
+    locally { // exact edges + semantic clusters, both edge paths
+      val s = fresh()
+      assert(Similarity.exactCosineEdges(s, corpus(s), 0.99).count() >= 0)
+      val s2 = fresh()
+      assert(Similarity.semanticClusters(s2, corpus(s2), 0.9).count() == 24)
+      val s3 = fresh()
+      assert(Similarity.semanticClusters(s3, corpus(s3), 0.9, useLsh = true).count() == 24)
+    }
+    locally { // IVF: fit is the entry; probe/assign/save/load on yet another session
+      val s = fresh()
+      val fitted = Similarity.ivfFit(s, corpus(s), k = 2, fitSample = 0)
+      val dir = tmpDir("fresh_ivf")
+      fitted.save(dir)
+      val s2 = fresh()
+      val loaded = Similarity.ivfLoad(s2, dir)
+      assert(Similarity.ivfProbe(loaded, col("vec_id") < 3, nprobe = 1, topK = 2)
+        .count() > 0)
+      val s3 = fresh()
+      val q = { import s3.implicits._
+        Seq((100L, Array.tabulate(8)(_.toFloat))).toDF("q_id", "embedding") }
+      assert(Similarity.ivfProbeVectors(Similarity.ivfLoad(s3, dir), q,
+        nprobe = 1, topK = 2).count() > 0)
+    }
+    locally { // PQ: fit (absolute + residual), build, probe, load
+      val s = fresh()
+      val fitted = Similarity.ivfFit(s, corpus(s), k = 2, fitSample = 0)
+      val model = Pq.pqFit(s, corpus(s), dim = 8, m = 2, ksub = 4)
+      val sR = fresh()
+      val fittedR = Similarity.ivfFit(sR, corpus(sR), k = 2, fitSample = 0)
+      val modelR = Pq.pqFitResidual(fittedR, dim = 8, m = 2, ksub = 4)
+      val dir = tmpDir("fresh_pq")
+      Pq.ivfPqBuild(fittedR, modelR, residual = true).save(dir)
+      assert(model.m == 2 && modelR.m == 2)
+      val s2 = fresh()
+      val q = { import s2.implicits._
+        Seq((100L, Array.tabulate(8)(_.toFloat))).toDF("q_id", "embedding") }
+      assert(Pq.ivfPqProbeVectors(Pq.ivfPqLoad(s2, dir), q,
+        nprobe = 1, topK = 2).count() > 0)
+    }
+    locally { // quantization + brute-force kNN facade surfaces
+      val s = fresh()
+      assert(Similarity.lshCandidates(s, corpus(s), 0.9).count() >= 0)
+    }
   }
 
-  test("curateStream gates built from LOADED models ≡ the in-memory gates") {
-    val seed = Seq(("en", "the cat and the dog sat on the mat"),
-      ("el", "καλημέρα κόσμε παλι και παλι")).toDF("lang", "text")
-    val inMem = Graft.LangGate(seed, Set("en"), topN = 10)
-    inMem.profile.save(spark, s"$dir/gate.bin")
-
-    val fresh = spark.newSession()
-    val loadedGate = Graft.LangGate.frozen(
-      TextOps.LangIdProfile.load(fresh, s"$dir/gate.bin"), Set("en"))
-    val t0 = new java.sql.Timestamp(1700000000000L)
-    def stream(s: org.apache.spark.sql.SparkSession) =
-      docsIn(s).withColumn("ts", lit(t0)).select("doc_id", "ts", "text")
-    val loose = Graft.QualityGate(minTokens = 1, maxTokens = 1000,
-      maxStopwordRatio = 1.0)
-    val gotFresh = Graft.curateStream(stream(fresh), Nil, quality = loose,
-        minEst = 0.99, langGate = Some(loadedGate))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val gotMem = Graft.curateStream(stream(spark), Nil, quality = loose,
-        minEst = 0.99, langGate = Some(inMem))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(gotFresh === gotMem && gotFresh.nonEmpty, s"$gotFresh vs $gotMem")
-
-    // the classifier gate, same contract
-    val nbSeed = Seq(("keep", "the cat sat on the mat"),
-      ("drop", "spam buy now spam")).toDF("label", "text")
-    val cMem = Graft.ClassifierGate(nbSeed, Set("keep"), vocabN = 20)
-    cMem.model.save(spark, s"$dir/cgate.bin")
-    val cLoaded = Graft.ClassifierGate.frozen(
-      TextOps.NbTextModel.load(fresh, s"$dir/cgate.bin"), Set("keep"))
-    val cFresh = Graft.curateStream(stream(fresh), Nil, quality = loose,
-        minEst = 0.99, classifier = Some(cLoaded))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val cBase = Graft.curateStream(stream(spark), Nil, quality = loose,
-        minEst = 0.99, classifier = Some(cMem))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(cFresh === cBase && cFresh.nonEmpty, s"$cFresh vs $cBase")
+  test("curation facade runs on a brand-new session (all stages engaged)") {
+    // the full 7-stage composition, with semantic dedup AND eval
+    // decontamination engaged, on a session whose registry has never
+    // seen a graft function — covers the text/minhash/vector expression
+    // registrations along every stage boundary
+    val s2 = spark.newSession()
+    val docs = Tables.documents(s2, sf001).limit(60)
+    val emb = Tables.embeddings(s2, sf001).limit(60)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val eval = Tables.documents(s2, sf001)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id").desc).limit(5)
+    val (out, audit) = Graft.curateCorpusAudited(s2, docs,
+      screenPhrases = Seq("alpha beta gamma"),
+      evalDocs = Some(eval),
+      semantic = Some(Graft.SemanticDedup(emb)))
+    assert(out.count() >= 0 && audit.nonEmpty)
   }
 }
