@@ -1622,22 +1622,25 @@ object Graft {
     // frozen mode is the stateless model filter, identical to the
     // streaming stage.
     val d3d = calibrated.fold(d3c) { ck =>
-      ck.reference match {
-        case None =>
-          // round 17 (advice): thread ck.buckets through — rank exactness
-          // is bucket-invariant, but the knob must mean the same thing in
-          // both modes (callers tune it for the frozen fit's granularity)
-          val pct = TextOps.scoreCalibration(
-            d3c.withColumn("__cal_s", ck.score), "__cal_s", ck.sourceCol,
-            buckets = ck.buckets)
-          d3c.join(
-            pct.filter(col("pct_millionths") >= ck.minPctMillionths)
-              .select("doc_id"),
-            Seq("doc_id"), "left_semi")
-        case Some(_) =>
-          d3c.filter(
-            ck.model.pctCol(ck.score, col(ck.sourceCol)) >= ck.minPctMillionths)
-      }
+      // Frozen whenever a model is available without fitting on this
+      // pool: `reference` given (fit-once-on-reference) OR `preFit`
+      // given (CalibratedKeep.frozen — a loaded model carries no
+      // reference frame, so dispatching on `reference` alone would
+      // silently re-rank the pool and ignore the model).
+      if (ck.reference.isEmpty && ck.preFit.isEmpty) {
+        // round 17 (advice): thread ck.buckets through — rank exactness
+        // is bucket-invariant, but the knob must mean the same thing in
+        // both modes (callers tune it for the frozen fit's granularity)
+        val pct = TextOps.scoreCalibration(
+          d3c.withColumn("__cal_s", ck.score), "__cal_s", ck.sourceCol,
+          buckets = ck.buckets)
+        d3c.join(
+          pct.filter(col("pct_millionths") >= ck.minPctMillionths)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      } else
+        d3c.filter(
+          ck.model.pctCol(ck.score, col(ck.sourceCol)) >= ck.minPctMillionths)
     }
     // round-17 DSIR importance-resampling gate (F46b): target-vs-pool
     // importance weights over the docs still alive, then the log-space
@@ -1646,15 +1649,18 @@ object Graft {
     // frozen mode (rawReference given) is the stateless per-row model
     // gate, identical to the streaming stage.
     val d3e = dsir.fold(d3d) { dk =>
-      dk.rawReference match {
-        case None =>
-          d3d.join(
-            TextOps.dsirResample(d3d, dk.target, dk.buckets, dk.seed,
-              dk.checkpointDir).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-        case Some(_) =>
-          d3d.filter(dk.model.keepCol(col("text"), col("doc_id")))
-      }
+      // Same frozen dispatch as the calibrated gate: `rawReference` OR
+      // `preFit` means a frozen model serves the gate. DsirKeep.frozen
+      // sets target = null, so falling into the exact branch here would
+      // hand dsirResample a null target frame (NPE) instead of serving
+      // the loaded model.
+      if (dk.rawReference.isEmpty && dk.preFit.isEmpty)
+        d3d.join(
+          TextOps.dsirResample(d3d, dk.target, dk.buckets, dk.seed,
+            dk.checkpointDir).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      else
+        d3d.filter(dk.model.keepCol(col("text"), col("doc_id")))
     }
     val clean = TextOps.contaminationScanAC(d3e, screenPhrases)
       .filter(!coalesce(col("contaminated"), lit(false))).select("doc_id")

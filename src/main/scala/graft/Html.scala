@@ -125,7 +125,12 @@ object Html {
       .filter(col("tag") =!= "")
       .withColumn("content", regexp_replace(col("frag"), OpenStripRe, ""))
       .withColumn("link_chars",
-        call_function("anchor_chars", col("content")))
+        // coalesce for exactness with linkCharsFoldCol's outer coalesce:
+        // the kernel NULL-propagates (idiomatic SQL), the fold pinned
+        // NULL→0. `content` is non-null on this path (regexp_replace of
+        // a non-null frag), so the optimizer elides it — this is the
+        // spec-twin contract made explicit, not a runtime cost.
+        coalesce(call_function("anchor_chars", col("content")), lit(0L)))
       .withColumn("text", trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")))
       .withColumn("text_chars", length(col("text")).cast("long"))
       .withColumn("words", when(col("text") === "", lit(0L))

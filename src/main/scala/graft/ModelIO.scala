@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   * session — the cross-session story these loaders exist for ("gate
   * today's arrivals against last month's model") — must bring its
   * kernels along or fail analysis with "undefined function" (the
-  * round-19 ADVICE trap). FreshSessionSpec pins load-then-score on a
+  * round-19 ADVICE trap). ModelServingSpec pins load-then-score on a
   * brand-new session state.
   */
 object ModelIO {
@@ -68,8 +68,27 @@ object ModelIO {
         s"$path holds a '$gotKind' model, not the requested '$kind'")
       val v = in.readInt()
       require(v == Version, s"$path has codec version $v, this build reads $Version")
-      read(in)
+      val model = read(in)
+      // Loud-failure contract, tail end: a file that parsed but has
+      // bytes left is NOT the model that was saved (a concatenation,
+      // a partial overwrite, or a codec drift between save and load) —
+      // mis-parsing silently is the exact failure mode this codec
+      // exists to prevent.
+      require(in.read() == -1,
+        s"$path has trailing bytes after the '$kind' model — corrupt " +
+          "or written by a different codec")
+      model
     } finally in.close()
+  }
+
+  /** Every collection is length-prefixed; a corrupt/bit-flipped prefix
+    * must fail loudly, not truncate — `IndexedSeq.fill(-n)` silently
+    * returns empty, which would load a gate model with EMPTY tables
+    * that then passes everything. */
+  private def checkedCount(in: DataInputStream): Int = {
+    val n = in.readInt()
+    require(n >= 0, s"corrupt model file: negative collection count $n")
+    n
   }
 
   // ---- field primitives (all length-prefixed, deterministic order) -------
@@ -92,35 +111,35 @@ object ModelIO {
   }
 
   private[graft] def readStrings(in: DataInputStream): IndexedSeq[String] =
-    IndexedSeq.fill(in.readInt())(readString(in))
+    IndexedSeq.fill(checkedCount(in))(readString(in))
 
   private[graft] def writeLongs(out: DataOutputStream, xs: Seq[Long]): Unit = {
     out.writeInt(xs.length); xs.foreach(out.writeLong)
   }
 
   private[graft] def readLongs(in: DataInputStream): IndexedSeq[Long] =
-    IndexedSeq.fill(in.readInt())(in.readLong())
+    IndexedSeq.fill(checkedCount(in))(in.readLong())
 
   private[graft] def writeLongs2(out: DataOutputStream, xs: Seq[Seq[Long]]): Unit = {
     out.writeInt(xs.length); xs.foreach(writeLongs(out, _))
   }
 
   private[graft] def readLongs2(in: DataInputStream): IndexedSeq[IndexedSeq[Long]] =
-    IndexedSeq.fill(in.readInt())(readLongs(in))
+    IndexedSeq.fill(checkedCount(in))(readLongs(in))
 
   private[graft] def writeInts(out: DataOutputStream, xs: Seq[Int]): Unit = {
     out.writeInt(xs.length); xs.foreach(out.writeInt)
   }
 
   private[graft] def readInts(in: DataInputStream): IndexedSeq[Int] =
-    IndexedSeq.fill(in.readInt())(in.readInt())
+    IndexedSeq.fill(checkedCount(in))(in.readInt())
 
   private[graft] def writeInts2(out: DataOutputStream, xs: Seq[Seq[Int]]): Unit = {
     out.writeInt(xs.length); xs.foreach(writeInts(out, _))
   }
 
   private[graft] def readInts2(in: DataInputStream): IndexedSeq[IndexedSeq[Int]] =
-    IndexedSeq.fill(in.readInt())(readInts(in))
+    IndexedSeq.fill(checkedCount(in))(readInts(in))
 
   /** Map entries are written in key order — a reload of a reload is
     * byte-identical on disk, not just value-equal. Doubles go through
@@ -134,7 +153,7 @@ object ModelIO {
   }
 
   private[graft] def readStringDoubleMap(in: DataInputStream): Map[String, Double] =
-    Seq.fill(in.readInt())(readString(in) -> in.readDouble()).toMap
+    Seq.fill(checkedCount(in))(readString(in) -> in.readDouble()).toMap
 
   private[graft] def writeStringLongsMap(out: DataOutputStream,
       m: Map[String, Seq[Long]]): Unit = {
@@ -145,5 +164,5 @@ object ModelIO {
   }
 
   private[graft] def readStringLongsMap(in: DataInputStream): Map[String, Seq[Long]] =
-    Seq.fill(in.readInt())(readString(in) -> readLongs(in)).toMap
+    Seq.fill(checkedCount(in))(readString(in) -> readLongs(in)).toMap
 }

@@ -643,16 +643,30 @@ object Multimodal {
     else if (payload.isEmpty) None
     else Some((dHashBytes(payload), dHashBytesOffset(payload)))
 
-  /** Both audio families from one decode: (envelope, derivative
-    * envelope) over the same |sample| stream. */
-  def audioSigPair(payload: Array[Byte], meta: MediaMeta): Option[(Long, Long)] =
-    if (RealAudioFormats(meta.format)) readPcmAbs(payload, meta.format)
-      .filter(_.nonEmpty).map(v => (envelopeBits(v), derivEnvelopeBits(v)))
-    else if (payload.isEmpty) None
-    else {
-      val v = payload.map(b => (b & 0xff).toLong)
-      Some((envelopeBits(v), derivEnvelopeBits(v)))
+  /** Both audio families from one decode: primary = envelope over the
+    * |sample| stream; secondary = the derivative envelope when the
+    * stream is long enough ([[MinSecondaryValues]]) and the cell-local
+    * parity hash over the SAMPLES ([[cellHashSampleBits]]) otherwise —
+    * the same short-stream dispatch as [[videoSigPair]], which a
+    * sub-130-sample clip needs for the same measured reason (fewer
+    * deltas than envelope cells makes the derivative a second linear
+    * functional of the values the primary compares). The short-stream
+    * hash runs over the DECODED samples, not the container bytes, so a
+    * WAV and an AIFF of identical PCM still verify as the duplicate the
+    * decode-based primary says they are. */
+  def audioSigPair(payload: Array[Byte], meta: MediaMeta): Option[(Long, Long)] = {
+    val decoded =
+      if (RealAudioFormats(meta.format))
+        readPcmAbs(payload, meta.format).filter(_.nonEmpty)
+      else if (payload.isEmpty) None
+      else Some(payload.map(b => (b & 0xff).toLong))
+    decoded.map { v =>
+      val sig2 =
+        if (v.length >= MinSecondaryValues) derivEnvelopeBits(v)
+        else cellHashSampleBits(v)
+      (envelopeBits(v), sig2)
     }
+  }
 
   private def gridBits(cell: Array[Array[Long]]): Long = {
     var sig = 0L
@@ -812,6 +826,29 @@ object Multimodal {
     sig
   }
 
+  /** [[cellHashBits]] over a decoded VALUE stream (the audio
+    * short-stream secondary): same 64 equal cell ranges, same
+    * multiplicative fold + avalanche finalizer per cell, folding each
+    * full sample value instead of a byte — so the family keys on the
+    * decode-derived samples (WAV ≡ AIFF of the same PCM) while keeping
+    * the nonlinearity that decouples it from the envelope primary. */
+  private def cellHashSampleBits(vals: Array[Long]): Long = {
+    val n = vals.length
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      val lo = (i.toLong * n / 64).toInt
+      val hi = math.max(lo + 1, ((i + 1).toLong * n / 64).toInt) min n
+      var h = 1125899906842597L
+      var j = lo
+      while (j < hi) { h = h * 31 + vals(j); j += 1 }
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      if ((h & 1L) != 0L) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
   /** Both video families from one payload pass: the primary is always
     * the frame-checksum envelope (the banding key — locality in FRAMES
     * is what a real keyframe extractor preserves); the secondary is the
@@ -920,9 +957,13 @@ object Multimodal {
     * ([[dHash64]]/[[audioHash64]]/[[videoHash64]], the banding key),
     * `sig2` the independently-constructed verify family: offset-phase
     * dHash for images ([[dHashPixelsOffset]]) and the derivative
-    * envelope for audio/video streams ([[derivEnvelopeBits]]; byte-
-    * granular for short streams since round 20 — see
-    * [[videoSigPair]]). Mean-threshold (aHash) was measured and
+    * envelope for audio/video streams ([[derivEnvelopeBits]]); streams
+    * shorter than [[MinSecondaryValues]] get the cell-local parity hash
+    * instead — over the raw container bytes for video
+    * ([[videoSigPair]], round 20) and over the decoded samples for
+    * audio ([[cellHashSampleBits]], the same round-20 dispatch — short
+    * clips would otherwise keep the near-vacuous coupled derivative).
+    * Mean-threshold (aHash) was measured and
     * REJECTED for this slot — see derivEnvelopeBits' note. One
     * partition-wise
     * map, ONE decode per record (both hashes from the same pixels/

@@ -115,8 +115,18 @@ object Urls {
 
   /** Append `canon_url`, `host`, `registered_domain` for `urlCol`.
     * NULL urls produce NULL columns (gates drop them — an un-URLed row
-    * cannot be proven allowed). */
+    * cannot be proven allowed). Fails loudly if the frame ALREADY has
+    * any of the three output columns — `withColumn` would silently
+    * replace a caller's provenance column with the derived one, and
+    * clobbering user data is never the right silent default (the
+    * gates below compute their domains under internal names instead). */
   def withCanon(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val clash = Seq("canon_url", "host", "registered_domain")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withCanon would overwrite existing column(s) ${clash.mkString(", ")} — " +
+        "rename them first, or derive the canon columns yourself via " +
+        "canonUrlCol/hostCol/registeredDomainCol under different names")
     val u = col(urlCol)
     df.withColumn("canon_url", canonUrlCol(u))
       .withColumn("host", hostCol(u))
@@ -134,24 +144,34 @@ object Urls {
       urlCol: String = "url"): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val withDom = withCanon(docs.filter(col(urlCol).isNotNull), urlCol)
+    // The domain lives under a reserved internal name for the joins and
+    // is dropped at the end — the caller's columns (including any
+    // `host`/`registered_domain` provenance of their own) pass through
+    // untouched.
+    val withDom = docs.filter(col(urlCol).isNotNull)
+      .withColumn("__gate_dom", registeredDomainCol(hostCol(col(urlCol))))
     val afterBlock =
       if (blocked.isEmpty) withDom
-      else Relational.bloomAntiJoin(withDom, "registered_domain",
+      else Relational.bloomAntiJoin(withDom, "__gate_dom",
         blocked.toDF("__blocked_dom"), "__blocked_dom")
     val afterAllow = allowed.fold(afterBlock)(a =>
-      Relational.bloomSemiJoin(afterBlock, "registered_domain",
+      Relational.bloomSemiJoin(afterBlock, "__gate_dom",
         a.toDF("__allowed_dom"), "__allowed_dom"))
-    afterAllow.drop("canon_url", "host", "registered_domain")
+    afterAllow.drop("__gate_dom")
   }
 
   /** Per-registered-domain corpus audit: doc and distinct-host counts —
-    * one partial-agg shuffle over domain-width rows. */
+    * one partial-agg shuffle over domain-width rows. Derives its own
+    * host/domain columns internally (never reads or replaces same-named
+    * caller columns). */
   def domainCounts(docs: DataFrame, urlCol: String = "url"): DataFrame =
-    withCanon(docs.filter(col(urlCol).isNotNull), urlCol)
+    docs.filter(col(urlCol).isNotNull)
+      .select(hostCol(col(urlCol)).as("__dc_host"))
+      .select(col("__dc_host"),
+        registeredDomainCol(col("__dc_host")).as("registered_domain"))
       .groupBy(col("registered_domain"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("host")).as("n_hosts"))
+        countDistinct(col("__dc_host")).as("n_hosts"))
 
   // ---- graded queries -----------------------------------------------------
 

@@ -1521,8 +1521,13 @@ object HtmlOps {
   * inner text of `<a …>…</a>` anchors (round 20, VERDICT r19 item 7 —
   * the one interpreted higher-order-function fold left on a graded hot
   * path, F58's link_chars, promoted to a codegen kernel). Spec-pinned
-  * bit-equal to the `aggregate(transform(regexp_extract_all(…)))` form
-  * it replaces (Round20OpsSpec, CODEGEN_ONLY).
+  * bit-equal on NON-NULL input to the
+  * `aggregate(transform(regexp_extract_all(…)))` form it replaces
+  * (Round20OpsSpec, CODEGEN_ONLY). On NULL input this kernel
+  * NULL-propagates like any unary SQL function, while the replaced fold
+  * carried an outer `coalesce(…, 0)` — the [[graft.Html.htmlBlocks]]
+  * call site keeps that coalesce, so the graded path is identical on
+  * every input.
   */
 case class AnchorChars(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

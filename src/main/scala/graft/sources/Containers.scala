@@ -122,10 +122,16 @@ object Containers {
 
   /** Write one container file (driver-side tooling + the spec's
     * round-trip witness; at scale the PRODUCERS write containers — this
-    * engine's job is reading them). Overwrites. */
-  def writeContainer(path: String, records: Seq[(Long, Array[Byte])]): Unit = {
+    * engine's job is reading them). Goes through the Hadoop filesystem
+    * API like [[graft.ModelIO]], so the same code path covers local
+    * disk and cluster stores. Overwrites. */
+  def writeContainer(path: String, records: Seq[(Long, Array[Byte])],
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path)))
+      fs.create(p, true)))
     try {
       out.write(Magic)
       records.foreach { case (id, body) =>
@@ -134,28 +140,51 @@ object Containers {
     } finally out.close()
   }
 
+  /** The session's Hadoop configuration, made closure-shippable via
+    * Hadoop's own write/readFields codec (java serialization of a bare
+    * `Configuration` fails) — executors writing containers must see the
+    * SAME filesystem config the driver resolved `dir` against, or a
+    * cluster run would scatter files across worker-local disks. */
+  private final class ShippedConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Distributed writer: pack a (doc_id, body) frame into container
     * files of ≤ `recordsPerFile` records under `dir` (one file per
-    * output partition slice, named deterministically) — the tooling a
-    * release uses to hand a corpus BACK as containers. Returns the file
+    * output partition slice, named deterministically — a task retry
+    * overwrites its own files idempotently) — the tooling a release
+    * uses to hand a corpus BACK as containers. Writes through the
+    * Hadoop FS with the session's configuration shipped to executors,
+    * so `dir` may be any Hadoop-visible store. Returns the file
     * count. */
   def writeContainers(df: DataFrame, dir: String,
       recordsPerFile: Int = 10000): Long = {
     require(recordsPerFile > 0, s"recordsPerFile must be > 0, got $recordsPerFile")
     val s = df.sparkSession
     import s.implicits._
-    new java.io.File(dir).mkdirs()
+    val shipped = new ShippedConf(s.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(shipped.value).mkdirs(dirPath)
     df.select(col("doc_id").cast("long"), col("body").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var fileIdx = 0
-        var written = 0L
         it.grouped(recordsPerFile).map { group =>
-          val f = new java.io.File(dir, f"part-$pid%05d-$fileIdx%05d.gcn")
-          writeContainer(f.toString, group)
+          val f = new org.apache.hadoop.fs.Path(dir,
+            f"part-$pid%05d-$fileIdx%05d.gcn")
+          writeContainer(f.toString, group, shipped.value)
           fileIdx += 1
-          written += group.size
           group.size.toLong
         }
       }.toDF("n").agg(count(lit(1))).head().getLong(0)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * empty strings, single-token docs, negative micros — plus loud
   * failure on kind mismatches and corrupt files. The cross-session
   * half of the story (load into a brand-new session state) is
-  * FreshSessionSpec.
+  * ModelServingSpec.
   */
 class ModelPersistenceSpec extends SparkSpec {
 
@@ -149,6 +149,26 @@ class ModelPersistenceSpec extends SparkSpec {
       TextOps.BigramLm.load(spark, junk)
     }
     assert(e2.getMessage.contains("not a graft model file"))
+  }
+
+  test("corrupt collection counts and trailing bytes fail loudly (r20 review)") {
+    // a negative length prefix must throw, not IndexedSeq.fill(-n) → an
+    // EMPTY table that silently passes every document through the gate
+    val pNeg = path("neg")
+    ModelIO.save(spark, pNeg, "probe")(out => out.writeInt(-3))
+    val e1 = intercept[IllegalArgumentException] {
+      ModelIO.load(spark, pNeg, "probe")(in => ModelIO.readLongs(in))
+    }
+    assert(e1.getMessage.contains("negative collection count"))
+    // bytes left after a clean parse are a corruption/codec-drift signal
+    val pTrail = path("trail")
+    ModelIO.save(spark, pTrail, "probe") { out =>
+      ModelIO.writeLongs(out, Seq(1L, 2L)); out.writeByte(7)
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      ModelIO.load(spark, pTrail, "probe")(in => ModelIO.readLongs(in))
+    }
+    assert(e2.getMessage.contains("trailing bytes"))
   }
 
   test("a save of a load is byte-identical on disk (deterministic codec)") {

@@ -173,4 +173,66 @@ class ModelServingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(cFresh === cBase && cFresh.nonEmpty, s"$cFresh vs $cBase")
   }
+
+  test("BATCH curation serves CalibratedKeep.frozen and DsirKeep.frozen (r20 review)") {
+    // the r20 review caught both batch paths dispatching on the
+    // reference frame alone: a frozen() gate (reference = None,
+    // preFit = Some) fell into EXACT pool-rank mode — silently ignoring
+    // the loaded calibration model, and NPE-ing on DsirKeep's null
+    // target. This corpus is built to DISCRIMINATE the modes: every
+    // pool score sits above the frozen reference's range (frozen pct =
+    // 10⁶ → all kept), while the exact pool rank at the same cut drops
+    // the pool's own bottom.
+    val loose = Graft.QualityGate(minTokens = 1, maxTokens = 1000,
+      maxStopwordRatio = 1.0)
+    val pool = Seq(
+      (1L, "dddd", "a"),                                // octet_length 4
+      (2L, "eeee eeee", "a"),                           //              9
+      (3L, "ffff ffff ffff ffff", "a"))                 //             19
+      .toDF("doc_id", "text", "source")
+    val score = octet_length(col("text")).cast("double")
+    val ref = Seq((10L, "x", "a"), (11L, "yyy", "a"))   // scores 1, 3
+      .toDF("doc_id", "text", "source")
+    val ckRef = Graft.CalibratedKeep(score, 600000L, "source",
+      reference = Some(ref), buckets = 32)
+    val pCal = s"$dir/cal_batch.bin"
+    ckRef.model.save(spark, pCal)
+    val ckFrozen = Graft.CalibratedKeep.frozen(score, 600000L,
+      TextOps.CalibrationModel.load(spark, pCal))
+    def calKept(ck: Graft.CalibratedKeep): Long =
+      Graft.curateCorpusAudited(spark, pool, Nil, quality = loose,
+        calibrated = Some(ck))._2.find(_.stage == "calibrated_keep").get.kept
+    val keptRef = calKept(ckRef)
+    val keptFrozen = calKept(ckFrozen)
+    assert(keptFrozen === keptRef && keptFrozen === 3L,
+      s"frozen batch gate must serve the LOADED distribution: $keptFrozen vs $keptRef")
+    // the exact mode on the same pool+cut keeps fewer — proving the
+    // frozen result above cannot be exact-mode in disguise
+    val keptExact = calKept(
+      Graft.CalibratedKeep(score, 600000L, "source", buckets = 32))
+    assert(keptExact < 3L, s"exact pool rank kept $keptExact — corpus no " +
+      "longer discriminates the modes")
+
+    // DsirKeep: frozen() carries target = null; the old dispatch handed
+    // it to dsirResample (NPE). Now: serves the model, ≡ the
+    // rawReference-mode twin with the identical model.
+    val raw = Seq((20L, "the the the cat cat", "a"),
+      (21L, "dog dog dog dog", "a")).toDF("doc_id", "text", "source")
+    val target = Seq((30L, "cat cat cat cat cat", "a"))
+      .toDF("doc_id", "text", "source")
+    val dkRef = Graft.DsirKeep(target, buckets = 64, seed = 7L,
+      rawReference = Some(raw))
+    val pDsir = s"$dir/dsir_batch.bin"
+    dkRef.model.save(spark, pDsir)
+    val dkFrozen = Graft.DsirKeep.frozen(
+      TextOps.DsirModel.load(spark, pDsir))
+    def dsirKeeps(dk: Graft.DsirKeep): Set[Long] = {
+      val (_, audit, ledger) = Graft.curateCorpusLedgered(spark, pool, Nil,
+        quality = loose, dsir = Some(dk))
+      assert(audit.exists(_.stage == "dsir_resample"))
+      ledger.filter(col("verdict") === "kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(dsirKeeps(dkFrozen) === dsirKeeps(dkRef))
+  }
 }

@@ -205,4 +205,66 @@ class Round20OpsSpec extends SparkSpec {
     assert(sigs(0).getLong(1) === sigs(1).getLong(1),
       "frame-granular secondary must ignore in-frame byte layout")
   }
+
+  // ---- r20 review: the same short-stream dispatch for AUDIO ---------------
+
+  private val stubAudioMeta = Multimodal.MediaMeta("audio/raw", 0, 0)
+
+  test("short-audio secondary separates envelope-identical shifted streams") {
+    // a +5 level shift preserves BOTH the envelope comparisons (primary)
+    // and every |sample| delta (the old derivative secondary) — the
+    // coupled shape the video fix closed; short audio clips need the
+    // sample-hash fallback for the identical reason
+    val a = Array.tabulate[Byte](120)(i => ((i * 7) % 80 + 20).toByte)
+    val b = a.map(v => (v + 5).toByte)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", a, stubAudioMeta),
+      Multimodal.MediaRecord(2L, "audio", b, stubAudioMeta)).toDS()
+    val sigs = Multimodal.mediaSigs2(recs).orderBy("id")
+      .select("sig", "sig2").collect()
+    assert(sigs(0).getLong(0) === sigs(1).getLong(0),
+      "primary (shift-invariant envelope) must collide — the hazard")
+    assert(java.lang.Long.bitCount(
+      sigs(0).getLong(1) ^ sigs(1).getLong(1)) > 10,
+      "short-stream sample hash must separate the shifted pair")
+    val verified = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+      .agg(max(col("cluster_size"))).head().getLong(0)
+    assert(verified === 1L)
+  }
+
+  test("short-audio secondary keeps real-decode copies and one-sample dents") {
+    // real WAV under MinSecondaryValues samples: the fallback hashes the
+    // DECODED samples (container-format-independent), copies share sig2
+    // exactly, and a one-sample dent stays within the k2 = 6 cut
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val wavMeta = Multimodal.MediaMeta("audio/wav", 0, 0)
+    val samples = Array.tabulate[Short](100)(i => ((i * 523) % 2000 - 1000).toShort)
+    val dented = samples.clone(); dented(40) = 3000
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", wavOf(samples), wavMeta),
+      Multimodal.MediaRecord(2L, "audio", wavOf(samples.clone()), wavMeta),
+      Multimodal.MediaRecord(3L, "audio", wavOf(dented), wavMeta)).toDS()
+    val sigs = Multimodal.mediaSigs2(recs).orderBy("id")
+      .select("sig", "sig2").collect()
+    assert(sigs(0).getLong(1) === sigs(1).getLong(1), "copy: sig2 equal")
+    val dentBits = java.lang.Long.bitCount(
+      sigs(0).getLong(1) ^ sigs(2).getLong(1))
+    assert(dentBits <= 2, s"one-sample dent flipped $dentBits secondary bits")
+    val groups = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) === groups(2L) && groups(1L) === groups(3L), groups.toString)
+  }
 }

@@ -129,4 +129,24 @@ class UrlsSpec extends SparkSpec {
     // non-strict keeps the documented lenient behavior (existing specs)
     assert(Graft.curationLedger(Seq("in" -> a, "gate" -> alien)).count() > 0)
   }
+
+  test("domainGate preserves caller columns named host/registered_domain") {
+    // a web corpus may carry its OWN provenance `host` column — the gate
+    // must derive its domain internally, never clobber or drop user data
+    val docs = Seq(
+      (1L, "https://spam.example.net/x", "crawler-host-1"),
+      (2L, "https://ok.example.org/y", "crawler-host-2"))
+      .toDF("doc_id", "url", "host")
+    val out = Urls.domainGate(docs, blocked = Seq("example.net"))
+    assert(out.columns.toSeq === Seq("doc_id", "url", "host"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((2L, "crawler-host-2")))
+  }
+
+  test("withCanon refuses to overwrite an existing canon-named column") {
+    val docs = Seq((1L, "https://a.example.com/", "mine"))
+      .toDF("doc_id", "url", "host")
+    val e = intercept[IllegalArgumentException](Urls.withCanon(docs))
+    assert(e.getMessage.contains("host"))
+  }
 }
