@@ -809,6 +809,21 @@ object Multimodal {
     * copies — not re-encodes, which the stub video families never
     * matched anyway (the F57b documented limitation).
     */
+  /** Full murmur3 fmix64 — BOTH multiply stages. The audioshort20 probe
+    * measured the single-multiply shortcut leaking: a constant +5 level
+    * shift gives every cell's fold a constant pre-mix delta, and one
+    * multiply + xorshift left enough correlation that a shifted pair
+    * landed 5 bits apart (p ≈ 4·10⁻¹² under a fair coin — structure,
+    * not luck). Two multiply stages restore the fair-coin behavior
+    * (same probe re-measured: shifted pairs ≥ 17 bits). */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= -49064778989728563L // 0xff51afd7ed558ccd
+    x ^= x >>> 33; x *= -4265267296055464877L // 0xc4ceb9fe1a85ec53
+    x ^= x >>> 33
+    x
+  }
+
   private def cellHashBits(bytes: Array[Byte]): Long = {
     val n = bytes.length
     var sig = 0L
@@ -819,8 +834,7 @@ object Multimodal {
       var h = 1125899906842597L // the pixel-hash FNV-ish constant
       var j = lo
       while (j < hi) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
-      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
-      if ((h & 1L) != 0L) sig |= 1L << i
+      if ((fmix64(h) & 1L) != 0L) sig |= 1L << i
       i += 1
     }
     sig
@@ -842,8 +856,7 @@ object Multimodal {
       var h = 1125899906842597L
       var j = lo
       while (j < hi) { h = h * 31 + vals(j); j += 1 }
-      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
-      if ((h & 1L) != 0L) sig |= 1L << i
+      if ((fmix64(h) & 1L) != 0L) sig |= 1L << i
       i += 1
     }
     sig

@@ -15,6 +15,119 @@ object Adhoc {
     println(f"ADHOC $label rows=$n secs=${(System.nanoTime() - t0) / 1e9}%.2f")
   }
 
+  private def audioShort20(spark: SparkSession): Unit = {
+      // Post-close review cert: the SHORT-AUDIO secondary (clips under
+      // MinSecondaryValues samples get the cell hash over decoded
+      // samples instead of the coupled derivative envelope). Three
+      // engineered populations over 120-sample stub clips:
+      //   dents  — one-sample edits of a base clip (planted TRUE
+      //            near-dups; primary ≤ 2 bits, secondary must stay
+      //            inside the k₂ = 6 cut)
+      //   shifts — +5-level copies of a base clip (primary IDENTICAL
+      //            and old derivative secondary IDENTICAL — the exact
+      //            coupled pair the old code could never reject; the
+      //            sample hash must put them ≥ k₂ bits apart)
+      //   chance — unrelated clips colliding within banding distance
+      // Binding asserts: every dent pair h2 ≤ 2, every shift pair
+      // h2 > 6, zero chance merges after verify, planted dent recall
+      // EXACT through mediaDedupGroupsVerified.
+      import spark.implicits._
+      val n = 300000L
+      def clip(seed: Long): Array[Byte] =
+        Array.tabulate(120) { j =>
+          var v = seed * 2654435761L + j * 40503L
+          v ^= v >>> 33; v *= -49064778989728563L; v ^= v >>> 33
+          (Math.floorMod(v, 150L) + 30L).toByte // [30, 179]: +5 never wraps
+        }
+      val meta = Multimodal.MediaMeta("audio/raw", 0, 0)
+      val base = spark.range(0, n).as[Long]
+        .map(i => Multimodal.MediaRecord(i, "audio", clip(i * 31 + 7), meta))
+      val dents = spark.range(0, n).as[Long].filter(_ % 5 == 0)
+        .map { i =>
+          val b = clip(i * 31 + 7); b(40) = (b(40) + 90).toByte
+          Multimodal.MediaRecord(10000000L + i, "audio", b, meta)
+        }
+      val shifts = spark.range(0, n).as[Long].filter(_ % 7 == 0)
+        .map { i =>
+          val b = clip(i * 31 + 7).map(v => (v + 5).toByte)
+          Multimodal.MediaRecord(20000000L + i, "audio", b, meta)
+        }
+      val recs = base.unionByName(dents).unionByName(shifts)
+        .localCheckpoint(eager = true)
+      val slim = Multimodal.mediaSigs2(recs)
+        .select(col("id").as("doc_id"), col("sig"), col("sig2"))
+        .localCheckpoint(eager = true)
+      println(s"ADHOC audioshort20 n=${slim.count()} " +
+        s"distinct_sig=${slim.select("sig").distinct().count()}")
+      val reps = slim.groupBy(col("sig"), col("sig2"))
+        .agg(min(col("doc_id")).as("rep"))
+      val s2 = reps.select(col("rep"), col("sig2"))
+      val pairs = MinHash.hammingPairs64(
+          reps.select(col("rep").as("doc_id"), col("sig")), 3)
+        .join(s2.select(col("rep").as("a_id"), col("sig2").as("s2a")), Seq("a_id"))
+        .join(s2.select(col("rep").as("b_id"), col("sig2").as("s2b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("s2a").bitwiseXOR(col("s2b"))).as("h2"),
+          // a_id < 10M pins the left side to a BASE clip: (dent-of-i,
+          // shift-of-i) pairs also differ by exactly 10M and would
+          // otherwise alias into the dent population
+          (col("b_id") - col("a_id") === 10000000L &&
+            col("a_id") < 10000000L).as("dent"),
+          (col("b_id") - col("a_id") === 20000000L).as("shift"),
+          (col("b_id") - col("a_id") === 10000000L &&
+            col("a_id") >= 10000000L).as("cross"))
+        .localCheckpoint(eager = true)
+      // a dent whose changed cell's hash bit lands unflipped (p = ½) AND
+      // whose envelope comparisons are unmoved rep-collapses with its
+      // base before the pair join — recall for those is proven at the
+      // group level below; the pair-level bound covers every SURVIVING
+      // dent pair
+      val dentStats = pairs.filter(col("dent"))
+        .agg(count(lit(1)), coalesce(max(col("h2")), lit(0))).head()
+      val shiftStats = pairs.filter(col("shift"))
+        .agg(count(lit(1)), coalesce(min(col("h2")), lit(99))).head()
+      // cross = (dent-of-i, shift-of-i): truly different audio that
+      // shares the base's primary sig — graded with chance (must not
+      // verify). NULL-safe aggregates: any of these populations can be
+      // empty at a given n.
+      val chanceStats = pairs.filter(!col("dent") && !col("shift"))
+        .agg(count(lit(1)), coalesce(min(col("h2")), lit(-1)),
+          coalesce(sum(when(col("h2") <= 6, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("cross"), 1L).otherwise(0L)), lit(0L))).head()
+      println(s"ADHOC audioshort20 dent_pairs=${dentStats.getLong(0)} " +
+        s"max_h2=${dentStats.getInt(1)}")
+      println(s"ADHOC audioshort20 shift_pairs=${shiftStats.getLong(0)} " +
+        s"min_h2=${shiftStats.getInt(1)}")
+      println(s"ADHOC audioshort20 chance_pairs=${chanceStats.getLong(0)} " +
+        s"min_h2=${chanceStats.get(1)} within_cut=${chanceStats.getLong(2)} " +
+        s"cross=${chanceStats.getLong(3)}")
+      assert(dentStats.getLong(0) > 0 && dentStats.getInt(1) <= 2,
+        "a one-sample dent escaped the cell-locality bound")
+      assert(shiftStats.getLong(0) == (n + 6) / 7,
+        s"shift twins must collide on the primary: ${shiftStats.getLong(0)}")
+      assert(shiftStats.getInt(1) > 6,
+        "a +5-shifted twin slipped INSIDE the verify cut — coupling is back")
+      assert(chanceStats.getLong(2) == 0L, "chance pair within the verify cut")
+      // end-to-end: verified dedup groups keep every dent merged with its
+      // base (recall EXACT) while every shifted twin stays apart
+      time("audioshort20 verified groups") {
+        val g = Multimodal.mediaDedupGroupsVerified(spark, recs, 3, 6)
+          .localCheckpoint(eager = true)
+        val lbl = g.select(col("doc_id"), col("cluster_id"))
+        val dentMerged = lbl.as("a").join(lbl.as("b"),
+            col("a.doc_id") + 10000000L === col("b.doc_id") &&
+            col("a.cluster_id") === col("b.cluster_id")).count()
+        val shiftMerged = lbl.as("a").join(lbl.as("b"),
+            col("a.doc_id") + 20000000L === col("b.doc_id") &&
+            col("a.cluster_id") === col("b.cluster_id")).count()
+        println(s"ADHOC audioshort20 dent_merged=$dentMerged (expect ${n / 5}) " +
+          s"shift_merged=$shiftMerged (expect 0) " +
+          s"max_cluster=${g.agg(max(col("cluster_size"))).head().getLong(0)}")
+        assert(dentMerged == n / 5 && shiftMerged == 0L)
+        g.count()
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -3489,6 +3602,12 @@ object Adhoc {
         .orderBy(col("a_id")).limit(10).collect()
         .foreach(r => println(s"ADHOC media20probe survivor a=${r.getLong(0)} " +
           s"b=${r.getLong(1)} h1=${r.getLong(2)} h2=${r.getInt(3)}"))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("audioshort20")) {
+      audioShort20(spark)
       spark.stop()
       return
     }
