@@ -815,7 +815,7 @@ object Multimodal {
     * multiply + xorshift left enough correlation that a shifted pair
     * landed 5 bits apart (p ≈ 4·10⁻¹² under a fair coin — structure,
     * not luck). Two multiply stages restore the fair-coin behavior
-    * (same probe re-measured: shifted pairs ≥ 17 bits). */
+    * (same probe re-measured: shifted pairs ≥ 16 bits). */
   private def fmix64(x0: Long): Long = {
     var x = x0
     x ^= x >>> 33; x *= -49064778989728563L // 0xff51afd7ed558ccd

@@ -120,11 +120,23 @@ object Containers {
     records.select(col("doc_id"), col("mtime").as("ts"),
       col("body").cast("string").as("text"))
 
-  /** Write one container file (driver-side tooling + the spec's
-    * round-trip witness; at scale the PRODUCERS write containers — this
-    * engine's job is reading them). Goes through the Hadoop filesystem
-    * API like [[graft.ModelIO]], so the same code path covers local
-    * disk and cluster stores. Overwrites. */
+  /** [[writeContainer]] resolving the filesystem through the SESSION's
+    * Hadoop configuration (like [[graft.ModelIO]]) — the overload
+    * driver-side callers should use: a session configured via
+    * `spark.hadoop.*` (fs.defaultFS, S3A credentials) must write where
+    * [[readContainers]] will later read. */
+  def writeContainer(spark: SparkSession, path: String,
+      records: Seq[(Long, Array[Byte])]): Unit =
+    writeContainer(path, records, spark.sparkContext.hadoopConfiguration)
+
+  /** Write one container file (the spec's round-trip witness; at scale
+    * the PRODUCERS write containers — this engine's job is reading
+    * them). Goes through the Hadoop filesystem API; NOTE the default
+    * `conf` is a bare classpath `Configuration`, which does NOT see
+    * `spark.hadoop.*` session settings — prefer the
+    * [[writeContainer(spark:org\.apache\.spark\.sql\.SparkSession*]]
+    * overload (or pass the session conf) anywhere a session exists.
+    * Overwrites. */
   def writeContainer(path: String, records: Seq[(Long, Array[Byte])],
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Unit = {
@@ -140,25 +152,6 @@ object Containers {
     } finally out.close()
   }
 
-  /** The session's Hadoop configuration, made closure-shippable via
-    * Hadoop's own write/readFields codec (java serialization of a bare
-    * `Configuration` fails) — executors writing containers must see the
-    * SAME filesystem config the driver resolved `dir` against, or a
-    * cluster run would scatter files across worker-local disks. */
-  private final class ShippedConf(
-      @transient private var conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    def value: org.apache.hadoop.conf.Configuration = conf
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
-    }
-  }
-
   /** Distributed writer: pack a (doc_id, body) frame into container
     * files of ≤ `recordsPerFile` records under `dir` (one file per
     * output partition slice, named deterministically — a task retry
@@ -172,7 +165,12 @@ object Containers {
     require(recordsPerFile > 0, s"recordsPerFile must be > 0, got $recordsPerFile")
     val s = df.sparkSession
     import s.implicits._
-    val shipped = new ShippedConf(s.sparkContext.hadoopConfiguration)
+    // executors writing containers must see the SAME filesystem config
+    // the driver resolved `dir` against, or a cluster run would scatter
+    // files across worker-local disks; Spark's own serializable wrapper
+    // ships it (a bare Configuration is not java-serializable)
+    val shipped = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     dirPath.getFileSystem(shipped.value).mkdirs(dirPath)
     df.select(col("doc_id").cast("long"), col("body").cast("binary"))
