@@ -2207,38 +2207,22 @@ object TextOps {
       }
   }
 
-  /** Fit a [[BigramLm]] on a corpus: one unified gram explode (unigrams
-    * flagged apart from bigrams), ≤ 2·buckets partial-agg rows pulled,
-    * the ln tables quantized driver-side. Fails loudly on a corpus with
-    * no tokens (the dsirWeights convention). */
+  /** Fit a [[BigramLm]] on a corpus: ONE partial-aggregated pass through
+    * the `gram_bucket_counts` kernel (optimization round 20 — replaces
+    * the gram explode + groupBy: each task walks its documents' bytes
+    * once and ships a single 2·buckets-long count array; no per-gram
+    * rows, strings, or shuffle; hash/tokenization bit-identical by the
+    * [[graft.functions.LmHash]] contract, pinned by Round20OptSpec
+    * against the declarative explode). The ln tables are quantized
+    * driver-side. Fails loudly on a corpus with no tokens (the
+    * dsirWeights convention). */
   def bigramLmFit(corpus: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): BigramLm = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    functions.VectorFunctions.register(corpus.sparkSession) // lm_score kernel
-    // the token array is materialized as a COLUMN before any lambda
-    // touches it (the gramBuckets shape): an inlined split() expression
-    // referenced from inside transform() re-evaluates PER ELEMENT —
-    // O(n²) splits per doc, measured 4.4 s → 1.1 s on the sf0.1 bench
-    val grams = corpus.filter(col("text").isNotNull)
-      .select(split(col("text"), " ").as("t"))
-      .select(explode(concat(
-        transform(col("t"), w => struct(lit(false).as("bi"), w.as("g"))),
-        when(size(col("t")) >= 2,
-          transform(sequence(lit(0), (size(col("t")) - 2).cast("int")), i =>
-            struct(lit(true).as("bi"),
-              concat_ws(" ", element_at(col("t"), i + 1),
-                element_at(col("t"), i + 2)).as("g"))))
-          .otherwise(array().cast("array<struct<bi:boolean,g:string>>"))))
-        .as("x"))
-      .select(col("x.bi").as("bi"),
-        pmod(conv(substring(md5(col("x.g")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
-    val rows = grams.groupBy(col("bi"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect() // bounded: ≤ 2 × buckets rows (partial-agg collapsed)
-      .map(r => (r.getBoolean(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val uc = (0 until buckets).map(b => rows.getOrElse((false, b.toLong), 0L))
-    val bc = (0 until buckets).map(b => rows.getOrElse((true, b.toLong), 0L))
+    functions.VectorFunctions.register(corpus.sparkSession) // graft kernels
+    val flat = gramBucketCountsOf(corpus, 2, buckets)
+    val uc = flat.slice(0, buckets)
+    val bc = flat.slice(buckets, 2 * buckets)
     val un = uc.sum
     require(un > 0, "bigramLmFit: corpus has no tokens — the model is " +
       "undefined (the dsirWeights/nbFit loud-failure convention)")
@@ -2252,38 +2236,20 @@ object TextOps {
   /** F19b self-scored form: fit on `docs`, score every doc with ≥ 1
     * bigram position. Returns (doc_id, n_bigrams, nll_micros).
     *
-    * Batch scoring EXPLODES the (prev, cur) pairs and runs the hash +
-    * table lookups in a plain projection + one doc-keyed partial agg —
-    * whole-stage codegen end to end (the dsirWeights shape). The
-    * per-row [[BigramLm.sumMicrosCol]] fold computes the identical LONG
-    * sum (spec-pinned) but runs on Spark's INTERPRETED higher-order-
-    * function path, measured ~4× slower on the sf0.1 bench — it stays
-    * the serving form where statelessness matters (the frozen/stream
-    * gate), while batch jobs take the codegen plan. */
+    * Batch scoring rides the codegen `lm_score` kernel (optimization
+    * round 20 — replaces the explode + doc-keyed partial agg: one
+    * per-row projection, ZERO shuffle, and the kernel hashes payload
+    * byte ranges instead of paying an md5 → hex string → conv chain per
+    * position). The per-doc sum is an exact LONG, spec-pinned
+    * bit-identical to the interpreted [[BigramLm.sumMicrosFoldCol]]
+    * reference twin and to the retired explode. */
   def lmBigramScores(docs: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     val lm = bigramLmFit(docs, buckets)
     val t = split(col("text"), " ")
-    def bkt(c: Column): Column =
-      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
-        lit(buckets.toLong))
-    def at(tab: IndexedSeq[Long], b: Column): Column =
-      element_at(typedLit(tab), (b + 1).cast("int"))
     docs.filter(col("text").isNotNull && size(t) >= 2)
       .select(col("doc_id"), (size(t) - 1).cast("long").as("n_bigrams"),
-        explode(zip_with(slice(t, lit(1), size(t) - 1),
-          slice(t, lit(2), size(t) - 1),
-          (p, c) => struct(p.as("p"), c.as("c")))).as("pr"))
-      .select(col("doc_id"), col("n_bigrams"),
-        bkt(concat_ws(" ", col("pr.p"), col("pr.c"))).as("hb"),
-        bkt(col("pr.p")).as("hp"), bkt(col("pr.c")).as("hu"))
-      .select(col("doc_id"), col("n_bigrams"),
-        when(at(lm.bc, col("hb")) > 0L && at(lm.uc, col("hp")) > 0L,
-          at(lm.bq, col("hb")) - at(lm.pq, col("hp")))
-          .otherwise(lit(BackoffMicros) + at(lm.uq, col("hu"))).as("m"))
-      .groupBy(col("doc_id"), col("n_bigrams"))
-      .agg((-sum(col("m"))).as("nll_micros"))
-      .select(col("doc_id"), col("n_bigrams"), col("nll_micros"))
+        (-lm.sumMicrosCol(col("text"))).as("nll_micros"))
   }
 
   /** Graded F19b query: the corpus self-scored under its own hashed
@@ -2437,35 +2403,19 @@ object TextOps {
       }
   }
 
-  /** Fit a [[TrigramLm]] on a corpus: one unified gram explode (orders
-    * flagged apart), ≤ 3·buckets partial-agg rows pulled, the ln tables
-    * quantized driver-side. Fails loudly on a corpus with no tokens (the
-    * bigramLmFit convention). */
+  /** Fit a [[TrigramLm]] on a corpus: ONE partial-aggregated pass
+    * through the `gram_bucket_counts` kernel (see [[bigramLmFit]] — no
+    * explode, no gram strings, no shuffle; one 3·buckets-long array per
+    * task), the ln tables quantized driver-side. Fails loudly on a
+    * corpus with no tokens (the bigramLmFit convention). */
   def trigramLmFit(corpus: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): TrigramLm = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    functions.VectorFunctions.register(corpus.sparkSession) // lm_score kernel
-    val empty = array().cast("array<struct<o:int,g:string>>")
-    def ngrams(order: Int): Column =
-      when(size(col("t")) >= order,
-        transform(sequence(lit(0), (size(col("t")) - order).cast("int")), i =>
-          struct(lit(order).as("o"),
-            concat_ws(" ", (1 to order).map(k =>
-              element_at(col("t"), i + k)): _*).as("g"))))
-        .otherwise(empty)
-    val grams = corpus.filter(col("text").isNotNull)
-      .select(split(col("text"), " ").as("t"))
-      .select(explode(concat(ngrams(1), ngrams(2), ngrams(3))).as("x"))
-      .select(col("x.o").as("o"),
-        pmod(conv(substring(md5(col("x.g")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
-    val rows = grams.groupBy(col("o"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect() // bounded: ≤ 3 × buckets rows (partial-agg collapsed)
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val uc = (0 until buckets).map(b => rows.getOrElse((1, b.toLong), 0L))
-    val bc = (0 until buckets).map(b => rows.getOrElse((2, b.toLong), 0L))
-    val tc = (0 until buckets).map(b => rows.getOrElse((3, b.toLong), 0L))
+    functions.VectorFunctions.register(corpus.sparkSession) // graft kernels
+    val flat = gramBucketCountsOf(corpus, 3, buckets)
+    val uc = flat.slice(0, buckets)
+    val bc = flat.slice(buckets, 2 * buckets)
+    val tc = flat.slice(2 * buckets, 3 * buckets)
     val un = uc.sum
     require(un > 0, "trigramLmFit: corpus has no tokens — the model is " +
       "undefined (the bigramLmFit loud-failure convention)")
@@ -2478,28 +2428,17 @@ object TextOps {
 
   /** F19d self-scored form: fit on `docs`, score every doc with ≥ 1
     * trigram position. Returns (doc_id, n_trigrams, nll_micros). Batch
-    * scoring explodes the (p2, p1, c) triples and runs the shared
-    * backoff lattice in a plain projection + one doc-keyed partial agg —
-    * whole-stage codegen end to end (the lmBigramScores shape); the
-    * per-row [[TrigramLm.sumMicrosCol]] fold computes the identical LONG
-    * sum (spec-pinned) for stateless/frozen serving. */
+    * scoring rides the codegen `lm_score` kernel (optimization round 20
+    * — one per-row projection, zero shuffle, byte-range hashing; see
+    * [[lmBigramScores]]); the interpreted
+    * [[TrigramLm.sumMicrosFoldCol]] stays the spec-reference twin. */
   def lmTrigramScores(docs: org.apache.spark.sql.DataFrame,
       buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     val lm = trigramLmFit(docs, buckets)
     val t = split(col("text"), " ")
     docs.filter(col("text").isNotNull && size(t) >= 3)
       .select(col("doc_id"), (size(t) - 2).cast("long").as("n_trigrams"),
-        explode(zip_with(
-          zip_with(slice(t, lit(1), size(t) - 2), slice(t, lit(2), size(t) - 2),
-            (a, b) => struct(a.as("p2"), b.as("p1"))),
-          slice(t, lit(3), size(t) - 2),
-          (x, c) => struct(x.getField("p2").as("p2"),
-            x.getField("p1").as("p1"), c.as("c")))).as("tr"))
-      .select(col("doc_id"), col("n_trigrams"),
-        lm.pieceCol(col("tr.p2"), col("tr.p1"), col("tr.c")).as("m"))
-      .groupBy(col("doc_id"), col("n_trigrams"))
-      .agg((-sum(col("m"))).as("nll_micros"))
-      .select(col("doc_id"), col("n_trigrams"), col("nll_micros"))
+        (-lm.sumMicrosCol(col("text"))).as("nll_micros"))
   }
 
   /** F19e (round 18): ORDER-N hashed stupid-backoff LM — the
@@ -2596,21 +2535,17 @@ object TextOps {
       }
   }
 
-  /** Fit an [[NgramLm]]: one unified gram explode (orders 1..N flagged
-    * apart), ≤ N·buckets partial-agg rows pulled, ln tables quantized
-    * driver-side. Fails loudly on a token-less corpus. */
+  /** Fit an [[NgramLm]]: ONE partial-aggregated pass through the
+    * `gram_bucket_counts` kernel (see [[bigramLmFit]]), ln tables
+    * quantized driver-side. Fails loudly on a token-less corpus. */
   def ngramLmFit(corpus: org.apache.spark.sql.DataFrame, order: Int,
       buckets: Int = 1024): NgramLm = {
     require(order >= 2, s"order must be >= 2, got $order")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    functions.VectorFunctions.register(corpus.sparkSession) // lm_score kernel
-    val rows = unifiedGramBuckets(corpus, order, buckets)
-      .groupBy(col("o"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect() // bounded: ≤ order × buckets rows (partial-agg collapsed)
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    functions.VectorFunctions.register(corpus.sparkSession) // graft kernels
+    val flat = gramBucketCountsOf(corpus, order, buckets)
     val cnt = (1 to order).map(o =>
-      (0 until buckets).map(b => rows.getOrElse((o, b.toLong), 0L)))
+      flat.slice((o - 1) * buckets, o * buckets))
     val un = cnt.head.sum
     require(un > 0, "ngramLmFit: corpus has no tokens — the model is " +
       "undefined (the bigramLmFit loud-failure convention)")
@@ -2642,10 +2577,12 @@ object TextOps {
     require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
     require(typeBudget > 0, s"typeBudget must be positive, got $typeBudget")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val occ = unifiedGramBuckets(corpus, maxOrder, buckets)
-      .groupBy(col("o")).agg(countDistinct(col("b")).as("k"))
-      .collect() // bounded: ≤ maxOrder rows
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // occupancy = non-zero buckets per order, read off the same
+    // gram_bucket_counts pull the fits use (optimization round 20 — the
+    // countDistinct over the explode is the count-of-nonzeros here)
+    val flat = gramBucketCountsOf(corpus, maxOrder, buckets)
+    val occ = (1 to maxOrder).map(o =>
+      o -> flat.slice((o - 1) * buckets, o * buckets).count(_ > 0L).toLong).toMap
     def estTypes(o: Int): Double = {
       val k = occ.getOrElse(o, 0L)
       if (k >= buckets) Double.PositiveInfinity
@@ -2666,51 +2603,35 @@ object TextOps {
     ngramLmFit(corpus, lmAutoOrder(corpus, maxOrder, typeBudget, buckets),
       buckets)
 
-  /** The shared unified gram explode: one row per gram occurrence of
-    * every order 1..maxOrder, flagged by order, bucketed by the pinned
-    * md5 hash — [[ngramLmFit]]'s count tables and [[lmAutoOrder]]'s
-    * occupancy read the same relation. */
-  private def unifiedGramBuckets(corpus: org.apache.spark.sql.DataFrame,
-      maxOrder: Int, buckets: Int): org.apache.spark.sql.DataFrame = {
-    val empty = array().cast("array<struct<o:int,g:string>>")
-    def ngrams(o: Int): Column =
-      when(size(col("t")) >= o,
-        transform(sequence(lit(0), (size(col("t")) - o).cast("int")), i =>
-          struct(lit(o).as("o"),
-            concat_ws(" ", (1 to o).map(k =>
-              element_at(col("t"), i + k)): _*).as("g"))))
-        .otherwise(empty)
+  /** The shared fit pull (optimization round 20 — replaces the unified
+    * gram EXPLODE every LM fit and [[lmAutoOrder]] rode): one
+    * `gram_bucket_counts` aggregation over the corpus, returning the
+    * flattened order-major (maxOrder × buckets) occurrence-count array.
+    * Each task ships one KB-sized array instead of one row per gram
+    * occurrence; the hash/tokenization contract is pinned bit-identical
+    * to the old explode by [[graft.functions.LmHash]] (Round20OptSpec
+    * re-derives the explode in-spec and asserts equality). */
+  private def gramBucketCountsOf(corpus: org.apache.spark.sql.DataFrame,
+      maxOrder: Int, buckets: Int): IndexedSeq[Long] = {
+    functions.VectorFunctions.register(corpus.sparkSession)
     corpus.filter(col("text").isNotNull)
-      .select(split(col("text"), " ").as("t"))
-      .select(explode(concat((1 to maxOrder).map(ngrams): _*)).as("x"))
-      .select(col("x.o").as("o"),
-        pmod(conv(substring(md5(col("x.g")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
+      .agg(call_function("gram_bucket_counts", col("text"),
+        lit(1), lit(maxOrder), lit(buckets)))
+      .head().getSeq[Long](0).toIndexedSeq
   }
 
   /** F19e self-scored form: fit at `order`, score every doc with ≥ 1
-    * order-N position — (doc_id, n_grams, nll_micros); codegen explode +
-    * doc-keyed partial agg, the lmTrigramScores shape at any order. */
+    * order-N position — (doc_id, n_grams, nll_micros); the codegen
+    * `lm_score` per-row kernel at any order (optimization round 20 —
+    * zero shuffle, byte-range hashing; see [[lmBigramScores]]). */
   def lmNgramScores(docs: org.apache.spark.sql.DataFrame, order: Int,
       buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     val lm = ngramLmFit(docs, order, buckets)
-    // the token array materializes as a COLUMN before any lambda touches
-    // it (the gramBuckets/F19b rule: an inlined split() captured by a
-    // lambda re-evaluates per element — O(n²) splits per doc)
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= order)
+    val t = split(col("text"), " ")
+    docs.filter(col("text").isNotNull && size(t) >= order)
       .select(col("doc_id"),
-        (size(col("t")) - (order - 1)).cast("long").as("n_grams"),
-        explode(transform(
-          sequence(lit(1), (size(col("t")) - (order - 1)).cast("int")),
-          i => struct(Seq.tabulate(order)(k =>
-            element_at(col("t"), i + k).as(s"w$k")): _*))).as("g"))
-      .select(col("doc_id"), col("n_grams"),
-        lm.pieceCol(Seq.tabulate(order)(k => col(s"g.w$k"))).as("m"))
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg((-sum(col("m"))).as("nll_micros"))
-      .select(col("doc_id"), col("n_grams"), col("nll_micros"))
+        (size(t) - (order - 1)).cast("long").as("n_grams"),
+        (-lm.sumMicrosCol(col("text"))).as("nll_micros"))
   }
 
   /** The F19d fit + scoring recomputed in SQL — shared by q_f19d and
@@ -3191,49 +3112,47 @@ object TextOps {
       checkpointDir: Option[String])
       : (IndexedSeq[Long], org.apache.spark.sql.DataFrame) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    def gramBuckets(df: org.apache.spark.sql.DataFrame) = df
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(concat(
-          col("t"),
-          when(size(col("t")) >= 2,
-            transform(sequence(lit(0), (size(col("t")) - 2).cast("int")), i =>
-              concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-            .otherwise(array().cast("array<string>"))))
-        .as("g"))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
-    def fit(grams: org.apache.spark.sql.DataFrame): (Map[Long, Long], Long) = {
-      val rows = grams.groupBy(col("b"))
-        .agg(count(lit(1)).as("c"))
-        .collect() // bounded: ≤ buckets rows (partial-agg collapsed)
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      (rows, rows.values.sum)
-    }
-    // the raw gram frame feeds BOTH the raw fit and the scoring pass —
-    // checkpoint the slim (doc_id, bucket) rows once instead of
-    // re-splitting/re-exploding the corpus text (the d1/assignment-cache
-    // discipline; 16 bytes/gram, far smaller than the text it came from)
+    functions.VectorFunctions.register(raw.sparkSession)
+    // Optimization round 20: both fits collapse to ONE gram_bucket_counts
+    // pass each (unigram + bigram occurrence counts summed per bucket —
+    // the explode counted both orders into one table, so the per-order
+    // kernel slices are added), and scoring rides the codegen `gram_sum`
+    // kernel — a zero-shuffle per-row LONG sum against the frozen ratio
+    // table, bit-identical to the retired explode + doc-keyed agg (the
+    // F46c serving kernel, already spec-pinned ≡ the interpreted fold).
+    // The old shape exploded one row per gram (md5 hex chain each) and
+    // shuffled them TWICE (fit groupBy + scoring groupBy) behind a
+    // localCheckpoint; the checkpointDir escape hatch is now vestigial
+    // for this path (no cached gram frame exists — every pass is a
+    // single scan) and is kept only to pin the checkpoint root for
+    // callers composing with checkpoint-using stages downstream.
     checkpointDir.foreach(raw.sparkSession.sparkContext.setCheckpointDir)
-    val rawGrams =
-      if (checkpointDir.isDefined) gramBuckets(raw).checkpoint(eager = false)
-      else gramBuckets(raw).localCheckpoint(eager = false)
-    val (tc, tn) = fit(gramBuckets(target))
-    val (rc, rn) = fit(rawGrams)
+    def fit(df: org.apache.spark.sql.DataFrame): (IndexedSeq[Long], Long) = {
+      val flat = df.filter(col("text").isNotNull)
+        .agg(call_function("gram_bucket_counts", col("text"),
+          lit(1), lit(2), lit(buckets)))
+        .head().getSeq[Long](0)
+      val combined = (0 until buckets).map(b => flat(b) + flat(buckets + b))
+      (combined, combined.sum)
+    }
+    val (tc, tn) = fit(target)
+    val (rc, rn) = fit(raw)
     require(tn > 0, "dsirWeights: target corpus has no grams — the " +
       "importance model is undefined (the nbFit/LangGate loud-failure convention)")
     require(rn > 0, "dsirWeights: raw corpus has no grams")
-    val lr: IndexedSeq[Long] = (0L until buckets.toLong).map { b =>
-      val pt = (tc.getOrElse(b, 0L) + 1.0) / (tn + buckets)
-      val pr = (rc.getOrElse(b, 0L) + 1.0) / (rn + buckets)
+    val lr: IndexedSeq[Long] = (0 until buckets).map { b =>
+      val pt = (tc(b) + 1.0) / (tn + buckets)
+      val pr = (rc(b) + 1.0) / (rn + buckets)
       math.floor((math.log(pt) - math.log(pr)) * 1e6).toLong
     }
-    (lr, rawGrams
+    // n_grams = unigrams + bigrams = 2·|tokens| − 1 (split never returns
+    // an empty array, so every text-non-null doc appears, as before)
+    val t = split(col("text"), " ")
+    (lr, raw.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        element_at(typedLit(lr), (col("b") + 1).cast("int")).as("lr"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("logratio_micros")))
+        (size(t) * 2L - 1L).as("n_grams"),
+        call_function("gram_sum", col("text"), lit(1), lit(2),
+          typedLit[Seq[Long]](lr)).as("logratio_micros")))
   }
 
   /** F46c (round 17): the FROZEN DSIR gate — [[dsirResample]] as a

@@ -150,15 +150,38 @@ object Urls {
     // untouched.
     val withDom = docs.filter(col(urlCol).isNotNull)
       .withColumn("__gate_dom", registeredDomainCol(hostCol(col(urlCol))))
+    // Small-list fast path (optimization round 20, guide §2.4/§3): a
+    // list that fits in the plan is an `isin` FILTER — identical rows
+    // (anti ≡ NOT isin with NULL-survives, semi ≡ isin with NULL-drops;
+    // the gate's domain is never NULL here, but the coalesces pin the
+    // join semantics for any caller), zero shuffle, zero extra jobs,
+    // pushed into the scan. The bloom joins previously ran even for a
+    // 2-entry blocklist, and bloomAntiJoin's two branches each re-ran
+    // the (expensive, derived) gated frame's subtree — measured 1.99 s
+    // → ~0.45 s on q_f60b at sf0.1. Production-sized lists (> the
+    // literal threshold) keep the C6c bloom-join shape, which is the
+    // right plan when the list no longer belongs in the plan tree.
     val afterBlock =
       if (blocked.isEmpty) withDom
+      else if (blocked.size <= MaxLiteralGateList)
+        withDom.filter(!coalesce(
+          col("__gate_dom").isin(blocked: _*), lit(false)))
       else Relational.bloomAntiJoin(withDom, "__gate_dom",
         blocked.toDF("__blocked_dom"), "__blocked_dom")
     val afterAllow = allowed.fold(afterBlock)(a =>
-      Relational.bloomSemiJoin(afterBlock, "__gate_dom",
+      if (a.size <= MaxLiteralGateList)
+        afterBlock.filter(coalesce(
+          col("__gate_dom").isin(a: _*), lit(false)))
+      else Relational.bloomSemiJoin(afterBlock, "__gate_dom",
         a.toDF("__allowed_dom"), "__allowed_dom"))
     afterAllow.drop("__gate_dom")
   }
+
+  /** Gate lists at or under this size ride an in-plan `isin` literal;
+    * larger lists take the bloom-pruned exact joins. ~1k strings keeps
+    * the expression tree small (the kmeans_best_q literal boundary) while
+    * covering every hand-maintained blocklist. */
+  val MaxLiteralGateList: Int = 1024
 
   /** Per-registered-domain corpus audit: doc and distinct-host counts —
     * one partial-agg shuffle over domain-width rows. Derives its own

@@ -1546,3 +1546,104 @@ case class AnchorChars(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `gram_bucket_counts(text, n_low, n_high, buckets)` — the FIT-side
+  * aggregate twin of the [[LmScore]]/[[GramSum]] serving kernels
+  * (optimization round 20): per-bucket gram-occurrence counts for every
+  * order n ∈ [nLow, nHigh], returned as ONE flattened array<long> of
+  * (nHigh − nLow + 1) × buckets entries, order-major —
+  * `result((n − nLow) · buckets + b)` = occurrences of order-n grams
+  * hashing to bucket b across all input rows.
+  *
+  * Contract (shared [[LmHash]]): tokens are the segments between single
+  * 0x20 bytes (`split(text, ' ')`, empties included — an empty text is
+  * ONE empty token); an n-gram's bucket is the unsigned first-4-bytes of
+  * the md5 of its byte RANGE, mod buckets — bit-identical to the
+  * declarative `pmod(conv(substring(md5(g), 1, 8), 16, 10), buckets)`
+  * over `concat_ws(" ", …)` gram strings (the tokens-joined-by-' '
+  * string IS the payload byte slice under this tokenization). NULL texts
+  * contribute nothing.
+  *
+  * Why an aggregate: every `*LmFit`/DSIR fit previously EXPLODED one row
+  * per gram occurrence (≈ order × tokens rows per document, each paying
+  * an md5 → 32-char hex string → conv(16,10) parse chain) and shuffled
+  * them into a groupBy. This kernel folds the whole fit into one
+  * partial-aggregated pass: each task walks its documents' bytes once
+  * and ships a single (orders × buckets)-long array (KBs) to the final
+  * merge — no explode, no per-gram strings, no gram-row shuffle. The
+  * guide §2.3/§2.4 shape: aggregate before you shuffle, then don't
+  * shuffle at all.
+  */
+case class GramBucketCounts(child: Expression, nLow: Int, nHigh: Int,
+    buckets: Int, mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  require(nLow >= 1 && nHigh >= nLow,
+    s"gram_bucket_counts: need 1 <= n_low <= n_high, got $nLow/$nHigh")
+  require(buckets > 0, s"gram_bucket_counts: buckets must be positive, got $buckets")
+
+  private def nOrders: Int = nHigh - nLow + 1
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_bucket_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_bucket_counts requires string, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](nOrders * buckets)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val starts = LmHash.tokenStarts(bytes)
+      val nTok = starts.length - 1
+      var o = nLow
+      while (o <= nHigh) {
+        val base = (o - nLow) * buckets
+        var j = 0
+        while (j + o <= nTok) {
+          val off = starts(j)
+          buf(base + LmHash.bkt(bytes, off, (starts(j + o) - 1) - off, buckets)) += 1L
+          j += 1
+        }
+        o += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramBucketCounts =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramBucketCounts =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramBucketCounts =
+    copy(child = newChildren.head)
+}

@@ -574,6 +574,17 @@ object VectorFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue())
       }, "built-in")
+    // Fit-side aggregate twin of lm_score/gram_sum (optimization round
+    // 20): gram_bucket_counts(text, nLow, nHigh, buckets) folds an
+    // entire hashed-gram fit into one partial-aggregated corpus pass —
+    // each task ships one (orders × buckets)-long array instead of one
+    // row per gram occurrence (the explode+groupBy it replaces)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_bucket_counts", (exprs: Seq[Expression]) =>
+        GramBucketCounts(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
     // F58 streaming front door (round 19): the whole pinned HTML block
     // model as one per-row kernel — struct(n_blocks, n_content,
     // clean_text), NULL for block-less pages; spec-pinned equal to the
