@@ -939,9 +939,11 @@ object Dedup {
   def connectedComponents(s: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      localFinishMaxEdges: Long = DefaultLocalFinishEdges): DataFrame =
     connectedComponentsHybridWithRounds(s, nodes, edges, maxIters, checkEvery,
-      contractAbove, checkpointDir)._1
+      contractAbove, checkpointDir,
+      localFinishMaxEdges = localFinishMaxEdges)._1
 
   /** Edge lists at or above this size get label-contracted between
     * convergence blocks; below it the rewrite's two joins + distinct cost
@@ -949,6 +951,102 @@ object Dedup {
     * ≈ where the megacc stress showed per-round edge volume dominating.
     */
   val DefaultContractAbove: Long = 1000000L
+
+  /** Canonical edge sets at or under this size are solved LOCALLY
+    * (optimization round 20): one bounded driver pull + union-find +
+    * one broadcast map-back replaces the whole iterative loop — tens of
+    * driver round-trips become one job. The distributed loops exist
+    * because the EDGE LIST is corpus-sized at 100 TB; but every loop
+    * already counts its materialized canonical edges up front, and when
+    * that count fits the budget the residual problem is model-sized, the
+    * same bounded-pull class as the ≤ order×buckets LM fits and the
+    * k×dim k-means pulls (and the standard practice for CC at scale:
+    * iterate/contract distributed while the graph is big, finish small
+    * residuals locally). 2¹⁸ edges ≈ 4 MB pulled, ≤ 8 MB broadcast back
+    * — far under every other bounded-pull ceiling in the repo. Labels
+    * are bit-identical to the loops' fixpoint (min node id per
+    * component; union-find tracks set minima exactly) — pinned by
+    * Round20OptSpec against the forced-distributed run on chains,
+    * cliques, random graphs, and forced-contraction shapes. Pass
+    * `localFinishMaxEdges = 0` to force the distributed loop (the loop-
+    * mechanics specs and the megacc stresses do). Contract (shared with
+    * the loops): edges connect ids present in `nodes` — endpoints
+    * outside the node frame would seed labels the propagation loops
+    * never had.
+    */
+  val DefaultLocalFinishEdges: Long = 1L << 18
+
+  /** Union-find over a pulled edge array: each endpoint mapped to the
+    * MINIMUM id of its component (the loops' label contract). Path
+    * halving + union by size; the min is carried per root exactly. */
+  private[graft] def localMinLabels(edges: Array[(Long, Long)])
+      : java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val idx = new java.util.HashMap[java.lang.Long, Integer](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](edges.length * 2)
+    def idOf(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue()
+      else {
+        val i = ids.length
+        idx.put(x, Integer.valueOf(i)); ids += x; i
+      }
+    }
+    edges.foreach { case (u, v) => idOf(u); idOf(v) }
+    val parent = Array.tabulate(ids.length)(identity)
+    val size = Array.fill(ids.length)(1)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)); x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(idOf(u)), find(idOf(v)))
+      if (ru != rv) {
+        val (big, small) = if (size(ru) >= size(rv)) (ru, rv) else (rv, ru)
+        parent(small) = big
+        size(big) += size(small)
+      }
+    }
+    val minOf = new java.util.HashMap[Integer, java.lang.Long](ids.length)
+    ids.indices.foreach { i =>
+      val r = Integer.valueOf(find(i))
+      val cur = minOf.get(r)
+      if (cur == null || ids(i) < cur) minOf.put(r, java.lang.Long.valueOf(ids(i)))
+    }
+    val out = new java.util.HashMap[java.lang.Long, java.lang.Long](ids.length)
+    ids.indices.foreach { i =>
+      out.put(ids(i), minOf.get(Integer.valueOf(find(i))))
+    }
+    out
+  }
+
+  /** The map-back half of the local finish: non-self (node → min) rows
+    * broadcast-joined onto the node frame; untouched nodes label
+    * themselves (the loops' seed). Output columns (u, lbl) — the
+    * minLabelCore label shape. */
+  private def localFinishLabels(s: SparkSession, nodes: DataFrame,
+      pulled: Array[(Long, Long)]): DataFrame = {
+    val m = localMinLabels(pulled)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](m.size())
+    m.forEach { (k, v) =>
+      if (k != v) rows.add(org.apache.spark.sql.Row(k.longValue(), v.longValue()))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__lf_lbl",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    // parallelize (not a LocalRelation literal): up to 2·threshold rows
+    // must not be serialized into the plan tree
+    val mapDf = s.createDataFrame(
+      s.sparkContext.parallelize(scala.jdk.CollectionConverters
+        .ListHasAsScala(rows).asScala.toSeq, 1), schema)
+    nodes.select(col("doc_id").as("u"))
+      .join(broadcast(mapDf), Seq("u"), "left")
+      .select(col("u"), coalesce(col("__lf_lbl"), col("u")).as("lbl"))
+  }
 
   /** Test-only hook (Round9OpsSpec): invoked at the top of every
     * convergence block, standing in for the executor loss local[n]
@@ -1014,9 +1112,10 @@ object Dedup {
   def connectedComponentsWithRounds(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,
-      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+      checkpointDir: Option[String] = None,
+      localFinishMaxEdges: Long = DefaultLocalFinishEdges): (DataFrame, Int) = {
     val (lbls, iter, converged, _) = minLabelCore(s, nodes, edges, maxIters,
-      checkEvery, contractAbove, checkpointDir)
+      checkEvery, contractAbove, checkpointDir, localFinishMaxEdges)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
@@ -1040,7 +1139,9 @@ object Dedup {
   private def minLabelCore(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int, checkEvery: Int,
       contractAbove: Long,
-      checkpointDir: Option[String]): (DataFrame, Int, Boolean, DataFrame) = {
+      checkpointDir: Option[String],
+      localFinishMaxEdges: Long = DefaultLocalFinishEdges)
+      : (DataFrame, Int, Boolean, DataFrame) = {
     checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     def cut(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = eager)
@@ -1050,10 +1151,18 @@ object Dedup {
     // LSH bands, prefix-filter joins) edge build twice in the same job
     val e0 = cut(edges.select(col("a_id").as("u"), col("b_id").as("v")),
       eager = true)
+    val nE = e0.count() // counts the blocks the eager cut just materialized
+    // bounded local finish (optimization round 20, [[DefaultLocalFinishEdges]]):
+    // an edge set that fits the pull budget is solved in one driver
+    // union-find + one broadcast map-back — labels identical, tens of
+    // driver rounds saved; the pull reads the just-materialized blocks
+    if (nE <= localFinishMaxEdges) {
+      val pulled = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return (localFinishLabels(s, nodes, pulled), 0, true, e0)
+    }
     var sym: DataFrame =
       e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-    // cheap: counts the blocks the eager checkpoint just materialized
-    var symBig = e0.count() * 2 >= contractAbove
+    var symBig = nE * 2 >= contractAbove
 
     // one min-label propagation step; passes through any extra columns
     // (the improvement tracker rides along the k-step chain)
@@ -1179,11 +1288,12 @@ object Dedup {
       edges: DataFrame, maxIters: Int = 25, checkEvery: Int = 2,
       contractAbove: Long = DefaultContractAbove,
       checkpointDir: Option[String] = None,
-      starSwitchAfter: Int = 3): (DataFrame, Int) = {
+      starSwitchAfter: Int = 3,
+      localFinishMaxEdges: Long = DefaultLocalFinishEdges): (DataFrame, Int) = {
     require(starSwitchAfter >= 1, s"starSwitchAfter must be >= 1, got $starSwitchAfter")
     val (lbls, iter, converged, e0) = minLabelCore(s, nodes, edges,
       math.min(starSwitchAfter, maxIters), checkEvery, contractAbove,
-      checkpointDir)
+      checkpointDir, localFinishMaxEdges)
     if (converged)
       (lbls.select(col("u").as("doc_id"), col("lbl").as("cluster_id")), iter)
     else {
@@ -1196,8 +1306,13 @@ object Dedup {
         .select(col("la").as("a_id"), col("lb").as("b_id"))
       val ptr = lbls.filter(col("u") =!= col("lbl"))
         .select(col("u").as("a_id"), col("lbl").as("b_id"))
+      // the hand-off graph is the contracted residual + pointer edges —
+      // at scale this is where the local finish earns its keep: the
+      // first rounds collapse the bulk distributed, and the residual
+      // that remains usually fits the pull budget
       connectedComponentsStarWithRounds(s, nodes,
-        e2.unionByName(ptr), maxIters, checkpointDir) match {
+        e2.unionByName(ptr), maxIters, checkpointDir,
+        localFinishMaxEdges) match {
         case (starLbls, starRounds) => (starLbls, iter + starRounds)
       }
     }
@@ -1231,7 +1346,8 @@ object Dedup {
     */
   def connectedComponentsStarWithRounds(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxIters: Int = 50,
-      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+      checkpointDir: Option[String] = None,
+      localFinishMaxEdges: Long = DefaultLocalFinishEdges): (DataFrame, Int) = {
     checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -1258,6 +1374,15 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var sig = signature(e)
+    // bounded local finish (optimization round 20, [[DefaultLocalFinishEdges]]):
+    // the signature already counted the materialized canonical edges —
+    // a set inside the pull budget is solved driver-side in one
+    // union-find + broadcast map-back, labels identical (Round20OptSpec)
+    if (sig._1 > 0L && sig._1 <= localFinishMaxEdges) {
+      val pulled = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return (localFinishLabels(s, nodes, pulled)
+        .select(col("u").as("doc_id"), col("lbl").as("cluster_id")), 0)
+    }
     var iter = 0
     var converged = sig._1 == 0L
     while (!converged && iter < maxIters) {

@@ -293,9 +293,11 @@ class Round14OpsSpec extends SparkSpec {
     val nodes = docs.select(col("doc_id"))
     val hybrid = MinHash.simhashDedupGroups(spark, docs, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val minLabel = Dedup.connectedComponentsWithRounds(spark, nodes, edges)._1
+    val minLabel = Dedup.connectedComponentsWithRounds(spark, nodes, edges,
+        localFinishMaxEdges = 0L)._1
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val star = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)._1
+    val star = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges,
+        localFinishMaxEdges = 0L)._1
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(hybrid == minLabel && hybrid == star)
     assert(hybrid.nonEmpty)
@@ -309,7 +311,7 @@ class Round14OpsSpec extends SparkSpec {
     val edges = (chain ++ clique).toDF("a_id", "b_id")
     val nodes = ((0L until 300L) ++ (400L until 412L)).toDF("doc_id")
     val (hyb, hybRounds) = Dedup.connectedComponentsHybridWithRounds(
-      spark, nodes, edges, starSwitchAfter = 4)
+      spark, nodes, edges, starSwitchAfter = 4, localFinishMaxEdges = 0L)
     val got = hyb.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val want = Dedup.connectedComponentsWithRounds(spark, nodes, edges)._1
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -326,14 +328,15 @@ class Round14OpsSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val nodes = (1L to 12L).toDF("doc_id")
     val (df, rounds) = Dedup.connectedComponentsHybridWithRounds(
-      spark, nodes, edges)
+      spark, nodes, edges, localFinishMaxEdges = 0L)
     assert(rounds <= 3, s"shallow graph must converge at the first check: $rounds")
     val labels = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels(3L) == 1L && labels(11L) == 10L && labels(5L) == 5L)
     // a diameter-3 chain legitimately hands off at the first check and
     // star closes it in one round — correct labels, tiny budget
     val (df2, rounds2) = Dedup.connectedComponentsHybridWithRounds(
-      spark, nodes, Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id"))
+      spark, nodes, Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id"),
+      localFinishMaxEdges = 0L)
     val l2 = df2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(l2(4L) == 1L && rounds2 <= 5, s"chain hand-off: rounds=$rounds2")
   }
@@ -348,7 +351,8 @@ class Round14OpsSpec extends SparkSpec {
     try {
       val dir = tmpDir("cchybrid_loss_ckpt")
       val (df, rounds) = Dedup.connectedComponentsHybridWithRounds(
-        spark, nodes, edges, checkpointDir = Some(dir), starSwitchAfter = 4)
+        spark, nodes, edges, checkpointDir = Some(dir), starSwitchAfter = 4,
+        localFinishMaxEdges = 0L)
       val labels = df.as[(Long, Long)].collect().toMap
       assert(rounds > 4 && labels.size == 200 && labels(199L) == 0L,
         s"hybrid reliable-checkpoint run mislabeled (rounds=$rounds)")

@@ -236,13 +236,15 @@ class Round15OpsSpec extends SparkSpec {
     val edges = edgeRows.toSeq.toDF("a_id", "b_id")
     def labels(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    val (ml, _) = Dedup.connectedComponentsWithRounds(spark, nodes, edges, maxIters = 100)
-    val (st, _) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges)
+    val (ml, _) = Dedup.connectedComponentsWithRounds(spark, nodes, edges,
+      maxIters = 100, localFinishMaxEdges = 0L)
+    val (st, _) = Dedup.connectedComponentsStarWithRounds(spark, nodes, edges,
+      localFinishMaxEdges = 0L)
     val want = labels(ml)
     assert(labels(st) == want, "star must agree with min-label on the sweep")
     for (sw <- Seq(1, 2, 3, 5, 8)) {
       val (hy, _) = Dedup.connectedComponentsHybridWithRounds(spark, nodes, edges,
-        maxIters = 100, starSwitchAfter = sw)
+        maxIters = 100, starSwitchAfter = sw, localFinishMaxEdges = 0L)
       assert(labels(hy) == want, s"hybrid(starSwitchAfter=$sw) diverged on the sweep")
     }
   }

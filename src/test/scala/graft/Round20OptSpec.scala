@@ -183,6 +183,45 @@ class Round20OptSpec extends AnyFunSuite {
     }
   }
 
+  test("CC local finish ≡ the distributed loops on every graph shape") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // mixed shapes: deep chain, clique, random blob, isolated pair,
+    // singletons, duplicate + reversed edges
+    val chain = (0L until 120L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (a <- 200L until 212L; b <- (a + 1) until 212L) yield (a, b)
+    val blob = Seq.fill(300)((300L + rnd.nextInt(80), 300L + rnd.nextInt(80)))
+      .filter(p => p._1 != p._2)
+    val dupRev = Seq((0L, 1L), (1L, 0L), (500L, 501L), (501L, 500L))
+    val edges = (chain ++ clique ++ blob ++ dupRev).toDF("a_id", "b_id")
+    val nodes = ((0L until 120L) ++ (200L until 212L) ++ (300L until 380L) ++
+      (500L until 505L)).toDF("doc_id")
+    def lbls(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val local = lbls(Dedup.connectedComponents(spark, nodes, edges))
+    val distMin = lbls(Dedup.connectedComponentsWithRounds(spark, nodes, edges,
+      maxIters = 200, localFinishMaxEdges = 0L)._1)
+    val distStar = lbls(Dedup.connectedComponentsStarWithRounds(spark, nodes,
+      edges, localFinishMaxEdges = 0L)._1)
+    assert(local == distMin, "local finish diverged from min-label")
+    assert(local == distStar, "local finish diverged from star")
+    // star entry point local path too
+    val localStar = lbls(Dedup.connectedComponentsStarWithRounds(
+      spark, nodes, edges)._1)
+    assert(localStar == distStar)
+    // edge-less input: all self-labels on both paths
+    val solo = lbls(Dedup.connectedComponents(spark,
+      Seq(1L, 2L).toDF("doc_id"),
+      spark.range(0).select(col("id").as("a_id"), col("id").as("b_id"))))
+    assert(solo == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("localMinLabels union-find: exact set minima") {
+    val m = Dedup.localMinLabels(Array((5L, 3L), (3L, 9L), (20L, 21L), (7L, 7L)))
+    assert(m.get(5L) == 3L && m.get(3L) == 3L && m.get(9L) == 3L)
+    assert(m.get(20L) == 20L && m.get(21L) == 20L && m.get(7L) == 7L)
+  }
+
   test("domainGate literal fast path ≡ the bloom-join path (block + allow)") {
     import spark.implicits._
     val docs = Seq(

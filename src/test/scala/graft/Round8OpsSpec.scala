@@ -64,7 +64,7 @@ class Round8OpsSpec extends SparkSpec {
     val edges = star.unionByName(chain)
     def labelsOf(ckpt: Option[String]): Map[Long, Long] =
       Dedup.connectedComponents(spark, nodes, edges,
-        contractAbove = 1L, checkpointDir = ckpt)
+        contractAbove = 1L, checkpointDir = ckpt, localFinishMaxEdges = 0L)
         .as[(Long, Long)].collect().toMap
     val dir = tmpDir("cc_reliable_ckpt")
     val reliable = labelsOf(Some(dir))

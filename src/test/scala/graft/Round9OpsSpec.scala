@@ -168,7 +168,7 @@ class Round9OpsSpec extends SparkSpec {
     try {
       val dir = tmpDir("cc_loss_ckpt")
       val labels = Dedup.connectedComponents(spark, nodes, edges,
-        checkpointDir = Some(dir))
+        checkpointDir = Some(dir), localFinishMaxEdges = 0L)
         .as[(Long, Long)].collect().toMap
       assert(labels(149L) == 0L && labels(399L) == 150L,
         "reliable-checkpoint CC must label correctly despite block loss")
@@ -176,7 +176,7 @@ class Round9OpsSpec extends SparkSpec {
       // the same loss kills the default path: localCheckpoint blocks are
       // the ONLY copy, and their lineage is truncated
       val ex = intercept[Exception] {
-        Dedup.connectedComponents(spark, nodes, edges)
+        Dedup.connectedComponents(spark, nodes, edges, localFinishMaxEdges = 0L)
           .as[(Long, Long)].collect()
       }
       assert(ex.getMessage != null)
