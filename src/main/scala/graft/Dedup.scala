@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -684,6 +684,13 @@ object Dedup {
     */
   val maxBroadcastGrams: Long = 4000000L
 
+  /** Vocabularies at or under this size take the `prefix_top_values`
+    * kernel path in [[editDistancePairsQGram]] — the corpus gram
+    * frequency table rides as a driver-held literal (≤ 1 MB plan
+    * payload), retiring the per-occurrence freq join + heap shuffle.
+    * Larger vocabs keep the guarded-broadcast join shape. */
+  val PrefixKernelMaxVocab: Long = 1L << 16
+
   /** The SCALE path for [[editDistancePairsOf]]: q-gram count/prefix/
     * position-filter candidate generation (the classic approximate-
     * string-join scheme from the published set-join literature — count
@@ -746,14 +753,22 @@ object Dedup {
     require(q >= 2, s"q must be >= 2, got $q")
     VectorFunctions.register(s)
     val qd = q * maxDist
+    // slim checkpoint (optimization round 20): base is referenced by the
+    // freq pass, the prefix pass, and BOTH candidate-join back-joins —
+    // uncut, each reference re-ran the full-corpus q-gram hashing just
+    // to re-derive the `ng` filter. The cut stores (doc_id, text, len,
+    // ng) only — gram arrays are ~8× the text's bytes and are re-derived
+    // where needed (the count-filter discipline below).
     val base = docs
       .select(col("doc_id"), col("text"), octet_length(col("text")).cast("long").as("len"),
-        call_function("char_qgram_hashes", col("text"), lit(q)).as("g"))
-      .withColumn("ng", size(col("g")).cast("long"))
+        size(call_function("char_qgram_hashes", col("text"), lit(q)))
+          .cast("long").as("ng"))
+      .localCheckpoint(eager = false)
     // |G| = max(0, bytelen−q+1); smallness decided on ng, zone on bytes
     val big = base.filter(col("ng") > qd)
     val shortZone = docs.filter(octet_length(col("text")) <= (q - 1) + qd + maxDist)
-    val gx = big.select(col("doc_id"), explode(col("g")).as("gh"))
+    val gx = big.select(col("doc_id"),
+      explode(call_function("char_qgram_hashes", col("text"), lit(q))).as("gh"))
     // The gram vocabulary is tiny next to the occurrence stream (q-grams
     // of natural text plateau in the low millions), but its byte estimate
     // routinely straddles Spark's 10 MB auto-broadcast line — and losing
@@ -764,9 +779,8 @@ object Dedup {
     // when it fits, shuffle-join fallback above the cap (identical
     // output).
     val dfreq = gx.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint(eager = false) // sized once, reused by the join
-    val dfreqSide =
-      if (dfreq.count() <= maxBroadcastGrams) broadcast(dfreq) else dfreq
+      .localCheckpoint(eager = false) // sized once, reused by join or pull
+    val vocab = dfreq.count()
     // Prefix VALUES per doc: the distinct grams among the doc's qd+1
     // smallest (freq, gram) occurrence keys, via the bounded-heap
     // collect_top_k over the NEGATED key (freq negated arithmetically,
@@ -783,15 +797,36 @@ object Dedup {
     // guarantee needs the boundary value's EVERY occurrence in the
     // prefix; an arbitrary tie truncation can strand a matching edge's
     // partner outside it with only a position-incompatible twin inside.
-    val topVals = gx.join(dfreqSide, Seq("gh"))
-      .select(col("doc_id"),
-        struct((-col("freq")).as("nf"), expr("~gh").as("ngh")).as("p"))
-      .groupBy(col("doc_id"))
-      .agg(call_function("collect_top_k", col("p"), lit(qd + 1), lit(false)).as("top"))
-      // sort_array desc on the NEGATED structs = ascending (freq, gram)
-      // key order, the order the location walk below consumes
-      .select(col("doc_id"),
-        expr("transform(sort_array(top, false), p -> ~p.ngh)").as("kvals"))
+    // Prefix selection, two result-identical shapes on the vocab size
+    // (optimization round 20, Round20OptSpec pins equality):
+    //   - vocab ≤ PrefixKernelMaxVocab: pull the freq table once (the
+    //     same guarded-pull class as the broadcast below) and select
+    //     each doc's prefix with the per-row `prefix_top_values` kernel
+    //     — no per-occurrence rows, no freq join, no doc_id shuffle;
+    //   - larger vocabs keep the explode → guarded-broadcast freq join →
+    //     bounded-heap `collect_top_k` shape.
+    val kvalsCol: Column =
+      if (vocab <= PrefixKernelMaxVocab) {
+        val rows = dfreq.collect() // bounded: ≤ PrefixKernelMaxVocab rows
+        val keys = rows.map(_.getLong(0)).toSeq
+        val freqs = rows.map(_.getLong(1)).toSeq
+        call_function("prefix_top_values",
+          call_function("char_qgram_hashes", col("text"), lit(q)),
+          lit(qd + 1), typedLit(keys), typedLit(freqs))
+      } else null
+    def topValsJoin = {
+      val dfreqSide =
+        if (vocab <= maxBroadcastGrams) broadcast(dfreq) else dfreq
+      gx.join(dfreqSide, Seq("gh"))
+        .select(col("doc_id"),
+          struct((-col("freq")).as("nf"), expr("~gh").as("ngh")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(call_function("collect_top_k", col("p"), lit(qd + 1), lit(false)).as("top"))
+        // sort_array desc on the NEGATED structs = ascending (freq, gram)
+        // key order, the order the location walk below consumes
+        .select(col("doc_id"),
+          expr("transform(sort_array(top, false), p -> ~p.ngh)").as("kvals"))
+    }
     // LOCATION-adaptive prefix (the Ed-Join shortening): the fixed
     // qd+1-occurrence prefix is the worst case; the kernel walks the
     // candidate values in key order and stops once the accumulated
@@ -801,7 +836,10 @@ object Dedup {
     // candidate join grows quadratically — prefix LENGTH is the lever
     // that survives saturation (measured: 30M candidates at 4.4M titles
     // with the fixed prefix).
-    val pre = big.join(topVals, Seq("doc_id"))
+    val withKvals =
+      if (kvalsCol != null) big.withColumn("kvals", kvalsCol)
+      else big.join(topValsJoin, Seq("doc_id"))
+    val pre = withKvals
       .select(col("doc_id"), col("len"), col("text"),
         explode(call_function("adaptive_prefix_values",
           col("text"), col("kvals"), lit(q), lit(maxDist))).as("gh"))

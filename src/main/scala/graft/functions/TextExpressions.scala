@@ -1647,3 +1647,107 @@ case class GramBucketCounts(child: Expression, nLow: Int, nHigh: Int,
       newChildren: IndexedSeq[Expression]): GramBucketCounts =
     copy(child = newChildren.head)
 }
+
+/** Driver-held gram document-frequency table for the `prefix_top_values`
+  * kernel (optimization round 20): corpus-wide q-gram occurrence counts,
+  * pulled once when the vocabulary fits
+  * [[graft.Dedup.PrefixKernelMaxVocab]] — the same guarded-pull class as
+  * the broadcast the retired join shape used. Grams absent from the
+  * table count 0 (cannot happen when the table was fit on the same
+  * corpus; pinned for safety). */
+final class GramFreqTable(keys: Array[Long], freqs: Array[Long])
+    extends Serializable {
+  require(keys.length == freqs.length,
+    s"prefix_top_values: ${keys.length} keys vs ${freqs.length} freqs")
+  private val m = new java.util.HashMap[java.lang.Long, java.lang.Long](keys.length * 2)
+  keys.indices.foreach(i => m.put(keys(i), freqs(i)))
+
+  def freqOf(g: Long): Long = {
+    val v = m.get(g)
+    if (v == null) 0L else v.longValue()
+  }
+
+  /** The k smallest (freq, gram) occurrence keys of the occurrence
+    * stream `g`, values emitted in ascending key order, duplicates
+    * preserved — byte-identical to the retired explode → freq join →
+    * `collect_top_k`(negated struct) → sort_array(desc) → transform
+    * chain (freq ascending, gram SIGNED ascending on ties, one heap
+    * slot per occurrence). */
+  def topValues(g: ArrayData, k: Int): ArrayData = {
+    val n = g.numElements()
+    val keep = math.min(k, n)
+    if (keep <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // bounded max-heap of (freq, gram) keys, worst kept at the root
+    val hf = new Array[Long](keep)
+    val hg = new Array[Long](keep)
+    var size = 0
+    def less(f1: Long, g1: Long, f2: Long, g2: Long): Boolean =
+      f1 < f2 || (f1 == f2 && g1 < g2)
+    var i = 0
+    while (i < n) {
+      val gv = g.getLong(i)
+      val fv = freqOf(gv)
+      if (size < keep) {
+        var c = size
+        hf(c) = fv; hg(c) = gv; size += 1
+        while (c > 0 && less(hf((c - 1) / 2), hg((c - 1) / 2), hf(c), hg(c))) {
+          val p = (c - 1) / 2
+          val tf = hf(p); val tg = hg(p)
+          hf(p) = hf(c); hg(p) = hg(c); hf(c) = tf; hg(c) = tg
+          c = p
+        }
+      } else if (less(fv, gv, hf(0), hg(0))) {
+        hf(0) = fv; hg(0) = gv
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1; val r = 2 * c + 2
+          var big = c
+          if (l < size && less(hf(big), hg(big), hf(l), hg(l))) big = l
+          if (r < size && less(hf(big), hg(big), hf(r), hg(r))) big = r
+          if (big == c) done = true
+          else {
+            val tf = hf(big); val tg = hg(big)
+            hf(big) = hf(c); hg(big) = hg(c); hf(c) = tf; hg(c) = tg
+            c = big
+          }
+        }
+      }
+      i += 1
+    }
+    // ascending (freq, gram) output order
+    val idx = Array.range(0, size).sortWith((a, b) =>
+      less(hf(a), hg(a), hf(b), hg(b)))
+    new GenericArrayData(idx.map(hg(_)))
+  }
+}
+
+/** `prefix_top_values(grams, k, vocab_keys, vocab_freqs)` → array<bigint>:
+  * per-row PPJoin prefix selection against a driver-held frequency table
+  * — replaces the explode → broadcast-freq-join → `collect_top_k` →
+  * sort_array chain with one codegen map over the occurrence array (no
+  * per-occurrence rows, no doc_id shuffle). Used by
+  * [[graft.Dedup.editDistancePairsQGram]] when the gram vocabulary fits
+  * the pull budget; the join shape remains the large-vocab fallback. */
+case class PrefixTopValues(child: Expression, table: GramFreqTable, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"prefix_top_values: k must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"prefix_top_values requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "prefix_top_values"
+
+  override def nullSafeEval(input: Any): Any =
+    table.topValues(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("gramFreqTable", table, classOf[GramFreqTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tRef.topValues($c, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

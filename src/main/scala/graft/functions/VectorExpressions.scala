@@ -585,6 +585,17 @@ object VectorFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    // PPJoin prefix selection against a driver-held freq table
+    // (optimization round 20): vocab keys/freqs arrive as foldable
+    // literal arrays, folded once here into a GramFreqTable the
+    // generated code references (the lm_score pattern)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "prefix_top_values", (exprs: Seq[Expression]) =>
+        PrefixTopValues(exprs.head,
+          new GramFreqTable(
+            exprs(2).eval().asInstanceOf[ArrayData].toLongArray(),
+            exprs(3).eval().asInstanceOf[ArrayData].toLongArray()),
+          exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     // F58 streaming front door (round 19): the whole pinned HTML block
     // model as one per-row kernel — struct(n_blocks, n_content,
     // clean_text), NULL for block-less pages; spec-pinned equal to the

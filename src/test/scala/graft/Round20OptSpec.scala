@@ -222,6 +222,62 @@ class Round20OptSpec extends AnyFunSuite {
     assert(m.get(20L) == 20L && m.get(21L) == 20L && m.get(7L) == 7L)
   }
 
+  test("prefix_top_values kernel ≡ the retired freq-join + collect_top_k chain") {
+    import spark.implicits._
+    val q = 3
+    val k = 7
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "aaaaaaaaaaaaaaa"), // degenerate: one repeated gram
+      (3L, "xyzzyxzyzxyzzyx"),
+      (4L, "short"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again"),
+      (6L, "naïve café über façade naïve café") // multibyte
+    ).toDF("doc_id", "text")
+    val g = docs.select(col("doc_id"),
+      call_function("char_qgram_hashes", col("text"), lit(q)).as("g"))
+    val gx = g.select(col("doc_id"), explode(col("g")).as("gh"))
+    val dfreq = gx.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
+    // retired shape
+    val ref = gx.join(broadcast(dfreq), Seq("gh"))
+      .select(col("doc_id"),
+        struct((-col("freq")).as("nf"), expr("~gh").as("ngh")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(call_function("collect_top_k", col("p"), lit(k), lit(false)).as("top"))
+      .select(col("doc_id"),
+        expr("transform(sort_array(top, false), p -> ~p.ngh)").as("kvals"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // kernel shape
+    val rows = dfreq.collect()
+    val keys = rows.map(_.getLong(0)).toSeq
+    val freqs = rows.map(_.getLong(1)).toSeq
+    val got = docs.select(col("doc_id"),
+        call_function("prefix_top_values",
+          call_function("char_qgram_hashes", col("text"), lit(q)),
+          lit(k), typedLit(keys), typedLit(freqs)).as("kvals"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == ref)
+  }
+
+  test("editDistancePairsQGram (kernel prefix path) ≡ the banded exact baseline") {
+    import spark.implicits._
+    // near-dup chain at distance 2–6 + unrelated docs + a short doc
+    val base = "the quick brown fox jumps over the lazy dog and then some more"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")),
+      (3L, base.replace("jumps", "stomps")),
+      (4L, "a completely different document about other things entirely here"),
+      (5L, "tiny"),
+      (6L, base + " tail")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = pairs(Dedup.editDistancePairsQGram(spark, docs, 8))
+    val want = pairs(Dedup.editDistancePairsOf(docs, 8))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("domainGate literal fast path ≡ the bloom-join path (block + allow)") {
     import spark.implicits._
     val docs = Seq(
