@@ -204,21 +204,38 @@ object Dedup {
     // global df per shingle: partial-agg collapsed, hot shingles = one row
     val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("__df"))
     val prefLen = (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")
-    // per-doc df-ascending prefix: bounded by doc length (the per-doc
-    // collect/sort bound of F11/F30), never a corpus structure
-    val inner = sh.join(df, Seq("shh"))
+    // per-doc df-ascending order: bounded by doc length (the per-doc
+    // collect/sort bound of F11/F30), never a corpus structure. ONE
+    // sorted frame serves both sides (optimization round 20): the inner
+    // prefix slices it, and the outer inverted index posexplodes it IN
+    // THE SAME (df, shingle) ORDER — which is what lets the PPJoin
+    // positional filter below apply to the asymmetric join too (both
+    // positions are ranks under one shared total order). The outer
+    // subtree is the same aggregation as the inner's, so the exchange
+    // is planned once and reused.
+    val ordAll = sh.join(df, Seq("shh"))
       .groupBy(col("doc_id"), col("sz"))
       .agg(sort_array(collect_list(struct(col("__df"), col("shh")))).as("ord"))
+    val inner = ordAll
       .select(col("doc_id").as("inner_id"), col("sz").as("sa"),
-        explode(slice(col("ord"), lit(1), prefLen)).as("p"))
-      .select(col("inner_id"), col("sa"), col("p.shh").as("shh"))
-    val outer = base.select(col("doc_id").as("outer_id"), col("sz").as("sb"),
-      explode(col("shs")).as("shh"))
+        posexplode(slice(col("ord"), lit(1), prefLen)).as(Seq("pi", "p")))
+      .select(col("inner_id"), col("sa"), col("pi"), col("p.shh").as("shh"))
+    val outer = ordAll
+      .select(col("doc_id").as("outer_id"), col("sz").as("sb"),
+        posexplode(col("ord")).as(Seq("po", "p")))
+      .select(col("outer_id"), col("sb"), col("po"), col("p.shh").as("shh"))
+    // positional bound (exact, the jaccardJoin lemma aimed at
+    // containment): a match at 0-based ranks (pi, po) bounds the
+    // intersection by ub = min(sa−pi, sb−po); a qualifying pair's FIRST
+    // common element satisfies it, so filtering rows where even
+    // ub/sa < t (the verify's own double arithmetic) loses no pair.
+    val ubC = least(col("sa") - col("pi"), col("sb") - col("po"))
     val cand = inner.join(outer, Seq("shh"))
       // i ≤ sb, so sb ≥ t·sa is a necessary size screen; no upper bound
       // on the container — asymmetry is the point
       .filter(col("inner_id") =!= col("outer_id") &&
-        col("sb").cast("double") >= col("sa") * lit(t))
+        col("sb").cast("double") >= col("sa") * lit(t) &&
+        ubC.cast("double") / col("sa") >= t)
       .select(col("inner_id"), col("outer_id"))
       .distinct()
     cand
