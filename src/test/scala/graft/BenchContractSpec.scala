@@ -163,6 +163,20 @@ class BenchContractSpec extends SparkSpec {
     assert(line.length < 1024, s"compact line is ${line.length} bytes:\n$line")
     assert(line.startsWith("{\"metric\":\"total\""),
       "the driver's tail parser scans for a {\"metric\":...} line")
+    // round 21 (VERDICT r20 item 2): the line carries the per-query map
+    // for the FROZEN headline subset, so the driver's round-over-round
+    // per-query gate has data again — with every headline member present
+    // the whole line must still fit the driver's 2,000-char tail window
+    // (BENCH_r19/r20 tails measure exactly 2,000 chars) with room for
+    // sbt's trailing "[success] ..." line
+    val headResults = Bench.headline.map(n => n -> Bench.Reps(Seq(8.5, 9.25, 10.0)))
+    val headLine2 = Bench.compactLine(headResults, 3, 0.5, 0.6, sf001,
+      retried = Bench.headline, noisy = Bench.headline,
+      floorRetried = Bench.headline, loadAmbient = 0.4)
+    assert(headLine2.length < 1900,
+      s"compact line with full headline map is ${headLine2.length} bytes")
+    assert(headLine2.contains("\"queries\":{\"q1_pricing_summary\":9.250"),
+      "the headline per-query map must ride the compact line")
     assert(line.contains(s""""n_queries":$n"""))
     assert(line.contains(s""""retried":$n""") && line.contains(s""""noisy":$n"""),
       "name arrays must publish as COUNTS on the compact line")
