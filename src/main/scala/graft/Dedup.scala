@@ -103,9 +103,16 @@ object Dedup {
     // `base(left)` calls build two distinct subtrees with fresh expression
     // IDs, so Spark computes the shingle scan twice (round-14 regression,
     // ~1.6× on q_ngram_jaccard); a single instance lets the self-join
-    // reuse the exchange
-    val lb = base(left)
-    val rb = if (sameFrame) lb else base(right)
+    // reuse the exchange. AND cut its lineage (optimization round 21, the
+    // containmentPairs round-17 lesson finally applied here too): the
+    // instance feeds the prefix explode on BOTH join sides and BOTH
+    // verify back-joins, and since those are broadcast subtrees — not
+    // shared exchanges — each one re-executed the scan + shingle kernel
+    // (4 corpus passes, measured ~0.95 s of q_ngram_jaccard's 1.2 s at
+    // sf0.1; at 100 TB, 4 corpus text re-scans vs one slim (id, shs, sz)
+    // materialization).
+    val lb = base(left).localCheckpoint(eager = false)
+    val rb = if (sameFrame) lb else base(right).localCheckpoint(eager = false)
     // self-join: the a<b predicate canonicalizes and halves the space;
     // bipartite: every qualifying (left, right) pair is kept as-is
     val orient =
@@ -691,7 +698,21 @@ object Dedup {
     * itself is the wrong metric — use [[jaccardEdgesOf]] / MinHash
     * banding instead.
     */
-  def editDistancePairsOf(docs: DataFrame, maxDist: Int): DataFrame = {
+  def editDistancePairsOf(docs: DataFrame, maxDist: Int): DataFrame =
+    bandedEditPairs(docs, maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+
+  /** The banded all-pairs engine behind [[editDistancePairsOf]], emitting
+    * each verified pair WITH both sides' byte lengths (pre-swap, so
+    * `a_len` belongs to the original left side — callers using the
+    * lengths must treat them symmetrically). Exposed separately so
+    * [[editDistancePairsQGram]]'s short-zone branch can keep "at least
+    * one genuinely small side" as a pure length predicate instead of two
+    * membership joins against a small-ids frame (optimization round 21:
+    * smallness IS `len ≤ q−1+q·maxDist`, the arithmetic inverse of
+    * `ng ≤ q·maxDist` — the joins bought nothing but two exchanges).
+    */
+  private def bandedEditPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     VectorFunctions.registered(docs)
     val w = maxDist + 1
@@ -712,7 +733,8 @@ object Dedup {
         call_function("byte_levenshtein", col("a_text"), col("b_text"), lit(maxDist)))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"), col("dist"))
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("dist"),
+        col("a_len"), col("b_len"))
   }
 
   /** Gram vocabularies at or below this row count are broadcast for the
@@ -726,7 +748,10 @@ object Dedup {
     * kernel path in [[editDistancePairsQGram]] — the corpus gram
     * frequency table rides as a driver-held literal (≤ 1 MB plan
     * payload), retiring the per-occurrence freq join + heap shuffle.
-    * Larger vocabs keep the guarded-broadcast join shape. */
+    * Since round 21 the table itself is FIT by the one-pass
+    * `qgram_freq_agg` bounded map aggregate (cap = this constant, so
+    * every task buffer stays ≤ 1 MB); an overflowing vocab falls back to
+    * the explode + groupBy fit and the guarded-broadcast join shape. */
   val PrefixKernelMaxVocab: Long = 1L << 16
 
   /** The SCALE path for [[editDistancePairsOf]]: q-gram count/prefix/
@@ -786,39 +811,58 @@ object Dedup {
     * is bounded by construction, so its quadratic-in-band cost is capped.
     */
   def editDistancePairsQGram(s: SparkSession, docs: DataFrame, maxDist: Int,
-      q: Int = 4): DataFrame = {
+      q: Int = 4, checkpointDir: Option[String] = None): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
     VectorFunctions.register(s)
     val qd = q * maxDist
-    // slim checkpoint (optimization round 20): base is referenced by the
-    // freq pass, the prefix pass, and BOTH candidate-join back-joins —
-    // uncut, each reference re-ran the full-corpus q-gram hashing just
-    // to re-derive the `ng` filter. The cut stores (doc_id, text, len,
-    // ng) only — gram arrays are ~8× the text's bytes and are re-derived
-    // where needed (the count-filter discipline below).
-    val base = docs
-      .select(col("doc_id"), col("text"), octet_length(col("text")).cast("long").as("len"),
-        size(call_function("char_qgram_hashes", col("text"), lit(q)))
-          .cast("long").as("ng"))
-      .localCheckpoint(eager = false)
+    // base is referenced by the prefix pass and BOTH candidate-join
+    // back-joins, so it keeps a LAZY lineage cut (one corpus scan, the
+    // sibling subtrees read the materialized blocks — without it the
+    // plan re-scans the corpus per reference, 4→12 parquet scans
+    // measured). Two round-21 changes: (a) `ng` (the positional gram
+    // count) is arithmetic — charQgramHashes emits one hash per byte
+    // position, so |G| = max(0, bytelen−q+1) and the round-20 shape's
+    // size(char_qgram_hashes(text)) was a full corpus hash+sort pass
+    // spent computing a subtraction; (b) `checkpointDir` (VERDICT r20
+    // item 8) switches the cut to a RELIABLE checkpoint for cluster
+    // runs — localCheckpoint blocks are executor-local with truncated
+    // lineage, so on a real cluster one lost executor kills the job
+    // irrecoverably; with a reliable dir every cut survives executor
+    // loss (the connectedComponents `cut` contract, same trade: one
+    // distributed-FS write per cut).
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    val base = cut(docs
+      .select(col("doc_id"), col("text"), octet_length(col("text")).cast("long").as("len"))
+      .withColumn("ng", greatest(lit(0L), col("len") - lit((q - 1).toLong))))
     // |G| = max(0, bytelen−q+1); smallness decided on ng, zone on bytes
     val big = base.filter(col("ng") > qd)
     val shortZone = docs.filter(octet_length(col("text")) <= (q - 1) + qd + maxDist)
-    val gx = big.select(col("doc_id"),
+    // Corpus gram-frequency fit (optimization round 21, guide §2.3/§2.4):
+    // ONE bounded map-aggregate pass (`qgram_freq_agg`) replaces the
+    // explode-one-row-per-occurrence → groupBy → localCheckpoint →
+    // count() → collect() chain whenever the vocabulary fits the prefix-
+    // kernel budget — each task ships a ≤1 MB key/count map instead of
+    // ~8× the corpus bytes of gram rows, and the vocab-size probe and the
+    // table pull collapse into the same single job. A NULL result means
+    // the vocab overflowed the 2^16 cap somewhere; only then is the old
+    // explode + groupBy frequency table built (and kept checkpointed for
+    // its two consumers), with the guarded broadcast split as before:
+    // vocabularies past the broadcast cap fall back to a shuffle join,
+    // identical output.
+    val fitRow = big
+      .agg(call_function("qgram_freq_agg", col("text"), lit(q),
+        lit(PrefixKernelMaxVocab.toInt)).as("ft"))
+      .head()
+    val fit = if (fitRow.isNullAt(0)) null else fitRow.getStruct(0)
+    lazy val gx = big.select(col("doc_id"),
       explode(call_function("char_qgram_hashes", col("text"), lit(q))).as("gh"))
-    // The gram vocabulary is tiny next to the occurrence stream (q-grams
-    // of natural text plateau in the low millions), but its byte estimate
-    // routinely straddles Spark's 10 MB auto-broadcast line — and losing
-    // the broadcast silently turns the freq lookup into a sort-merge join
-    // that SORTS every gram occurrence in the corpus (measured 4× the
-    // whole pipeline's wall at 1.1M titles). Same guarded-broadcast
-    // pattern as F22: size the vocab with one eager job and broadcast it
-    // when it fits, shuffle-join fallback above the cap (identical
-    // output).
-    val dfreq = gx.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
+    lazy val dfreq = gx.groupBy(col("gh")).agg(count(lit(1)).as("freq"))
       .localCheckpoint(eager = false) // sized once, reused by join or pull
-    val vocab = dfreq.count()
+    lazy val vocab = dfreq.count()
     // Prefix VALUES per doc: the distinct grams among the doc's qd+1
     // smallest (freq, gram) occurrence keys, via the bounded-heap
     // collect_top_k over the NEGATED key (freq negated arithmetically,
@@ -836,18 +880,18 @@ object Dedup {
     // prefix; an arbitrary tie truncation can strand a matching edge's
     // partner outside it with only a position-incompatible twin inside.
     // Prefix selection, two result-identical shapes on the vocab size
-    // (optimization round 20, Round20OptSpec pins equality):
-    //   - vocab ≤ PrefixKernelMaxVocab: pull the freq table once (the
-    //     same guarded-pull class as the broadcast below) and select
-    //     each doc's prefix with the per-row `prefix_top_values` kernel
-    //     — no per-occurrence rows, no freq join, no doc_id shuffle;
-    //   - larger vocabs keep the explode → guarded-broadcast freq join →
-    //     bounded-heap `collect_top_k` shape.
+    // (optimization round 20, Round20OptSpec pins equality; the fit
+    // itself is the one-pass qgram_freq_agg since round 21):
+    //   - vocab ≤ PrefixKernelMaxVocab (fit non-NULL): the aggregate's
+    //     table rides as a driver-held literal and each doc's prefix is
+    //     selected by the per-row `prefix_top_values` kernel — no
+    //     per-occurrence rows, no freq join, no doc_id shuffle;
+    //   - larger vocabs (fit NULL) keep the explode → guarded-broadcast
+    //     freq join → bounded-heap `collect_top_k` shape.
     val kvalsCol: Column =
-      if (vocab <= PrefixKernelMaxVocab) {
-        val rows = dfreq.collect() // bounded: ≤ PrefixKernelMaxVocab rows
-        val keys = rows.map(_.getLong(0)).toSeq
-        val freqs = rows.map(_.getLong(1)).toSeq
+      if (fit != null) {
+        val keys = fit.getSeq[Long](0).toSeq
+        val freqs = fit.getSeq[Long](1).toSeq
         call_function("prefix_top_values",
           call_function("char_qgram_hashes", col("text"), lit(q)),
           lit(qd + 1), typedLit(keys), typedLit(freqs))
@@ -926,14 +970,15 @@ object Dedup {
         call_function("byte_levenshtein", col("a_text"), col("b_text"), lit(maxDist)))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
-    // short-zone pairs (≥1 genuinely small side) via the banded path
-    val smallIds = base.filter(col("ng") <= qd).select(col("doc_id").as("s_id"))
-    val zonePairs = editDistancePairsOf(shortZone, maxDist)
-      .join(smallIds.select(col("s_id").as("a_id")).withColumn("a_small", lit(true)),
-        Seq("a_id"), "left")
-      .join(smallIds.select(col("s_id").as("b_id")).withColumn("b_small", lit(true)),
-        Seq("b_id"), "left")
-      .filter(col("a_small").isNotNull || col("b_small").isNotNull)
+    // short-zone pairs (≥1 genuinely small side) via the banded path.
+    // Smallness is arithmetic — ng ≤ qd ⇔ byte len ≤ q−1+qd — so the
+    // predicate rides the banded join's own length columns directly
+    // (optimization round 21); the retired shape proved the same thing
+    // with two membership joins against a small-ids projection of base,
+    // which cost two more exchanges and a third base scan for nothing.
+    val smallMaxLen = (q - 1) + qd
+    val zonePairs = bandedEditPairs(shortZone, maxDist)
+      .filter(col("a_len") <= smallMaxLen || col("b_len") <= smallMaxLen)
       .select(col("a_id"), col("b_id"), col("dist"))
     bigPairs.unionByName(zonePairs)
   }

@@ -94,24 +94,25 @@ object Urls {
       when(qC === "", lit("")).otherwise(concat(lit("?"), qC)))
   }
 
-  /** Lowercased host of a URL column (step 3). */
-  def hostCol(url: Column): Column = {
-    val nofrag = regexp_extract(url, "^[^#]*", 0)
-    val rest = regexp_replace(nofrag, "^[^:]+://", "")
-    val auth = regexp_extract(rest, "^[^/?]*", 0)
-    lower(regexp_extract(auth, "^[^:]*", 0))
-  }
+  /** Lowercased host of a URL column (step 3). Since optimization round
+    * 21 this is the one-pass `url_host` byte-walk kernel — byte-equal to
+    * the retired 4-regex chain (UrlsSpec pins the equality on every
+    * manufactured shape plus the adversarial corners; the DuckDB oracle
+    * still computes the regex chain independently). The chain was the
+    * round-20 q_f60b residual: Catalyst inlines a derived column's
+    * defining expression at every reference site inside a Filter, where
+    * codegen does no common-subexpression elimination — the gate
+    * evaluated the chain (and the whole manufactured-URL tree under it)
+    * ~6× per row. The caller needs a registered function registry, which
+    * every graft entry point guarantees via VectorFunctions. */
+  def hostCol(url: Column): Column = call_function("url_host", url)
 
-  /** Registered domain of a HOST column (pinned suffix heuristic). */
-  def registeredDomainCol(host: Column): Column = {
-    val labels = split(host, "[.]")
-    val n = size(labels)
-    val last2 = concat_ws(".", slice(labels, n - 1, lit(2)))
-    val last3 = concat_ws(".", slice(labels, n - 2, lit(3)))
-    when(n >= 3 && last2.isin(MultiPartSuffixes: _*), last3)
-      .when(n >= 2, last2)
-      .otherwise(host)
-  }
+  /** Registered domain of a HOST column (pinned suffix heuristic) — the
+    * one-pass `reg_domain` kernel against the driver-held suffix table
+    * (round 21; label-for-label equal to the retired split/slice/
+    * concat_ws/isin formulation, empty labels included). */
+  def registeredDomainCol(host: Column): Column =
+    call_function("reg_domain", host, typedLit(MultiPartSuffixes))
 
   /** Append `canon_url`, `host`, `registered_domain` for `urlCol`.
     * NULL urls produce NULL columns (gates drop them — an un-URLed row
@@ -121,6 +122,7 @@ object Urls {
     * clobbering user data is never the right silent default (the
     * gates below compute their domains under internal names instead). */
   def withCanon(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    graft.functions.VectorFunctions.registered(df) // url_host/reg_domain kernels
     val clash = Seq("canon_url", "host", "registered_domain")
       .filter(df.columns.contains)
     require(clash.isEmpty,
@@ -144,6 +146,7 @@ object Urls {
       urlCol: String = "url"): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    graft.functions.VectorFunctions.register(s) // url_host/reg_domain kernels
     // The domain lives under a reserved internal name for the joins and
     // is dropped at the end — the caller's columns (including any
     // `host`/`registered_domain` provenance of their own) pass through
@@ -187,7 +190,8 @@ object Urls {
     * one partial-agg shuffle over domain-width rows. Derives its own
     * host/domain columns internally (never reads or replaces same-named
     * caller columns). */
-  def domainCounts(docs: DataFrame, urlCol: String = "url"): DataFrame =
+  def domainCounts(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    graft.functions.VectorFunctions.registered(docs) // url_host/reg_domain kernels
     docs.filter(col(urlCol).isNotNull)
       .select(hostCol(col(urlCol)).as("__dc_host"))
       .select(col("__dc_host"),
@@ -195,6 +199,7 @@ object Urls {
       .groupBy(col("registered_domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("__dc_host")).as("n_hosts"))
+  }
 
   // ---- graded queries -----------------------------------------------------
 

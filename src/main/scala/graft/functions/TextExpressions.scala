@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleOps {
 
   /** splitmix64 finalizer — full-avalanche mix. */
-  private def fmix64(z0: Long): Long = {
+  private[functions] def fmix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -1750,4 +1750,298 @@ case class PrefixTopValues(child: Expression, table: GramFreqTable, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Byte-walk URL kernels (optimization round 21, VERDICT r20 item 6).
+  *
+  * [[UrlHost]] computes the PINNED host model of graft.Urls — byte-
+  * equivalently to the regex chain it replaces:
+  *   lower(regexp_extract(regexp_extract(regexp_replace(regexp_extract(
+  *     url, "^[^#]*"), "^[^:]+://", ""), "^[^/?]*"), "^[^:]*"))
+  * i.e. drop the fragment, strip a `scheme://` prefix when the FIRST ':'
+  * is preceded by ≥1 byte and followed by "//", then take the run up to
+  * the first '/', '?' or ':' and lowercase it. One pass over the bytes;
+  * the regex chain re-materialized four intermediate strings per row, and
+  * — the actual round-20 cost — Catalyst inlines the whole chain at every
+  * REFERENCE site of a derived host/domain column inside a Filter (where,
+  * unlike Project, codegen performs no common-subexpression elimination),
+  * so q_f60b evaluated the chain and the manufactured-URL subtree under
+  * it ~6× per row. A single kernel call is one reference, full stop.
+  *
+  * Why the byte positions are sound on UTF-8: every byte compared ('#',
+  * ':', '/', '?', '.') is ASCII < 0x80, and UTF-8 continuation/lead bytes
+  * are ≥ 0x80, so a byte match is always a CHARACTER match — slices never
+  * split a code point whose bytes could alias a delimiter. Lowercasing is
+  * UTF8String.toLowerCase, the exact kernel Spark's `lower` dispatches to
+  * under the default binary collation.
+  *
+  * [[RegDomain]] is the pinned registered-domain heuristic over an
+  * already-lowercased host: the last TWO '.'-labels, or the last THREE
+  * when the last two form a multi-part suffix from the driver-held table;
+  * single-label hosts are their own domain. Matches the declarative
+  * split/slice/concat_ws/isin formulation label-for-label, empty labels
+  * included (a '.'-run yields empty labels in both).
+  */
+object UrlOps {
+  /** Called from generated code: the pinned host of a URL. */
+  def urlHost(u: UTF8String): UTF8String = {
+    val b = u.getBytes
+    var end = 0
+    while (end < b.length && b(end) != '#') end += 1 // fragment off
+    var start = 0
+    var c = 0
+    while (c < end && b(c) != ':') c += 1
+    if (c >= 1 && c + 2 < end && b(c + 1) == '/' && b(c + 2) == '/') start = c + 3
+    var e = start
+    while (e < end && b(e) != '/' && b(e) != '?' && b(e) != ':') e += 1
+    UTF8String.fromBytes(b, start, e - start).toLowerCase
+  }
+}
+
+/** `url_host(url)` → string: the pinned lowercased host, one byte walk. */
+case class UrlHost(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"url_host requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_host"
+
+  override def nullSafeEval(input: Any): Any =
+    UrlOps.urlHost(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlOps.urlHost($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Driver-held multi-part-suffix table for [[RegDomain]] (the
+  * GramFreqTable pattern: folded once at registration, referenced from
+  * generated code). */
+final class SuffixTable(suffixes: Array[String]) extends Serializable {
+  private val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](suffixes.length * 2)
+    suffixes.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  /** The pinned registered domain of an (already lowercased) host. */
+  def domainOf(host: UTF8String): UTF8String = {
+    val b = host.getBytes
+    var d1 = -1; var d2 = -1; var d3 = -1 // last / 2nd-last / 3rd-last '.'
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '.') { d3 = d2; d2 = d1; d1 = i }
+      i += 1
+    }
+    if (d1 < 0) return host // single label
+    val last2Start = if (d2 >= 0) d2 + 1 else 0
+    val last2 = UTF8String.fromBytes(b, last2Start, b.length - last2Start)
+    if (d2 >= 0 && set.contains(last2)) {
+      val last3Start = if (d3 >= 0) d3 + 1 else 0
+      UTF8String.fromBytes(b, last3Start, b.length - last3Start)
+    } else last2
+  }
+}
+
+/** `reg_domain(host, suffixes)` → string: registered domain, one byte
+  * walk against the driver-held suffix table. */
+case class RegDomain(child: Expression, table: SuffixTable)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"reg_domain requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "reg_domain"
+
+  override def nullSafeEval(input: Any): Any =
+    table.domainOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("suffixTable", table, classOf[SuffixTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tRef.domainOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Aggregation buffer for [[QgramFreqAgg]]: an open-addressing long→long
+  * occurrence-count map, hard-capped at `maxVocab` DISTINCT keys. The cap
+  * is the spill-safety contract: a buffer never holds more than
+  * maxVocab × 16 B of key/count payload (1 MB at the edit-join's 2^16
+  * cap), so partial aggregation can never blow a task's memory the way an
+  * unbounded map aggregate could — the moment a partition (or a merge of
+  * partitions) would exceed the cap, the map drops its payload and
+  * carries only the `overflow` flag, and the caller falls back to the
+  * explode + groupBy shape, which spills gracefully.
+  */
+final class QgramFreqMap(val maxVocab: Int) {
+  require(maxVocab >= 1, s"qgram_freq_agg: maxVocab must be >= 1, got $maxVocab")
+  var overflow: Boolean = false
+  private var cap = 1 << 10
+  private var keys = new Array[Long](cap)
+  private var counts = new Array[Long](cap) // counts(i) == 0 ⇔ slot empty
+  var size: Int = 0
+
+  // keys are already fmix64-finalized gram hashes — fold high into low
+  private def spread(k: Long): Int = ((k ^ (k >>> 32)).toInt) & (cap - 1)
+
+  def add(k: Long, c: Long): Unit = {
+    if (overflow) return
+    var i = spread(k)
+    while (counts(i) != 0L && keys(i) != k) i = (i + 1) & (cap - 1)
+    if (counts(i) != 0L) counts(i) += c
+    else if (size >= maxVocab) forceOverflow()
+    else {
+      keys(i) = k; counts(i) = c; size += 1
+      if (size.toLong * 10 > cap.toLong * 6) grow()
+    }
+  }
+
+  def forceOverflow(): Unit = {
+    overflow = true
+    keys = null; counts = null; size = 0; cap = 1
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val oc = counts; val ocap = cap
+    cap = ocap << 1
+    keys = new Array[Long](cap); counts = new Array[Long](cap)
+    var i = 0
+    while (i < ocap) {
+      if (oc(i) != 0L) {
+        var j = spread(ok(i))
+        while (counts(j) != 0L) j = (j + 1) & (cap - 1)
+        keys(j) = ok(i); counts(j) = oc(i)
+      }
+      i += 1
+    }
+  }
+
+  /** Fold every byte-q-gram hash of `bytes` into the map (the exact
+    * ShingleOps.charQgramHashes hash: base-31 byte poly, splitmix64
+    * finalizer), duplicates accumulating as counts. */
+  def addGrams(bytes: Array[Byte], q: Int): Unit = {
+    if (overflow) return
+    val n = bytes.length - q + 1
+    var i = 0
+    while (i < n && !overflow) {
+      var h = 0L
+      var j = i
+      while (j < i + q) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      add(ShingleOps.fmix64(h), 1L)
+      i += 1
+    }
+  }
+
+  def mergeFrom(o: QgramFreqMap): Unit = {
+    if (overflow) return
+    if (o.overflow) { forceOverflow(); return }
+    o.foreach((k, c) => add(k, c))
+  }
+
+  def foreach(f: (Long, Long) => Unit): Unit = {
+    if (overflow) return
+    var i = 0
+    while (i < cap) { if (counts(i) != 0L) f(keys(i), counts(i)); i += 1 }
+  }
+
+  /** (keys ascending, aligned counts); (null, null) when overflowed. */
+  def sortedPairs(): (Array[Long], Array[Long]) = {
+    if (overflow) return (null, null)
+    val ks = new Array[Long](size); val cs = new Array[Long](size)
+    var w = 0
+    var i = 0
+    while (i < cap) {
+      if (counts(i) != 0L) { ks(w) = keys(i); cs(w) = counts(i); w += 1 }
+      i += 1
+    }
+    val idx = Array.range(0, size).sortBy(ks(_))
+    (idx.map(ks(_)), idx.map(cs(_)))
+  }
+}
+
+/** `qgram_freq_agg(text, q, max_vocab)` — the corpus byte-q-gram
+  * frequency FIT as one partial-aggregated pass (optimization round 21,
+  * the [[GramBucketCounts]] pattern aimed at the edit join): per-gram
+  * occurrence counts across all input rows, returned as one
+  * struct(keys array<bigint> ASC, freqs array<bigint>) — exactly the
+  * table [[graft.Dedup.editDistancePairsQGram]] previously built by
+  * exploding one row PER GRAM OCCURRENCE (~8× the corpus bytes) into a
+  * groupBy and then pulling it. NULL result ⇔ the distinct vocabulary
+  * exceeded `max_vocab` somewhere (update or merge) — the caller's signal
+  * to run the explode + groupBy shape instead; the bound is also what
+  * keeps every aggregation buffer ≤ max_vocab × 16 B (spill-safe by
+  * construction, never by spilling). Gram hash = charQgramHashes' exact
+  * per-position hash; NULL texts contribute nothing.
+  */
+case class QgramFreqAgg(child: Expression, q: Int, maxVocab: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[QgramFreqMap] {
+
+  require(q >= 2, s"qgram_freq_agg: q must be >= 2, got $q")
+  require(maxVocab >= 1 && maxVocab <= (1 << 24),
+    s"qgram_freq_agg: max_vocab must be in [1, 2^24], got $maxVocab")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("keys", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("freqs", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "qgram_freq_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"qgram_freq_agg requires string, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): QgramFreqMap = new QgramFreqMap(maxVocab)
+
+  override def update(buf: QgramFreqMap,
+      input: org.apache.spark.sql.catalyst.InternalRow): QgramFreqMap = {
+    val v = child.eval(input)
+    if (v != null) buf.addGrams(v.asInstanceOf[UTF8String].getBytes, q)
+    buf
+  }
+
+  override def merge(a: QgramFreqMap, b: QgramFreqMap): QgramFreqMap = {
+    a.mergeFrom(b); a
+  }
+
+  override def eval(buf: QgramFreqMap): Any = {
+    val (ks, cs) = buf.sortedPairs()
+    if (ks == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(ks), new GenericArrayData(cs))
+  }
+
+  override def serialize(buf: QgramFreqMap): Array[Byte] = {
+    if (buf.overflow) return Array[Byte](1)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + buf.size * 16)
+    bb.put(0.toByte); bb.putInt(buf.size)
+    buf.foreach((k, c) => { bb.putLong(k); bb.putLong(c) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QgramFreqMap = {
+    val out = new QgramFreqMap(maxVocab)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    if (bb.get() != 0.toByte) { out.forceOverflow(); return out }
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { out.add(bb.getLong, bb.getLong); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QgramFreqAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QgramFreqAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QgramFreqAgg =
+    copy(child = newChildren.head)
 }

@@ -585,6 +585,29 @@ object VectorFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    // F60 byte-walk URL kernels (optimization round 21): one-pass host
+    // extraction and registered-domain selection — the suffix list
+    // arrives as a foldable string-array literal, folded once here into
+    // a driver-held SuffixTable the generated code references
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_host", (exprs: Seq[Expression]) => UrlHost(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "reg_domain", (exprs: Seq[Expression]) => {
+        val suf = exprs(1).eval().asInstanceOf[ArrayData]
+          .toObjectArray(StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        RegDomain(exprs.head, new SuffixTable(suf))
+      }, "built-in")
+    // Edit-join freq-table fit as ONE partial-aggregated pass
+    // (optimization round 21): qgram_freq_agg(text, q, max_vocab) folds
+    // the corpus gram-frequency table into a bounded map aggregate —
+    // no per-occurrence explode, no gram shuffle; NULL result = vocab
+    // overflowed the cap, the caller's fallback signal
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qgram_freq_agg", (exprs: Seq[Expression]) =>
+        QgramFreqAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     // PPJoin prefix selection against a driver-held freq table
     // (optimization round 20): vocab keys/freqs arrive as foldable
     // literal arrays, folded once here into a GramFreqTable the

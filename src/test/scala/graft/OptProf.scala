@@ -65,8 +65,9 @@ object OptProf {
       if (tag != "none") {
         val plan = q.fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        val dir = new java.io.File("plans/r20"); dir.mkdirs()
-        val w = new java.io.PrintWriter(s"plans/r20/${q.name}_$tag.txt", "UTF-8")
+        val planDir = sys.env.getOrElse("OPTPROF_PLANDIR", "plans/r21")
+        val dir = new java.io.File(planDir); dir.mkdirs()
+        val w = new java.io.PrintWriter(s"$planDir/${q.name}_$tag.txt", "UTF-8")
         try w.println(plan) finally w.close()
       }
       val secs = (1 to reps).map { _ =>

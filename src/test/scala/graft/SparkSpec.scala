@@ -27,6 +27,10 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the graft kernel registry: specs exercise Column-level helpers
+    // (Urls.hostCol, shingle kernels, ...) outside the DataFrame entry
+    // points that normally register on first touch
+    graft.functions.VectorFunctions.register(s)
     s
   }
 }
