@@ -269,6 +269,99 @@ object QuantMicros {
   }
 }
 
+/** Driver-held normed embedding table for [[CosEdgesAbove]] (optimization
+  * round 21): the F21 brute-force cosine edge build's right side, pulled
+  * once under the bounded-literal budget (the kmeans_best_q /
+  * prefix_top_values class). Norms are precomputed with the exact
+  * fvec_dot arithmetic (sequential (double)a·(double)b accumulation,
+  * then sqrt), so every comparison is bit-identical to the retired
+  * BroadcastNestedLoopJoin + filter shape.
+  */
+final class CosEdgeTable(ids: Array[Long], embs: Array[Array[Float]])
+    extends Serializable {
+  require(ids.length == embs.length,
+    s"cos_edges_above: ${ids.length} ids vs ${embs.length} embeddings")
+  private val nrms: Array[Double] = embs.map { e =>
+    var s = 0.0
+    var i = 0
+    while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** All table ids STRICTLY ABOVE `id` whose cosine with `emb` clears
+    * `minCos` — dot/(nrmA·nrmB) in the exact fvec_dot double order. A
+    * ZERO divisor (zero-norm side) raises the ANSI divide-by-zero error
+    * the retired join's Divide raised — the kernel must not be quietly
+    * more tolerant than the shape it replaces. */
+  def matchesAbove(id: Long, emb: ArrayData, minCos: Double): ArrayData = {
+    val fa = emb.toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < fa.length) { s += fa(i).toDouble * fa(i).toDouble; i += 1 }
+    val na = math.sqrt(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var j = 0
+    while (j < ids.length) {
+      if (ids(j) > id) {
+        val fb = embs(j)
+        val n = math.min(fa.length, fb.length)
+        var d = 0.0
+        var k = 0
+        while (k < n) { d += fa(k).toDouble * fb(k).toDouble; k += 1 }
+        val den = na * nrms(j)
+        if (den == 0.0)
+          throw new ArithmeticException(
+            "[DIVIDE_BY_ZERO] Division by zero — cos_edges_above met a " +
+              "zero-norm embedding; the join shape this kernel replaces " +
+              "raised the same ANSI error")
+        if (d / den >= minCos) out += ids(j)
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `cos_edges_above(vec_id, embedding, min_cos, ids, embs)` →
+  * array<bigint>: the ids of every driver-table vector with id >
+  * vec_id and cosine ≥ min_cos — ONE streaming corpus pass replacing the
+  * O(n²)-row BroadcastNestedLoopJoin of the brute-force edge build
+  * (guide §1.2: the join shipped ~0.5 µs of row machinery per pair to
+  * run a 64-float dot; the kernel runs the identical arithmetic in a
+  * tight primitive loop, ~10× less per-pair overhead). Exactness: same
+  * dot order, same norms, same double division, same ≥ — the pair SET
+  * is the join's, row for row (Round21OptSpec pins it, the oracle
+  * re-proves it corpus-wide).
+  */
+case class CosEdgesAbove(left: Expression, right: Expression,
+    table: CosEdgeTable, minCos: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cos_edges_above requires (bigint, array<float>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cos_edges_above"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    table.matchesAbove(a.asInstanceOf[Long], b.asInstanceOf[ArrayData], minCos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("cosEdgeTable", table, classOf[CosEdgeTable].getName)
+    // exact double literal via raw bits — a decimal rendering could drift
+    val bits = java.lang.Double.doubleToLongBits(minCos)
+    defineCodeGen(ctx, ev, (i, e) =>
+      s"$tRef.matchesAbove($i, $e, java.lang.Double.longBitsToDouble(${bits}L))")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd F36 nearest-centroid argmin over an ALREADY-quantized
   * (long-micros) vector: returns struct<d:bigint,i:bigint> — the exact
   * squared L2 distance to the nearest centroid and its index, ties to the
@@ -585,6 +678,20 @@ object VectorFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    // F21 brute-force cosine edge kernel (optimization round 21): the
+    // normed corpus arrives as foldable literal arrays, folded once here
+    // into a driver-held CosEdgeTable the generated code references (the
+    // kmeans_best_q pattern) — the edge build becomes one streaming
+    // corpus pass instead of an O(n²)-row nested-loop join
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cos_edges_above", (exprs: Seq[Expression]) => {
+        val ids = exprs(3).eval().asInstanceOf[ArrayData].toLongArray()
+        val arr = exprs(4).eval().asInstanceOf[ArrayData]
+        val embs = (0 until arr.numElements())
+          .map(i => arr.getArray(i).toFloatArray()).toArray
+        CosEdgesAbove(exprs.head, exprs(1), new CosEdgeTable(ids, embs),
+          exprs(2).eval().asInstanceOf[Number].doubleValue())
+      }, "built-in")
     // F60 byte-walk URL kernels (optimization round 21): one-pass host
     // extraction and registered-domain selection — the suffix list
     // arrives as a foldable string-array literal, folded once here into

@@ -164,6 +164,47 @@ class Round21OptSpec extends SparkSpec {
     assert(bad.isEmpty, s"kernel != split chain on: ${bad.mkString(", ")}")
   }
 
+  // ---- 3. cos_edges_above kernel ≡ the nested-loop join edge build --------
+
+  test("exactCosineEdges kernel path matches the join shape edge-for-edge") {
+    val rnd = new scala.util.Random(21)
+    val rows = (1L to 200L).map { i =>
+      (i, Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f).toSeq)
+    } ++ Seq(
+      (202L, null.asInstanceOf[Seq[Float]]) // null embedding drops both ways
+    )
+    val emb = rows.toDF("vec_id", "embedding")
+    val minCos = 0.2
+    // the retired join shape, verbatim
+    def n = emb.select(col("vec_id"), col("embedding"),
+      sqrt(call_function("fvec_dot", col("embedding"), col("embedding"))).as("nrm"))
+    def s(p: String) = n.select(col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}_emb"), col("nrm").as(s"${p}_nrm"))
+    val ref = s("a").join(s("b"), col("a_id") < col("b_id"))
+      .filter(call_function("fvec_dot", col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")) >= minCos)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.exactCosineEdges(spark, emb, minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+    assert(ref.nonEmpty, "corpus must actually produce edges")
+  }
+
+  test("cos_edges_above raises ANSI divide-by-zero on a zero-norm vector, like the join") {
+    // the retired join's Divide raises under ANSI when a norm is 0.0; the
+    // kernel must not be quietly more tolerant on contract-violating input
+    val emb = (Seq((1L, Seq.fill(8)(0f))) ++
+      (2L to 4L).map(i => (i, Seq.fill(8)(i.toFloat)))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.exactCosineEdges(spark, emb, 0.2).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException cause, got: $e")
+  }
+
   test("url kernels propagate NULL like the chains they replaced") {
     val df = Seq(Tuple1(null.asInstanceOf[String])).toDF("url")
       .select(call_function("url_host", col("url")).as("k"),
