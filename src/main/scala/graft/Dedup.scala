@@ -186,6 +186,14 @@ object Dedup {
     * Candidates verify with the same codegen `sorted_intersect_count`
     * merge over the hash-sorted full arrays.
     */
+  /** Shingle vocabularies at or under this size take the
+    * `freq_order_values` kernel path in [[containmentPairs]] — the df
+    * table rides as a driver-held literal (≤ 1 MB plan payload, the
+    * PrefixKernelMaxVocab class). Word-shingle vocabularies grow with
+    * the corpus, so at 100 TB the explode + join shape is the expected
+    * (and exact-identical) path. */
+  val ContainmentKernelMaxVocab: Long = 1L << 16
+
   def containmentPairs(s: SparkSession, docs: DataFrame, minC: Double): DataFrame = {
     require(minC > 0.0 && minC <= 1.0, s"minC must be in (0, 1], got $minC")
     VectorFunctions.register(s)
@@ -207,9 +215,6 @@ object Dedup {
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
       .filter(col("sz") > 0)
       .localCheckpoint(eager = false)
-    val sh = base.select(col("doc_id"), col("sz"), explode(col("shs")).as("shh"))
-    // global df per shingle: partial-agg collapsed, hot shingles = one row
-    val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("__df"))
     val prefLen = (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int")
     // per-doc df-ascending order: bounded by doc length (the per-doc
     // collect/sort bound of F11/F30), never a corpus structure. ONE
@@ -217,20 +222,51 @@ object Dedup {
     // prefix slices it, and the outer inverted index posexplodes it IN
     // THE SAME (df, shingle) ORDER — which is what lets the PPJoin
     // positional filter below apply to the asymmetric join too (both
-    // positions are ranks under one shared total order). The outer
-    // subtree is the same aggregation as the inner's, so the exchange
-    // is planned once and reused.
-    val ordAll = sh.join(df, Seq("shh"))
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("shh")))).as("ord"))
+    // positions are ranks under one shared total order).
+    //
+    // df FIT + per-doc re-order, two result-identical shapes on the
+    // vocab size (optimization round 21, the edit-join qgram_freq_agg
+    // pattern):
+    //   - vocab ≤ ContainmentKernelMaxVocab (fit non-NULL): ONE bounded
+    //     map-aggregate pass (`long_freq_agg`) fits the df table, and
+    //     each doc's (df, shingle)-ascending order is the per-row
+    //     `freq_order_values` kernel against the driver-held table — no
+    //     occurrence explode, no df join, no collect_list doc_id shuffle
+    //     (measured 0.61 s of q_f47's 1.05 s at sf0.1);
+    //   - larger vocabs (fit NULL — word-shingle vocabularies grow with
+    //     the corpus, so this IS the 100 TB path) keep the explode →
+    //     df join → sort_array(collect_list) shape, lazily cut so the
+    //     aggregation feeds both posexplode sides structurally (the
+    //     committed round-20 plans show it planned twice, no
+    //     ReusedExchange).
+    val fitRow = base
+      .agg(call_function("long_freq_agg", col("shs"),
+        lit(ContainmentKernelMaxVocab.toInt)).as("ft"))
+      .head()
+    val fit = if (fitRow.isNullAt(0)) null else fitRow.getStruct(0)
+    val ordAll =
+      if (fit != null) {
+        val keys = fit.getSeq[Long](0).toSeq
+        val freqs = fit.getSeq[Long](1).toSeq
+        base.select(col("doc_id"), col("sz"),
+          call_function("freq_order_values", col("shs"),
+            typedLit(keys), typedLit(freqs)).as("ord"))
+      } else {
+        val sh = base.select(col("doc_id"), col("sz"), explode(col("shs")).as("shh"))
+        // global df per shingle: partial-agg collapsed, hot = one row
+        val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("__df"))
+        sh.join(df, Seq("shh"))
+          .groupBy(col("doc_id"), col("sz"))
+          .agg(expr("transform(sort_array(collect_list(struct(__df, shh))), p -> p.shh)")
+            .as("ord"))
+          .localCheckpoint(eager = false)
+      }
     val inner = ordAll
       .select(col("doc_id").as("inner_id"), col("sz").as("sa"),
-        posexplode(slice(col("ord"), lit(1), prefLen)).as(Seq("pi", "p")))
-      .select(col("inner_id"), col("sa"), col("pi"), col("p.shh").as("shh"))
+        posexplode(slice(col("ord"), lit(1), prefLen)).as(Seq("pi", "shh")))
     val outer = ordAll
       .select(col("doc_id").as("outer_id"), col("sz").as("sb"),
-        posexplode(col("ord")).as(Seq("po", "p")))
-      .select(col("outer_id"), col("sb"), col("po"), col("p.shh").as("shh"))
+        posexplode(col("ord")).as(Seq("po", "shh")))
     // positional bound (exact, the jaccardJoin lemma aimed at
     // containment): a match at 0-based ranks (pi, po) bounds the
     // intersection by ub = min(sa−pi, sb−po); a qualifying pair's FIRST

@@ -284,16 +284,26 @@ object Graft {
     * note lineage truncation also makes executor loss during the job
     * non-recomputable (acceptable for a manifest job you just re-run).
     */
+  /** `fill` (optimization round 21): a caller who has ALREADY materialized
+    * `TextOps.tokenBudgetMix(docs, budgets, ...)` — e.g. to derive epoch
+    * weights from the kept token mass, the exact q_mix_manifest shape —
+    * passes it here so the F33 bucketed-prefix-sum fill executes once
+    * instead of twice (the weight pull ran it to completion and threw the
+    * frame away; the manifest then re-ran it inside the semi-join). Must
+    * be the untouched fill output for the SAME (docs, budgets,
+    * tokenCount); only its doc_id column is read.
+    */
   def mixManifest(docs: DataFrame, budgets: Map[String, Long],
       epochsMicros: Map[String, Long], nShards: Int, seed: Long = 0L,
       tokenCount: Option[org.apache.spark.sql.Column] = None,
-      doCheckpoint: Boolean = true)
+      doCheckpoint: Boolean = true,
+      fill: Option[DataFrame] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, concat, lit, size, split}
     val kept =
       if (budgets.isEmpty) docs
       else docs.join(
-        TextOps.tokenBudgetMix(docs, budgets, tokenCount = tokenCount)
+        fill.getOrElse(TextOps.tokenBudgetMix(docs, budgets, tokenCount = tokenCount))
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     val copies =

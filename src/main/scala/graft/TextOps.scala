@@ -4237,13 +4237,19 @@ object TextOps {
       .collect() // one row per source — the bounded-alphabet pull
       .map(r => r.getString(0) -> math.floor(r.getLong(1) * 0.5).toLong)
       .toMap
-    val keptTots = tokenBudgetMix(docs, budgets)
+    // ONE fill execution (optimization round 21): the weight pull
+    // materializes the lazily-cut fill, and the manifest's semi-join
+    // reuses the same blocks instead of re-running the bucketed prefix
+    // sum from scratch (the fill output is corpus-kept-rows slim)
+    val fill = tokenBudgetMix(docs, budgets).localCheckpoint(eager = false)
+    val keptTots = fill
       .groupBy(col("source")).agg(sum(col("n_toks")).as("t"))
       .collect() // one row per source — the bounded-alphabet pull
     val maxTot = if (keptTots.isEmpty) 0L else keptTots.map(_.getLong(1)).max
     val weights = keptTots.map(r => r.getString(0) ->
       epochWeightMicros(maxTot, r.getLong(1))).toMap
-    Graft.mixManifest(docs, budgets, weights, nShards = 8, seed = 42L)
+    Graft.mixManifest(docs, budgets, weights, nShards = 8, seed = 42L,
+      fill = Some(fill))
       .orderBy(col("doc_id"), col("epoch"))
   }
 

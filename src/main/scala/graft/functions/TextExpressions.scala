@@ -1720,6 +1720,21 @@ final class GramFreqTable(keys: Array[Long], freqs: Array[Long])
       less(hf(a), hg(a), hf(b), hg(b)))
     new GenericArrayData(idx.map(hg(_)))
   }
+
+  /** ALL of `g`'s values re-ordered ascending by (freq, value) — the
+    * containment join's per-doc df order (round 21; ≡ sort_array over
+    * struct(__df, shh), which sorts lexicographically). */
+  def orderValues(g: ArrayData): ArrayData = {
+    val n = g.numElements()
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { vals(i) = g.getLong(i); i += 1 }
+    val fs = vals.map(freqOf)
+    val idx = Array.range(0, n).sortWith { (a, b) =>
+      fs(a) < fs(b) || (fs(a) == fs(b) && vals(a) < vals(b))
+    }
+    new GenericArrayData(idx.map(vals(_)))
+  }
 }
 
 /** `prefix_top_values(grams, k, vocab_keys, vocab_freqs)` → array<bigint>:
@@ -1963,6 +1978,116 @@ final class QgramFreqMap(val maxVocab: Int) {
     val idx = Array.range(0, size).sortBy(ks(_))
     (idx.map(ks(_)), idx.map(cs(_)))
   }
+}
+
+/** `long_freq_agg(arr, max_vocab)` — corpus-wide occurrence counts of an
+  * array<bigint> column's elements as one partial-aggregated pass (the
+  * [[QgramFreqAgg]] buffer aimed at the containment join's shingle
+  * document-frequency fit): returns struct(keys ASC, freqs), NULL when
+  * the distinct vocabulary exceeds `max_vocab` anywhere — the caller's
+  * signal to build the explode + groupBy table instead. Buffers stay
+  * ≤ max_vocab × 16 B by construction. NULL arrays contribute nothing.
+  */
+case class LongFreqAgg(child: Expression, maxVocab: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[QgramFreqMap] {
+
+  require(maxVocab >= 1 && maxVocab <= (1 << 24),
+    s"long_freq_agg: max_vocab must be in [1, 2^24], got $maxVocab")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("keys", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("freqs", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "long_freq_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"long_freq_agg requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): QgramFreqMap = new QgramFreqMap(maxVocab)
+
+  override def update(buf: QgramFreqMap,
+      input: org.apache.spark.sql.catalyst.InternalRow): QgramFreqMap = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      while (i < n && !buf.overflow) { buf.add(arr.getLong(i), 1L); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: QgramFreqMap, b: QgramFreqMap): QgramFreqMap = {
+    a.mergeFrom(b); a
+  }
+
+  override def eval(buf: QgramFreqMap): Any = {
+    val (ks, cs) = buf.sortedPairs()
+    if (ks == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(ks), new GenericArrayData(cs))
+  }
+
+  override def serialize(buf: QgramFreqMap): Array[Byte] = {
+    if (buf.overflow) return Array[Byte](1)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + buf.size * 16)
+    bb.put(0.toByte); bb.putInt(buf.size)
+    buf.foreach((k, c) => { bb.putLong(k); bb.putLong(c) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QgramFreqMap = {
+    val out = new QgramFreqMap(maxVocab)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    if (bb.get() != 0.toByte) { out.forceOverflow(); return out }
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { out.add(bb.getLong, bb.getLong); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongFreqAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongFreqAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongFreqAgg =
+    copy(child = newChildren.head)
+}
+
+/** `freq_order_values(arr, keys, freqs)` → array<bigint>: the input
+  * values re-ordered ASCENDING by (table frequency, value) against the
+  * driver-held table — the containment join's per-doc df order as one
+  * codegen map (replaces the explode → df join → collect_list →
+  * sort_array doc_id shuffle when the vocabulary fits the pull budget;
+  * identical order: sort_array on struct(__df, shh) is lexicographic
+  * (df ASC, shh ASC), exactly this comparator).
+  */
+case class FreqOrderValues(child: Expression, table: GramFreqTable)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_order_values requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "freq_order_values"
+
+  override def nullSafeEval(input: Any): Any =
+    table.orderValues(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("gramFreqTable", table, classOf[GramFreqTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tRef.orderValues($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `qgram_freq_agg(text, q, max_vocab)` — the corpus byte-q-gram

@@ -715,6 +715,21 @@ object VectorFunctions {
         QgramFreqAgg(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    // Containment-join df fit + per-doc order (optimization round 21):
+    // the shingle document-frequency table as one bounded map-aggregate
+    // pass, and the per-doc (df, shingle)-ascending re-order as one
+    // codegen map against the driver-held table — no occurrence explode,
+    // no df join, no collect_list doc_id shuffle when the vocab fits
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_freq_agg", (exprs: Seq[Expression]) =>
+        LongFreqAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_order_values", (exprs: Seq[Expression]) =>
+        FreqOrderValues(exprs.head,
+          new GramFreqTable(
+            exprs(1).eval().asInstanceOf[ArrayData].toLongArray(),
+            exprs(2).eval().asInstanceOf[ArrayData].toLongArray())), "built-in")
     // PPJoin prefix selection against a driver-held freq table
     // (optimization round 20): vocab keys/freqs arrive as foldable
     // literal arrays, folded once here into a GramFreqTable the
