@@ -1581,6 +1581,14 @@ case class GramBucketCounts(child: Expression, nLow: Int, nHigh: Int,
   require(nLow >= 1 && nHigh >= nLow,
     s"gram_bucket_counts: need 1 <= n_low <= n_high, got $nLow/$nHigh")
   require(buckets > 0, s"gram_bucket_counts: buckets must be positive, got $buckets")
+  // round 21 (ADVICE r20): guard the buffer-size product — a large but
+  // individually valid `buckets` with maxOrder > 1 would overflow to a
+  // negative array size and surface as a runtime exception inside the
+  // aggregate instead of a clear argument error
+  require((nHigh - nLow + 1).toLong * buckets <= (1L << 28),
+    s"gram_bucket_counts: orders × buckets must be <= 2^28 " +
+      s"(${nHigh - nLow + 1} × $buckets requested) — the buffer is " +
+      "driver-pulled and per-task resident; size the bucket budget down")
 
   private def nOrders: Int = nHigh - nLow + 1
 
@@ -1878,6 +1886,66 @@ case class RegDomain(child: Expression, table: SuffixTable)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tRef = ctx.addReferenceObj("suffixTable", table, classOf[SuffixTable].getName)
     defineCodeGen(ctx, ev, c => s"$tRef.domainOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Driver-held query-term table for [[TermTfCounts]] (optimization round
+  * 21): term string → slot index, compared as raw UTF-8 bytes (exactly
+  * the equi-join key equality it replaces). */
+final class TermTable(terms: Array[String]) extends Serializable {
+  private val idx = new java.util.HashMap[UTF8String, Integer](terms.length * 2)
+  terms.zipWithIndex.foreach { case (t, i) =>
+    idx.put(UTF8String.fromString(t), Integer.valueOf(i))
+  }
+  val n: Int = terms.length
+
+  /** struct(dl, tf[]): the token count of `s` under split(text, ' ')
+    * semantics (empty tokens included — an empty text is ONE empty
+    * token) and the per-slot occurrence counts of each table term. One
+    * byte walk; replaces the explode → broadcast-join → groupBy(doc,
+    * term) shuffle of the BM25 tf pass for bounded term sets. */
+  def count(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val tf = new Array[Long](n)
+    var dl = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        dl += 1L
+        val got = idx.get(UTF8String.fromBytes(bytes, start, i - start))
+        if (got != null) tf(got.intValue()) += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(dl, new GenericArrayData(tf))
+  }
+}
+
+/** `term_tf_counts(text, terms)` → struct<dl: bigint, tf: array<bigint>>:
+  * per-document term frequencies against a driver-held bounded term
+  * list, plus the document's token length, in one codegen byte walk. */
+case class TermTfCounts(child: Expression, table: TermTable)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_tf_counts requires string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("tf", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "term_tf_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    table.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("termTable", table, classOf[TermTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tRef.count($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -715,6 +715,17 @@ object VectorFunctions {
         QgramFreqAgg(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    // BM25 tf pass for bounded term sets (optimization round 21): the
+    // query terms arrive as a foldable string-array literal, folded once
+    // into a driver-held TermTable — per-doc tf + dl in one byte walk,
+    // no token explode, no broadcast join, no (doc, term) shuffle
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "term_tf_counts", (exprs: Seq[Expression]) => {
+        val terms = exprs(1).eval().asInstanceOf[ArrayData]
+          .toObjectArray(StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        TermTfCounts(exprs.head, new TermTable(terms))
+      }, "built-in")
     // Containment-join df fit + per-doc order (optimization round 21):
     // the shingle document-frequency table as one bounded map-aggregate
     // pass, and the per-doc (df, shingle)-ascending re-order as one

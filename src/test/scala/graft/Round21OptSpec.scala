@@ -205,6 +205,44 @@ class Round21OptSpec extends SparkSpec {
       s"expected an ArithmeticException cause, got: $e")
   }
 
+  // ---- 4. term_tf_counts kernel ≡ the explode + join BM25 tf pass ---------
+
+  test("bm25Scores kernel path matches the explode+join shape row-for-row") {
+    val docs = docsDf(Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog  sat", // double space: empty token preserved
+      3L -> "cat cat cat dog",
+      4L -> "völlig ünrelated wörds",
+      5L -> "",
+      6L -> null.asInstanceOf[String]
+    ))
+    val terms = Seq("cat", "the", "dog", "absent", "cat", null)
+      .map(Tuple1(_)).toDF("term") // duplicate + null query terms
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = canon(TextOps.bm25Scores(docs, terms))
+    // the retired shape, verbatim
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf6 = Tables.trunc6(log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+    val tfNorm = (col("tf") * lit(2.25)) /
+      (col("tf") + lit(1.25) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val ref = canon(tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(stats))
+      .select(col("doc_id"), floor(idf6 * tfNorm * lit(1000000.0)).cast("long").as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("score_micros")))
+    assert(got == ref)
+    assert(ref.nonEmpty)
+  }
+
   test("url kernels propagate NULL like the chains they replaced") {
     val df = Seq(Tuple1(null.asInstanceOf[String])).toDF("url")
       .select(call_function("url_host", col("url")).as("k"),
